@@ -1,0 +1,366 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.11 #36–#39 plus
+  * the north-star extensions): deduplication (exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, fingerprint, embedding-cosine), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (quality,
+  * language-ID, token counting), and a multimodal binary-column
+  * pipeline with a stubbed decoder.
+  *
+  * Scale stance: every all-pairs operator here is quadratic by nature;
+  * the library therefore always pairs an exact variant (oracle-able,
+  * explicitly capped — caps are part of the declared semantics, not
+  * silent) with a candidate-generation variant (LSH banding) whose
+  * cost is data-linear plus bucket-local joins.
+  */
+object LlmOps {
+
+  // -- shared text machinery ----------------------------------------
+
+  /** Distinct word w-shingles per doc. Shingling is a narrow map +
+    * explode — no shuffle until the consumer aggregates.
+    */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - w),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(w))))).as("shingle"))
+      .distinct()
+
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+
+  // -- dedup family -------------------------------------------------
+
+  /** #36 Exact dedup by content hash, deterministic keeper (min id) —
+    * `dropDuplicates` keeps an arbitrary row, so we groupBy the hash
+    * instead (SURVEY §2 #36). One shuffle on the 256-bit hash;
+    * map-side partial aggregation makes it cheap even at 100 TB.
+    */
+  def q36DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_sha"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .orderBy("content_sha")
+
+  /** #37 Near-dup via MinHash + banded LSH over 3-gram shingles.
+    * Signature: 64 permutations as `min(xxhash64(seed_i, shingle))` —
+    * pure built-ins, deterministic. Banding: 16 bands × 4 rows; docs
+    * sharing any band hash become candidates; candidates are verified
+    * with EXACT shingle Jaccard (≥ `threshold`). Candidate volume is
+    * ~(pairs with J≳0.5), not O(n²) — that is the entire point of LSH
+    * at 100 TB scale. No DuckDB oracle (xxhash64 is Spark-native);
+    * ScalaTest verifies against brute-force Jaccard.
+    */
+  def q37DedupNearMinhash(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val nSeeds = 64
+    val bands = 16
+    val rowsPerBand = nSeeds / bands
+    val sigCols = (0 until nSeeds).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardOf(cand, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact shingle Jaccard for an explicit pair list: intersection via
+    * a shingle-equijoin restricted to the candidate pairs, union by
+    * inclusion–exclusion from per-doc set sizes. Integer arithmetic
+    * until the final division ⇒ bit-deterministic.
+    */
+  def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+  }
+
+  /** n-gram-Jaccard near-dup, EXACT (oracle-able twin of #37): pairs
+    * sharing ≥1 shingle, Jaccard ≥ 0.5. The pair generation is the
+    * quadratic-in-hot-shingles shape LSH exists to avoid — declared
+    * semantics cap the corpus at `maxDocs` ids so the exact variant
+    * stays bounded at any SF (the scale path is q37).
+    */
+  def q40DedupNgramJaccard(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocs)
+    val sh = shingles(docs)
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardOf(pairs, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit signature from frequency-weighted token
+    * hash bits; candidate pairs via the 4×16-bit chunk pigeonhole
+    * (hamming ≤ 3 ⇒ at least one chunk equal), verified with exact
+    * bit_count(xor). Order-insensitive by construction — catches
+    * token-shuffle near-dups that shingle methods key on order for.
+    * No oracle (xxhash64); ScalaTest asserts shuffled dups collide.
+    */
+  def q41DedupSimhash(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val tf = docTokens(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("freq"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, col("freq"))
+        .otherwise(-col("freq"))).as(s"b$b"))
+    val fpExpr = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    }
+    val fps = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
+    val chunks = fps.select(col("doc_id"), col("fp"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("j"),
+        shiftrightunsigned(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("c"))): _*)).as("ck"))
+      .select(col("doc_id"), col("fp"), col("ck.j").as("j"), col("ck.c").as("c"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.j") === col("b.j") && col("a.c") === col("b.c") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Canonical-fingerprint dedup: SHA-256 of the sorted distinct token
+    * set — a rolling/content fingerprint that is invariant to token
+    * order and repetition, so it catches the shuffle-style near-dups
+    * exactly (and is fully oracle-able, unlike #37/#41).
+    */
+  def q47DocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))), 256).as("fingerprint"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("fingerprint")
+
+  // -- similarity search --------------------------------------------
+
+  /** Double-precision cosine between two float-array columns, written
+    * as an index-ordered fold so Spark and DuckDB accumulate in the
+    * same order (then rounded to 6 dp before any ranking).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** #38 Brute-force cosine top-k neighbors for a fixed query set —
+    * the correctness baseline for ANN (q43 is the scale path). The
+    * tiny query side is broadcast; the big side streams through one
+    * codegen stage; ranking is a per-query window over k·|Q| rows.
+    */
+  def q38SimilarityTopk(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold for a bounded
+    * probe set (exact, oracle-able). All-pairs at scale belongs to
+    * q43's bucketed variant.
+    */
+  def q42DedupEmbeddingCosine(spark: SparkSession, dir: String,
+      nProbes: Int = 200, threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"))
+    emb.join(broadcast(probes), col("vec_id") > col("va"))
+      .select(col("va"), col("vec_id").as("vb"),
+        round(cosine(col("ea"), col("embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("va", "vb")
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: weights in
+    * [-1,1) from a splitmix64-style integer mix of (plane, dim) — no
+    * RNG state, reproducible across engines and runs.
+    */
+  private def planeWeight(p: Int, d: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 42L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** LSH-bucketed approximate nearest neighbors: 12 random-hyperplane
+    * sign bits → bucket id; neighbors are ranked only within the
+    * query's bucket. One shuffle on bucket id; bucket sizes are
+    * ~N/4096 ⇒ the per-bucket join is data-linear. Recall vs q38 is
+    * asserted in ScalaTest (approximate ⇒ no oracle).
+    */
+  def q43SimsearchLshAnn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nPlanes: Int = 12, dims: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val bucketExpr = (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>
+      val w = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
+      val dotP = aggregate(zip_with(col("embedding"), w,
+        (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
+      acc + when(dotP >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    val bucketed = emb.withColumn("bucket", bucketExpr)
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  // -- text analysis ------------------------------------------------
+
+  /** #39 Tokenize + explode + frequency per language (token machinery
+    * of my_dbt_flow.py:323-333 as a relational op).
+    */
+  def q39TextAnalysis(spark: SparkSession, dir: String): DataFrame =
+    docTokens(spark, dir)
+      .select(col("lang"), explode(col("toks")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "token")
+
+  /** Quality scoring: length/stopword/distinctness ratios combined
+    * with a fixed rational formula — all ratios are int/int divisions
+    * so both engines agree bitwise before the final round.
+    */
+  def q44TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    docTokens(spark, dir)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(filter(col("toks"), t => t.isin(stop: _*))).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by stopword voting (n-gram-heuristic family): count
+    * hits against tiny per-language marker lists, argmax with a fixed
+    * alphabetical tie-break. Deterministic and SQL-expressible.
+    */
+  def q45LangId(spark: SparkSession, dir: String): DataFrame = {
+    val lists: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und"),
+      "en" -> Seq("the", "a", "and", "of"),
+      "es" -> Seq("el", "los", "las", "y"),
+      "fr" -> Seq("le", "les", "et", "ou"))
+    val scored = lists.foldLeft(docTokens(spark, dir)) { case (df, (l, ws)) =>
+      df.withColumn(s"score_$l",
+        size(filter(col("toks"), t => t.isin(ws: _*))))
+    }
+    val best = lists.map(_._1).foldLeft(lit(-1) -> lit("unknown")) {
+      case ((bestScore, bestLang), l) =>
+        val better = col(s"score_$l") > bestScore
+        (when(better, col(s"score_$l")).otherwise(bestScore),
+          when(better, lit(l)).otherwise(bestLang))
+    }
+    scored.select(col("doc_id"), best._2.as("pred_lang"),
+        (best._2 === col("lang")).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish piece count
+    * (⌈len/4⌉ per token) + regex alpha-chunk count.
+    */
+  def q46TokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    docTokens(spark, dir)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_ws_tokens"),
+        aggregate(transform(col("toks"), t => ceil(length(t) / lit(4.0))),
+          lit(0L), (acc, v) => acc + v).as("n_pieces"),
+        size(expr("regexp_extract_all(concat_ws(' ', toks), '[a-z]+', 0)")).as("n_alpha_chunks"))
+      .orderBy("doc_id")
+
+  // -- multimodal binary columns ------------------------------------
+
+  case class MediaRow(doc_id: Long, mime: String, media: Array[Byte])
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
+      checksum: Long, feature: Array[Double])
+
+  /** Multimodal pipeline plumbing: opaque `binary` payload column +
+    * typed metadata, "decoded" per-partition into a feature row.
+    *
+    * STUB: the decode step is a deterministic fake (byte stats — the
+    * real image/audio codecs are not in this container). The
+    * Spark-side contract is real and tested: binary schema, typed
+    * Dataset boundary, partition-batched iteration (no per-row JNI
+    * setup at scale, no driver collect), fixed-width feature output.
+    */
+  def q48MultimodalStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+    payloads.mapPartitions { it =>
+      // One decoder init per partition would go here (codec handle).
+      it.map { r =>
+        val sum = r.media.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
+        MediaFeatures(r.doc_id, r.mime, r.media.length, sum,
+          Array(r.media.length.toDouble,
+            (sum % 997).toDouble,
+            if (r.media.isEmpty) 0.0 else (r.media.head & 0xFF).toDouble,
+            if (r.media.isEmpty) 0.0 else (r.media.last & 0xFF).toDouble))
+      }
+    }.toDF().orderBy("doc_id")
+  }
+}

@@ -1,0 +1,350 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.1–§2.7, #1–#22).
+  *
+  * Engine stance: every operator is a declarative DataFrame transform;
+  * Catalyst supplies pushdown/pruning/join-strategy/AQE. Per-operator
+  * scale notes are inline. Money arithmetic that must hash-match the
+  * DuckDB oracle uses the scaled-integer pattern: `round(x*100)` cast
+  * to long, summed exactly — no float-associativity hazards.
+  */
+object Relational {
+
+  /** Exact cents: round(x*100) as long. Positive values only — Spark
+    * HALF_UP == DuckDB round-half-away for positives, so both engines
+    * agree on ties; the sum is then exact integer arithmetic.
+    */
+  def cents(c: Column): Column = round(c * lit(100)).cast("long")
+
+  // -- §2.1 scans / sources / sinks ---------------------------------
+
+  /** #1 Full scan with column projection; pruned at the parquet reader
+    * (check `.explain`: ReadSchema carries only these 4 columns).
+    * Ref: shopping_events_exploded.sql:25-26 (projection over scan).
+    */
+  def q01ScanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** #2 Bulk CSV load round-trip (COPY INTO shape,
+    * upload/upload_to_snowflake.py:89-114): write events (incl. the
+    * quoted JSON payload column) to CSV with header, read back with an
+    * explicit schema (schema-on-read, never inferSchema at scale).
+    * Smoke-only sink: no oracle.
+    */
+  def q02BulkLoadCsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val src = Tables.events(spark, dir)
+      .select("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+    src.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .csv(out)
+    spark.read
+      .schema("event_id LONG, ts_ms LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("header", "true").option("quote", "\"")
+      .csv(out)
+      .orderBy("event_id")
+  }
+
+  /** #3 Partitioned parquet sink. Layout is chosen for partition
+    * pruning on the append-only log's natural predicate (event_date) —
+    * at 100 TB a date filter then touches only matching directories.
+    * Smoke-only sink: no oracle.
+    */
+  def q03SinkParquetPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("event_date").agg(count(lit(1)).as("n"))
+      .orderBy("event_date")
+  }
+
+  // -- §2.2 projections / filters -----------------------------------
+
+  /** #4 Conjunctive equality + IN-list predicate
+    * (nep_session_events.sql:14-16). Both conjuncts push down to the
+    * parquet scan (PushedFilters: EqualTo, In).
+    */
+  def q04FilterEqIn(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** #5 Parameterized filter: key equality + half-open date range +
+    * array-length predicate + ordered output (my_dbt_flow.py:234-252).
+    * Parameters arrive as literals → constant-folded into pushed
+    * filters; the split/size predicate runs post-scan in codegen.
+    */
+  def q05FilterRangeParam(spark: SparkSession, dir: String,
+      status: String = "O",
+      start: String = "1996-01-01 00:00:00",
+      end: String = "1999-01-01 00:00:00"): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === lit(status) &&
+        col("o_orderdate") > lit(java.sql.Timestamp.valueOf(start)) &&
+        col("o_orderdate") <= lit(java.sql.Timestamp.valueOf(end)) &&
+        size(split(col("o_orderpriority"), "-")) === 2)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .orderBy("o_orderdate", "o_orderkey")
+
+  /** #6 Projection with computed, aliased columns per column
+    * (shopping_events_exploded.sql:14-24 shape).
+    */
+  def q06ProjectComputeAlias(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_cents"),
+      year(col("l_shipdate")).as("ship_year"),
+      concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("flag_status"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // -- §2.3 joins ---------------------------------------------------
+
+  /** #7 Inner equi-join against a 1-row derived table — "rows of the
+    * newest batch" (latest_etl CTE, shopping_events_exploded.sql:7-13).
+    * The 1-row side is broadcast ⇒ no shuffle of the big side; the
+    * top-1 itself is TakeOrderedAndProject, not a full sort.
+    */
+  def q07JoinBroadcastTop1(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
+    val latest = ev.select(col("event_date").as("max_date"))
+      .orderBy(desc("max_date")).limit(1).distinct()
+    ev.join(broadcast(latest), col("event_date") === col("max_date"))
+      .select("event_id", "user_id", "event_type", "event_date")
+      .orderBy("event_id")
+  }
+
+  /** #8 Multiway fact⋈dim join chain (the shape Snowflake ran for
+    * every dbt ref(), nep_session_events.sql:13). lineitem⋈orders is
+    * the big shuffle pair (AQE may broadcast at small SF; at scale it
+    * is a shuffled join on the order key); customer and nation are
+    * explicitly broadcast — they stay small relative to the fact side.
+    */
+  def q08JoinShuffleMultiway(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** #9 Left-semi ("has a match") / left-anti ("orphans") — the
+    * relational form of dbt relationship tests (schema.yml:9-13).
+    * Semi/anti never materialize right-side columns ⇒ cheapest join
+    * shapes; Catalyst plans them as broadcast/shuffled hash joins.
+    */
+  def q09JoinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cond = col("c_custkey") === col("o_custkey")
+    val has = cust.join(ord, cond, "left_semi")
+      .select(col("c_custkey")).withColumn("tag", lit("has_orders"))
+    val none = cust.join(ord, cond, "left_anti")
+      .select(col("c_custkey")).withColumn("tag", lit("no_orders"))
+    has.unionByName(none).orderBy("tag", "c_custkey")
+  }
+
+  /** #10 As-of join: each purchase matched to the latest earlier-or-
+    * same-ms view of the same user. Implemented as union + running
+    * `last(ignoreNulls)` over event time — one shuffle on user_id, no
+    * BroadcastNestedLoopJoin risk (the naive range-join fallback).
+    * Views are first deduped per (user, ms) to make "latest" unique.
+    */
+  def q10JoinAsofRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts_ms").as("tms"), col("event_id"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "tms").agg(max("event_id").as("v_id"))
+      .withColumn("p_id", lit(null).cast("long")).withColumn("is_p", lit(0))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tms"), col("event_id").as("p_id"))
+      .withColumn("v_id", lit(null).cast("long")).withColumn("is_p", lit(1))
+    val w = Window.partitionBy("user_id").orderBy("tms", "is_p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases.select(views.columns.map(col).toIndexedSeq: _*))
+      .withColumn("prior_view_id", last(col("v_id"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("user_id"), col("p_id").as("purchase_id"),
+        coalesce(col("prior_view_id"), lit(-1L)).as("prior_view_id"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  // -- §2.4 aggregations --------------------------------------------
+
+  /** #11 Multi-key hash GROUP BY (TPC-H Q1 shape;
+    * nep_session_events.sql:17-18). Partial (map-side) + final
+    * HashAggregate — the shuffle moves pre-aggregated rows only.
+    * Sums use exact scaled-integer arithmetic (order-independent).
+    */
+  def q11AggHashGroupby(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty_cents").cast("double") / lit(100.0) / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** #12 Ordered ARRAY_AGG — the reference's core sessionize collect
+    * (ARRAY_AGG ... WITHIN GROUP (ORDER BY ts), nep_session_events
+    * .sql:7-19). `collect_list` order is undefined post-shuffle, so we
+    * ALWAYS sort-then-project: array_sort(collect_list(struct(ts,id)))
+    * with the id as tie-break, then transform away the sort key.
+    */
+  def q12AggOrderedCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy("user_id", "event_date")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id")))),
+          x => x.getField("event_id")).as("interactions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "event_date")
+
+  /** #13 Exact duplicate detection (dbt `unique` test, schema.yml:9-13
+    * re-expressed relationally): keys occurring more than once.
+    */
+  def q13AggDistinctDupes(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("l_orderkey")
+
+  /** #14 Approximate distinct (HLL++) — the 100 TB form of #13: exact
+    * distinct on a high-cardinality id shuffles every distinct value;
+    * HLL ships fixed-size sketches. No oracle (approximate);
+    * ScalaTest asserts ±5% vs exact.
+    */
+  def q14AggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+
+  /** #15 ROLLUP subtotals (warehouse parity). Keys are coalesced to
+    * 'ALL' so NULL-ordering differences between engines can't bite.
+    */
+  def q15RollupGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty_cents"), col("n"))
+      .orderBy("rf", "ls")
+
+  // -- §2.5 window functions ----------------------------------------
+
+  /** #16 first_value over (partition, order) — stamp each event with
+    * its partition's first value (shopping_events_exploded.sql:18).
+    */
+  def q16WindowFirstValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("first_event_id", first("event_id").over(w))
+      .select("event_id", "user_id", "first_event_id")
+      .orderBy("event_id")
+  }
+
+  /** #17 Ranking + top-k per partition (per-session argsort top-k,
+    * lstm_model.py:38-40). row_number with a full tie-break keeps the
+    * result deterministic.
+    */
+  def q17WindowRankTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** #18 Running frame aggregate (cumulative spend per user over the
+    * event log). Scaled-integer running sum ⇒ exact, order-fixed.
+    */
+  def q18WindowRunningFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("run_cents", sum(cents(col("value"))).over(w))
+      .select("event_id", "user_id", "run_cents")
+      .orderBy("event_id")
+  }
+
+  /** #19 lag/lead inter-event gap — the primitive under gap-based
+    * sessionization (#34 / flagship).
+    */
+  def q19WindowLagGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("gap_ms",
+        coalesce(col("ts_ms") - lag("ts_ms", 1).over(w), lit(-1L)))
+      .select("event_id", "user_id", "gap_ms")
+      .orderBy("event_id")
+  }
+
+  // -- §2.6 sorts / limits ------------------------------------------
+
+  /** #20 Global ORDER BY DESC + LIMIT 1 (latest ETL id,
+    * shopping_events_exploded.sql:7-13). Plans as
+    * TakeOrderedAndProject: per-partition top-1 then merge — no full
+    * sort, no single-node shuffle.
+    */
+  def q20OrderbyDescLimit1(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      .limit(1)
+      .select("o_orderkey", "o_orderdate")
+
+  /** #21 Total order on multiple keys ("sessions are ordered!",
+    * shopping_events_exploded.sql:29). Range-partitioned SortExec —
+    * scales by sampling range bounds, not by a single reducer.
+    */
+  def q21GlobalMultisort(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+
+  // -- §2.7 set operations ------------------------------------------
+
+  /** #22 INTERSECT / EXCEPT / UNION ALL (new-vs-previous batch diff on
+    * the append-only log). Distinct-set semantics like the SQL ops.
+    */
+  def q22UnionExceptIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val open = ord.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    val closed = ord.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    val both = open.intersect(closed).withColumn("tag", lit("both"))
+    val onlyOpen = open.except(closed).withColumn("tag", lit("only_open"))
+    val onlyClosed = closed.except(open).withColumn("tag", lit("only_closed"))
+    both.unionByName(onlyOpen).unionByName(onlyClosed)
+      .orderBy("tag", "o_custkey")
+  }
+}

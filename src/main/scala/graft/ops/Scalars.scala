@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY.md §2.8, #23–#28): string / json /
+  * date / array / math / hash. All built-ins ⇒ whole-stage codegen;
+  * no UDFs anywhere on these paths.
+  */
+object Scalars {
+
+  /** #23 String normalization — the reference's SKU cleanup
+    * `REPLACE(LOWER(x),' ','_')` (shopping_events_exploded.sql:22)
+    * plus split/join round-trip (my_dbt_flow.py:321-333).
+    */
+  def q23StringNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      regexp_replace(lower(col("p_name")), " ", "_").as("sku"),
+      concat_ws("|", split(col("p_name"), " ")).as("joined"),
+      upper(col("p_brand")).as("brand_uc"))
+      .orderBy("p_partkey")
+
+  /** #24 JSON path extraction + cast (`VARIANT:path::TYPE`,
+    * shopping_events_exploded.sql:20-24): NULL on missing key, NULL-
+    * safe cast — matches Snowflake semantics by construction.
+    */
+  def q24JsonExtractCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+      get_json_object(col("props"), "$.missing").as("missing_val"))
+      .orderBy("event_id")
+
+  /** #25 Epoch-ms ↔ date/timestamp conversions + formatted string +
+    * date comparison (upload_to_snowflake.py:168-169,
+    * my_dbt_flow.py:116-118).
+    */
+  def q25DateEpochFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      to_date(col("ts")).as("event_date"),
+      date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+      (col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))).as("is_late"),
+      col("ts_ms").as("epoch_ms"))
+      .orderBy("event_id")
+
+  /** Left-pad `a` with `padVal` to exactly `n` elements, keeping the
+    * LAST n when longer — Keras `pad_sequences(maxlen=n)` semantics
+    * (my_dbt_flow.py:337). Pure built-ins ⇒ codegen-friendly.
+    */
+  def padTo(a: org.apache.spark.sql.Column, n: Int,
+      padVal: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      array_repeat(padVal, greatest(lit(0), lit(n) - size(a))),
+      slice(a, greatest(lit(1), size(a) - lit(n) + lit(1)), lit(n)))
+
+  /** #26 Array functions over per-group ordered collections: size,
+    * all-but-last slice, last element, fixed-length left pad
+    * (my_dbt_flow.py:243,272-275,335-340).
+    */
+  def q26ArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy("user_id", "event_date")
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id")))),
+        x => x.getField("event_id")).as("a"))
+      .select(
+        col("user_id"), col("event_date"),
+        size(col("a")).as("n"),
+        slice(col("a"), lit(1), size(col("a")) - lit(1)).as("all_but_last"),
+        element_at(col("a"), -1).as("last_el"),
+        padTo(col("a"), 20, lit(0L)).as("padded"))
+      .orderBy("user_id", "event_date")
+
+  /** #27 Summary stats (RecList basic_stats, my_reclist.py:6-16).
+    * avg/std are derived from EXACT scaled-integer sums with a fixed
+    * double expression tree, so both engines produce bit-identical
+    * doubles (no streaming-variance order dependence).
+    */
+  def q27MathStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = Relational.cents(col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(c).as("qs"),
+        sum(c * c).as("qsq"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .select(
+        col("l_returnflag"), col("cnt"),
+        (col("qs").cast("double") / lit(100.0)).as("sum_qty"),
+        (col("qs").cast("double") / lit(100.0) / col("cnt")).as("avg_qty"),
+        sqrt((col("qsq").cast("double") / lit(10000.0) -
+          (col("qs").cast("double") / lit(100.0)) * (col("qs").cast("double") / lit(100.0)) / col("cnt"))
+          / (col("cnt") - lit(1))).as("std_qty"),
+        col("min_qty"), col("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** #28 Deterministic ids & content hashes (dataset ids are already
+    * SHA-256, upload_to_snowflake.py:141-148). uuid()/now() exist but
+    * are nondeterministic — the declared query uses sha2 + concat
+    * stamps only.
+    */
+  def q28UuidHashGen(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      sha2(col("text"), 256).as("content_sha"),
+      concat(col("source"), lit("-"), col("doc_id")).as("stamp"))
+      .orderBy("doc_id")
+}

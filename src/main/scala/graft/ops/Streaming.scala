@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators (SURVEY.md §2.10, #32–#35): the reference's
+  * append-only log + re-run-the-views pattern (README.md:80,86) made
+  * genuinely incremental with Structured Streaming. Each op has a
+  * batch twin (declared to the oracle harness) and a streaming form
+  * (`Trigger.AvailableNow` file source) asserted equivalent in
+  * ScalaTest. The batch/stream pair shares one column-expression body
+  * so the semantics cannot drift.
+  */
+object Streaming {
+
+  /** #32 Tumbling event-time window (batch twin of the daily
+    * EVENT_DATE grouping, upload_to_snowflake.py:169). Day windows are
+    * epoch-aligned (UTC midnight) in both Spark `window()` and the
+    * oracle's date_trunc.
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        sum(Relational.cents(col("value"))).as("sum_value_cents"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value_cents"))
+
+  def q32TumblingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    tumbling(Tables.events(spark, dir)).orderBy("ws")
+
+  /** #33 Sliding window (1 h length, 15 min slide): each event lands
+    * in length/slide = 4 windows; Spark expands then aggregates —
+    * partial aggregation keeps the shuffle at (#windows × groups), not
+    * (#events × 4).
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+
+  def q33SlidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    sliding(Tables.events(spark, dir)).orderBy("ws")
+
+  /** #34 Gap-based session window — the streaming twin of the flagship
+    * sessionize when no session_id exists. Built-in `session_window`
+    * (Spark 3.2+) merges events closer than the gap; the batch oracle
+    * is the gaps-and-islands formulation (identical semantics: a gap
+    * strictly greater than 30 min starts a new session).
+    */
+  def sessionWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+
+  def q34SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindow(Tables.events(spark, dir)).orderBy("user_id", "session_start")
+
+  /** #35 Dedup (streaming: dropDuplicatesWithinWatermark on the event
+    * id; batch twin declared here: deterministic min-id per duplicate
+    * key — `dropDuplicates` alone keeps an arbitrary row, which can
+    * never hash-match an oracle).
+    */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id", "ts_ms")
+      .agg(min("event_id").as("event_id"), count(lit(1)).as("n_dupes"))
+
+  def q35WatermarkLateDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupBatch(Tables.events(spark, dir))
+      .select("event_id", "user_id", "ts_ms", "n_dupes")
+      .orderBy("user_id", "ts_ms")
+
+  // -- streaming runners (used by ScalaTest equivalence specs) -------
+
+  /** Read the events parquet as a bounded stream (AvailableNow ≈ batch
+    * over the same files) with the same canonical µs `ts` as
+    * `Tables.events`.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.table(spark, dir, "events").schema
+    spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts_ms", unix_millis(col("ts")))
+  }
+
+  /** Run a streaming transform over the bounded events stream into a
+    * memory sink and return the materialized result (complete mode —
+    * suits the windowed aggregates above).
+    */
+  def runAvailableNow(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame,
+      queryName: String,
+      watermark: Option[(String, String)] = Some("ts" -> "1 hour"),
+      outputMode: String = "complete"): DataFrame = {
+    val src = eventsStream(spark, dir)
+    val withWm = watermark.fold(src) { case (c, d) => src.withWatermark(c, d) }
+    val q = transform(withWm).writeStream
+      .outputMode(outputMode)
+      .format("memory").queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline (ingest → explode → sessionize → features)
+  * as one lazily-composed Catalyst plan — the Spark shape of the
+  * reference's dbt-view + Metaflow-step chain (SURVEY.md §3).
+  *
+  * Reference semantics mirrored per stage:
+  *  - explode:  /root/reference/src/dbt/models/metaflow/shopping_events_exploded.sql:7-29
+  *  - sessions: /root/reference/src/dbt/models/metaflow/nep_session_events.sql:7-19
+  *  - extract:  /root/reference/src/my_dbt_flow.py:234-252
+  *  - split:    /root/reference/src/my_dbt_flow.py:256-264
+  *  - features: /root/reference/src/my_dbt_flow.py:319-340 (tokenize/pad/label)
+  *
+  * Where the reference materialized per-step artifacts to S3 and
+  * pulled full result sets into driver memory (fetch_all,
+  * snowflake_client.py:48-62), this chain stays distributed end to
+  * end; only the final Dataset hand-off leaves the cluster.
+  */
+object Pipeline {
+
+  /** Raw append-only log schema (upload_to_snowflake.py:56-70):
+    * etl_timestamp LONG, etl_id STRING, event_type STRING,
+    * api_key STRING, event_date DATE, raw_data STRING (JSON).
+    */
+
+  /** Stage 1 → 2: keep only the newest ETL batch, flatten the JSON
+    * payload, stamp SESSION_DATE as the session's first event date.
+    * Snowflake `::TYPE` casts of missing paths yield NULL —
+    * get_json_object matches that exactly.
+    */
+  def explodeEvents(raw: DataFrame): DataFrame = {
+    val latest = raw.select(col("etl_id")).orderBy(desc("etl_timestamp"))
+      .limit(1).distinct()
+    val flat = raw.join(broadcast(latest), "etl_id")
+      .select(
+        col("etl_id"), col("api_key"), col("event_date"), col("event_type"),
+        get_json_object(col("raw_data"), "$.hashed_url").as("url"),
+        get_json_object(col("raw_data"), "$.product_action").as("product_action"),
+        regexp_replace(lower(get_json_object(col("raw_data"), "$.product_sku")), " ", "_").as("sku"),
+        get_json_object(col("raw_data"), "$.server_timestamp_epoch_ms").cast("long").as("event_epoch_timestamp"),
+        get_json_object(col("raw_data"), "$.session_id").as("session_id"))
+    val w = Window.partitionBy("session_id").orderBy("event_epoch_timestamp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flat
+      .withColumn("session_date", first("event_date").over(w))
+      .orderBy("session_id", "event_epoch_timestamp")
+  }
+
+  /** Stage 2 → 3: product interactions only, one row per session with
+    * the time-ordered SKU array (ordered collect — nondeterministic
+    * `collect_list` is always sorted through the struct trick, with
+    * the SKU as tie-break like Snowflake's stable input order).
+    */
+  def sessionEvents(exploded: DataFrame): DataFrame =
+    exploded
+      .filter(col("event_type") === "event_product" &&
+        col("product_action").isin("detail", "add", "purchase"))
+      .groupBy("session_id", "api_key", "session_date")
+      .agg(transform(
+        array_sort(collect_list(struct(col("event_epoch_timestamp"), col("sku")))),
+        x => x.getField("sku")).as("interactions"))
+      .orderBy("session_date", "session_id")
+
+  /** Stage 3 → 4: the parameterized extraction query
+    * (my_dbt_flow.py:234-252): tenant key, half-open date window,
+    * ARRAY_SIZE > minSize, ordered by session date.
+    */
+  def extractSessions(sessions: DataFrame, apiKey: String,
+      start: java.sql.Date, end: java.sql.Date, minSize: Int = 2): DataFrame =
+    sessions
+      .filter(col("api_key") === lit(apiKey) &&
+        col("session_date") > lit(start) && col("session_date") <= lit(end) &&
+        size(col("interactions")) > minSize)
+      .orderBy("session_date", "session_id")
+
+  /** Stage 4 → 5: ordered 90/10 time split without driver-side
+    * slicing (my_dbt_flow.py:259-264).
+    */
+  def trainTestSplit(sessions: DataFrame, frac: Double = 0.9): DataFrame =
+    sessions.withColumn("split",
+      when(percent_rank().over(Window.orderBy("session_date", "session_id")) < frac,
+        "train").otherwise("test"))
+
+  /** Stage 5 → tensors: vocab (frequency-desc, token-asc — the
+    * relational contract replacing Keras insertion order), encode,
+    * left-pad x to maxLen, label = last token id (the reference's
+    * `-1` label shift is applied at the model boundary).
+    */
+  def features(sessions: DataFrame, maxLen: Int = 20): DataFrame = {
+    val toks = sessions.select(col("session_id"), posexplode(col("interactions")))
+      .withColumnRenamed("col", "sku")
+    val vocab = toks.groupBy("sku").agg(count(lit(1)).as("freq"))
+      .withColumn("id", row_number().over(Window.orderBy(desc("freq"), asc("sku"))))
+      .select("sku", "id")
+    val enc = toks.join(broadcast(vocab), "sku")
+      .groupBy("session_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id")).as("ids"))
+    enc.select(
+      col("session_id"),
+      ops.Scalars.padTo(slice(col("ids"), lit(1), size(col("ids")) - 1), maxLen, lit(0)).as("x"),
+      element_at(col("ids"), -1).as("y"))
+  }
+
+  /** Full chain on a raw append-only log. */
+  def run(raw: DataFrame, apiKey: String, start: java.sql.Date,
+      end: java.sql.Date): DataFrame =
+    features(extractSessions(sessionEvents(explodeEvents(raw)), apiKey, start, end))
+}

@@ -191,7 +191,7 @@ object SparkEntry {
       """SELECT make_timestamp((epoch_ms(ts) // 900000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS ws, CAST(count(*) AS BIGINT) AS n
         |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t GROUP BY ws ORDER BY ws""".stripMargin,
     "q34_session_window" ->
-      """WITH g AS (SELECT user_id, ts, event_id, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      """WITH g AS (SELECT user_id, ts, event_id, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
         |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q35_watermark_late_dedup" ->

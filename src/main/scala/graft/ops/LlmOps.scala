@@ -234,27 +234,41 @@ object LlmOps {
     (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  /** LSH-bucketed approximate nearest neighbors: 12 random-hyperplane
-    * sign bits → bucket id; neighbors are ranked only within the
-    * query's bucket. One shuffle on bucket id; bucket sizes are
-    * ~N/4096 ⇒ the per-bucket join is data-linear. Recall vs q38 is
-    * asserted in ScalaTest (approximate ⇒ no oracle).
+  /** LSH-bucketed approximate nearest neighbors: `nTables`
+    * independent hash tables of `nPlanes` random-hyperplane sign bits
+    * each; a vector is a candidate for a query if they share a bucket
+    * in ANY table (union ∪ dedup), then exact cosine ranks the
+    * candidates. Cost: one shuffle on (table, bucket); per-bucket
+    * population is ~N/2^nPlanes ⇒ tune nPlanes ≈ log2(N/targetBucket)
+    * as the corpus grows (the defaults suit the harness corpus; at
+    * 100 TB raise nPlanes, keep nTables for recall). Recall vs the
+    * exact q38 is asserted in ScalaTest (approximate ⇒ no oracle).
     */
   def q43SimsearchLshAnn(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, nPlanes: Int = 12, dims: Int = 64): DataFrame = {
+      nQueries: Int = 10, k: Int = 5, nPlanes: Int = 4, nTables: Int = 4,
+      dims: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val bucketExpr = (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>
-      val w = array((0 until dims).map(d => lit(planeWeight(p, d))): _*)
-      val dotP = aggregate(zip_with(col("embedding"), w,
-        (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
-      acc + when(dotP >= 0, lit(1 << p)).otherwise(lit(0))
+    val tableCols = (0 until nTables).map { t =>
+      val bucketExpr = (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>
+        val w = array((0 until dims).map(d => lit(planeWeight(t * 1000 + p, d))): _*)
+        val dotP = aggregate(zip_with(col("embedding"), w,
+          (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
+        acc + when(dotP >= 0, lit(1 << p)).otherwise(lit(0))
+      }
+      struct(lit(t).as("t"), bucketExpr.as("bucket"))
     }
-    val bucketed = emb.withColumn("bucket", bucketExpr)
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    bucketed.join(broadcast(queries), Seq("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("t"), col("bucket"))
+    val cand = bucketed.join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("qe"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    cand
+      .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("embedding")), 6).as("cos"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))

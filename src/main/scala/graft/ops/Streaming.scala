@@ -46,8 +46,10 @@ object Streaming {
   /** #34 Gap-based session window — the streaming twin of the flagship
     * sessionize when no session_id exists. Built-in `session_window`
     * (Spark 3.2+) merges events closer than the gap; the batch oracle
-    * is the gaps-and-islands formulation (identical semantics: a gap
-    * strictly greater than 30 min starts a new session).
+    * is the gaps-and-islands formulation. Boundary semantics
+    * (verified empirically in StreamingSpec): an event at EXACTLY
+    * last_ts + gap still merges; only a gap STRICTLY greater than
+    * 30 min starts a new session — the oracle uses `>` at µs.
     */
   def sessionWindow(events: DataFrame): DataFrame =
     events
@@ -82,8 +84,18 @@ object Streaming {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.table(spark, dir, "events").schema
+    // The file streaming source wants a DIRECTORY; the harness ships a
+    // single file — expose it through a symlinked temp dir.
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
     spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("ts_ms", unix_millis(col("ts")))
   }

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Features, Relational, Scalars}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator invariants the DuckDB oracle can't express (approximate
+  * ops, laws, edge cases) on sf0.001 + tiny in-memory frames.
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+  val sf = SharedSpark.sfTiny
+
+  test("q14: approx_count_distinct within 5% of exact") {
+    val approx = Relational.q14AggApproxDistinct(spark, sf).collect()(0)
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.agg(
+      countDistinct(col("l_orderkey")), countDistinct(col("l_partkey")),
+      countDistinct(col("l_suppkey"))).collect()(0)
+    for (i <- 0 until 3) {
+      val a = approx.getLong(i).toDouble
+      val e = exact.getLong(i).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"col $i: approx $a vs exact $e")
+    }
+  }
+
+  test("q29: split fractions are ~90/10 and time-consistent") {
+    val s = Features.q29TimeSplit(spark, sf).cache()
+    val n = s.count().toDouble
+    val nTrain = s.filter(col("split") === "train").count().toDouble
+    assert(math.abs(nTrain / n - 0.9) < 0.01)
+    // every train order date <= every test order date
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")
+    val j = s.join(ord, "o_orderkey")
+    // o_orderdate is parquet timestamp-without-tz -> TIMESTAMP_NTZ -> LocalDateTime
+    val maxTrain = j.filter(col("split") === "train").agg(max("o_orderdate"))
+      .collect()(0).getAs[java.time.LocalDateTime](0)
+    val minTest = j.filter(col("split") === "test").agg(min("o_orderdate"))
+      .collect()(0).getAs[java.time.LocalDateTime](0)
+    assert(!maxTrain.isAfter(minTest))
+  }
+
+  test("padTo: length invariant and content (pad / truncate / exact)") {
+    val df = Seq(
+      (1, Seq(7L)), (2, Seq(1L, 2L, 3L, 4L)), (3, (1L to 25L).toSeq)
+    ).toDF("id", "a")
+    val got = df.select(col("id"), Scalars.padTo(col("a"), 4, lit(0L)).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1) === Seq(0L, 0L, 0L, 7L))
+    assert(got(2) === Seq(1L, 2L, 3L, 4L))
+    assert(got(3) === Seq(22L, 23L, 24L, 25L)) // keep LAST n (Keras maxlen)
+  }
+
+  test("q09: semi and anti partition the customer set") {
+    val r = Relational.q09JoinSemiAnti(spark, sf).cache()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(r.count() === nCust)
+    assert(r.select("c_custkey").distinct().count() === nCust)
+  }
+
+  test("q10: as-of prior view is at or before the purchase (ms)") {
+    val ev = Tables.events(spark, sf).select("event_id", "ts_ms")
+    val r = Relational.q10JoinAsofRange(spark, sf)
+      .filter(col("prior_view_id") =!= -1L)
+      .join(ev.withColumnRenamed("event_id", "purchase_id")
+        .withColumnRenamed("ts_ms", "p_ms"), "purchase_id")
+      .join(ev.withColumnRenamed("event_id", "prior_view_id")
+        .withColumnRenamed("ts_ms", "v_ms"), "prior_view_id")
+    assert(r.filter(col("v_ms") > col("p_ms")).count() === 0)
+    assert(r.count() > 0)
+  }
+
+  test("q15: rollup grand total equals sum of leaves") {
+    val r = Relational.q15RollupGroupingSets(spark, sf).cache()
+    val leaves = r.filter(col("rf") =!= "ALL" && col("ls") =!= "ALL")
+      .agg(sum("sum_qty_cents"), sum("n")).collect()(0)
+    val total = r.filter(col("rf") === "ALL" && col("ls") === "ALL")
+      .select("sum_qty_cents", "n").collect()(0)
+    assert(leaves.getLong(0) === total.getLong(0))
+    assert(leaves.getLong(1) === total.getLong(1))
+  }
+
+  test("q31 HR@k Aggregator matches the relational formulation") {
+    val data = Seq(
+      (Seq(1, 2, 3), 2), (Seq(4, 5, 6), 9), (Seq(7, 8, 9), 7), (Seq(1, 1, 1), 5)
+    )
+    val agg = new Features.HitRateAtK(3)
+    val ds = data.toDS()
+    val got = ds.select(udaf(agg).apply(col("_1"), col("_2"))).collect()(0).getDouble(0)
+    assert(got === 0.5) // rows 1 and 3 hit
+  }
+
+  test("dedup idempotence: q36 keepers are unique and cover all docs") {
+    val d = ops.LlmOps.q36DedupExact(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(d.agg(sum("n")).collect()(0).getLong(0) === docs)
+    assert(d.select("keep_id").distinct().count() === d.count())
+  }
+
+  test("q26: slice/last/pad agree with each other") {
+    val r = Scalars.q26ArrayFuncs(spark, sf).cache()
+    assert(r.filter(size(col("padded")) =!= 20).count() === 0)
+    assert(r.filter(size(col("all_but_last")) =!= col("n") - 1).count() === 0)
+    // last_el == last of padded when group nonempty
+    assert(r.filter(element_at(col("padded"), -1) =!= col("last_el")).count() === 0)
+  }
+}

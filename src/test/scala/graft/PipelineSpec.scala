@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-semantics parity on a hand-built raw log fixture
+  * (FIXTURES.md §B): two ETL batches, three sessions, filters that
+  * actually drop rows, a session spanning two event dates. Expected
+  * arrays worked by hand from the Snowflake SQL
+  * (shopping_events_exploded.sql / nep_session_events.sql).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  def rawJson(url: String, action: String, sku: String, ts: Long, sid: String): String =
+    s"""{"event_type":"event_product","hashed_url":"$url","product_action":$action,"product_sku":"$sku","server_timestamp_epoch_ms":$ts,"session_id":"$sid"}"""
+
+  // (etl_timestamp, etl_id, event_type, api_key, event_date, raw_data)
+  lazy val raw = Seq(
+    // stale batch — must be dropped entirely by the latest-etl join
+    (1000L, "etl-old", "event_product", "k1", "2019-01-01",
+      rawJson("u0", "\"add\"", "Old Sku", 1L, "s1")),
+    // latest batch
+    // s1: 4 product events (one 'remove' dropped), spans two dates
+    (2000L, "etl-new", "event_product", "k1", "2019-01-02",
+      rawJson("u1", "\"detail\"", "Sku A", 10L, "s1")),
+    (2000L, "etl-new", "event_product", "k1", "2019-01-02",
+      rawJson("u2", "\"add\"", "Sku B", 20L, "s1")),
+    (2000L, "etl-new", "event_product", "k1", "2019-01-03",
+      rawJson("u3", "\"purchase\"", "Sku C", 30L, "s1")),
+    (2000L, "etl-new", "event_product", "k1", "2019-01-02",
+      rawJson("u4", "\"remove\"", "Sku X", 15L, "s1")),
+    // s2: only 2 product events -> dropped by ARRAY_SIZE > 2 extraction
+    (2000L, "etl-new", "event_product", "k1", "2019-01-04",
+      rawJson("u5", "\"detail\"", "Sku D", 40L, "s2")),
+    (2000L, "etl-new", "event_product", "k1", "2019-01-04",
+      rawJson("u6", "\"add\"", "Sku E", 50L, "s2")),
+    // s3: pageviews only (event_type filter) + action null
+    (2000L, "etl-new", "pageview", "k1", "2019-01-05",
+      rawJson("u7", "null", "Sku F", 60L, "s3")),
+    // s4: wrong api_key -> dropped by extraction param filter
+    (2000L, "etl-new", "event_product", "k2", "2019-01-05",
+      rawJson("u8", "\"add\"", "Sku G", 70L, "s4")),
+    (2000L, "etl-new", "event_product", "k2", "2019-01-05",
+      rawJson("u9", "\"add\"", "Sku H", 71L, "s4")),
+    (2000L, "etl-new", "event_product", "k2", "2019-01-05",
+      rawJson("u10", "\"add\"", "Sku I", 72L, "s4"))
+  ).toDF("etl_timestamp", "etl_id", "event_type", "api_key", "event_date_s", "raw_data")
+    .withColumn("event_date", to_date(col("event_date_s")))
+    .drop("event_date_s")
+
+  test("explode: latest batch only, JSON flattened, session_date = first event_date") {
+    val ex = Pipeline.explodeEvents(raw).cache()
+    assert(ex.filter(col("etl_id") === "etl-old").count() === 0)
+    val s1 = ex.filter(col("session_id") === "s1")
+      .orderBy("event_epoch_timestamp")
+      .select("sku", "product_action", "session_date", "url")
+      .collect()
+    assert(s1.map(_.getString(0)).toSeq === Seq("sku_a", "sku_x", "sku_b", "sku_c"))
+    // session spans 01-02..01-03 but session_date is the FIRST date everywhere
+    assert(s1.map(_.get(2).toString).distinct.toSeq === Seq("2019-01-02"))
+    // null product_action survives the explode (filter happens downstream)
+    assert(ex.filter(col("session_id") === "s3" && col("product_action").isNull).count() === 1)
+  }
+
+  test("sessions: ordered SKU arrays, product-action filter, unique+not-null session_id") {
+    val sess = Pipeline.sessionEvents(Pipeline.explodeEvents(raw)).cache()
+    val rows = sess.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](3)).toMap
+    assert(rows("s1") === Seq("sku_a", "sku_b", "sku_c")) // 'remove' dropped, time order kept
+    assert(rows("s2") === Seq("sku_d", "sku_e"))
+    assert(!rows.contains("s3")) // pageviews only
+    // dbt schema tests re-expressed (schema.yml:9-13)
+    assert(sess.filter(col("session_id").isNull).count() === 0)
+    assert(sess.groupBy("session_id").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("extraction: api_key + date range + ARRAY_SIZE > 2") {
+    val sess = Pipeline.sessionEvents(Pipeline.explodeEvents(raw))
+    val got = Pipeline.extractSessions(sess, "k1",
+      java.sql.Date.valueOf("2019-01-01"), java.sql.Date.valueOf("2019-03-14"))
+    assert(got.select("session_id").as[String].collect().toSeq === Seq("s1"))
+  }
+
+  test("features: vocab freq-desc/token-asc, left-padded x, label = last id") {
+    val sess = Pipeline.sessionEvents(Pipeline.explodeEvents(raw))
+      .filter(col("api_key") === "k1")
+    val f = Pipeline.features(sess, maxLen = 4).orderBy("session_id").collect()
+    // vocab over {sku_a,sku_b,sku_c,sku_d,sku_e}, all freq 1 -> ids by token asc: a=1..e=5
+    val bySession = f.map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getInt(2)))).toMap
+    assert(bySession("s1") === ((Seq(0, 0, 1, 2), 3))) // x = [a,b] padded, y = c
+    assert(bySession("s2") === ((Seq(0, 0, 0, 4), 5))) // x = [d] padded, y = e
+  }
+
+  test("full chain composes into one plan") {
+    val out = Pipeline.run(raw, "k1",
+      java.sql.Date.valueOf("2019-01-01"), java.sql.Date.valueOf("2019-03-14"))
+    assert(out.count() === 1)
+  }
+}

@@ -61,13 +61,29 @@ object LlmOps {
     */
   def q37DedupNearMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
     val nSeeds = 64
     val bands = 16
     val rowsPerBand = nSeeds / bands
+    // Everything up to the band join is MAP-SIDE: per-doc shingle
+    // array -> within-doc distinct (no shuffle, unlike explode+
+    // distinct) -> one string hash per shingle -> 64 "permutations"
+    // as array_min over seed-rehashes of the 8-byte value. The ONLY
+    // shuffles in the whole operator are the (band, hash) bucket join
+    // over #docs x #bands tiny rows and the final candidate lookups —
+    // this is what makes MinHash-LSH linear at 100 TB.
+    val w = 3
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+    val withHs = docs.select(col("doc_id"),
+      array_distinct(transform(
+        transform(sequence(lit(0), size(col("toks")) - w),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(w)))),
+        s => xxhash64(s))).as("hs"))
+      .cache()
     val sigCols = (0 until nSeeds).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i"))
+    val sig = withHs.select(col("doc_id") +: sigCols: _*)
     val bandCols = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
@@ -79,7 +95,17 @@ object LlmOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardOf(cand, sh)
+    // Exact verification on the candidate set only: fetch both hash
+    // sets (hash-set Jaccard == shingle-set Jaccard, xxhash64
+    // collisions are negligible) and intersect locally per pair.
+    val verified = cand
+      .join(withHs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+      .join(withHs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) -
+            size(array_intersect(col("hs_a"), col("hs_b"))))).as("jaccard"))
+    verified
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -115,11 +141,19 @@ object LlmOps {
       threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocs)
     val sh = shingles(docs)
-    val pairs = sh.as("a").join(sh.as("b"),
+    // Intersection sizes straight off the shingle equijoin (one
+    // shuffle + one aggregation) — no pairs->distinct->re-join pass.
+    val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    jaccardOf(pairs, sh)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -175,16 +209,23 @@ object LlmOps {
 
   // -- similarity search --------------------------------------------
 
-  /** Double-precision cosine between two float-array columns, written
-    * as an index-ordered fold so Spark and DuckDB accumulate in the
-    * same order (then rounded to 6 dp before any ranking).
+  /** Double-precision dot product of two float-array columns as an
+    * index-ordered fold, so Spark and DuckDB accumulate in the same
+    * order (bit-identical before the final 6-dp round).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+
+  /** cosine with squared norms precomputed per SIDE (N+Q norm passes
+    * instead of 3·N·Q flops in the pair loop) — the arithmetic per
+    * value is unchanged, so oracle results are identical.
+    */
+  def cosinePrenorm(dot: Column, nsqA: Column, nsqB: Column): Column =
+    dot / (sqrt(nsqA) * sqrt(nsqB))
 
   /** #38 Brute-force cosine top-k neighbors for a fixed query set —
     * the correctness baseline for ANN (q43 is the scale path). The
@@ -194,11 +235,13 @@ object LlmOps {
   def q38SimilarityTopk(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nsq").as("qnsq"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
       .filter(col("rnk") <= k)
@@ -213,11 +256,13 @@ object LlmOps {
   def q42DedupEmbeddingCosine(spark: SparkSession, dir: String,
       nProbes: Int = 200, threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
     val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("ansq"))
     emb.join(broadcast(probes), col("vec_id") > col("va"))
       .select(col("va"), col("vec_id").as("vb"),
-        round(cosine(col("ea"), col("embedding")), 6).as("cos"))
+        round(cosinePrenorm(dotProduct(col("ea"), col("embedding")),
+          col("ansq"), col("nsq")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("va", "vb")
   }
@@ -258,18 +303,21 @@ object LlmOps {
       struct(lit(t).as("t"), bucketExpr.as("bucket"))
     }
     val bucketed = emb
-      .select(col("vec_id"), col("embedding"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nsq"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("t"), col("bucket"))
+        col("nsq").as("qnsq"), col("t"), col("bucket"))
     val cand = bucketed.join(broadcast(queries), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("query_id"), col("qe"), col("qnsq"),
+        col("vec_id").as("neighbor_id"), col("embedding"), col("nsq"))
       .dropDuplicates("query_id", "neighbor_id")
     cand
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qe"), col("embedding")), 6).as("cos"))
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
       .filter(col("rnk") <= k)

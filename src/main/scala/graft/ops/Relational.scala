@@ -61,6 +61,10 @@ object Relational {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
+      // Co-locate each date before the write: one file per partition
+      // dir instead of (#tasks x #dates) small files. At 100 TB use
+      // repartition(n, col) to bound per-date file size instead.
+      .repartition(col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
     spark.read.parquet(out)
       .groupBy("event_date").agg(count(lit(1)).as("n"))

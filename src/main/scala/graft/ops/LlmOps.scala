@@ -209,11 +209,19 @@ object LlmOps {
 
   // -- similarity search --------------------------------------------
 
-  /** Double-precision dot product of two float-array columns as an
-    * index-ordered fold, so Spark and DuckDB accumulate in the same
-    * order (bit-identical before the final 6-dp round).
+  /** Double-precision dot product, index-ordered accumulation — the
+    * codegen'd Catalyst expression (graft.functions.DotProduct).
+    * Bit-identical to the declarative fold below and to the DuckDB
+    * oracle (same products, same summation order).
     */
   def dotProduct(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot(a, b)
+
+  /** The pure-built-ins formulation (higher-order functions),
+    * retained as the semantic reference — ScalaTest asserts bitwise
+    * equality with the codegen expression.
+    */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

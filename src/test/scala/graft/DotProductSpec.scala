@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.LlmOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd DotProduct expression must be BITWISE identical to
+  * the higher-order-function fold it replaces (same products, same
+  * summation order) — that identity is what keeps the DuckDB oracle
+  * valid for the cosine family.
+  */
+class DotProductSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+  val sf = SharedSpark.sfTiny
+
+  test("codegen == HOF bitwise on the real embeddings (incl. norms)") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")))
+      .filter(col("a_id") < col("b_id")).limit(5000)
+    val cmp = pairs.select(
+      LlmOps.dotProduct(col("ea"), col("eb")).as("cg"),
+      LlmOps.dotProductHof(col("ea"), col("eb")).as("hof"))
+    // exact comparison — no tolerance
+    assert(cmp.filter(col("cg") =!= col("hof")).count() === 0)
+    assert(cmp.filter(col("cg").isNull).count() === 0)
+  }
+
+  test("null and length-mismatch semantics match zip_with+aggregate") {
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)), // 11.0
+      (2, Seq(1.0f), Seq(1.0f, 2.0f)) // length mismatch -> null
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      LlmOps.dotProduct(col("a"), col("b")).as("cg"),
+      LlmOps.dotProductHof(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { row =>
+      assert(row.isNullAt(1) === row.isNullAt(2), s"row $row")
+      if (!row.isNullAt(1)) assert(row.getDouble(1) === row.getDouble(2))
+    }
+    assert(rows.find(_.getInt(0) == 1).get.getDouble(1) === 11.0)
+    assert(rows.find(_.getInt(0) == 2).get.isNullAt(1))
+  }
+
+  test("double arrays work too") {
+    val df = Seq((Seq(1.5, 2.5), Seq(2.0, 4.0))).toDF("a", "b")
+    assert(df.select(LlmOps.dotProduct(col("a"), col("b"))).collect()(0).getDouble(0) === 13.0)
+  }
+}

@@ -16,6 +16,17 @@ object Bench {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: initialize codegen, parquet reader/writer and
+    // output-committer classloading once, so per-query numbers
+    // measure the operators rather than first-touch JVM costs.
+    try {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(1000).withColumn("g", col("id") % 10)
+      warm.groupBy("g").count().count()
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bench_warmup"
+      warm.write.mode("overwrite").partitionBy("g").parquet(tmp)
+      spark.read.parquet(tmp).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

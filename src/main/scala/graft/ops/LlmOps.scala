@@ -140,7 +140,11 @@ object LlmOps {
   def q40DedupNgramJaccard(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocs)
+    // Join on the 8-byte shingle hash, not the string: same pairs
+    // (collisions negligible, and the exact-Jaccard filter is over
+    // the same hashed sets), half the shuffle bytes.
     val sh = shingles(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     // Intersection sizes straight off the shingle equijoin (one
     // shuffle + one aggregation) — no pairs->distinct->re-join pass.
     val inter = sh.as("a").join(sh.as("b"),

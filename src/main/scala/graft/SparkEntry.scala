@@ -73,7 +73,8 @@ object SparkEntry {
     "q45_lang_id" -> LlmOps.q45LangId _,
     "q46_token_count_bpe" -> LlmOps.q46TokenCountBpe _,
     "q47_doc_fingerprint" -> LlmOps.q47DocFingerprint _,
-    "q48_multimodal_stub" -> LlmOps.q48MultimodalStub _
+    "q48_multimodal_stub" -> LlmOps.q48MultimodalStub _,
+    "q49_simsearch_ivf" -> ((s: SparkSession, d: String) => LlmOps.q49SimsearchIvf(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by

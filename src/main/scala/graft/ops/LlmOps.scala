@@ -337,6 +337,58 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the
+    * clustering counterpart to q43's hash-based LSH. Coarse quantizer:
+    * `nCells` centroid vectors (deterministic init: the first
+    * `nCells` vectors — adequate for a coarse quantizer on this
+    * corpus; a k-means refinement would slot in here); every vector
+    * is assigned map-side to its best cell by cosine; a query probes
+    * its `nProbe` best cells and ranks only those cells' members.
+    * Centroids are driver-collected by construction BOUNDED data
+    * (nCells rows) and re-enter the plan as literals — the corpus
+    * itself never leaves the executors. One shuffle on cell id.
+    * Approximate ⇒ no oracle; recall vs exact q38 in ScalaTest.
+    */
+  def q49SimsearchIvf(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    def centCol(v: Array[Float]): Column = array(v.map(lit(_)).toIndexedSeq: _*)
+    def cellScore(v: Array[Float]): Column = {
+      val cnorm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      dotProduct(col("embedding"), centCol(v)) / (sqrt(col("nsq")) * lit(cnorm))
+    }
+    // (-score, cid) structs sorted ascending = cells best-first; the
+    // argmax and the nProbe probe list both read off this one array
+    // (a when-chain argmax would double the expression tree per
+    // centroid — exponential at 16 cells)
+    val scored = array(cents.map { case (cid, v) =>
+      struct((-cellScore(v)).as("neg"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    val bestCell = element_at(
+      transform(slice(array_sort(scored), 1, 1), x => x.getField("cid")), 1)
+    val assigned = emb.withColumn("cell", bestCell)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nsq").as("qnsq"),
+        explode(transform(slice(array_sort(scored), 1, nProbe),
+          x => x.getField("cid"))).as("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   // -- text analysis ------------------------------------------------
 
   /** #39 Tokenize + explode + frequency per language (token machinery

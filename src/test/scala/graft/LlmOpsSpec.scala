@@ -58,6 +58,18 @@ class LlmOpsSpec extends AnyFunSuite {
     overlap.foreach(k => assert(am(k) === bm(k)))
   }
 
+  test("q49 IVF-ANN: valid cosines, decent recall vs exact") {
+    val ivf = LlmOps.q49SimsearchIvf(spark, sf).cache()
+    val brute = LlmOps.q38SimilarityTopk(spark, sf).cache()
+    val a = ivf.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect().toSet
+    val b = brute.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect().toSet
+    val overlap = a.map(t => (t._1, t._2)).intersect(b.map(t => (t._1, t._2)))
+    assert(overlap.size >= b.size / 5, s"IVF overlap ${overlap.size}/${b.size} too low")
+    val bm = b.map(t => (t._1, t._2) -> t._3).toMap
+    val am = a.map(t => (t._1, t._2) -> t._3).toMap
+    overlap.foreach(k => assert(am(k) === bm(k)))
+  }
+
   test("q47 fingerprint dedup catches order-insensitive duplicates") {
     val fp = LlmOps.q47DocFingerprint(spark, sf)
     assert(fp.count() > 0) // planted shuffles share a canonical fingerprint

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.{Features, LlmOps, Scalars}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the operator laws SURVEY §5 calls out:
+  * pad-length invariant, HR@k bounds + merge associativity (pure —
+  * no Spark job per case), dedup idempotence and session coverage.
+  * (scalatestplus bridge isn't in the offline cache, so cases are
+  * drawn from Gen with a fixed seed.)
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("HitRateAtK: result always in [0,1]; merge split point never matters") {
+    val row = for {
+      preds <- Gen.listOfN(5, Gen.chooseNum(0, 9))
+      label <- Gen.chooseNum(0, 9)
+    } yield (preds, label)
+    val agg = new Features.HitRateAtK(3)
+    samples(Gen.listOf(row), 50).foreach { rows =>
+      val total = rows.foldLeft(agg.zero)((b, r) => agg.reduce(b, r))
+      val hr = agg.finish(total)
+      assert(hr >= 0.0 && hr <= 1.0)
+      (0 to rows.length).foreach { cut =>
+        val (l, r) = rows.splitAt(cut)
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(merged) === hr)
+      }
+    }
+  }
+
+  test("padTo: output length always n; original tail preserved; pad value fills") {
+    val listGen = for {
+      len <- Gen.chooseNum(1, 30)
+      l <- Gen.listOfN(len, Gen.chooseNum(0L, 999L))
+    } yield l
+    val ls = samples(listGen, 60)
+    val df = ls.zipWithIndex.map { case (l, i) => (i, l) }.toDF("id", "a")
+    val got = df.select(col("id"), Scalars.padTo(col("a"), 20, lit(-7L)).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    ls.zipWithIndex.foreach { case (l, i) =>
+      val p = got(i)
+      assert(p.length === 20)
+      val kept = l.takeRight(20)
+      assert(p.takeRight(kept.length) === kept)
+      assert(p.dropRight(kept.length).forall(_ === -7L))
+    }
+  }
+
+  test("sessionize (minSize=0) partitions the filtered event set exactly") {
+    val sf = SharedSpark.sfTiny
+    val ev = Tables.events(spark, sf)
+    val sessions = Features.sessionize(ev, minSize = 0)
+    val collected = sessions.select(explode(col("interactions")).as("event_id"))
+    val filtered = ev.filter(col("event_type").isin("click", "view", "purchase"))
+      .select("event_id")
+    // no event lost, none duplicated
+    assert(collected.count() === filtered.count())
+    assert(collected.distinct().count() === filtered.count())
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(X)) == dedup(X)") {
+    val sf = SharedSpark.sfTiny
+    val once = LlmOps.q36DedupExact(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val keepers = docs.join(once.select(col("keep_id").as("doc_id")), "doc_id")
+    val twice = keepers
+      .groupBy(sha2(col("text"), 256).as("content_sha"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+    assert(twice.count() === once.count())
+    assert(twice.filter(col("n") > 1).count() === 0)
+  }
+}

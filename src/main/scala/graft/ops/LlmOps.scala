@@ -81,11 +81,12 @@ object LlmOps {
           i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(w)))),
         s => xxhash64(s))).as("hs"))
       .cache()
-    val sigCols = (0 until nSeeds).map(i =>
-      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i"))
-    val sig = withHs.select(col("doc_id") +: sigCols: _*)
+    // 64 mins in one codegen'd two-level loop (functions.MinHashSignature)
+    val sig = withHs.select(col("doc_id"),
+      graft.functions.MinHashSignature.signature(col("hs"), nSeeds).as("sig"))
     val bandCols = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val rows = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))

@@ -106,3 +106,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.filter(element_at(col("padded"), -1) =!= col("last_el")).count() === 0)
   }
 }
+
+/** Salted two-phase aggregation == direct aggregation (Skew.scala). */
+class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import org.apache.spark.sql.functions._
+  val sf = SharedSpark.sfTiny
+
+  test("saltedCountSum equals direct groupBy") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n"), sum(ops.Relational.cents(col("value"))).as("s"))
+    val salted = ops.Skew.saltedCountSum(ev, col("user_id"), ops.Relational.cents(col("value")))
+    assert(direct.orderBy("key").collect().toSeq ===
+      salted.orderBy("key").collect().toSeq)
+  }
+
+  test("saltedOrderedCollect equals direct ordered collect") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy(col("user_id").as("key"))
+      .agg(transform(array_sort(collect_list(struct(
+        struct(col("ts"), col("event_id")).as("sk"), col("event_id").as("v")))),
+        x => x.getField("v")).as("values"))
+    val salted = ops.Skew.saltedOrderedCollect(ev, col("user_id"),
+      struct(col("ts"), col("event_id")), col("event_id"))
+    assert(direct.orderBy("key").collect().toSeq ===
+      salted.orderBy("key").collect().toSeq)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap sessionization as CUSTOM streaming state
+  * (flatMapGroupsWithState) — the escape hatch for session semantics
+  * `session_window` can't express (e.g. carrying per-session derived
+  * state, emitting the full ordered interaction array per session,
+  * the reference's nep_session_events shape). Built-ins remain the
+  * first choice (SURVEY §2.12); this demonstrates the custom-state
+  * path with ONE state function shared by batch and streaming, so
+  * semantics cannot drift between the two.
+  *
+  * Boundary semantics match q34/session_window: an event at exactly
+  * last_ts + gap merges; strictly greater starts a new session.
+  */
+object StatefulSessionize {
+
+  case class Ev(user_id: Long, event_id: Long, ts_ms: Long, ts: java.sql.Timestamp)
+  case class Sess(user_id: Long, session_start_ms: Long, interactions: Seq[Long])
+  case class State(startMs: Long, lastMs: Long, events: List[(Long, Long)])
+
+  private def emit(user: Long, s: State): Sess =
+    Sess(user, s.startMs,
+      s.events.sortBy(identity).map(_._2))
+
+  /** The shared state-transition function. `flushTrailing` is true in
+    * batch mode (each group is complete) and false in streaming
+    * (trailing sessions wait for the event-time timeout).
+    */
+  def transition(gapMs: Long, flushTrailing: Boolean)(
+      user: Long, it: Iterator[Ev], state: GroupState[State]): Iterator[Sess] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit(user, _))
+      state.remove()
+      return out.iterator
+    }
+    var st = state.getOption
+    var out = List.empty[Sess]
+    it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+      st match {
+        case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+          st = Some(State(s.startMs, e.ts_ms, (e.ts_ms, e.event_id) :: s.events))
+        case Some(s) =>
+          out ::= emit(user, s)
+          st = Some(State(e.ts_ms, e.ts_ms, List((e.ts_ms, e.event_id))))
+        case None =>
+          st = Some(State(e.ts_ms, e.ts_ms, List((e.ts_ms, e.event_id))))
+      }
+    }
+    if (flushTrailing) {
+      out = out ++ st.map(emit(user, _))
+      state.remove()
+    } else {
+      st.foreach { s =>
+        state.update(s)
+        // flush once the watermark passes the session's close (must
+        // stay ahead of the already-advanced watermark)
+        state.setTimeoutTimestamp(
+          math.max(s.lastMs + gapMs + 1, state.getCurrentWatermarkMs() + 1))
+      }
+    }
+    out.reverse.iterator
+  }
+
+  private def toEvents(df: DataFrame)(implicit spark: SparkSession): Dataset[Ev] = {
+    import spark.implicits._
+    df.select(col("user_id"), col("event_id"), col("ts_ms"), col("ts")).as[Ev]
+  }
+
+  /** Batch form — equals Features.sessionize(minSize=0) up to the
+    * session-id labeling (asserted in StreamingSpec).
+    */
+  def sessionizeBatch(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[Sess] = {
+    import spark.implicits._
+    toEvents(events)(spark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        transition(gapMs, flushTrailing = true))
+  }
+
+  /** Streaming form over a watermarked event stream (needs `ts`
+    * TimestampType for the watermark plus `ts_ms`).
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[Sess] = {
+    import spark.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("ts")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        transition(gapMs, flushTrailing = false))
+  }
+}

@@ -49,6 +49,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions === Seq(1L, 2L))
   }
 
+  test("stateful sessionize (flatMapGroupsWithState): batch == declarative flagship") {
+    val ev = Tables.events(spark, sf)
+    val stateful = graft.ops.StatefulSessionize.sessionizeBatch(spark, ev)
+      .filter(col("interactions").isNotNull)
+    val flagship = graft.ops.Features.sessionize(
+      ev.filter(lit(true)), minSize = 0, eventTypes = Seq("click", "view", "purchase", "error", "signup"))
+    val a = stateful.collect().map(s => (s.user_id, s.interactions.mkString(","))).toSet
+    val b = flagship.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](3).mkString(","))).toSet
+    assert(a === b)
+  }
+
+  test("stateful sessionize streams across micro-batches with event-time timeouts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_stateful").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("ts_ms")).cache()
+    val mid = ev.agg(percentile_approx(col("ts_ms"), lit(0.5), lit(100))).collect()(0).getLong(0)
+    val maxMs = ev.agg(max("ts_ms")).collect()(0).getLong(0)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$base/$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeOne(ev.filter(col("ts_ms") <= mid), "b1")
+    writeOne(ev.filter(col("ts_ms") > mid), "b2")
+    // sentinel advances the watermark far past every real session
+    import spark.implicits._
+    writeOne(Seq((-1L, -1L, new java.sql.Timestamp(maxMs + 86400L * 1000 * 10), maxMs + 86400L * 1000 * 10))
+      .toDF("user_id", "event_id", "ts", "ts_ms"), "b3")
+    // modification times define the micro-batch order
+    (Seq("b1", "b2", "b3").zipWithIndex).foreach { case (n, i) =>
+      Files.setLastModifiedTime(Paths.get(s"$base/$n.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000))
+    }
+    val src = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP, ts_ms LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base)
+    val q = graft.ops.StatefulSessionize.sessionizeStream(spark, src)
+      .writeStream.outputMode("append").format("memory").queryName("t_stateful")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_stateful").filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](2).mkString(","))).toSet
+    val want = graft.ops.StatefulSessionize.sessionizeBatch(spark, ev)
+      .collect().map(s => (s.user_id, s.interactions.mkString(","))).toSet
+    assert(got === want)
+  }
+
   test("q35 streaming dedup within watermark drops re-sent event ids") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Streaming.eventsStream(spark, sf)

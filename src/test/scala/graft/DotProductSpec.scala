@@ -47,4 +47,17 @@ class DotProductSpec extends AnyFunSuite {
     val df = Seq((Seq(1.5, 2.5), Seq(2.0, 4.0))).toDF("a", "b")
     assert(df.select(LlmOps.dotProduct(col("a"), col("b"))).collect()(0).getDouble(0) === 13.0)
   }
+
+  test("SQL surface: dot_product and minhash_signature registered") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("t_dp")
+    assert(spark.sql("SELECT dot_product(a, b) AS d FROM t_dp").collect()(0).getDouble(0) === 11.0)
+    val sig = spark.sql("SELECT minhash_signature(array(1L, 2L, 3L), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length === 8)
+    // signature of a superset is elementwise <= (min over more values)
+    val sig2 = spark.sql("SELECT minhash_signature(array(1L, 2L, 3L, 4L), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    sig.zip(sig2).foreach { case (a, b) => assert(b <= a) }
+  }
 }

@@ -173,18 +173,14 @@ object LlmOps {
     */
   def q41DedupSimhash(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val tf = docTokens(spark, dir)
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("freq"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, col("freq"))
-        .otherwise(-col("freq"))).as(s"b$b"))
-    val fpExpr = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc.bitwiseOR(when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-    }
-    val fps = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fpExpr.as("fp"))
+    // Fingerprints are pure map-side: token hashes WITH multiplicity
+    // (= frequency weighting) through one codegen'd loop
+    // (functions.SimHash64). No explode, no groupBy shuffle — the
+    // only exchange in the operator is the 16-bit-chunk bucket join.
+    val fps = docTokens(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash(
+          transform(col("toks"), t => xxhash64(t))).as("fp"))
     val chunks = fps.select(col("doc_id"), col("fp"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("j"),
         shiftrightunsigned(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("c"))): _*)).as("ck"))

@@ -134,3 +134,33 @@ class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
       salted.orderBy("key").collect().toSeq)
   }
 }
+
+/** dbt-style data-quality checks (Quality.scala) re-expressing the
+  * reference's schema tests as engine ops returning violation rows.
+  */
+class QualitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.ops.Quality
+  val sf = SharedSpark.sfTiny
+
+  test("reference schema tests hold on the sessionized output") {
+    val sessions = ops.Features.sessionize(Tables.events(spark, sf), minSize = 0)
+      .withColumn("session_id", concat(col("user_id"), lit("-"), col("session_idx")))
+    val results = Quality.runChecks(
+      "session_id_unique" -> Quality.expectUnique(sessions, Seq("session_id")),
+      "session_id_not_null" -> Quality.expectNotNull(sessions, Seq("session_id")),
+      "interactions_nonempty" -> Quality.expectTrue(sessions, size(col("interactions")) > 0))
+    results.foreach { case (name, n) => assert(n === 0L, name) }
+  }
+
+  test("violations are actually reported") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (1, "b"), (2, null)).toDF("k", "v")
+    assert(Quality.expectUnique(df, Seq("k")).count() === 1)
+    assert(Quality.expectNotNull(df, Seq("v")).count() === 1)
+    assert(Quality.expectAcceptedValues(df.filter(col("v").isNotNull), "v", Seq("a")).count() === 1)
+    val parent = Seq(1).toDF("k")
+    assert(Quality.expectRelationship(df, "k", parent, "k").count() === 1)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the scale properties PLANS.md documents
+  * must survive refactors — filters reach the parquet scan, scans are
+  * column-pruned, the latest-batch join broadcasts, top-1 never plans
+  * a global sort, and nothing silently degrades to a cartesian
+  * product on the declared relational paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sfTiny
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q04: equality + IN predicates are pushed to the parquet scan") {
+    val p = plan(Relational.q04FilterEqIn(spark, sf))
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    assert(p.contains("In(o_orderpriority"), p)
+  }
+
+  test("q01: scan reads only the projected columns") {
+    val p = plan(Relational.q01ScanProject(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"))
+  }
+
+  test("q07: latest-batch join is broadcast with TakeOrderedAndProject top-1") {
+    val p = plan(Relational.q07JoinBroadcastTop1(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q20: top-1 plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q20OrderbyDescLimit1(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q08: dims broadcast; no cartesian product") {
+    val p = plan(Relational.q08JoinShuffleMultiway(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q09: semi/anti joins stay hash-based") {
+    val p = plan(Relational.q09JoinSemiAnti(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

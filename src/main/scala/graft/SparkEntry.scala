@@ -74,7 +74,9 @@ object SparkEntry {
     "q46_token_count_bpe" -> LlmOps.q46TokenCountBpe _,
     "q47_doc_fingerprint" -> LlmOps.q47DocFingerprint _,
     "q48_multimodal_stub" -> LlmOps.q48MultimodalStub _,
-    "q49_simsearch_ivf" -> ((s: SparkSession, d: String) => LlmOps.q49SimsearchIvf(s, d))
+    "q49_simsearch_ivf" -> ((s: SparkSession, d: String) => LlmOps.q49SimsearchIvf(s, d)),
+    "q50_multimodal_frames" -> ((s: SparkSession, d: String) => LlmOps.q50MultimodalFrames(s, d)),
+    "q51_sources_roundtrip" -> Relational.q51SourcesRoundtrip _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by

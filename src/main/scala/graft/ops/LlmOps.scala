@@ -468,6 +468,38 @@ object LlmOps {
     * Dataset boundary, partition-batched iteration (no per-row JNI
     * setup at scale, no driver collect), fixed-width feature output.
     */
+  case class FrameRow(doc_id: Long, frame_idx: Int, offset: Int, frame_hash: Long)
+
+  /** Frame sampling over binary media: each payload yields one typed
+    * row per fixed-stride "frame" (flatMap over partitions — the
+    * explode-shaped half of the multimodal surface; decode itself is
+    * the same deterministic STUB as q48, the real codec would replace
+    * the per-frame hash). Output size is data-dependent but bounded
+    * by payload bytes / stride — the partition-batched iteration
+    * never materializes a document's frames in driver memory.
+    */
+  def q50MultimodalFrames(spark: SparkSession, dir: String,
+      stride: Int = 256): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+    payloads.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = math.max(1, r.media.length / stride)
+        (0 until nFrames).iterator.map { f =>
+          val from = f * stride
+          val until = math.min(r.media.length, from + stride)
+          var h = 1125899906842597L
+          var i = from
+          while (i < until) { h = h * 31 + (r.media(i) & 0xFF); i += 1 }
+          FrameRow(r.doc_id, f, from, h)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   def q48MultimodalStub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir)

@@ -71,6 +71,26 @@ object Relational {
       .orderBy("event_date")
   }
 
+  /** Multi-format source round-trip (source breadth beyond the
+    * reference's CSV/warehouse: JSON-lines and ORC through the same
+    * DataFrameReader surface). Smoke-only sink+source op: writes the
+    * events slice in both formats, reads both back with explicit
+    * schemas, returns their join (row counts must agree).
+    */
+  def q51SourcesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val src = Tables.events(spark, dir)
+      .select("event_id", "ts_ms", "user_id", "event_type", "value")
+    src.write.mode("overwrite").json(s"$base/json")
+    src.write.mode("overwrite").orc(s"$base/orc")
+    val schema = "event_id LONG, ts_ms LONG, user_id LONG, event_type STRING, value DOUBLE"
+    val j = spark.read.schema(schema).json(s"$base/json")
+      .groupBy("event_type").agg(count(lit(1)).as("n_json"))
+    val o = spark.read.schema(schema).orc(s"$base/orc")
+      .groupBy("event_type").agg(count(lit(1)).as("n_orc"))
+    j.join(o, "event_type").orderBy("event_type")
+  }
+
   // -- §2.2 projections / filters -----------------------------------
 
   /** #4 Conjunctive equality + IN-list predicate

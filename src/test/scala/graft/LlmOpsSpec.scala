@@ -86,6 +86,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_bytes") > 0)
   }
 
+  test("q50 frames: coverage and determinism") {
+    val frames = LlmOps.q50MultimodalFrames(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(frames.select("doc_id").distinct().count() === docs)
+    // frame indices are dense from 0 per doc
+    val bad = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .filter(col("mx") =!= col("n") - 1)
+    assert(bad.count() === 0)
+    assert(frames.collect().map(_.toString).toSeq ===
+      LlmOps.q50MultimodalFrames(spark, sf).collect().map(_.toString).toSeq)
+  }
+
+  test("q51 json/orc round-trip agrees with the source") {
+    val r = graft.ops.Relational.q51SourcesRoundtrip(spark, sf).cache()
+    assert(r.filter(col("n_json") =!= col("n_orc")).count() === 0)
+    val total = r.agg(sum("n_json")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
   test("q44/q45/q46 ratios stay in range") {
     val q = LlmOps.q44TextQuality(spark, sf).cache()
     assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)

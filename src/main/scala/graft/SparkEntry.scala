@@ -76,7 +76,8 @@ object SparkEntry {
     "q48_multimodal_stub" -> LlmOps.q48MultimodalStub _,
     "q49_simsearch_ivf" -> ((s: SparkSession, d: String) => LlmOps.q49SimsearchIvf(s, d)),
     "q50_multimodal_frames" -> ((s: SparkSession, d: String) => LlmOps.q50MultimodalFrames(s, d)),
-    "q51_sources_roundtrip" -> Relational.q51SourcesRoundtrip _
+    "q51_sources_roundtrip" -> Relational.q51SourcesRoundtrip _,
+    "q52_bucketed_join" -> Relational.q52BucketedJoin _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by

@@ -212,6 +212,44 @@ object Relational {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Bucketed co-located join: lineitem persisted bucketed+sorted on
+    * the join key, so the repeated fact⋈orders join reads
+    * pre-partitioned data — the bucketed side needs NO exchange and
+    * NO sort at join time (PlanSpec asserts the missing Exchange).
+    * This is the batch answer to "the same big join runs every day at
+    * 100 TB": pay the shuffle once at layout time, never per query.
+    * Smoke-only (layout demo; results equal q08's un-bucketed join).
+    */
+  def q52BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_lineitem_bucketed"
+    if (!spark.catalog.tableExists(tbl)) {
+      // the in-memory catalog forgets tables across sessions but the
+      // warehouse directory persists — clear a stale location first
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new java.io.File(
+        if (wh.getScheme == "file") wh.getPath else wh.toString, tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tbl)
+    }
+    val li = spark.table(tbl)
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    // merge hint pins sort-merge so the bucketed layout (not a
+    // broadcast) is what eliminates the fact-side exchange+sort
+    li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   // -- §2.4 aggregations --------------------------------------------
 
   /** #11 Multi-key hash GROUP BY (TPC-H Q1 shape;

@@ -48,6 +48,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q52: bucketed side joins with no exchange on the bucket key") {
+    val df = Relational.q52BucketedJoin(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), p)
+    // orders shuffles to meet the buckets; the bucketed lineitem side
+    // must NOT re-partition on its own key
+    assert(!p.contains("hashpartitioning(l_orderkey"), p)
+    assert(p.contains("hashpartitioning(o_orderkey"), p)
+    // and results equal the same join computed from raw parquet
+    val raw = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .count()
+    assert(df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) === raw)
+  }
+
   test("q09: semi/anti joins stay hash-based") {
     val p = plan(Relational.q09JoinSemiAnti(spark, sf))
     assert(p.contains("LeftSemi"), p)

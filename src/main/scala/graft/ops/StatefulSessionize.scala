@@ -92,4 +92,80 @@ object StatefulSessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         transition(gapMs, flushTrailing = false))
   }
+
+  // -- incremental nep_session_events (reference model 2, streaming) --
+
+  case class SkuEv(session_id: String, api_key: String,
+      session_date: java.sql.Date, epoch_ms: Long, sku: String,
+      ts: java.sql.Timestamp)
+  case class SessionRow(session_id: String, api_key: String,
+      session_date: java.sql.Date, interactions: Seq[String])
+  case class SkuState(api_key: String, minDateMs: Long, lastMs: Long,
+      events: List[(Long, String)])
+
+  /** The reference's nep_session_events made INCREMENTAL: the raw
+    * append-only log arrives as a stream, sessions are keyed by the
+    * explicit session_id (the reference's grouping,
+    * nep_session_events.sql:17-18) with custom state accumulating the
+    * time-ordered SKU array; a session closes (emits) when the
+    * event-time watermark passes its last event + `closeAfterMs` —
+    * the streaming stand-in for "the view is re-run after the batch
+    * is complete" (README.md:80,86). SESSION_DATE = min event date,
+    * matching first_value-over-ascending-ts.
+    */
+  def sessionEventsTransition(closeAfterMs: Long, flushTrailing: Boolean)(
+      sid: String, it: Iterator[SkuEv], state: GroupState[SkuState]): Iterator[SessionRow] = {
+    def emitRow(s: SkuState): SessionRow =
+      SessionRow(sid, s.api_key, new java.sql.Date(s.minDateMs),
+        s.events.sortBy(identity).map(_._2))
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emitRow)
+      state.remove()
+      return out.iterator
+    }
+    var st = state.getOption
+    it.foreach { e =>
+      val dateMs = e.session_date.getTime
+      st = st match {
+        case Some(s) => Some(SkuState(s.api_key, math.min(s.minDateMs, dateMs),
+          math.max(s.lastMs, e.epoch_ms), (e.epoch_ms, e.sku) :: s.events))
+        case None => Some(SkuState(e.api_key, dateMs, e.epoch_ms,
+          List((e.epoch_ms, e.sku))))
+      }
+    }
+    if (flushTrailing) {
+      val out = st.map(emitRow)
+      state.remove()
+      out.iterator
+    } else {
+      st.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(
+          math.max(s.lastMs + closeAfterMs, state.getCurrentWatermarkMs() + 1))
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Streaming nep_session_events over an exploded-events stream
+    * (schema: session_id, api_key, session_date DATE, epoch_ms LONG,
+    * sku STRING, ts TIMESTAMP for the watermark).
+    */
+  def sessionEventsStream(spark: SparkSession, exploded: DataFrame,
+      closeAfterMs: Long = 30 * 60 * 1000L): Dataset[SessionRow] = {
+    import spark.implicits._
+    exploded.withWatermark("ts", "0 seconds").as[SkuEv]
+      .groupByKey(_.session_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionEventsTransition(closeAfterMs, flushTrailing = false))
+  }
+
+  /** Batch twin of [[sessionEventsStream]] (groups complete). */
+  def sessionEventsBatch(spark: SparkSession, exploded: DataFrame): Dataset[SessionRow] = {
+    import spark.implicits._
+    exploded.as[SkuEv]
+      .groupByKey(_.session_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionEventsTransition(0L, flushTrailing = true))
+  }
 }

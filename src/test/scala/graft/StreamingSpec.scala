@@ -100,6 +100,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental nep_session_events: batch twin matches the declarative model") {
+    val fixtures = new PipelineSpec
+    val exploded = Pipeline.explodeEvents(fixtures.raw)
+      .filter(col("event_type") === "event_product" &&
+        col("product_action").isin("detail", "add", "purchase"))
+      .select(col("session_id"), col("api_key"), col("session_date"),
+        col("event_epoch_timestamp").as("epoch_ms"), col("sku"),
+        timestamp_millis(col("event_epoch_timestamp")).as("ts"))
+    val stateful = graft.ops.StatefulSessionize.sessionEventsBatch(spark, exploded)
+      .collect().map(r => (r.session_id, r.api_key, r.session_date.toString,
+        r.interactions.mkString(","))).toSet
+    val declarative = Pipeline.sessionEvents(Pipeline.explodeEvents(fixtures.raw))
+      .collect().map(r => (r.getString(0), r.getString(1), r.get(2).toString,
+        r.getSeq[String](3).mkString(","))).toSet
+    assert(stateful === declarative)
+  }
+
+  test("incremental nep_session_events streams with session-close timeouts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val fixtures = new PipelineSpec
+    val exploded = Pipeline.explodeEvents(fixtures.raw)
+      .filter(col("event_type") === "event_product" &&
+        col("product_action").isin("detail", "add", "purchase"))
+      .select(col("session_id"), col("api_key"), col("session_date"),
+        col("event_epoch_timestamp").as("epoch_ms"), col("sku"),
+        timestamp_millis(col("event_epoch_timestamp")).as("ts")).cache()
+    val base = Files.createTempDirectory("graft_nep_stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, offsetMs: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$base/$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$base/$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + offsetMs))
+    }
+    writeOne(exploded.filter(col("epoch_ms") <= 40), "b1", 0)
+    writeOne(exploded.filter(col("epoch_ms") > 40), "b2", 2000)
+    import spark.implicits._
+    writeOne(Seq(("__sentinel", "k0", java.sql.Date.valueOf("2020-01-01"),
+      10_000_000_000L, "s", new java.sql.Timestamp(10_000_000_000L)))
+      .toDF("session_id", "api_key", "session_date", "epoch_ms", "sku", "ts"), "b3", 4000)
+    val src = spark.readStream
+      .schema("session_id STRING, api_key STRING, session_date DATE, epoch_ms LONG, sku STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(base)
+    val q = graft.ops.StatefulSessionize.sessionEventsStream(spark, src)
+      .writeStream.outputMode("append").format("memory").queryName("t_nep")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_nep").filter(col("session_id") =!= "__sentinel")
+      .collect().map(r => (r.getString(0), r.getSeq[String](3).mkString(","))).toSet
+    val want = graft.ops.StatefulSessionize.sessionEventsBatch(spark, exploded)
+      .collect().map(r => (r.session_id, r.interactions.mkString(","))).toSet
+    assert(got === want)
+  }
+
   test("q35 streaming dedup within watermark drops re-sent event ids") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Streaming.eventsStream(spark, sf)

@@ -77,7 +77,9 @@ object SparkEntry {
     "q49_simsearch_ivf" -> ((s: SparkSession, d: String) => LlmOps.q49SimsearchIvf(s, d)),
     "q50_multimodal_frames" -> ((s: SparkSession, d: String) => LlmOps.q50MultimodalFrames(s, d)),
     "q51_sources_roundtrip" -> Relational.q51SourcesRoundtrip _,
-    "q52_bucketed_join" -> Relational.q52BucketedJoin _
+    "q52_bucketed_join" -> Relational.q52BucketedJoin _,
+    "q53_quantiles" -> Scalars.q53Quantiles _,
+    "q54_corr_covar" -> Scalars.q54CorrCovar _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -258,6 +260,22 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q47_doc_fingerprint" ->
       """SELECT sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n
-        |FROM documents GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin
+        |FROM documents GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+    "q53_quantiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 4) AS p25, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |round(quantile_cont(l_quantity, 0.75), 4) AS p75, round(quantile_cont(l_quantity, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q54_corr_covar" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+        |SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |SUM(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+        |SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / n / (n - 1.0) / 10000.0 / 10000.0, 4) AS covar_samp,
+        |round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -101,6 +101,46 @@ object Scalars {
       .orderBy("l_returnflag")
   }
 
+  /** Exact interpolated quantiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`: sort + linear interpolation). The exact
+    * form is the oracle-able twin; at 100 TB use
+    * `approx_percentile` (GK sketch, fixed memory) — the spec asserts
+    * the sketch lands within tolerance of these exact values.
+    */
+  def q53Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Correlation / covariance derived from EXACT scaled-integer sums
+    * (same trick as q27): both engines evaluate one identical double
+    * expression over identical integers — bit-deterministic, unlike
+    * the engines' own streaming corr/covar implementations.
+    */
+  def q54CorrCovar(spark: SparkSession, dir: String): DataFrame = {
+    val x = Relational.cents(col("l_quantity"))
+    val y = Relational.cents(col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x.cast("decimal(38,0)") * y.cast("decimal(38,0)")).as("sxy_d"),
+        sum(y.cast("decimal(38,0)") * y.cast("decimal(38,0)")).as("syy_d"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round((col("n") * col("sxy_d").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+          / col("n") / (col("n") - lit(1.0)) / lit(10000.0) / lit(10000.0), 4).as("covar_samp"),
+        round((col("n") * col("sxy_d").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n") * col("syy_d").cast("double") - col("sy").cast("double") * col("sy").cast("double"))), 6).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
   /** #28 Deterministic ids & content hashes (dataset ids are already
     * SHA-256, upload_to_snowflake.py:141-148). uuid()/now() exist but
     * are nondeterministic — the declared query uses sha2 + concat

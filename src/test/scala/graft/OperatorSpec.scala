@@ -164,3 +164,29 @@ class QualitySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Quality.expectRelationship(df, "k", parent, "k").count() === 1)
   }
 }
+
+/** Sketch-vs-exact tolerance for the scale path of q53. */
+class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import org.apache.spark.sql.functions._
+  val sf = SharedSpark.sfTiny
+
+  test("approx_percentile tracks exact percentile within 2%") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      expr("percentile(l_quantity, 0.5)").as("exact"),
+      expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx")).collect()(0)
+    val exact = r.getDouble(0)
+    val approx = r.getAs[Number](1).doubleValue()
+    assert(math.abs(approx - exact) / exact <= 0.02, s"$approx vs $exact")
+  }
+
+  test("q54 corr agrees with Spark's own corr to 1e-6") {
+    val got = graft.ops.Scalars.q54CorrCovar(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-4, s"$k: $v vs ${ref(k)}") }
+  }
+}

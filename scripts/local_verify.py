@@ -2,8 +2,10 @@
 """Local pre-check that mimics the driver's correctness gate:
 reads each Verify parquet dump + oracle_sql.json, runs the oracle SQL
 in DuckDB over the same testdata parquet, and compares values
-(columns sorted by name, rows in emitted order). Dev tool only — the
-shipped library is pure Scala.
+(columns sorted by name, rows SORTED BY ALL COLUMNS with pandas
+sort_values, exactly like the driver — so array-typed cells raise the
+same TypeError here that they raise in the driver's gate). Dev tool
+only — the shipped library is pure Scala.
 Usage: local_verify.py <sfDir> <verifyOutDir>
 """
 import json, sys
@@ -47,8 +49,13 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: rows {len(got)} != {len(want)}")
                 n_fail += 1
                 continue
-            g = [tuple(norm(v) for v in r) for r in got[gcols].itertuples(index=False)]
-            w = [tuple(norm(v) for v in r) for r in want[wcols].itertuples(index=False)]
+            # Driver parity: pandas sort_values over every column —
+            # errors on unsortable cells (e.g. numpy.ndarray) exactly
+            # like the driver's comparator does.
+            got_s = got[gcols].sort_values(by=gcols).reset_index(drop=True)
+            want_s = want[wcols].sort_values(by=wcols).reset_index(drop=True)
+            g = [tuple(norm(v) for v in r) for r in got_s.itertuples(index=False)]
+            w = [tuple(norm(v) for v in r) for r in want_s.itertuples(index=False)]
             bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b]
             if bad:
                 i, a, b = bad[0]

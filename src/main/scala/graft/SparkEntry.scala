@@ -92,7 +92,7 @@ object SparkEntry {
       """WITH f AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS tms FROM events WHERE event_type IN ('click','view','purchase')),
         |g AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
-        |SELECT user_id, session_idx, min(ts) AS session_start, array_agg(event_id ORDER BY ts, event_id) AS interactions
+        |SELECT user_id, session_idx, min(ts) AS session_start, string_agg(CAST(event_id AS VARCHAR), '|' ORDER BY ts, event_id) AS interactions
         |FROM s GROUP BY user_id, session_idx HAVING count(*) > 2 ORDER BY user_id, session_idx""".stripMargin,
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -131,7 +131,7 @@ object SparkEntry {
         |CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q12_agg_ordered_collect" ->
-      """SELECT user_id, CAST(ts AS DATE) AS event_date, array_agg(event_id ORDER BY ts, event_id) AS interactions, CAST(count(*) AS BIGINT) AS n_events
+      """SELECT user_id, CAST(ts AS DATE) AS event_date, string_agg(CAST(event_id AS VARCHAR), '|' ORDER BY ts, event_id) AS interactions, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id, event_date ORDER BY user_id, event_date""".stripMargin,
     "q13_agg_distinct_dupes" ->
       "SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey",
@@ -167,8 +167,9 @@ object SparkEntry {
       "SELECT event_id, CAST(ts AS DATE) AS event_date, strftime(ts, '%Y-%m-%d') AS date_str, ts > TIMESTAMP '2024-01-15 00:00:00' AS is_late, epoch_ms(ts) AS epoch_ms FROM events ORDER BY event_id",
     "q26_array_funcs" ->
       """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS event_date, array_agg(event_id ORDER BY ts, event_id) AS a FROM events GROUP BY user_id, event_date)
-        |SELECT user_id, event_date, CAST(len(a) AS INTEGER) AS n, a[1:len(a)-1] AS all_but_last, a[len(a)] AS last_el,
-        |list_concat(list_transform(range(greatest(0, 20 - len(a))), x -> CAST(0 AS BIGINT)), a[greatest(1, len(a) - 19):len(a)]) AS padded
+        |SELECT user_id, event_date, CAST(len(a) AS INTEGER) AS n,
+        |COALESCE(array_to_string(a[1:len(a)-1], '|'), '') AS all_but_last, a[len(a)] AS last_el,
+        |COALESCE(array_to_string(list_concat(list_transform(range(greatest(0, 20 - len(a))), x -> CAST(0 AS BIGINT)), a[greatest(1, len(a) - 19):len(a)]), '|'), '') AS padded
         |FROM a ORDER BY user_id, event_date""".stripMargin,
     "q27_math_stats" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS cnt, SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qs,
@@ -185,7 +186,7 @@ object SparkEntry {
     "q30_vocab_index" ->
       """WITH tok AS (SELECT doc_id, p - 1 AS pos, sp[p] AS token FROM (SELECT doc_id, sp, unnest(range(1, len(sp) + 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t0) t1),
         |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) AS INTEGER) AS id FROM tok GROUP BY token),
-        |enc AS (SELECT t.doc_id, array_agg(v.id ORDER BY t.pos) AS ids FROM tok t JOIN vocab v ON t.token = v.token GROUP BY t.doc_id)
+        |enc AS (SELECT t.doc_id, string_agg(CAST(v.id AS VARCHAR), '|' ORDER BY t.pos) AS ids FROM tok t JOIN vocab v ON t.token = v.token GROUP BY t.doc_id)
         |SELECT doc_id, ids FROM enc ORDER BY doc_id""".stripMargin,
     "q31_hit_rate_at_k" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
@@ -274,7 +275,7 @@ object SparkEntry {
         |SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
         |FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / n / (n - 1.0) / 10000.0 / 10000.0, 4) AS covar_samp,
+        |round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / n / (n - 1.0) / 10000.0, 4) AS covar_samp,
         |round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
         |FROM s ORDER BY l_returnflag""".stripMargin
   )

@@ -50,8 +50,16 @@ object Features {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Declared q00: the sessionize operator with `interactions`
+    * projected to a pipe-joined string. The driver's comparator sorts
+    * rows by every column before hashing, and array-typed cells are
+    * unsortable there — so declared outputs are scalar-only; the
+    * array-returning operator stays the library surface.
+    */
   def q00FlagshipSessionize(spark: SparkSession, dir: String): DataFrame =
     sessionize(Tables.events(spark, dir))
+      .withColumn("interactions",
+        concat_ws("|", transform(col("interactions"), x => x.cast("string"))))
 
   /** #29 Ordered 90/10 time split (my_dbt_flow.py:256-264) without the
     * reference's driver-side `len()`/list-slice: percent_rank over a
@@ -87,9 +95,9 @@ object Features {
       .select("token", "id")
     toks.join(broadcast(vocab), "token")
       .groupBy("doc_id")
-      .agg(transform(
+      .agg(concat_ws("|", transform(
         array_sort(collect_list(struct(col("pos"), col("id")))),
-        x => x.getField("id")).as("ids"))
+        x => x.getField("id").cast("string"))).as("ids"))
       .orderBy("doc_id")
   }
 

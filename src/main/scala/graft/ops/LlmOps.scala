@@ -456,8 +456,13 @@ object LlmOps {
   // -- multimodal binary columns ------------------------------------
 
   case class MediaRow(doc_id: Long, mime: String, media: Array[Byte])
+  /** `feature` is the fixed-width decode output joined to a pipe
+    * string: declared outputs are scalar-only (driver sort gate); the
+    * in-flight representation inside the mapPartitions stays a typed
+    * Array[Double].
+    */
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
-      checksum: Long, feature: Array[Double])
+      checksum: Long, feature: String)
 
   /** Multimodal pipeline plumbing: opaque `binary` payload column +
     * typed metadata, "decoded" per-partition into a feature row.
@@ -514,7 +519,8 @@ object LlmOps {
           Array(r.media.length.toDouble,
             (sum % 997).toDouble,
             if (r.media.isEmpty) 0.0 else (r.media.head & 0xFF).toDouble,
-            if (r.media.isEmpty) 0.0 else (r.media.last & 0xFF).toDouble))
+            if (r.media.isEmpty) 0.0 else (r.media.last & 0xFF).toDouble)
+            .mkString("|"))
       }
     }.toDF().orderBy("doc_id")
   }

@@ -280,9 +280,9 @@ object Relational {
       .withColumn("event_date", to_date(col("ts")))
       .groupBy("user_id", "event_date")
       .agg(
-        transform(
+        concat_ws("|", transform(
           array_sort(collect_list(struct(col("ts"), col("event_id")))),
-          x => x.getField("event_id")).as("interactions"),
+          x => x.getField("event_id").cast("string"))).as("interactions"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id", "event_date")
 

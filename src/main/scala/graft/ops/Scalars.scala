@@ -70,9 +70,13 @@ object Scalars {
       .select(
         col("user_id"), col("event_date"),
         size(col("a")).as("n"),
-        slice(col("a"), lit(1), size(col("a")) - lit(1)).as("all_but_last"),
+        concat_ws("|", transform(
+          slice(col("a"), lit(1), size(col("a")) - lit(1)),
+          x => x.cast("string"))).as("all_but_last"),
         element_at(col("a"), -1).as("last_el"),
-        padTo(col("a"), 20, lit(0L)).as("padded"))
+        concat_ws("|", transform(
+          padTo(col("a"), 20, lit(0L)),
+          x => x.cast("string"))).as("padded"))
       .orderBy("user_id", "event_date")
 
   /** #27 Summary stats (RecList basic_stats, my_reclist.py:6-16).
@@ -133,8 +137,11 @@ object Scalars {
       .select(
         col("l_returnflag"),
         col("n"),
+        // x and y are each cents-scaled (×100), so the covariance of
+        // the scaled pair is 100*100 = 1e4 times the true covariance:
+        // divide by 1e4 exactly ONCE.
         round((col("n") * col("sxy_d").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
-          / col("n") / (col("n") - lit(1.0)) / lit(10000.0) / lit(10000.0), 4).as("covar_samp"),
+          / col("n") / (col("n") - lit(1.0)) / lit(10000.0), 4).as("covar_samp"),
         round((col("n") * col("sxy_d").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
           sqrt((col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
             (col("n") * col("syy_d").cast("double") - col("sy").cast("double") * col("sy").cast("double"))), 6).as("corr"))

@@ -82,7 +82,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.length === Tables.documents(spark, sf).count())
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     val r = a.head
-    assert(r.getAs[Seq[Double]]("feature").length === 4)
+    assert(r.getAs[String]("feature").split("\\|").length === 4)
     assert(r.getAs[Int]("n_bytes") > 0)
   }
 

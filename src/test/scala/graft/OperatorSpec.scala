@@ -99,11 +99,19 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("q26: slice/last/pad agree with each other") {
-    val r = Scalars.q26ArrayFuncs(spark, sf).cache()
-    assert(r.filter(size(col("padded")) =!= 20).count() === 0)
-    assert(r.filter(size(col("all_but_last")) =!= col("n") - 1).count() === 0)
+    // padded / all_but_last are pipe-joined strings (scalar-only
+    // declared outputs); split them back to check the array algebra.
+    val r = Scalars.q26ArrayFuncs(spark, sf)
+      .withColumn("padded_a", split(col("padded"), "\\|"))
+      .withColumn("abl_a",
+        when(col("all_but_last") === "", array().cast("array<string>"))
+          .otherwise(split(col("all_but_last"), "\\|")))
+      .cache()
+    assert(r.filter(size(col("padded_a")) =!= 20).count() === 0)
+    assert(r.filter(size(col("abl_a")) =!= col("n") - 1).count() === 0)
     // last_el == last of padded when group nonempty
-    assert(r.filter(element_at(col("padded"), -1) =!= col("last_el")).count() === 0)
+    assert(r.filter(element_at(col("padded_a"), -1).cast("long") =!= col("last_el")).count() === 0)
+    r.unpersist()
   }
 }
 
@@ -188,5 +196,19 @@ class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
       .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-4, s"$k: $v vs ${ref(k)}") }
+  }
+
+  test("q54 covar_samp agrees with Spark's own covar_samp (relative 1e-6)") {
+    // Guards the cents-scaling: x and y are each *100, so the scaled
+    // covariance must be divided by 1e4 exactly once.
+    val got = graft.ops.Scalars.q54CorrCovar(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(covar_samp(col("l_quantity"), col("l_extendedprice")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) / math.max(1.0, math.abs(ref(k))) < 1e-4,
+        s"$k: $v vs ${ref(k)}")
+    }
   }
 }

@@ -78,24 +78,29 @@ object Pipeline {
       .orderBy("session_date", "session_id")
 
   /** Stage 4 → 5: ordered 90/10 time split without driver-side
-    * slicing (my_dbt_flow.py:259-264).
+    * slicing (my_dbt_flow.py:259-264) and without a global
+    * single-partition window — delegates to the two-phase
+    * per-date-counts + broadcast-offset split (Features
+    * .twoPhaseTimeSplit), partitioning rank work by session_date.
     */
   def trainTestSplit(sessions: DataFrame, frac: Double = 0.9): DataFrame =
-    sessions.withColumn("split",
-      when(percent_rank().over(Window.orderBy("session_date", "session_id")) < frac,
-        "train").otherwise("test"))
+    ops.Features.twoPhaseTimeSplit(sessions, "session_date", "session_id", frac)
 
   /** Stage 5 → tensors: vocab (frequency-desc, token-asc — the
-    * relational contract replacing Keras insertion order), encode,
-    * left-pad x to maxLen, label = last token id (the reference's
-    * `-1` label shift is applied at the model boundary).
+    * relational contract replacing Keras insertion order; two-phase
+    * globalRowNumber, no single-partition window), encode, left-pad x
+    * to maxLen with 0 = pad, label y = last token id MINUS ONE — the
+    * reference's label shift (my_dbt_flow.py:339-340) applied here so
+    * the tensor hand-off is drop-in: x ids are 1-based (0 reserved
+    * for pad), y is the 0-based class index.
     */
   def features(sessions: DataFrame, maxLen: Int = 20): DataFrame = {
     val toks = sessions.select(col("session_id"), posexplode(col("interactions")))
       .withColumnRenamed("col", "sku")
-    val vocab = toks.groupBy("sku").agg(count(lit(1)).as("freq"))
-      .withColumn("id", row_number().over(Window.orderBy(desc("freq"), asc("sku"))))
-      .select("sku", "id")
+    val vocab = ops.Features.globalRowNumber(
+        toks.groupBy("sku").agg(count(lit(1)).as("freq")),
+        "id", 32, desc("freq"), asc("sku"))
+      .select(col("sku"), col("id").cast("int").as("id"))
     val enc = toks.join(broadcast(vocab), "sku")
       .groupBy("session_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
@@ -103,7 +108,7 @@ object Pipeline {
     enc.select(
       col("session_id"),
       ops.Scalars.padTo(slice(col("ids"), lit(1), size(col("ids")) - 1), maxLen, lit(0)).as("x"),
-      element_at(col("ids"), -1).as("y"))
+      (element_at(col("ids"), -1) - lit(1)).as("y"))
   }
 
   /** Full chain on a raw append-only log. */

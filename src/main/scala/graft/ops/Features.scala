@@ -61,38 +61,111 @@ object Features {
       .withColumn("interactions",
         concat_ws("|", transform(col("interactions"), x => x.cast("string"))))
 
-  /** #29 Ordered 90/10 time split (my_dbt_flow.py:256-264) without the
-    * reference's driver-side `len()`/list-slice: percent_rank over a
-    * fully tie-broken time order. NOTE the global window is a single
-    * partition — fine for the split decision itself; at 100 TB use the
-    * two-phase variant: aggregate per-date counts (tiny), pick the
-    * cutoff date + intra-date offset, broadcast it back as a filter.
+  /** Ordered train/test split at scale (#29 and Pipeline stage 4→5,
+    * my_dbt_flow.py:256-264).
+    *
+    * `percent_rank` over an unpartitioned window funnels every row
+    * through ONE task — a scale-killer at 100 TB. Two-phase instead:
+    *  1. per-time-key counts: one partial-agg pass whose output is
+    *     bounded by #distinct keys (dates — thousands, not billions);
+    *  2. prefix-sum offsets over those counts at the driver (a
+    *     bounded-by-construction collect, like the IVF centroid
+    *     fetch) broadcast back as a tiny join side;
+    *  3. intra-key row_number over a PARTITIONED window + offset =
+    *     exact global rank; pr = (rank-1)/(N-1) using percent_rank's
+    *     own double expression, so the split is bit-identical to the
+    *     single-window form.
+    *
+    * Precondition: (timeCol, tieCol) is unique and non-null, so
+    * rank == row_number and the comparable sort is total.
+    */
+  def twoPhaseTimeSplit(df: DataFrame, timeCol: String, tieCol: String,
+      frac: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    implicit val anyOrd: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val perKey = df.groupBy(timeCol).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.get(0), r.getLong(1))).sortBy(_._1)
+    val n = perKey.map(_._2).sum
+    var acc = 0L
+    val offsetRows: Seq[Row] = perKey.toIndexedSeq.map { case (k, c) =>
+      val r = Row(k, acc); acc += c; r
+    }
+    val offsetsDf = spark.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*),
+      StructType(Seq(df.schema(timeCol),
+        StructField("gr_offset", LongType, nullable = false))))
+    val rn = col("gr_offset") +
+      row_number().over(Window.partitionBy(timeCol).orderBy(tieCol))
+    val pr = if (n > 1) (rn - lit(1)).cast("double") / lit((n - 1).toDouble)
+             else lit(0.0)
+    df.join(broadcast(offsetsDf), timeCol)
+      .withColumn("split", when(pr < frac, "train").otherwise("test"))
+      .drop("gr_offset")
+  }
+
+  /** #29 Ordered 90/10 time split without the reference's driver-side
+    * `len()`/list-slice AND without a global single-partition window —
+    * the two-phase per-date-counts + broadcast-offset form.
     */
   def q29TimeSplit(spark: SparkSession, dir: String, frac: Double = 0.9): DataFrame =
-    Tables.orders(spark, dir)
-      .withColumn("pr", percent_rank().over(
-        Window.orderBy("o_orderdate", "o_orderkey")))
-      .withColumn("split", when(col("pr") < frac, "train").otherwise("test"))
+    twoPhaseTimeSplit(Tables.orders(spark, dir), "o_orderdate", "o_orderkey", frac)
       .select("o_orderkey", "split")
       .orderBy("o_orderkey")
+
+  /** Global row_number over an arbitrary sort order WITHOUT a single
+    * global window (the scale form of `row_number().over(Window
+    * .orderBy(...))`, whose one-task sort dies at billions of rows):
+    *  1. range-repartition by the sort key (contiguous, ordered,
+    *     non-overlapping buckets) and pin the assignment with a
+    *     localCheckpoint so the two downstream passes see identical
+    *     partitions;
+    *  2. per-bucket row counts → prefix-sum offsets at the driver
+    *     (bounded: one row per bucket);
+    *  3. per-bucket row_number over a PARTITIONED window + broadcast
+    *     offset = the exact global rank.
+    * Precondition: the sort key is unique (rank == row_number) and
+    * non-null. At cluster scale replace localCheckpoint with a
+    * reliable checkpoint so bucket contents survive executor loss.
+    */
+  def globalRowNumber(df: DataFrame, idCol: String, nBuckets: Int,
+      sortExprs: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(nBuckets, sortExprs: _*)
+      .withColumn("gr_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("gr_pid").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.toIndexedSeq.map { case (p, c) =>
+      val o = (p, acc); acc += c; o
+    }
+    val offDf = spark.createDataFrame(offsets).toDF("gr_pid", "gr_offset")
+    ranged.join(broadcast(offDf), "gr_pid")
+      .withColumn(idCol, col("gr_offset") +
+        row_number().over(Window.partitionBy("gr_pid").orderBy(sortExprs: _*)))
+      .drop("gr_pid", "gr_offset")
+  }
 
   /** #30 Vocabulary build + sequence encode (Keras Tokenizer
     * fit_on_texts/texts_to_sequences, my_dbt_flow.py:323-333). Keras
     * breaks frequency ties by insertion order, which is not
     * relational; we declare frequency-desc then token-asc (SURVEY §2
-    * #30) and mirror that in the oracle. The vocab is tiny relative to
-    * the corpus ⇒ broadcast join for the encode side; the id
-    * assignment window runs on the already-aggregated vocab, not the
-    * corpus.
+    * #30) and mirror that in the oracle. Id assignment is the
+    * two-phase globalRowNumber — no single-partition window even when
+    * the distinct-token set is web-corpus-sized. The vocab is small
+    * relative to the corpus ⇒ broadcast join for the encode side.
     */
   def q30VocabIndex(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("pos", "pos").withColumnRenamed("col", "token")
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-      .withColumn("id", row_number().over(
-        Window.orderBy(desc("freq"), asc("token"))))
-      .select("token", "id")
+    val vocab = globalRowNumber(
+        toks.groupBy("token").agg(count(lit(1)).as("freq")),
+        "id", 32, desc("freq"), asc("token"))
+      .select(col("token"), col("id").cast("int").as("id"))
     toks.join(broadcast(vocab), "token")
       .groupBy("doc_id")
       .agg(concat_ws("|", transform(

@@ -83,14 +83,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.select("session_id").as[String].collect().toSeq === Seq("s1"))
   }
 
-  test("features: vocab freq-desc/token-asc, left-padded x, label = last id") {
+  test("features: vocab freq-desc/token-asc, left-padded x, label = last id - 1") {
     val sess = Pipeline.sessionEvents(Pipeline.explodeEvents(raw))
       .filter(col("api_key") === "k1")
     val f = Pipeline.features(sess, maxLen = 4).orderBy("session_id").collect()
     // vocab over {sku_a,sku_b,sku_c,sku_d,sku_e}, all freq 1 -> ids by token asc: a=1..e=5
+    // y carries the reference's -1 label shift (my_dbt_flow.py:339-340)
     val bySession = f.map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getInt(2)))).toMap
-    assert(bySession("s1") === ((Seq(0, 0, 1, 2), 3))) // x = [a,b] padded, y = c
-    assert(bySession("s2") === ((Seq(0, 0, 0, 4), 5))) // x = [d] padded, y = e
+    assert(bySession("s1") === ((Seq(0, 0, 1, 2), 2))) // x = [a,b] padded, y = id(c)-1
+    assert(bySession("s2") === ((Seq(0, 0, 0, 4), 4))) // x = [d] padded, y = id(e)-1
   }
 
   test("full chain composes into one plan") {

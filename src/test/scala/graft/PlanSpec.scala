@@ -71,4 +71,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q29: no unpartitioned Window anywhere in the split plan") {
+    // The two-phase split must never regress to a global
+    // single-partition percent_rank window.
+    val df = graft.ops.Features.q29TimeSplit(spark, sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned Window in q29 plan:\n$bad")
+  }
+
+  test("q30: no unpartitioned Window anywhere in the vocab plan") {
+    val df = graft.ops.Features.q30VocabIndex(spark, sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned Window in q30 plan:\n$bad")
+  }
 }

@@ -79,7 +79,8 @@ object SparkEntry {
     "q51_sources_roundtrip" -> Relational.q51SourcesRoundtrip _,
     "q52_bucketed_join" -> Relational.q52BucketedJoin _,
     "q53_quantiles" -> Scalars.q53Quantiles _,
-    "q54_corr_covar" -> Scalars.q54CorrCovar _
+    "q54_corr_covar" -> Scalars.q54CorrCovar _,
+    "q55_session_events_stateful" -> graft.ops.StatefulSessionize.q55SessionEventsStateful _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -277,6 +278,13 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / n / (n - 1.0) / 10000.0, 4) AS covar_samp,
         |round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
-        |FROM s ORDER BY l_returnflag""".stripMargin
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q55_session_events_stateful" ->
+      """WITH x AS (SELECT CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d') AS session_id,
+        |CAST(ts AS DATE) AS session_date, epoch_ms(ts) AS epoch_ms,
+        |'sku_' || CAST(event_id % 100 AS VARCHAR) AS sku FROM events)
+        |SELECT session_id, 'k1' AS api_key, min(session_date) AS session_date,
+        |string_agg(sku, '|' ORDER BY epoch_ms, sku) AS interactions
+        |FROM x GROUP BY session_id ORDER BY session_id""".stripMargin
   )
 }

@@ -16,7 +16,23 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "minhash_signature",
-      exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+      exprs => {
+        // Accept any foldable integral literal (4, 64L, CAST(64 AS
+        // INT), ...); anything else is a clear analysis-time error,
+        // not a ClassCastException at eval.
+        val nSeeds = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case other => throw new IllegalArgumentException(
+              s"minhash_signature: nSeeds must be an integral literal, got $other")
+          }
+          case e => throw new IllegalArgumentException(
+            s"minhash_signature: nSeeds must be foldable, got ${e.sql}")
+        }
+        MinHashSignature(exprs(0), nSeeds)
+      }, "built-in")
   }
 }

@@ -75,12 +75,18 @@ object LlmOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= w)
+    // localCheckpoint (eager), not cache(): the per-doc hash sets are
+    // read three times (signature, both candidate lookups) but must
+    // not outlive the query — checkpoint blocks are GC-reclaimed with
+    // the plan, while cache() entries accumulate in the cache manager
+    // across bench/verify invocations. At cluster scale promote to a
+    // reliable checkpoint (survives executor loss).
     val withHs = docs.select(col("doc_id"),
       array_distinct(transform(
         transform(sequence(lit(0), size(col("toks")) - w),
           i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(w)))),
         s => xxhash64(s))).as("hs"))
-      .cache()
+      .localCheckpoint()
     // 64 mins in one codegen'd two-level loop (functions.MinHashSignature)
     val sig = withHs.select(col("doc_id"),
       graft.functions.MinHashSignature.signature(col("hs"), nSeeds).as("sig"))
@@ -172,22 +178,43 @@ object LlmOps {
     * No oracle (xxhash64); ScalaTest asserts shuffled dups collide.
     */
   def q41DedupSimhash(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {
+    // Pigeonhole over block COMBINATIONS: split the 64-bit fp into
+    // nBlocks blocks and key each doc on every (nBlocks - maxHamming)-
+    // subset of blocks. Any pair within maxHamming flips corrupts at
+    // most maxHamming blocks, so at least one subset is clean on both
+    // sides — candidate generation stays complete (the exact
+    // bit_count filter then makes the output independent of nBlocks).
+    // Key width scales with nBlocks: the default 4 blocks keys on
+    // single 16-bit blocks (~N²/65k candidates); at corpus scale use
+    // nBlocks = 6 → C(6,3)=20 keys of ~30 bits ⇒ ~N²/2^30 candidates
+    // for a 5× row fan-out. Keys are xxhash64 of the subset (hash
+    // collisions only ever ADD candidates; the exact filter removes
+    // them).
+    require(nBlocks > maxHamming, "pigeonhole needs nBlocks > maxHamming")
+    val w = 64 / nBlocks
+    def block(j: Int): Column = {
+      val width = if (j == nBlocks - 1) 64 - w * j else w
+      shiftrightunsigned(col("fp"), w * j)
+        .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1))
+    }
+    val keep = nBlocks - maxHamming
+    val keyCols = (0 until nBlocks).combinations(keep).toIndexedSeq
+      .zipWithIndex.map { case (combo, ci) =>
+        xxhash64((lit(ci) +: combo.map(block)): _*)
+      }
     // Fingerprints are pure map-side: token hashes WITH multiplicity
     // (= frequency weighting) through one codegen'd loop
     // (functions.SimHash64). No explode, no groupBy shuffle — the
-    // only exchange in the operator is the 16-bit-chunk bucket join.
+    // only exchange in the operator is the block-key bucket join.
     val fps = docTokens(spark, dir)
       .select(col("doc_id"),
         graft.functions.SimHash64.simhash(
           transform(col("toks"), t => xxhash64(t))).as("fp"))
-    val chunks = fps.select(col("doc_id"), col("fp"), explode(array(
-      (0 until 4).map(j => struct(lit(j).as("j"),
-        shiftrightunsigned(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("c"))): _*)).as("ck"))
-      .select(col("doc_id"), col("fp"), col("ck.j").as("j"), col("ck.c").as("c"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.j") === col("b.j") && col("a.c") === col("b.c") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val keyed = fps.select(col("doc_id"), col("fp"),
+      explode(array(keyCols: _*)).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
@@ -298,12 +325,26 @@ object LlmOps {
     * 100 TB raise nPlanes, keep nTables for recall). Recall vs the
     * exact q38 is asserted in ScalaTest (approximate ⇒ no oracle).
     */
+  /** Hyperplane count for a target expected bucket population:
+    * 2^planes buckets ⇒ expected bucket size n/2^planes ≤
+    * targetBucket. Floor of 4 planes keeps recall sane on tiny
+    * corpora; the ceiling-log keeps candidate volume ~n·targetBucket
+    * (linear in n) instead of ~n²/2^planes as the corpus grows.
+    */
+  def lshPlanesFor(n: Long, targetBucket: Long = 256L): Int =
+    math.max(4, math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
+      / math.log(2.0)).toInt)
+
   def q43SimsearchLshAnn(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, nPlanes: Int = 4, nTables: Int = 4,
+      nQueries: Int = 10, k: Int = 5, nPlanes: Int = 0, nTables: Int = 4,
       dims: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // nPlanes <= 0 = auto-size from the corpus count (a parquet
+    // metadata-only job) so buckets never degrade to near-all-pairs
+    // as N grows — the knob is computed, not a footnote.
+    val planes = if (nPlanes > 0) nPlanes else lshPlanesFor(emb.count())
     val tableCols = (0 until nTables).map { t =>
-      val bucketExpr = (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>
+      val bucketExpr = (0 until planes).foldLeft(lit(0)) { (acc, p) =>
         val w = array((0 until dims).map(d => lit(planeWeight(t * 1000 + p, d))): _*)
         val dotP = aggregate(zip_with(col("embedding"), w,
           (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
@@ -334,40 +375,76 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
-  /** IVF (inverted-file) approximate nearest neighbors — the
-    * clustering counterpart to q43's hash-based LSH. Coarse quantizer:
-    * `nCells` centroid vectors (deterministic init: the first
-    * `nCells` vectors — adequate for a coarse quantizer on this
-    * corpus; a k-means refinement would slot in here); every vector
-    * is assigned map-side to its best cell by cosine; a query probes
-    * its `nProbe` best cells and ranks only those cells' members.
-    * Centroids are driver-collected by construction BOUNDED data
-    * (nCells rows) and re-enter the plan as literals — the corpus
-    * itself never leaves the executors. One shuffle on cell id.
-    * Approximate ⇒ no oracle; recall vs exact q38 in ScalaTest.
+  /** (-score, cid) structs sorted ascending = cells best-first; the
+    * argmax and the nProbe probe list both read off this one array
+    * (a when-chain argmax would double the expression tree per
+    * centroid — exponential at 16 cells). Expects `embedding` and its
+    * prenormed `nsq` in scope.
     */
-  def q49SimsearchIvf(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
-    val cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+  private def centroidScores(cents: Array[(Int, Array[Float])]): Column = {
     def centCol(v: Array[Float]): Column = array(v.map(lit(_)).toIndexedSeq: _*)
     def cellScore(v: Array[Float]): Column = {
       val cnorm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
       dotProduct(col("embedding"), centCol(v)) / (sqrt(col("nsq")) * lit(cnorm))
     }
-    // (-score, cid) structs sorted ascending = cells best-first; the
-    // argmax and the nProbe probe list both read off this one array
-    // (a when-chain argmax would double the expression tree per
-    // centroid — exponential at 16 cells)
-    val scored = array(cents.map { case (cid, v) =>
+    array(cents.map { case (cid, v) =>
       struct((-cellScore(v)).as("neg"), lit(cid).as("cid"))
     }.toIndexedSeq: _*)
-    val bestCell = element_at(
-      transform(slice(array_sort(scored), 1, 1), x => x.getField("cid")), 1)
-    val assigned = emb.withColumn("cell", bestCell)
+  }
+
+  private def bestCellOf(scored: Column): Column = element_at(
+    transform(slice(array_sort(scored), 1, 1), x => x.getField("cid")), 1)
+
+  /** Lloyd-refined coarse-quantizer centroids. Init = first `nCells`
+    * vectors, then `iters` rounds of: map-side best-cell assignment →
+    * distributed per-(cell, dim) mean via posexplode + partial agg →
+    * driver collect of the BOUNDED nCells×dims mean table (16×64 rows
+    * here) re-entering the next round as literals. The corpus never
+    * leaves the executors; per-iteration driver traffic is constant
+    * in N. Cells that lose all members keep their previous centroid.
+    * Cosine scoring is scale-invariant, so plain coordinate means
+    * need no re-normalization between rounds.
+    */
+  def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): Array[(Int, Array[Float])] = {
+    var cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("cell", bestCellOf(centroidScores(cents)))
+      val means = assigned.select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, xs) =>
+          val dims = xs.map(_._2).max + 1
+          val v = new Array[Float](dims)
+          xs.foreach { case (_, pos, m) => v(pos) = m.toFloat }
+          cid -> v
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate nearest neighbors — the
+    * clustering counterpart to q43's hash-based LSH. Coarse quantizer:
+    * `nCells` k-means centroids (first-N init + `kmeansIters` Lloyd
+    * rounds, kmeansCentroids above); every vector is assigned
+    * map-side to its best cell by cosine; a query probes its `nProbe`
+    * best cells and ranks only those cells' members. Centroids are
+    * driver-collected by construction BOUNDED data (nCells rows) and
+    * re-enter the plan as literals — the corpus itself never leaves
+    * the executors. One shuffle on cell id. Approximate ⇒ no oracle;
+    * recall vs exact q38 in ScalaTest.
+    */
+  def q49SimsearchIvf(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    val scored = centroidScores(cents)
+    val assigned = emb.withColumn("cell", bestCellOf(scored))
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nsq").as("qnsq"),

@@ -140,8 +140,12 @@ object StatefulSessionize {
     } else {
       st.foreach { s =>
         state.update(s)
+        // +1 for boundary consistency with transition(): an event
+        // landing exactly at lastMs + closeAfterMs in a later
+        // micro-batch must still find the state open (merge), never a
+        // flushed session (duplicate row).
         state.setTimeoutTimestamp(
-          math.max(s.lastMs + closeAfterMs, state.getCurrentWatermarkMs() + 1))
+          math.max(s.lastMs + closeAfterMs + 1, state.getCurrentWatermarkMs() + 1))
       }
       Iterator.empty
     }
@@ -167,5 +171,27 @@ object StatefulSessionize {
       .groupByKey(_.session_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         sessionEventsTransition(0L, flushTrailing = true))
+  }
+
+  /** Declared q55: the incremental nep_session_events custom-state
+    * path (the same transition function the stream runs) driven as a
+    * deterministic batch query over the events table, so the
+    * flatMapGroupsWithState surface gets a driver-hash-green row.
+    * Sessions keyed by an explicit user-day session_id;
+    * SESSION_DATE = min event date; interactions = (epoch_ms, sku)-
+    * ordered pipe-joined SKU string (scalar-only declared output).
+    */
+  def q55SessionEventsStateful(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val exploded = graft.Tables.events(spark, dir).select(
+      concat(col("user_id"), lit("-"), to_date(col("ts"))).as("session_id"),
+      lit("k1").as("api_key"),
+      to_date(col("ts")).as("session_date"),
+      col("ts_ms").as("epoch_ms"),
+      concat(lit("sku_"), col("event_id") % 100).as("sku"),
+      col("ts"))
+    sessionEventsBatch(spark, exploded).toDF()
+      .withColumn("interactions", concat_ws("|", col("interactions")))
+      .orderBy("session_id")
   }
 }

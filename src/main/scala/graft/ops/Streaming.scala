@@ -91,7 +91,13 @@ object Streaming {
       s"graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
+    // NOFOLLOW: a dangling symlink (testdata recreated) makes the
+    // following exists() false while the link itself still exists —
+    // delete stale links instead of crashing on re-create.
+    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !java.nio.file.Files.exists(link))
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
     spark.readStream.schema(schema)

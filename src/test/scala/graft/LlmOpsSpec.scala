@@ -43,6 +43,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fpPairs.filter(col("hamming") > 3).count() === 0)
   }
 
+  test("q41 SimHash: block-combination scheme is output-invariant in nBlocks") {
+    // pigeonhole completeness + the exact bit_count filter mean the
+    // wide-key corpus-scale scheme (6 blocks -> C(6,3)=20 keys of
+    // ~30 bits) finds exactly the same pairs as the default 4x16-bit
+    val a = LlmOps.q41DedupSimhash(spark, sf).collect().map(_.toString).toSet
+    val b = LlmOps.q41DedupSimhash(spark, sf, nBlocks = 6).collect().map(_.toString).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("q43 lshPlanesFor bounds expected bucket population at any corpus size") {
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L, 100000000000L)) {
+      val p = LlmOps.lshPlanesFor(n, targetBucket = 256L)
+      assert(p >= 4, s"n=$n planes=$p below floor")
+      assert(p <= 62, s"n=$n planes=$p absurd")
+      // 2^p buckets x 256 target >= n  =>  expected bucket <= target
+      assert(math.pow(2.0, p) * 256.0 >= n.toDouble, s"n=$n planes=$p under-bucketed")
+    }
+    // monotone: more corpus never means fewer planes
+    val ps = Seq(1000L, 1000000L, 1000000000L).map(LlmOps.lshPlanesFor(_))
+    assert(ps === ps.sorted)
+  }
+
   test("q43 LSH-ANN: results are a subset of valid neighbors with decent recall") {
     val ann = LlmOps.q43SimsearchLshAnn(spark, sf).cache()
     val brute = LlmOps.q38SimilarityTopk(spark, sf).cache()
@@ -64,7 +87,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val a = ivf.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect().toSet
     val b = brute.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect().toSet
     val overlap = a.map(t => (t._1, t._2)).intersect(b.map(t => (t._1, t._2)))
-    assert(overlap.size >= b.size / 5, s"IVF overlap ${overlap.size}/${b.size} too low")
+    // k-means-refined centroids hold >= 0.8 recall at nProbe=4/16 on
+    // the harness corpus (measured 0.88)
+    assert(overlap.size * 10 >= b.size * 8, s"IVF overlap ${overlap.size}/${b.size} too low")
     val bm = b.map(t => (t._1, t._2) -> t._3).toMap
     val am = a.map(t => (t._1, t._2) -> t._3).toMap
     overlap.foreach(k => assert(am(k) === bm(k)))

@@ -115,4 +115,28 @@ object Pipeline {
   def run(raw: DataFrame, apiKey: String, start: java.sql.Date,
       end: java.sql.Date): DataFrame =
     features(extractSessions(sessionEvents(explodeEvents(raw)), apiKey, start, end))
+
+  /** Per-stage lineage export — the Catalyst answer to the
+    * reference's dbt-manifest DAG render (my_dbt_flow.py:122-170).
+    * Each stage name is paired with its optimized logical plan text;
+    * because stages compose lazily, every stage's plan embeds its
+    * upstream lineage, which IS the dependency DAG. (The split stage
+    * runs its bounded per-date-count jobs on construction — a
+    * diagnostic-time cost only.)
+    */
+  def explainStages(raw: DataFrame, apiKey: String, start: java.sql.Date,
+      end: java.sql.Date): Seq[(String, String)] = {
+    val exploded = explodeEvents(raw)
+    val sessions = sessionEvents(exploded)
+    val extracted = extractSessions(sessions, apiKey, start, end)
+    Seq(
+      "explode_events" -> exploded,
+      "session_events" -> sessions,
+      "extract_sessions" -> extracted,
+      "train_test_split" -> trainTestSplit(extracted),
+      "features" -> features(extracted)
+    ).map { case (name, df) =>
+      name -> df.queryExecution.optimizedPlan.treeString
+    }
+  }
 }

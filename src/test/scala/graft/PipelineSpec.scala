@@ -99,4 +99,16 @@ class PipelineSpec extends AnyFunSuite {
       java.sql.Date.valueOf("2019-01-01"), java.sql.Date.valueOf("2019-03-14"))
     assert(out.count() === 1)
   }
+
+  test("explainStages exports the five-stage lineage DAG") {
+    val stages = Pipeline.explainStages(raw, "k1",
+      java.sql.Date.valueOf("2019-01-01"), java.sql.Date.valueOf("2019-03-14"))
+    assert(stages.map(_._1) === Seq("explode_events", "session_events",
+      "extract_sessions", "train_test_split", "features"))
+    stages.foreach { case (n, plan) => assert(plan.nonEmpty, n) }
+    // downstream stages embed upstream lineage (the DAG edge): the
+    // features plan must contain the raw relation the explode reads
+    val featPlan = stages.last._2
+    assert(featPlan.contains("raw_data") || featPlan.contains("LocalRelation"), featPlan)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Production sink patterns for the 100 TB append-only log — the
+  * operational half of the reference's load step (upload_to_snowflake
+  * .py staged PUT + COPY INTO swap), re-expressed as Spark-native
+  * idempotent writes. These are library surface (sinks are smoke-
+  * verified like q02/q03; there is no row-level oracle for IO).
+  */
+object Sinks {
+
+  /** Idempotent partition overwrite: re-running a batch replaces ONLY
+    * the partitions the batch touches (dynamic partitionOverwriteMode),
+    * leaving every other date directory intact. This is the Spark
+    * analogue of the reference's replace-batch semantics — the
+    * latest-ETL swap — and the property that makes retries safe at
+    * scale: a failed/replayed day never duplicates rows and never
+    * clobbers other days.
+    *
+    * The pre-write `repartition(partCol)` co-locates each partition
+    * value so a day writes one file, not #tasks files; at 100 TB use
+    * `repartition(n, partCol)` to bound file size per day instead.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      df.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Small-file compaction: rewrite a partitioned dataset so each
+    * partition directory holds ~`targetRowsPerFile` rows per file
+    * (computed per partition from actual counts — a skewed hot date
+    * gets more files, a sparse date gets one). The operational fix
+    * for the #tasks×#partitions small-file explosion that kills
+    * NameNode/listing performance at scale. Reads and rewrites once;
+    * per-partition file counts derive from a counts aggregate that is
+    * bounded by #distinct partition values.
+    */
+  def compact(spark: SparkSession, path: String, partCol: String,
+      targetRowsPerFile: Long = 1000000L): Unit = {
+    val df = spark.read.parquet(path)
+    val counts = df.groupBy(partCol).agg(count(lit(1)).as("cnt"))
+    // files-per-partition as a column: ceil(cnt / target); the
+    // repartition key (partValue, bucket) spreads each partition over
+    // exactly its file budget
+    val withBudget = df.join(broadcast(counts), partCol)
+      .withColumn("__files", ceil(col("cnt").cast("double") / lit(targetRowsPerFile.toDouble)).cast("int"))
+      .withColumn("__bucket", pmod(xxhash64(monotonically_increasing_id()), col("__files").cast("long")))
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    withBudget
+      .repartition(col(partCol), col("__bucket"))
+      .drop("cnt", "__files", "__bucket")
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    // atomic-enough local swap; on object stores prefer writing to a
+    // new versioned prefix and flipping a pointer (manifest commit)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -46,4 +46,22 @@ object Skew {
       .agg(flatten(collect_list(col("part"))).as("parts"))
       .select(col("key"),
         transform(array_sort(col("parts")), x => x.getField("v")).as("values"))
+
+  /** Salted shuffle join for one hot key pinning a task when the
+    * small side is too big to broadcast and AQE skew-splitting isn't
+    * available (or the partitioning must be explicit): the skewed big
+    * side gets a uniform salt, the other side is replicated `salts`
+    * times, and the join key becomes (key, salt) — the hot key's rows
+    * spread over `salts` tasks. Row-for-row equal to the unsalted
+    * join; replication multiplies the small side by `salts`, so pick
+    * salts ≈ (hot-key rows / average-key rows), not "big".
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

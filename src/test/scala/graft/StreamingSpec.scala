@@ -155,6 +155,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental nep_session_events: cross-batch events merge into one session row") {
+    // Multi-batch invariant for the custom-state path: a session
+    // whose events span micro-batches (watermark still below the
+    // close timeout) emits exactly ONE row with the merged ordered
+    // interactions, flushed once the watermark passes its timeout.
+    // (The exact-boundary duplicate the +1 timeout guards against is
+    // unobservable through the public API on Spark 4: within a batch
+    // input is processed before timeouts, and in later batches the
+    // late-event filter drops boundary rows — the +1 keeps the state
+    // transition consistent with transition() regardless.)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val closeMs = 60000L
+    val base = Files.createTempDirectory("graft_nep_boundary").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, offsetMs: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$base/$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$base/$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + offsetMs))
+    }
+    def ev(sid: String, ms: Long, sku: String) =
+      (sid, "k1", java.sql.Date.valueOf("2020-01-01"), ms, sku, new java.sql.Timestamp(ms))
+    val cols = Seq("session_id", "api_key", "session_date", "epoch_ms", "sku", "ts")
+    writeOne(Seq(ev("S", 1000L, "sku_a")).toDF(cols: _*), "b1", 0)
+    // second event for S in a LATER batch, inside the close window
+    // (watermark after b1 = 1000 < 1000 + closeMs: state still open)
+    writeOne(Seq(ev("S", 31000L, "sku_b")).toDF(cols: _*), "b2", 2000)
+    // far-future sentinel advances the watermark past S's timeout;
+    // the trailing no-data batch evicts and emits S exactly once
+    writeOne(Seq(ev("__sentinel", 10_000_000_000L, "s")).toDF(cols: _*), "b3", 4000)
+    val src = spark.readStream
+      .schema("session_id STRING, api_key STRING, session_date DATE, epoch_ms LONG, sku STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(base)
+    val q = graft.ops.StatefulSessionize.sessionEventsStream(spark, src, closeAfterMs = closeMs)
+      .writeStream.outputMode("append").format("memory").queryName("t_nep_boundary")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val s = spark.table("t_nep_boundary").filter(col("session_id") === "S").collect()
+    assert(s.length === 1, s"expected one merged session row, got ${s.toSeq}")
+    assert(s.head.getSeq[String](3) === Seq("sku_a", "sku_b"))
+  }
+
   test("q35 streaming dedup within watermark drops re-sent event ids") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Streaming.eventsStream(spark, sf)

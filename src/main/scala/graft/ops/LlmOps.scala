@@ -440,8 +440,14 @@ object LlmOps {
   def q49SimsearchIvf(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 3): DataFrame = {
+    // Pin vectors + prenorms once: the Lloyd loop and the final
+    // assign/probe plan replay this relation (kmeansIters + 2)×;
+    // without the checkpoint each replay rescans parquet and
+    // recomputes every norm. At cluster scale this becomes a
+    // persist-with-spill / reliable-checkpoint decision.
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .localCheckpoint()
     val cents = kmeansCentroids(emb, nCells, kmeansIters)
     val scored = centroidScores(cents)
     val assigned = emb.withColumn("cell", bestCellOf(scored))

@@ -91,4 +91,15 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"unpartitioned Window in q30 plan:\n$bad")
   }
+
+  test("q55: custom-state plan shuffles once and prunes the event scan") {
+    val p = plan(graft.ops.StatefulSessionize.q55SessionEventsStateful(spark, sf))
+    // one hash exchange into the state operator + the final
+    // presentation range exchange — nothing else
+    val nExchange = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(nExchange === 2, s"expected 2 exchanges (state + orderBy), got $nExchange:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id")
+      && !readSchema.contains("props"), readSchema)
+  }
 }

@@ -79,4 +79,49 @@ class PropertySpec extends AnyFunSuite {
     assert(twice.count() === once.count())
     assert(twice.filter(col("n") > 1).count() === 0)
   }
+
+  test("twoPhaseTimeSplit == global percent_rank split on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(1, 400)
+      days <- Gen.chooseNum(1, 12)
+      frac <- Gen.oneOf(0.5, 0.9, 0.99)
+    } yield (n, days, frac)
+    samples(gen, 6).foreach { case (n, days, frac) =>
+      // keys 0..n-1 hashed over `days` distinct dates; (date, key)
+      // unique by construction
+      val df = spark.range(n.toLong)
+        .withColumn("d", date_add(lit("2024-01-01").cast("date"),
+          pmod(xxhash64(col("id")), lit(days.toLong)).cast("int")))
+      val twoPhase = Features.twoPhaseTimeSplit(df, "d", "id", frac)
+        .select("id", "split")
+      val direct = df.withColumn("split",
+        when(percent_rank().over(Window.orderBy("d", "id")) < frac, "train")
+          .otherwise("test"))
+        .select("id", "split")
+      assert(twoPhase.exceptAll(direct).count() === 0
+        && direct.exceptAll(twoPhase).count() === 0,
+        s"n=$n days=$days frac=$frac")
+    }
+  }
+
+  test("globalRowNumber == row_number over a global window on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(1, 500)
+      buckets <- Gen.oneOf(1, 3, 8, 32)
+    } yield (n, buckets)
+    samples(gen, 6).foreach { case (n, buckets) =>
+      // non-contiguous, hash-shuffled sort key; unique by construction
+      val df = spark.range(n.toLong)
+        .withColumn("k", xxhash64(col("id")))
+      val twoPhase = Features.globalRowNumber(df, "rk", buckets, desc("k"))
+        .select("k", "rk")
+      val direct = df.withColumn("rk",
+        row_number().over(Window.orderBy(desc("k"))).cast("long"))
+        .select("k", "rk")
+      assert(twoPhase.exceptAll(direct).count() === 0
+        && direct.exceptAll(twoPhase).count() === 0, s"n=$n buckets=$buckets")
+    }
+  }
 }

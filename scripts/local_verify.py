@@ -30,11 +30,28 @@ def norm(v):
     return v
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # The driver sorts EVERY dumped result (oracled or not) by all
+    # columns; unsortable cells (arrays/maps) error its gate even for
+    # rows-only checks. Sort-probe every dump so that failure mode
+    # can never pass locally again.
+    for name in sorted(os.listdir(out_dir)):
+        if not os.path.isdir(f"{out_dir}/{name}") or name in oracles:
+            continue
+        try:
+            d = con.sql(
+                f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')").df()
+            d.sort_values(by=sorted(d.columns))
+            print(f"PASS {name} (no oracle; {len(d)} rows sortable)")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: unsortable no-oracle output: {type(e).__name__}: {e}")
+            n_fail += 1
     for name, sql in sorted(oracles.items()):
         try:
             got = con.sql(

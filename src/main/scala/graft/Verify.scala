@@ -21,9 +21,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Harness contract: declared outputs are scalar-only — the
+        // external comparator sorts rows by every column and errors
+        // on array/map/struct cells. Fail loudly here, not there.
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val complex = df.schema.fields.filter(f => f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        })
+        if (complex.nonEmpty)
+          System.err.println(s"[verify] $name emits non-atomic columns " +
+            s"${complex.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")} " +
+            "— the driver's sort-compare will error on these")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

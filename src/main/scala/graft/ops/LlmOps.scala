@@ -332,8 +332,11 @@ object LlmOps {
     * (linear in n) instead of ~n²/2^planes as the corpus grows.
     */
   def lshPlanesFor(n: Long, targetBucket: Long = 256L): Int =
-    math.max(4, math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
-      / math.log(2.0)).toInt)
+    // clamp at 48: 2^48 bucket ids stay well inside a Long, and past
+    // that the planes no longer discriminate (sign bits ≈ dims)
+    math.min(48, math.max(4,
+      math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
+        / math.log(2.0)).toInt))
 
   def q43SimsearchLshAnn(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nPlanes: Int = 0, nTables: Int = 4,
@@ -344,11 +347,13 @@ object LlmOps {
     // as N grows — the knob is computed, not a footnote.
     val planes = if (nPlanes > 0) nPlanes else lshPlanesFor(emb.count())
     val tableCols = (0 until nTables).map { t =>
-      val bucketExpr = (0 until planes).foldLeft(lit(0)) { (acc, p) =>
+      // Long bit accumulation: Int `1 << p` overflows (ANSI throws)
+      // once the auto-computed plane count passes 31
+      val bucketExpr = (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
         val w = array((0 until dims).map(d => lit(planeWeight(t * 1000 + p, d))): _*)
         val dotP = aggregate(zip_with(col("embedding"), w,
           (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
-        acc + when(dotP >= 0, lit(1 << p)).otherwise(lit(0))
+        acc + when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
       }
       struct(lit(t).as("t"), bucketExpr.as("bucket"))
     }

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Where the reference materialized per-step artifacts to S3 and
   * pulled full result sets into driver memory (fetch_all,
-  * snowflake_client.py:48-62), this chain stays distributed end to
-  * end; only the final Dataset hand-off leaves the cluster.
+  * snowflake_client.py:48-62), this chain keeps the DATA distributed
+  * end to end; only the final Dataset hand-off leaves the cluster.
+  * Note the two-phase rank/split stages (trainTestSplit, features)
+  * run bounded driver-side jobs at CONSTRUCTION time — per-date /
+  * per-bucket counts and a vocab checkpoint, constant-sized in the
+  * corpus — so building those stages is not plan-only.
   */
 object Pipeline {
 

@@ -79,24 +79,48 @@ object Features {
     * Precondition: (timeCol, tieCol) is unique and non-null, so
     * rank == row_number and the comparable sort is total.
     */
-  def twoPhaseTimeSplit(df: DataFrame, timeCol: String, tieCol: String,
-      frac: Double = 0.9): DataFrame = {
+  /** Driver-side ordering that matches Spark's column sort order:
+    * strings compare as UTF-8 binary (unsigned bytes — Java's
+    * UTF-16 compareTo disagrees for supplementary characters vs
+    * U+E000..U+FFFF), everything else by its natural Comparable.
+    */
+  private val sparkKeyOrdering: Ordering[Any] = {
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var c = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n && c == 0) { c = (xb(i) & 0xFF) - (yb(i) & 0xFF); i += 1 }
+      if (c != 0) c else xb.length - yb.length
+    case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+  }
+
+  /** Shared two-phase-rank machinery: prefix-sum offsets over bounded
+    * per-key counts, as a broadcastable (key, gr_offset) frame. Keys
+    * must be unique and non-null.
+    */
+  private def prefixOffsets(spark: SparkSession,
+      keyField: org.apache.spark.sql.types.StructField,
+      counts: Array[(Any, Long)]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val spark = df.sparkSession
-    implicit val anyOrd: Ordering[Any] =
-      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
-    val perKey = df.groupBy(timeCol).agg(count(lit(1)).as("cnt")).collect()
-      .map(r => (r.get(0), r.getLong(1))).sortBy(_._1)
-    val n = perKey.map(_._2).sum
+    val sorted = counts.sortBy(_._1)(sparkKeyOrdering)
     var acc = 0L
-    val offsetRows: Seq[Row] = perKey.toIndexedSeq.map { case (k, c) =>
+    val rows: Seq[Row] = sorted.toIndexedSeq.map { case (k, c) =>
       val r = Row(k, acc); acc += c; r
     }
-    val offsetsDf = spark.createDataFrame(
-      java.util.Arrays.asList(offsetRows: _*),
-      StructType(Seq(df.schema(timeCol),
-        StructField("gr_offset", LongType, nullable = false))))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(keyField, StructField("gr_offset", LongType, nullable = false))))
+  }
+
+  def twoPhaseTimeSplit(df: DataFrame, timeCol: String, tieCol: String,
+      frac: Double = 0.9): DataFrame = {
+    val spark = df.sparkSession
+    val perKey = df.groupBy(timeCol).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    val n = perKey.map(_._2).sum
+    val offsetsDf = prefixOffsets(spark, df.schema(timeCol), perKey)
     val rn = col("gr_offset") +
       row_number().over(Window.partitionBy(timeCol).orderBy(tieCol))
     val pr = if (n > 1) (rn - lit(1)).cast("double") / lit((n - 1).toDouble)
@@ -137,12 +161,10 @@ object Features {
       .withColumn("gr_pid", spark_partition_id())
       .localCheckpoint()
     val counts = ranged.groupBy("gr_pid").agg(count(lit(1)).as("cnt")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.toIndexedSeq.map { case (p, c) =>
-      val o = (p, acc); acc += c; o
-    }
-    val offDf = spark.createDataFrame(offsets).toDF("gr_pid", "gr_offset")
+      .map(r => (r.get(0), r.getLong(1)))
+    val offDf = prefixOffsets(spark,
+      org.apache.spark.sql.types.StructField("gr_pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false), counts)
     ranged.join(broadcast(offDf), "gr_pid")
       .withColumn(idCol, col("gr_offset") +
         row_number().over(Window.partitionBy("gr_pid").orderBy(sortExprs: _*)))

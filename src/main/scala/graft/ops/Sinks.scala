@@ -23,20 +23,13 @@ object Sinks {
     * value so a day writes one file, not #tasks files; at 100 TB use
     * `repartition(n, partCol)` to bound file size per day instead.
     */
-  def overwritePartitions(df: DataFrame, path: String, partCol: String): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      df.repartition(col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-  }
+  def overwritePartitions(df: DataFrame, path: String, partCol: String): Unit =
+    df.repartition(col(partCol))
+      .write.mode("overwrite")
+      // per-write option, not session conf: concurrent writers on the
+      // same session keep their own overwrite semantics
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
 
   /** Small-file compaction: rewrite a partitioned dataset so each
     * partition directory holds ~`targetRowsPerFile` rows per file
@@ -53,21 +46,33 @@ object Sinks {
     val counts = df.groupBy(partCol).agg(count(lit(1)).as("cnt"))
     // files-per-partition as a column: ceil(cnt / target); the
     // repartition key (partValue, bucket) spreads each partition over
-    // exactly its file budget
+    // exactly its file budget. The bucket MUST be a deterministic
+    // function of row content (never monotonically_increasing_id):
+    // a partial map-stage retry re-evaluates it, and a value that
+    // changes across attempts duplicates/drops rows in the rewrite.
+    val rowHash = xxhash64(df.columns.map(col): _*)
     val withBudget = df.join(broadcast(counts), partCol)
       .withColumn("__files", ceil(col("cnt").cast("double") / lit(targetRowsPerFile.toDouble)).cast("int"))
-      .withColumn("__bucket", pmod(xxhash64(monotonically_increasing_id()), col("__files").cast("long")))
+      .withColumn("__bucket", pmod(rowHash, col("__files").cast("long")))
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     withBudget
       .repartition(col(partCol), col("__bucket"))
       .drop("cnt", "__files", "__bucket")
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    // atomic-enough local swap; on object stores prefer writing to a
-    // new versioned prefix and flipping a pointer (manifest commit)
+    // two-step swap, old data parked until the new rename succeeds —
+    // never delete-then-hope; on object stores prefer writing a new
+    // versioned prefix and flipping a pointer (manifest commit)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val trash = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
+    fs.delete(trash, true)
+    if (!fs.rename(dst, trash))
+      throw new java.io.IOException(s"compact: could not park $dst")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(trash, dst) // restore
+      throw new java.io.IOException(s"compact: rename $tmp -> $dst failed; original restored")
+    }
+    fs.delete(trash, true)
   }
 }

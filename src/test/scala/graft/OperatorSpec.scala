@@ -198,7 +198,7 @@ class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
     got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-4, s"$k: $v vs ${ref(k)}") }
   }
 
-  test("q54 covar_samp agrees with Spark's own covar_samp (relative 1e-6)") {
+  test("q54 covar_samp agrees with Spark's own covar_samp (relative 1e-4)") {
     // Guards the cents-scaling: x and y are each *100, so the scaled
     // covariance must be divided by 1e4 exactly once.
     val got = graft.ops.Scalars.q54CorrCovar(spark, sf).collect()

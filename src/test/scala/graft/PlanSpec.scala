@@ -92,6 +92,21 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unpartitioned Window in q30 plan:\n$bad")
   }
 
+  test("q00: sessionize reuses ONE user_id shuffle for both windows and the groupBy") {
+    val p = plan(graft.ops.Features.q00FlagshipSessionize(spark, sf))
+    val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected exactly 1 user_id exchange, got $hashExchanges:\n$p")
+  }
+
+  test("q11: aggregation is partial (map-side) before the exchange") {
+    val p = plan(Relational.q11AggHashGroupby(spark, sf))
+    // partial + final HashAggregate pair around one hash exchange
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs:\n$p")
+    val hashExchanges = "hashpartitioning\\(l_returnflag".r.findAllIn(p).size
+    assert(hashExchanges === 1, p)
+  }
+
   test("q55: custom-state plan shuffles once and prunes the event scan") {
     val p = plan(graft.ops.StatefulSessionize.q55SessionEventsStateful(spark, sf))
     // one hash exchange into the state operator + the final

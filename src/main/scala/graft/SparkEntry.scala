@@ -80,7 +80,8 @@ object SparkEntry {
     "q52_bucketed_join" -> Relational.q52BucketedJoin _,
     "q53_quantiles" -> Scalars.q53Quantiles _,
     "q54_corr_covar" -> Scalars.q54CorrCovar _,
-    "q55_session_events_stateful" -> graft.ops.StatefulSessionize.q55SessionEventsStateful _
+    "q55_session_events_stateful" -> graft.ops.StatefulSessionize.q55SessionEventsStateful _,
+    "q56_stream_interval_join" -> Streaming.q56StreamIntervalJoin _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -285,6 +286,12 @@ object SparkEntry {
         |'sku_' || CAST(event_id % 100 AS VARCHAR) AS sku FROM events)
         |SELECT session_id, 'k1' AS api_key, min(session_date) AS session_date,
         |string_agg(sku, '|' ORDER BY epoch_ms, sku) AS interactions
-        |FROM x GROUP BY session_id ORDER BY session_id""".stripMargin
+        |FROM x GROUP BY session_id ORDER BY session_id""".stripMargin,
+    "q56_stream_interval_join" ->
+      """SELECT v.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |AND epoch_ms(v.ts) <= epoch_ms(p.ts) AND epoch_ms(v.ts) > epoch_ms(p.ts) - 1800000
+        |ORDER BY v.user_id, purchase_id, view_id""".stripMargin
   )
 }

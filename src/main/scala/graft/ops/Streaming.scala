@@ -75,6 +75,50 @@ object Streaming {
       .select("event_id", "user_id", "ts_ms", "n_dupes")
       .orderBy("user_id", "ts_ms")
 
+  /** Stream-stream INTERVAL join (the remaining Structured Streaming
+    * join shape after the windowed aggregates): every purchase paired
+    * with the same user's views in the preceding `windowMs`. The
+    * batch twin below is the declared q56; the streaming form joins
+    * two watermarked streams on the identical condition, and the
+    * time-range bound is what lets Spark drop view state once the
+    * watermark passes `v_ts + windowMs` — bounded state at 100 TB/day
+    * rates, unlike an unbounded-history join.
+    *
+    * Plan shape: equi-join on user_id (sort-merge/shuffled-hash) with
+    * the range predicates as residual conditions — never a cartesian.
+    */
+  def intervalJoinBatch(events: DataFrame, windowMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("v_ms"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("p_ms"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("v_ms") <= col("p_ms") && col("v_ms") > col("p_ms") - windowMs)
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
+  def q56StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinBatch(Tables.events(spark, dir))
+      .orderBy("user_id", "purchase_id", "view_id")
+
+  /** Streaming form of [[intervalJoinBatch]] over two watermarked
+    * sides of the event stream (self-join on the file source).
+    */
+  def intervalJoinStream(events: DataFrame, windowMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val secs = windowMs / 1000L
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "0 seconds")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    v.join(p, expr(
+      s"user_id = p_user AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL $secs seconds"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
   // -- streaming runners (used by ScalaTest equivalence specs) -------
 
   /** Read the events parquet as a bounded stream (AvailableNow ≈ batch

@@ -107,6 +107,12 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges === 1, p)
   }
 
+  test("q56: interval join is an equi-join with residual range, not a nested loop") {
+    val p = plan(graft.ops.Streaming.q56StreamIntervalJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") && p.contains("user_id"), p)
+  }
+
   test("q55: custom-state plan shuffles once and prunes the event scan") {
     val p = plan(graft.ops.StatefulSessionize.q55SessionEventsStateful(spark, sf))
     // one hash exchange into the state operator + the final

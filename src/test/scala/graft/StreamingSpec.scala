@@ -35,6 +35,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(asSet(stream) === asSet(batch))
   }
 
+  test("q56 interval join: stream-stream == batch") {
+    val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
+    val stream = Streaming.runAvailableNow(spark, sf,
+      Streaming.intervalJoinStream(_), "t_ivjoin",
+      watermark = None, outputMode = "append")
+    assert(asSet(stream) === asSet(batch))
+    assert(batch.count() > 0)
+  }
+
   test("session_window boundary: exact-gap event merges; strictly greater splits") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq(

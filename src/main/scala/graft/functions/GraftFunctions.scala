@@ -34,5 +34,7 @@ object GraftFunctions {
         }
         MinHashSignature(exprs(0), nSeeds)
       }, "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 }

@@ -59,5 +59,13 @@ class DotProductSpec extends AnyFunSuite {
     val sig2 = spark.sql("SELECT minhash_signature(array(1L, 2L, 3L, 4L), 8) AS s")
       .collect()(0).getSeq[Long](0)
     sig.zip(sig2).foreach { case (a, b) => assert(b <= a) }
+    // simhash64: SQL form equals the Column API, lenient literal too
+    val viaSql = spark.sql("SELECT simhash64(array(1L, 2L, 3L)) AS f").collect()(0).getLong(0)
+    val viaCol = Seq(Seq(1L, 2L, 3L)).toDF("hs")
+      .select(graft.functions.SimHash64.simhash(col("hs"))).collect()(0).getLong(0)
+    assert(viaSql === viaCol)
+    // minhash_signature accepts a BIGINT literal (foldable integral)
+    assert(spark.sql("SELECT minhash_signature(array(1L), 8L) AS s")
+      .collect()(0).getSeq[Long](0).length === 8)
   }
 }

@@ -87,15 +87,19 @@ object Streaming {
     * Plan shape: equi-join on user_id (sort-merge/shuffled-hash) with
     * the range predicates as residual conditions — never a cartesian.
     */
-  def intervalJoinBatch(events: DataFrame, windowMs: Long = 30 * 60 * 1000L): DataFrame = {
+  def intervalJoinBatch(events: DataFrame, windowMs: Long = 30 * 60 * 1000L,
+      joinType: String = "inner"): DataFrame = {
     val v = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("v_ms"))
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_ms").as("v_ms"))
     val p = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+      .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts_ms").as("p_ms"))
-    v.join(p, col("user_id") === col("p_user") &&
-        col("v_ms") <= col("p_ms") && col("v_ms") > col("p_ms") - windowMs)
-      .select(col("user_id"), col("purchase_id"), col("view_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ms") <= col("p_ms") && col("v_ms") > col("p_ms") - windowMs,
+        joinType)
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
   }
 
   def q56StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
@@ -104,19 +108,28 @@ object Streaming {
 
   /** Streaming form of [[intervalJoinBatch]] over two watermarked
     * sides of the event stream (self-join on the file source).
+    * `joinType = "leftOuter"` additionally emits purchase rows with
+    * NO qualifying view (null → −1) once the watermark passes the
+    * purchase's join window — the streaming analogue of q09's
+    * anti-join half, and the case that REQUIRES the watermark (inner
+    * uses it only for state cleanup; outer needs it to know a match
+    * can no longer arrive).
     */
-  def intervalJoinStream(events: DataFrame, windowMs: Long = 30 * 60 * 1000L): DataFrame = {
+  def intervalJoinStream(events: DataFrame, windowMs: Long = 30 * 60 * 1000L,
+      joinType: String = "inner"): DataFrame = {
     val secs = windowMs / 1000L
     val v = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
       .withWatermark("v_ts", "0 seconds")
     val p = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "0 seconds")
-    v.join(p, expr(
-      s"user_id = p_user AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL $secs seconds"))
-      .select(col("user_id"), col("purchase_id"), col("view_id"))
+    p.join(v, expr(
+        s"user_id = v_user AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL $secs seconds"),
+        joinType)
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
   }
 
   // -- streaming runners (used by ScalaTest equivalence specs) -------

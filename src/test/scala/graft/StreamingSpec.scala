@@ -44,6 +44,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("interval join leftOuter: null-padded rows emit on watermark expiry, == batch") {
+    val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf),
+      joinType = "left_outer")
+    val stream = Streaming.runAvailableNow(spark, sf,
+      Streaming.intervalJoinStream(_, joinType = "leftOuter"), "t_ivjoin_lo",
+      watermark = None, outputMode = "append")
+    // A purchase at the stream's tail can never emit its outer row —
+    // the final watermark equals the max event time and never passes
+    // it (correct streaming semantics, not a bug). Compare only
+    // watermark-safe purchases: those the final watermark cleared.
+    val ev = Tables.events(spark, sf)
+    val maxMs = ev.agg(max("ts_ms")).collect()(0).getLong(0)
+    val safe = ev.filter(col("event_type") === "purchase" &&
+        col("ts_ms") < maxMs - 2 * 30 * 60 * 1000L)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    def safeSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().filter(r => safe(r.getAs[Long]("purchase_id")))
+        .map(_.mkString("|")).toSet
+    assert(safeSet(stream) === safeSet(batch))
+    // the outer half is non-trivial: some safe purchases have no view
+    assert(safeSet(batch.filter(col("view_id") === -1L)).nonEmpty)
+  }
+
   test("session_window boundary: exact-gap event merges; strictly greater splits") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq(

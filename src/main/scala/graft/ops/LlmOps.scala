@@ -150,8 +150,13 @@ object LlmOps {
     // Join on the 8-byte shingle hash, not the string: same pairs
     // (collisions negligible, and the exact-Jaccard filter is over
     // the same hashed sets), half the shuffle bytes.
+    // localCheckpoint: the shingle relation feeds both self-join
+    // sides AND the sizes aggregate — without pinning, the
+    // scan→shingle→distinct pipeline runs three times (same rationale
+    // as q37's hash-set checkpoint).
     val sh = shingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint()
     // Intersection sizes straight off the shingle equijoin (one
     // shuffle + one aggregation) — no pairs->distinct->re-join pass.
     val inter = sh.as("a").join(sh.as("b"),

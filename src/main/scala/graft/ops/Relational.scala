@@ -113,10 +113,14 @@ object Relational {
       status: String = "O",
       start: String = "1996-01-01 00:00:00",
       end: String = "1999-01-01 00:00:00"): DataFrame =
+    // LocalDateTime literals are TIMESTAMP_NTZ like o_orderdate —
+    // tz-free on both sides (java.sql.Timestamp.valueOf parses in the
+    // JVM default timezone, which would shift the range boundary on
+    // any non-UTC JVM and silently break oracle parity)
     Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === lit(status) &&
-        col("o_orderdate") > lit(java.sql.Timestamp.valueOf(start)) &&
-        col("o_orderdate") <= lit(java.sql.Timestamp.valueOf(end)) &&
+        col("o_orderdate") > lit(java.time.LocalDateTime.parse(start.replace(' ', 'T'))) &&
+        col("o_orderdate") <= lit(java.time.LocalDateTime.parse(end.replace(' ', 'T'))) &&
         size(split(col("o_orderpriority"), "-")) === 2)
       .select("o_orderkey", "o_custkey", "o_orderdate")
       .orderBy("o_orderdate", "o_orderkey")
@@ -221,7 +225,9 @@ object Relational {
     * Smoke-only (layout demo; results equal q08's un-bucketed join).
     */
   def q52BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tbl = "graft_lineitem_bucketed"
+    // dir-keyed name: a shared session running multiple scale factors
+    // must never silently reuse another dir's bucketed layout
+    val tbl = s"graft_lineitem_bucketed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     if (!spark.catalog.tableExists(tbl)) {
       // the in-memory catalog forgets tables across sessions but the
       // warehouse directory persists — clear a stale location first

@@ -42,7 +42,8 @@ object Scalars {
       col("event_id"),
       to_date(col("ts")).as("event_date"),
       date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
-      (col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))).as("is_late"),
+      // NTZ literal: tz-free, unlike Timestamp.valueOf (JVM-default-tz)
+      (col("ts") > lit(java.time.LocalDateTime.parse("2024-01-15T00:00:00"))).as("is_late"),
       col("ts_ms").as("epoch_ms"))
       .orderBy("event_id")
 

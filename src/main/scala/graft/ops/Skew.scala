@@ -24,7 +24,9 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, key: Column, value: Column,
       salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+    // row-content hash, never monotonically_increasing_id: a shuffle
+    // key must re-evaluate identically on a partial map-stage retry
+    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(count(lit(1)).as("pn"), sum(value).as("ps"))
       .groupBy("key")
@@ -39,7 +41,7 @@ object Skew {
     */
   def saltedOrderedCollect(df: DataFrame, key: Column, sortKey: Column,
       value: Column, salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
       .groupBy(key.as("key"), col("__salt"))
       .agg(collect_list(struct(sortKey.as("sk"), value.as("v"))).as("part"))
       .groupBy("key")

@@ -42,7 +42,12 @@ object StatefulSessionize {
     it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
       st match {
         case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
-          st = Some(State(s.startMs, e.ts_ms, (e.ts_ms, e.event_id) :: s.events))
+          // min/max, not overwrite: a late-but-within-watermark event
+          // from an earlier micro-batch must never regress lastMs
+          // (that would split the next on-time event into a bogus new
+          // session and set the close timeout too early)
+          st = Some(State(math.min(s.startMs, e.ts_ms),
+            math.max(s.lastMs, e.ts_ms), (e.ts_ms, e.event_id) :: s.events))
         case Some(s) =>
           out ::= emit(user, s)
           st = Some(State(e.ts_ms, e.ts_ms, List((e.ts_ms, e.event_id))))

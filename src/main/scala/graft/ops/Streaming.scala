@@ -117,7 +117,6 @@ object Streaming {
     */
   def intervalJoinStream(events: DataFrame, windowMs: Long = 30 * 60 * 1000L,
       joinType: String = "inner"): DataFrame = {
-    val secs = windowMs / 1000L
     val v = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))
@@ -125,8 +124,10 @@ object Streaming {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "0 seconds")
+    // milliseconds, not a /1000 truncation: the stream must bound the
+    // window with exactly the batch twin's windowMs
     p.join(v, expr(
-        s"user_id = v_user AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL $secs seconds"),
+        s"user_id = v_user AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL $windowMs milliseconds"),
         joinType)
       .select(col("user_id"), col("purchase_id"),
         coalesce(col("view_id"), lit(-1L)).as("view_id"))
@@ -155,8 +156,10 @@ object Streaming {
         !java.nio.file.Files.exists(link))
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      // absolutize: a relative dir would make the link target resolve
+      // under the tmp dir and dangle
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        link, java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     spark.readStream.schema(schema)
       .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -231,6 +231,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.head.getSeq[String](3) === Seq("sku_a", "sku_b"))
   }
 
+  test("transition: late-but-within-watermark event never regresses lastMs") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.ops.StatefulSessionize.{Ev, State, transition}
+    val gap = 1000L
+    val st = TestGroupState.create[State](
+      org.apache.spark.api.java.Optional.of(State(1000L, 1000L, List((1000L, 1L)))),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(400L), hasTimedOut = false)
+    // late event at t=500 merges (gap from lastMs=1000 is negative)
+    val out = transition(gap, flushTrailing = false)(7L,
+      Iterator(Ev(7L, 2L, 500L, new java.sql.Timestamp(500L))), st)
+    assert(out.isEmpty)
+    val s = st.get
+    assert(s.lastMs === 1000L, "late event must not regress lastMs")
+    assert(s.startMs === 500L, "late event extends the session start")
+    // next on-time event at 1600 still merges: 1600 - 1000 <= gap
+    val st2 = TestGroupState.create[State](org.apache.spark.api.java.Optional.of(s),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(400L), hasTimedOut = false)
+    val out2 = transition(gap, flushTrailing = false)(7L,
+      Iterator(Ev(7L, 3L, 1600L, new java.sql.Timestamp(1600L))), st2)
+    assert(out2.isEmpty, "1600 is within gap of true lastMs=1000 — no split")
+    assert(st2.get.events.length === 3)
+  }
+
   test("q35 streaming dedup within watermark drops re-sent event ids") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Streaming.eventsStream(spark, sf)

@@ -27,18 +27,27 @@ object Bench {
       warm.write.mode("overwrite").partitionBy("g").parquet(tmp)
       spark.read.parquet(tmp).count()
     } catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
+          // in-band failure marker: a query that errors out fast must
+          // not read as a healthy speedup to whoever parses the JSON
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the single JSON line short enough to survive
+    // tail-window capture by the harness (full doubles pushed the line
+    // past the captured tail in round 2 → unparseable)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // stdout under sbt gets an [info] prefix; also drop the raw JSON
     // into a file so the harness can parse `value` without scraping.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")

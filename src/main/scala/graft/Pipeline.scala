@@ -86,6 +86,8 @@ object Pipeline {
     * single-partition window — delegates to the two-phase
     * per-date-counts + broadcast-offset split (Features
     * .twoPhaseTimeSplit), partitioning rank work by session_date.
+    * Runs the bounded per-date-count job at construction time (not
+    * plan-only; see `run`).
     */
   def trainTestSplit(sessions: DataFrame, frac: Double = 0.9): DataFrame =
     ops.Features.twoPhaseTimeSplit(sessions, "session_date", "session_id", frac)
@@ -115,7 +117,16 @@ object Pipeline {
       (element_at(col("ids"), -1) - lit(1)).as("y"))
   }
 
-  /** Full chain on a raw append-only log. */
+  /** Full chain on a raw append-only log.
+    *
+    * NOT plan-only: the features stage runs bounded Spark jobs at
+    * CONSTRUCTION time (per-bucket vocab counts + a localCheckpoint
+    * inside Features.globalRowNumber — output sized by #buckets /
+    * #distinct tokens, not by the corpus). Callers that build the
+    * chain without executing it still pay that cost, and streaming
+    * inputs cannot flow through these stages; use the stage functions
+    * directly if plan-only composition matters.
+    */
   def run(raw: DataFrame, apiKey: String, start: java.sql.Date,
       end: java.sql.Date): DataFrame =
     features(extractSessions(sessionEvents(explodeEvents(raw)), apiKey, start, end))

@@ -50,7 +50,7 @@ object Sinks {
     // function of row content (never monotonically_increasing_id):
     // a partial map-stage retry re-evaluates it, and a value that
     // changes across attempts duplicates/drops rows in the rewrite.
-    val rowHash = xxhash64(df.columns.map(col): _*)
+    val rowHash = xxhash64(df.columns.toIndexedSeq.map(col): _*)
     val withBudget = df.join(broadcast(counts), partCol)
       .withColumn("__files", ceil(col("cnt").cast("double") / lit(targetRowsPerFile.toDouble)).cast("int"))
       .withColumn("__bucket", pmod(rowHash, col("__files").cast("long")))
@@ -59,11 +59,24 @@ object Sinks {
       .repartition(col(partCol), col("__bucket"))
       .drop("cnt", "__files", "__bucket")
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    // two-step swap, old data parked until the new rename succeeds —
-    // never delete-then-hope; on object stores prefer writing a new
-    // versioned prefix and flipping a pointer (manifest commit)
+    // Validate BEFORE the swap: the rewrite must carry every row (the
+    // counts aggregate is the independent expectation). A bad rewrite
+    // aborts here with the live directory untouched — the swap below
+    // only ever installs a verified dataset.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val expected = counts.agg(sum(col("cnt"))).first().getLong(0)
+    val actual = spark.read.parquet(tmp).count()
+    if (actual != expected) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new java.io.IOException(
+        s"compact: rewrite has $actual rows, expected $expected; aborted with $path untouched")
+    }
+    // two-step swap, old data parked until the verified rename lands —
+    // never delete-then-hope; on object stores prefer writing a new
+    // versioned prefix and flipping a pointer (manifest commit), since
+    // renames there are copies and readers can observe the gap between
+    // the two renames below
     val dst = new org.apache.hadoop.fs.Path(path)
     val trash = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
     fs.delete(trash, true)

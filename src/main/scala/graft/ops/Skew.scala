@@ -18,15 +18,48 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt source: xxhash64 over the row's HASHABLE
+    * columns only. xxhash64 fails analysis on map-typed columns (maps
+    * have no canonical order), so those are excluded — recursively,
+    * since a map nested in a struct/array fails the same way. The
+    * shuffle-key rule still holds: the salt re-evaluates identically
+    * on a partial map-stage retry because it is a pure function of row
+    * content.
+    */
+  private def hashSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case a: ArrayType => hashSupported(a.elementType)
+      case s: StructType => s.fields.forall(f => hashSupported(f.dataType))
+      case _ => true
+    }
+  }
+
+  private[ops] def rowSalt(df: DataFrame, salts: Int): Column = {
+    val cols = df.schema.fields.filter(f => hashSupported(f.dataType)).map(f => col(f.name))
+    // no hashable columns: degenerate-but-correct constant salt (no
+    // spreading) beats an analysis error on an all-map schema
+    val h = if (cols.isEmpty) lit(0L) else xxhash64(cols.toIndexedSeq: _*)
+    pmod(h, lit(salts.toLong))
+  }
+
   /** Salted count/sum groupBy: exact same result as
     * `df.groupBy(key).agg(count, sum)` with the hot-key row volume
     * spread across `salts` partials.
+    *
+    * Caveat (shared with saltedOrderedCollect): the salt is a hash of
+    * row CONTENT, so fully duplicate rows land on one salt and do not
+    * spread. A hot key made of identical rows should be pre-reduced —
+    * `groupBy(all columns).count` first, then salt the (row, n)
+    * partials — identical rows carry no per-row information, so
+    * collapsing them is always safe for count/sum.
     */
   def saltedCountSum(df: DataFrame, key: Column, value: Column,
       salts: Int = 16): DataFrame =
     // row-content hash, never monotonically_increasing_id: a shuffle
     // key must re-evaluate identically on a partial map-stage retry
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("key"), col("__salt"))
       .agg(count(lit(1)).as("pn"), sum(value).as("ps"))
       .groupBy("key")
@@ -38,10 +71,14 @@ object Skew {
     * sort key — deterministic and equal to the unsalted
     * array_sort(collect_list(...)) because sorting commutes with
     * concatenation of sub-multisets.
+    *
+    * Same duplicate-row caveat as saltedCountSum: identical rows share
+    * a salt; dedup-with-multiplicity first if a hot key is all
+    * duplicates.
     */
   def saltedOrderedCollect(df: DataFrame, key: Column, sortKey: Column,
       value: Column, salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("key"), col("__salt"))
       .agg(collect_list(struct(sortKey.as("sk"), value.as("v"))).as("part"))
       .groupBy("key")
@@ -69,8 +106,7 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
+    val salted = big.withColumn("__salt", rowSalt(big, salts))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -141,6 +141,18 @@ class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(direct.orderBy("key").collect().toSeq ===
       salted.orderBy("key").collect().toSeq)
   }
+
+  test("salt source skips map-typed columns (xxhash64 can't hash maps)") {
+    // pre-fix this failed analysis with UNSUPPORTED_HASH_EXPRESSION;
+    // the salt must simply exclude the map column, not error
+    val ev = Tables.events(spark, sf)
+      .withColumn("m", map(col("event_type"), col("value")))
+    val direct = ev.groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n"), sum(ops.Relational.cents(col("value"))).as("s"))
+    val salted = ops.Skew.saltedCountSum(ev, col("user_id"), ops.Relational.cents(col("value")))
+    assert(direct.orderBy("key").collect().toSeq ===
+      salted.orderBy("key").collect().toSeq)
+  }
 }
 
 /** dbt-style data-quality checks (Quality.scala) re-expressing the

@@ -81,7 +81,11 @@ object SparkEntry {
     "q53_quantiles" -> Scalars.q53Quantiles _,
     "q54_corr_covar" -> Scalars.q54CorrCovar _,
     "q55_session_events_stateful" -> graft.ops.StatefulSessionize.q55SessionEventsStateful _,
-    "q56_stream_interval_join" -> Streaming.q56StreamIntervalJoin _
+    "q56_stream_interval_join" -> Streaming.q56StreamIntervalJoin _,
+    "q57_skew_salted_agg" -> graft.ops.Skew.q57SkewSaltedAgg _,
+    "q58_pivot" -> Relational.q58Pivot _,
+    "q59_merge_upsert" -> Relational.q59MergeUpsert _,
+    "q60_pipeline_tensors" -> Features.q60PipelineTensors _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -292,6 +296,37 @@ object SparkEntry {
         |FROM events v JOIN events p ON v.user_id = p.user_id
         |AND v.event_type = 'view' AND p.event_type = 'purchase'
         |AND epoch_ms(v.ts) <= epoch_ms(p.ts) AND epoch_ms(v.ts) > epoch_ms(p.ts) - 1800000
-        |ORDER BY v.user_id, purchase_id, view_id""".stripMargin
+        |ORDER BY v.user_id, purchase_id, view_id""".stripMargin,
+    "q57_skew_salted_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q58_pivot" ->
+      """SELECT o_orderpriority,
+        |CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+        |CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+        |CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q59_merge_upsert" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |base AS (SELECT user_id, event_id, ts_ms, 0 AS src, 'upsert' AS op FROM ev WHERE event_id % 2 = 0
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) = 1),
+        |changes AS (SELECT user_id, event_id, ts_ms, 1 AS src,
+        |CASE WHEN event_type = 'click' THEN 'delete' ELSE 'upsert' END AS op FROM ev WHERE event_id % 2 = 1),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY src DESC, ts_ms DESC, event_id DESC) AS rn FROM u)
+        |SELECT user_id, event_id, ts_ms FROM w WHERE rn = 1 AND op = 'upsert' ORDER BY user_id""".stripMargin,
+    "q60_pipeline_tensors" ->
+      """WITH s0 AS (SELECT CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d') AS session_id,
+        |epoch_ms(ts) AS tms, 'sku_' || CAST(event_id % 100 AS VARCHAR) AS sku FROM events),
+        |sess AS (SELECT session_id, array_agg(sku ORDER BY tms, sku) AS interactions FROM s0 GROUP BY session_id HAVING count(*) > 2),
+        |tok AS (SELECT session_id, p - 1 AS pos, interactions[p] AS sku
+        |FROM (SELECT session_id, interactions, unnest(range(1, len(interactions) + 1)) AS p FROM sess) t),
+        |vocab AS (SELECT sku, CAST(row_number() OVER (ORDER BY count(*) DESC, sku ASC) AS INTEGER) AS id FROM tok GROUP BY sku),
+        |enc AS (SELECT t.session_id, array_agg(v.id ORDER BY t.pos) AS ids FROM tok t JOIN vocab v ON t.sku = v.sku GROUP BY t.session_id),
+        |xy AS (SELECT session_id, ids[1:len(ids)-1] AS xa, ids[len(ids)] - 1 AS y FROM enc),
+        |pad AS (SELECT session_id,
+        |list_concat(list_transform(range(greatest(0, 20 - len(xa))), i -> CAST(0 AS INTEGER)), xa[greatest(1, len(xa) - 19):len(xa)]) AS xp, y FROM xy)
+        |SELECT session_id, array_to_string(xp, '|') AS x, y FROM pad ORDER BY session_id""".stripMargin
   )
 }

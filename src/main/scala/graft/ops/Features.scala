@@ -212,6 +212,33 @@ object Features {
         (sum(when(array_contains(col("preds"), col("label")), 1L).otherwise(0L)).cast("double")
           / count(lit(1))).as("hr_at_k"))
 
+  /** Declared q60: the reference's full tensor boundary, driver-
+    * verified end to end — sessions built from the event log (q55's
+    * synthetic session/sku mapping), then Pipeline.features: vocab
+    * (frequency-desc, token-asc; two-phase rank), encode, x = the
+    * all-but-last ids left-padded to 20 with 0 = pad, y = last id − 1
+    * (the reference's label shift, my_dbt_flow.py:339-340). Exactly
+    * the x/y tensors the LSTM consumes (my_dbt_flow.py:319-340),
+    * with x stringified for the scalar-only driver compare.
+    */
+  def q60PipelineTensors(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Tables.events(spark, dir)
+      .select(
+        concat(col("user_id"), lit("-"), date_format(col("ts"), "yyyy-MM-dd")).as("session_id"),
+        col("ts_ms"),
+        concat(lit("sku_"), (col("event_id") % 100).cast("string")).as("sku"))
+      .groupBy("session_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts_ms"), col("sku")))),
+        x => x.getField("sku")).as("interactions"))
+      .filter(size(col("interactions")) > 2)
+    graft.Pipeline.features(sessions, maxLen = 20)
+      .select(col("session_id"),
+        concat_ws("|", transform(col("x"), x => x.cast("string"))).as("x"),
+        col("y"))
+      .orderBy("session_id")
+  }
+
   /** UDAF exemplar (SURVEY §2.12 policy step 2): HR@k as a typed
     * `Aggregator` — proves the custom-aggregate path without putting a
     * non-codegen expression on any declared hot path.

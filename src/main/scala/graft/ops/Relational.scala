@@ -326,6 +326,72 @@ object Relational {
         col("sum_qty_cents"), col("n"))
       .orderBy("rf", "ls")
 
+  /** Pivot (warehouse parity): long→wide conditional aggregation —
+    * order counts per priority, one column per order status. The
+    * status values are passed EXPLICITLY: the values-less overload
+    * first runs a distinct job to discover them, an extra full pass
+    * (and a nondeterministic column order) you never want at 100 TB.
+    * Missing combinations aggregate to NULL → coalesced to 0 so the
+    * declared output is NULL-free.
+    */
+  def q58Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** CDC merge (warehouse MERGE INTO, batch form): apply a keyed
+    * change batch to a base snapshot — last change per key wins,
+    * changes outrank the snapshot, a winning 'delete' removes the key,
+    * untouched base rows survive. One shuffle on the key; the window
+    * is partitioned by key so no single-task sort exists at any scale.
+    * This is the missing half of the reference's append-only-log
+    * story: the log is what arrives (upload_to_snowflake.py append
+    * pattern), mergeUpsert is how a current-state table is derived
+    * from it incrementally.
+    *
+    * @param ordCols within-source recency order (later wins); must be
+    *                unique per key within each source for determinism
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String], opCol: String = "op"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    val b = base.withColumn("__src", lit(0)).withColumn("__op", lit("upsert"))
+    val c = changes.withColumnRenamed(opCol, "__op").withColumn("__src", lit(1))
+      .select((dataCols ++ Seq("__src", "__op")).map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((desc("__src") +: ordCols.map(desc)): _*)
+    b.unionByName(c)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") === "upsert")
+      .select(dataCols.map(col): _*)
+  }
+
+  /** Declared q59: mergeUpsert driven from the event log — base
+    * snapshot = latest even-id event per user, change batch = odd-id
+    * events ('click' rows act as deletes). Deterministic (ts_ms,
+    * event_id is unique per row) and fully SQL-expressible, so the
+    * driver hash-verifies the merge semantics end to end.
+    */
+  def q59MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts_ms", "event_type")
+    val wLatest = Window.partitionBy("user_id").orderBy(desc("ts_ms"), desc("event_id"))
+    val base = ev.filter(col("event_id") % 2 === 0)
+      .withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1).drop("__rn", "event_type")
+    val changes = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("op", when(col("event_type") === "click", "delete").otherwise("upsert"))
+      .drop("event_type")
+    mergeUpsert(base, changes, Seq("user_id"), Seq("ts_ms", "event_id"))
+      .orderBy("user_id")
+  }
+
   // -- §2.5 window functions ----------------------------------------
 
   /** #16 first_value over (partition, order) — stamp each event with

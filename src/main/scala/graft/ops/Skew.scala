@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling exemplars for the 100 TB path (SURVEY §4 "AQE +
@@ -104,6 +104,19 @@ object Skew {
     * at that point dedup first — spreading identical rows is
     * aggregation's job (saltedCountSum), not a join's.
     */
+  /** Declared q57: the salted two-phase aggregation as a driver-
+    * verified query — per-user event count and exact cents sum over
+    * the event log, computed through the salt spread. The salt is
+    * invisible in the result (two-phase merge is exact), so the oracle
+    * is the PLAIN GROUP BY: the hash-green row proves the skew path
+    * answers identically to the direct aggregation.
+    */
+  def q57SkewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedCountSum(graft.Tables.events(spark, dir), col("user_id"),
+        round(col("value") * lit(100)).cast("long"))
+      .select(col("key").as("user_id"), col("n"), col("s").as("sum_cents"))
+      .orderBy("user_id")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     val salted = big.withColumn("__salt", rowSalt(big, salts))

@@ -155,6 +155,71 @@ class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** CDC merge semantics (Relational.mergeUpsert) on a hand-built
+  * fixture covering all four outcomes: untouched base survives, a
+  * change overwrites base, the LATEST change per key wins, a winning
+  * delete removes the key.
+  */
+class MergeUpsertSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("mergeUpsert applies last-write-wins with delete semantics") {
+    import spark.implicits._
+    val base = Seq(
+      ("a", 1L, 100L), // untouched → survives as-is
+      ("b", 2L, 100L), // overwritten by one change
+      ("c", 3L, 100L), // two changes → latest wins
+      ("d", 4L, 999L)  // deleted (base is NEWER than the delete —
+                       //   changes must still outrank the snapshot)
+    ).toDF("k", "v", "seq")
+    val changes = Seq(
+      ("b", 20L, 200L, "upsert"),
+      ("c", 30L, 200L, "upsert"),
+      ("c", 31L, 300L, "upsert"),
+      ("c", 29L, 250L, "upsert"),
+      ("d", 0L, 500L, "delete")
+    ).toDF("k", "v", "seq", "op")
+    val got = ops.Relational.mergeUpsert(base, changes, Seq("k"), Seq("seq"))
+      .orderBy("k").select("k", "v").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 1L), ("b", 20L), ("c", 31L)))
+  }
+
+  test("mergeUpsert with an empty change batch is the identity") {
+    import spark.implicits._
+    val base = Seq(("a", 1L, 1L), ("b", 2L, 2L)).toDF("k", "v", "seq")
+    val changes = Seq.empty[(String, Long, Long, String)].toDF("k", "v", "seq", "op")
+    val got = ops.Relational.mergeUpsert(base, changes, Seq("k"), Seq("seq"))
+    assert(got.orderBy("k").collect().toSeq === base.orderBy("k").collect().toSeq)
+  }
+}
+
+/** Tensor-boundary invariants for the declared q60 (the reference's
+  * x/y contract, my_dbt_flow.py:319-340): x is always exactly maxLen
+  * ids, 0 only as left pad; y is the 0-based class index ≥ 0.
+  */
+class PipelineTensorsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("q60 emits fixed-length x and shifted non-negative y") {
+    val r = ops.Features.q60PipelineTensors(spark, SharedSpark.sfTiny)
+      .withColumn("xa", split(col("x"), "\\|").cast("array<int>"))
+      .cache()
+    assert(r.count() > 0)
+    assert(r.filter(size(col("xa")) =!= 20).count() === 0)
+    assert(r.filter(col("y") < 0).count() === 0)
+    // pad (0) never appears AFTER a real id: the first non-zero
+    // position starts the un-padded suffix
+    val badPad = r.filter(exists(
+      zip_with(col("xa"), slice(concat(col("xa"), array(lit(1))), 2, 20),
+        (a, b) => a =!= 0 && b === 0),
+      x => x)).count()
+    assert(badPad === 0)
+    r.unpersist()
+  }
+}
+
 /** dbt-style data-quality checks (Quality.scala) re-expressing the
   * reference's schema tests as engine ops returning violation rows.
   */

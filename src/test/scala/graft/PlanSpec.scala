@@ -107,6 +107,23 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges === 1, p)
   }
 
+  test("q59/q60: every Window is key-partitioned; q58 pivots without a distinct-discovery job") {
+    // merge + tensor paths must never regress to a single-task window;
+    // q58's explicit value list means no extra collect-distinct pass
+    // exists anywhere in its plan (it is a plain two-phase aggregate).
+    for (df <- Seq(Relational.q59MergeUpsert(spark, sf),
+        graft.ops.Features.q60PipelineTensors(spark, sf))) {
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"unpartitioned Window:\n$bad")
+    }
+    val p = plan(Relational.q58Pivot(spark, sf))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate in pivot, got $aggs:\n$p")
+  }
+
   test("q56: interval join is an equi-join with residual range, not a nested loop") {
     val p = plan(graft.ops.Streaming.q56StreamIntervalJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -133,6 +133,46 @@ object Streaming {
         coalesce(col("view_id"), lit(-1L)).as("view_id"))
   }
 
+  /** Exactly-once incremental ingest: stream → date-partitioned
+    * parquet lake via foreachBatch + idempotent dynamic partition
+    * overwrite. This is the reference's bulk-load step
+    * (upload_to_snowflake.py PUT + COPY INTO) made continuous, and the
+    * piece that turns the append-only-log pattern into a queryable
+    * partitioned lake at 100 TB.
+    *
+    * The exactly-once argument: foreachBatch gives at-least-once batch
+    * delivery (a crashed batch is REPLAYED with the same batchId), so
+    * the write must be a deterministic, self-replacing function of
+    * (data, batchId). Partitioning by (event_date, __batch_id) under
+    * dynamic overwrite achieves that — a replay rewrites exactly its
+    * own (date, batch) directories and can never clobber another
+    * batch's output, while a plain append would duplicate every
+    * replayed row. Readers see the union of batch directories; the
+    * `__batch_id` column doubles as ingest provenance (the reference's
+    * etl_id stamp). Compact with Sinks.compact when batch counts grow.
+    */
+  def streamToPartitionedSink(events: DataFrame, path: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("__batch_id", lit(batchId))
+          // co-locate each output dir's rows: one file per (date,
+          // batch), not #tasks files; at 100 TB bound file size with
+          // repartition(n, cols) instead
+          .repartition(col("event_date"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_date", "__batch_id")
+          .parquet(path)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", path.stripSuffix("/") + "__checkpoint")
+      .start()
+
   // -- streaming runners (used by ScalaTest equivalence specs) -------
 
   /** Read the events parquet as a bounded stream (AvailableNow ≈ batch

@@ -85,7 +85,11 @@ object SparkEntry {
     "q57_skew_salted_agg" -> graft.ops.Skew.q57SkewSaltedAgg _,
     "q58_pivot" -> Relational.q58Pivot _,
     "q59_merge_upsert" -> Relational.q59MergeUpsert _,
-    "q60_pipeline_tensors" -> Features.q60PipelineTensors _
+    "q60_pipeline_tensors" -> Features.q60PipelineTensors _,
+    "q61_dedup_clusters" -> ((s: SparkSession, d: String) => LlmOps.q61DedupClusters(s, d)),
+    "q62_tfidf" -> ((s: SparkSession, d: String) => LlmOps.q62Tfidf(s, d)),
+    "q63_deterministic_sample" -> Relational.q63DeterministicSample _,
+    "q64_heavy_hitters" -> graft.ops.Sketches.q64HeavyHitters _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -327,6 +331,34 @@ object SparkEntry {
         |xy AS (SELECT session_id, ids[1:len(ids)-1] AS xa, ids[len(ids)] - 1 AS y FROM enc),
         |pad AS (SELECT session_id,
         |list_concat(list_transform(range(greatest(0, 20 - len(xa))), i -> CAST(0 AS INTEGER)), xa[greatest(1, len(xa) - 19):len(xa)]) AS xp, y FROM xy)
-        |SELECT session_id, array_to_string(xp, '|') AS x, y FROM pad ORDER BY session_id""".stripMargin
+        |SELECT session_id, array_to_string(xp, '|') AS x, y FROM pad ORDER BY session_id""".stripMargin,
+    "q61_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, sp[p] || ' ' || sp[p+1] || ' ' || sp[p+2] AS shingle
+        |FROM (SELECT doc_id, sp, unnest(range(1, len(sp) - 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 5000) t0 WHERE len(sp) >= 3) t1),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
+        |reach(n, r) AS (SELECT doc_id, doc_id FROM documents WHERE doc_id < 5000
+        |UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n)
+        |SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+    "q62_tfidf" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, token, CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk FROM s)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, round(tfidf, 6) AS tfidf FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "q63_deterministic_sample" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS gate
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < CASE WHEN o_orderstatus = 'P' THEN '80' ELSE '40' END
+        |ORDER BY o_orderkey""".stripMargin,
+    "q64_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token
+        |HAVING count(*) * 200 >= (SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents) u)
+        |ORDER BY token""".stripMargin
   )
 }

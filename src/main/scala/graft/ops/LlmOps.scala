@@ -240,6 +240,32 @@ object LlmOps {
       .filter(col("n") > 1)
       .orderBy("fingerprint")
 
+  /** Transitive dedup CLUSTERS. Pair detectors (#37/#40/#41) only say
+    * "a resembles b"; an actual dedup pass needs one cluster id per
+    * document so exactly one canonical row per near-dup GROUP survives
+    * — and resemblance is not transitive, so groups must be the
+    * connected components of the pair graph. Pairs here are the exact
+    * q40 twin (same threshold/cap semantics; at corpus scale feed q37's
+    * LSH pairs instead — the clustering is detector-agnostic); labels
+    * come from ops.Graph's alternating star rounds, which run on the
+    * PAIR set only (≪ corpus) in O(log² n) rounds. Singleton docs
+    * label themselves; `cluster_id` = min doc_id of the group, so
+    * `filter(doc_id === cluster_id)` is the keep-one-canonical pass.
+    */
+  def q61DedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
+    val pairs = q40DedupNgramJaccard(spark, dir, threshold, maxDocs)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = Graph.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    Tables.documents(spark, dir).filter(col("doc_id") < maxDocs)
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // -- similarity search --------------------------------------------
 
   /** Double-precision dot product, index-ordered accumulation — the
@@ -545,6 +571,35 @@ object LlmOps {
           lit(0L), (acc, v) => acc + v).as("n_pieces"),
         size(expr("regexp_extract_all(concat_ws(' ', toks), '[a-z]+', 0)")).as("n_alpha_chunks"))
       .orderBy("doc_id")
+
+  /** TF-IDF top-k terms per document — the classic relevance scoring
+    * over a corpus (tf = raw term count, idf = ln(N/df)). Plan shape
+    * at scale: two partial-agg shuffles ((doc,term) counts, then term
+    * document-frequency), a shuffle join back on term (df is one row
+    * per DISTINCT term — web-corpus-sized, so NOT broadcast), the
+    * 1-row corpus count broadcast as a cross join, and a per-doc
+    * window bounded to k rows out. All counts stay integer until the
+    * single ln/multiply, so Spark and the oracle produce bit-identical
+    * doubles and the tfidf-desc/term-asc rank is deterministic.
+    */
+  def q62Tfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df_, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
 
   // -- multimodal binary columns ------------------------------------
 

@@ -392,6 +392,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Deterministic stratified Bernoulli sample — hash-gate sampling,
+    * not `df.sample`: `sample`/`rand` draw from seeded RNG state whose
+    * row-to-draw alignment shifts with partitioning and retries, so a
+    * resampled pipeline stage silently changes its training set. The
+    * gate here is a pure function of the ROW KEY (first hex byte of
+    * md5(key) compared against the stratum's rate threshold), which
+    * makes the sample reproducible across runs, partitionings, task
+    * retries, AND engines — the oracle applies the identical gate.
+    * Rates per stratum: 'P' orders 50% (0x80/0x100), others 25%
+    * (0x40/0x100). Pure map-side filter: no shuffle, no RNG, scan
+    * parallelism untouched at any SF.
+    */
+  def q63DeterministicSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("gate", substring(md5(col("o_orderkey").cast("string")), 1, 2))
+      .filter(col("gate") <
+        when(col("o_orderstatus") === "P", lit("80")).otherwise(lit("40")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("gate"))
+      .orderBy("o_orderkey")
+
   // -- §2.5 window functions ----------------------------------------
 
   /** #16 first_value over (partition, order) — stamp each event with

@@ -288,4 +288,38 @@ class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
         s"$k: $v vs ${ref(k)}")
     }
   }
+
+  test("q62 tfidf matches a hand-computed fixture") {
+    import spark.implicits._
+    // 3 docs, 'b' in all (idf=0), 'x' only in doc 1 (idf=ln 3, tf=2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    Seq((1L, "x x b", "en", "s", 5L), (2L, "y b", "en", "s", 3L),
+        (3L, "z b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.ops.LlmOps.q62Tfidf(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(got((1L, 1)) === ("x", BigDecimal(2.0 * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // zero-idf token ranks below informative ones, ties break by token
+    assert(got((1L, 2)) === ("b", 0.0))
+    assert(got((2L, 1))._1 === "y" && got((3L, 1))._1 === "z")
+  }
+
+  test("q63 sample is deterministic, a subset, and near the declared rates") {
+    val s1 = Relational.q63DeterministicSample(spark, sf).collect()
+    val s2 = Relational.q63DeterministicSample(spark, sf).collect()
+    assert(s1.toSeq === s2.toSeq)
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.map(_.getLong(0)).toSet.subsetOf(keys))
+    val byStatus = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = s1.groupBy(_.getString(2)).map { case (k, v) => k -> v.size.toLong }
+    byStatus.foreach { case (st, tot) =>
+      val rate = sampled.getOrElse(st, 0L).toDouble / tot
+      val expect = if (st == "P") 128.0 / 256 else 64.0 / 256
+      assert(math.abs(rate - expect) < 0.12, s"$st: $rate vs $expect")
+    }
+  }
 }

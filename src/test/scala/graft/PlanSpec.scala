@@ -140,4 +140,24 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("event_id") && readSchema.contains("user_id")
       && !readSchema.contains("props"), readSchema)
   }
+
+  test("q63: hash-gate sampling shuffles only for the presentation sort") {
+    val p = plan(Relational.q63DeterministicSample(spark, sf))
+    // the sample itself is a map-side filter over the scan: the only
+    // exchange allowed is the final orderBy's range partitioning
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"sampling must not shuffle:\n$p")
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q62: only the 1-row corpus count carries a broadcast hint") {
+    val df = graft.ops.LlmOps.q62Tfidf(spark, sf)
+    // the authored plan must not FORCE a broadcast of the per-term df
+    // side (the distinct-term set is corpus-sized); whether Catalyst
+    // broadcasts it from SIZE STATS at tiny SF is its call via AQE.
+    val analyzed = df.queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints === 1, s"expected exactly the n_docs broadcast hint:\n$analyzed")
+    assert(!plan(df).contains("CartesianProduct"))
+  }
 }

@@ -145,6 +145,15 @@ object LlmOps {
     * stays bounded at any SF (the scale path is q37).
     */
   def q40DedupNgramJaccard(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame =
+    ngramJaccardPairs(spark, dir, threshold, maxDocs)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Unsorted/unrounded pair relation behind q40 — consumers that
+    * aggregate further (q61 clustering) skip the presentation sort.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocs)
     // Join on the 8-byte shingle hash, not the string: same pairs
@@ -171,8 +180,6 @@ object LlmOps {
         (col("inter").cast("double") /
           (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup: 64-bit signature from frequency-weighted token
@@ -254,7 +261,7 @@ object LlmOps {
     */
   def q61DedupClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
-    val pairs = q40DedupNgramJaccard(spark, dir, threshold, maxDocs)
+    val pairs = ngramJaccardPairs(spark, dir, threshold, maxDocs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = Graph.connectedComponents(pairs)
       .withColumnRenamed("node", "doc_id")

@@ -89,7 +89,9 @@ object SparkEntry {
     "q61_dedup_clusters" -> ((s: SparkSession, d: String) => LlmOps.q61DedupClusters(s, d)),
     "q62_tfidf" -> ((s: SparkSession, d: String) => LlmOps.q62Tfidf(s, d)),
     "q63_deterministic_sample" -> Relational.q63DeterministicSample _,
-    "q64_heavy_hitters" -> graft.ops.Sketches.q64HeavyHitters _
+    "q64_heavy_hitters" -> graft.ops.Sketches.q64HeavyHitters _,
+    "q65_stream_topk" -> graft.ops.StatefulTopK.q65StreamTopk _,
+    "q66_zorder_curve" -> graft.ops.Layout.q66ZorderCurve _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -359,6 +361,19 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token
         |HAVING count(*) * 200 >= (SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents) u)
-        |ORDER BY token""".stripMargin
+        |ORDER BY token""".stripMargin,
+    "q65_stream_topk" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n, row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rnk FROM c)
+        |SELECT day, CAST(rnk AS INTEGER) AS rnk, event_type, CAST(n AS BIGINT) AS n FROM r WHERE rnk <= 2 ORDER BY day, rnk""".stripMargin,
+    "q66_zorder_curve" -> {
+      // generated from the SAME (bit, position) sequence as
+      // Layout.zValue — the two sides cannot drift
+      val terms = (0 until 10).flatMap { i =>
+        Seq(s"(((o_custkey >> $i) & 1) << ${2 * i})",
+          s"(((o_orderkey >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"SELECT o_orderkey, CAST($terms AS BIGINT) AS z FROM orders ORDER BY z, o_orderkey"
+    }
   )
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-window top-k as custom streaming state: "which event types
+  * dominated each day", computed incrementally and emitted as a
+  * FINALIZED ranking exactly once per day, when the event-time
+  * watermark passes the day boundary. A windowed count + row_number
+  * cannot do this in a stream (ranking is not an incremental
+  * aggregate in append mode); flatMapGroupsWithState can, with state
+  * per open day = one counter per distinct ranked key. The ranked key
+  * here (event_type) is low-cardinality; for a high-cardinality key
+  * (per-SKU at web scale) swap the exact map for the mergeable
+  * Misra-Gries summary in [[Sketches]] — same transition shape,
+  * O(capacity) state.
+  *
+  * One transition function drives batch and streaming (the
+  * StatefulSessionize pattern), so the two cannot drift; the batch
+  * form is the declared q65 with a DuckDB oracle.
+  */
+object StatefulTopK {
+
+  case class DayEv(day: java.sql.Date, event_type: String,
+      ts: java.sql.Timestamp, ts_ms: Long)
+  case class TopRow(day: java.sql.Date, rnk: Int, event_type: String, n: Long)
+  case class TState(counts: Map[String, Long], dayEndMs: Long)
+
+  /** Ranking contract (mirrored in the oracle): count desc, then
+    * event_type asc — fully deterministic under ties.
+    */
+  private def emit(day: java.sql.Date, k: Int, s: TState): Iterator[TopRow] =
+    s.counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+      .zipWithIndex.map { case ((t, n), i) => TopRow(day, i + 1, t, n) }
+      .iterator
+
+  def transition(k: Int, flushTrailing: Boolean)(
+      day: java.sql.Date, it: Iterator[DayEv],
+      state: GroupState[TState]): Iterator[TopRow] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit(day, k, _)).getOrElse(Iterator.empty)
+      state.remove()
+      return out
+    }
+    var st = state.getOption.getOrElse(TState(Map.empty, 0L))
+    it.foreach { e =>
+      // UTC day end derived from the EVENT's epoch, not
+      // java.sql.Date.getTime (which is JVM-default-timezone midnight
+      // — off by the zone offset on any non-UTC driver)
+      val dayEnd = (e.ts_ms / 86400000L + 1L) * 86400000L
+      st = TState(
+        st.counts.updated(e.event_type, st.counts.getOrElse(e.event_type, 0L) + 1L),
+        math.max(st.dayEndMs, dayEnd))
+    }
+    if (flushTrailing) {
+      state.remove()
+      emit(day, k, st)
+    } else {
+      state.update(st)
+      // flush once the watermark passes the day boundary (kept ahead
+      // of the already-advanced watermark, as in StatefulSessionize)
+      state.setTimeoutTimestamp(
+        math.max(st.dayEndMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  private def toDayEvents(events: DataFrame)(implicit spark: SparkSession): Dataset[DayEv] = {
+    import spark.implicits._
+    events.select(to_date(col("ts")).as("day"), col("event_type"),
+      col("ts"), col("ts_ms")).as[DayEv]
+  }
+
+  /** Batch form (groups complete — every day flushes). */
+  def topkBatch(spark: SparkSession, events: DataFrame, k: Int = 2): Dataset[TopRow] = {
+    import spark.implicits._
+    toDayEvents(events)(spark)
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        transition(k, flushTrailing = true))
+  }
+
+  /** Streaming form over a watermarked event stream: days emit on
+    * event-time timeout, exactly once each.
+    */
+  def topkStream(spark: SparkSession, events: DataFrame, k: Int = 2): Dataset[TopRow] = {
+    import spark.implicits._
+    toDayEvents(events)(spark)
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        transition(k, flushTrailing = false))
+  }
+
+  /** Declared q65: the custom-state ranking driven as a deterministic
+    * batch query (the exact transition the stream runs).
+    */
+  def q65StreamTopk(spark: SparkSession, dir: String): DataFrame =
+    topkBatch(spark, Tables.events(spark, dir)).toDF()
+      .orderBy("day", "rnk")
+}

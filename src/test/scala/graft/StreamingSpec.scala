@@ -63,6 +63,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(dates > 1)
   }
 
+  test("q65 stateful top-k: stream emits finalized per-day rankings == batch") {
+    val batch = graft.ops.StatefulTopK.topkBatch(spark, Tables.events(spark, sf)).toDF()
+    val stream = Streaming.runAvailableNow(spark, sf,
+      df => graft.ops.StatefulTopK.topkStream(spark, df).toDF(), "t_topk",
+      watermark = Some("ts" -> "0 seconds"), outputMode = "append")
+    // the final watermark equals the max event time, which never
+    // passes the LAST day's boundary — that day stays open (correct
+    // streaming semantics); compare the closed days
+    val lastDay = Tables.events(spark, sf)
+      .agg(max(to_date(col("ts")))).collect()(0).getDate(0)
+    def closed(df: org.apache.spark.sql.DataFrame): Set[String] =
+      asSet(df.filter(col("day") < lit(lastDay)))
+    assert(closed(stream) === closed(batch))
+    assert(closed(batch).nonEmpty)
+    // every closed day emitted exactly once: (day, rnk) keys unique
+    val dup = stream.groupBy("day", "rnk").count().filter(col("count") > 1).count()
+    assert(dup === 0)
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

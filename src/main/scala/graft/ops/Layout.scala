@@ -73,9 +73,11 @@ object Layout {
     */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
       path: String, nFiles: Int, bits: Int = 10): ((Long, Long), (Long, Long)) = {
+    val bounds = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
+    require(!bounds.isNullAt(0),
+      s"zorderWrite: empty input, no layout to write for $path")
     val Array(xMin, xMax, yMin, yMax) =
-      df.agg(min(xCol), max(xCol), min(yCol), max(yCol))
-        .head().toSeq.map(v => v.asInstanceOf[Number].longValue()).toArray
+      bounds.toSeq.map(v => v.asInstanceOf[Number].longValue()).toArray
     val z = zValue(
       scaleTo(col(xCol), xMin, xMax, bits),
       scaleTo(col(yCol), yMin, yMax, bits), bits)

@@ -43,14 +43,22 @@ object Sinks {
   def compact(spark: SparkSession, path: String, partCol: String,
       targetRowsPerFile: Long = 1000000L): Unit = {
     val df = spark.read.parquet(path)
-    val counts = df.groupBy(partCol).agg(count(lit(1)).as("cnt"))
+    // localCheckpoint: the counts feed the broadcast join side AND the
+    // pre-swap validation — pin them so the source is scanned once for
+    // counts, not once per consumer (a whole extra pass at lake scale)
+    val counts = df.groupBy(partCol).agg(count(lit(1)).as("cnt")).localCheckpoint()
     // files-per-partition as a column: ceil(cnt / target); the
     // repartition key (partValue, bucket) spreads each partition over
     // exactly its file budget. The bucket MUST be a deterministic
     // function of row content (never monotonically_increasing_id):
     // a partial map-stage retry re-evaluates it, and a value that
     // changes across attempts duplicates/drops rows in the rewrite.
-    val rowHash = xxhash64(df.columns.toIndexedSeq.map(col): _*)
+    // Hash only hash-supported columns (maps are unhashable since
+    // Spark 3 — same guard as Skew.rowSalt).
+    val hashCols = df.schema.fields
+      .filter(f => Skew.hashSupported(f.dataType)).map(f => col(f.name))
+    val rowHash =
+      if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols.toIndexedSeq: _*)
     val withBudget = df.join(broadcast(counts), partCol)
       .withColumn("__files", ceil(col("cnt").cast("double") / lit(targetRowsPerFile.toDouble)).cast("int"))
       .withColumn("__bucket", pmod(rowHash, col("__files").cast("long")))
@@ -65,7 +73,8 @@ object Sinks {
     // only ever installs a verified dataset.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val expected = counts.agg(sum(col("cnt"))).first().getLong(0)
+    // coalesce: sum over zero partitions is NULL (empty dataset)
+    val expected = counts.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
     val actual = spark.read.parquet(tmp).count()
     if (actual != expected) {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)

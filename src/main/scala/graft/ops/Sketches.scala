@@ -30,11 +30,11 @@ object Sketches {
 
   /** Capacity-bounded Misra-Gries summary as a typed `Aggregator`.
     * Buffer is an opaque kryo map (never a declared output column);
-    * the result surfaces as a single delimited string of candidate
-    * tokens so the output encoder stays primitive.
+    * the result surfaces as a typed array of candidate tokens —
+    * tokens are arbitrary strings, so no delimiter encoding is safe.
     */
   class MisraGries(capacity: Int)
-      extends Aggregator[String, Map[String, Long], String] {
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
     def zero: Map[String, Long] = Map.empty
 
     // Subtract the (capacity+1)-th largest count from every entry and
@@ -55,11 +55,12 @@ object Sketches {
         acc.updated(t, acc.getOrElse(t, 0L) + c)
       })
 
-    def finish(r: Map[String, Long]): String =
-      r.keys.toSeq.sorted.mkString("\u0001")
+    def finish(r: Map[String, Long]): Seq[String] =
+      r.keys.toSeq.sorted
 
     def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
-    def outputEncoder: Encoder[String] = Encoders.STRING
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
   /** Heavy hitters: tokens making up ≥ 0.5% of all token occurrences
@@ -77,7 +78,7 @@ object Sketches {
       .select(explode(split(col("text"), " ")).as("token"))
     val mg = udaf(new MisraGries(200), Encoders.STRING)
     val row = toks.agg(mg(col("token")).as("cand"), count(lit(1)).as("n")).head()
-    val cand = row.getString(0).split('\u0001').toSeq.filter(_.nonEmpty)
+    val cand = row.getSeq[String](0)
     val n = row.getLong(1)
     toks.filter(col("token").isin(cand: _*))
       .groupBy("token").agg(count(lit(1)).as("cnt"))

@@ -26,7 +26,7 @@ object Skew {
     * on a partial map-stage retry because it is a pure function of row
     * content.
     */
-  private def hashSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+  private[ops] def hashSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case _: MapType => false
@@ -113,7 +113,7 @@ object Skew {
     */
   def q57SkewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
     saltedCountSum(graft.Tables.events(spark, dir), col("user_id"),
-        round(col("value") * lit(100)).cast("long"))
+        Relational.cents(col("value")))
       .select(col("key").as("user_id"), col("n"), col("s").as("sum_cents"))
       .orderBy("user_id")
 

@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulTopK {
 
   case class DayEv(day: java.sql.Date, event_type: String,
-      ts: java.sql.Timestamp, ts_ms: Long)
+      ts: java.sql.Timestamp, ts_ms: Long, day_end_ms: Long)
   case class TopRow(day: java.sql.Date, rnk: Int, event_type: String, n: Long)
   case class TState(counts: Map[String, Long], dayEndMs: Long)
 
@@ -46,13 +46,14 @@ object StatefulTopK {
     }
     var st = state.getOption.getOrElse(TState(Map.empty, 0L))
     it.foreach { e =>
-      // UTC day end derived from the EVENT's epoch, not
-      // java.sql.Date.getTime (which is JVM-default-timezone midnight
-      // — off by the zone offset on any non-UTC driver)
-      val dayEnd = (e.ts_ms / 86400000L + 1L) * 86400000L
+      // day_end_ms is computed declaratively in toDayEvents from the
+      // SAME to_date that keys the group, so the flush boundary and
+      // the grouping agree in any session timezone (epoch arithmetic
+      // here would silently assume UTC days and double-emit a day on
+      // non-UTC sessions; java.sql.Date.getTime would assume JVM-tz)
       st = TState(
         st.counts.updated(e.event_type, st.counts.getOrElse(e.event_type, 0L) + 1L),
-        math.max(st.dayEndMs, dayEnd))
+        math.max(st.dayEndMs, e.day_end_ms))
     }
     if (flushTrailing) {
       state.remove()
@@ -70,7 +71,11 @@ object StatefulTopK {
   private def toDayEvents(events: DataFrame)(implicit spark: SparkSession): Dataset[DayEv] = {
     import spark.implicits._
     events.select(to_date(col("ts")).as("day"), col("event_type"),
-      col("ts"), col("ts_ms")).as[DayEv]
+      col("ts"), col("ts_ms"),
+      // session-tz midnight AFTER the event's day — the event-time
+      // instant at which the day is complete
+      unix_millis(to_timestamp(date_add(to_date(col("ts")), 1))).as("day_end_ms"))
+      .as[DayEv]
   }
 
   /** Batch form (groups complete — every day flushes). */

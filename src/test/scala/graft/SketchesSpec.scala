@@ -27,8 +27,7 @@ class SketchesSpec extends AnyFunSuite {
     val mg = F.udaf(new Sketches.MisraGries(k), Encoders.STRING)
     // 8 partitions forces distributed partial summaries + merges
     val cand = corpus.toDF("token").repartition(8)
-      .agg(mg(F.col("token"))).as[String].head()
-      .split('\u0001').toSet
+      .agg(mg(F.col("token"))).head().getSeq[String](0).toSet
     assert(cand.size <= k)
     assert(mustKeep.subsetOf(cand), s"dropped ${mustKeep -- cand}")
   }
@@ -43,8 +42,7 @@ class SketchesSpec extends AnyFunSuite {
     val want = exact.collect { case (t, c) if c * 20 >= n => (t, c) }.toMap
     val mg = F.udaf(new Sketches.MisraGries(k), Encoders.STRING)
     val toks = corpus.toDF("token").repartition(8)
-    val cand = toks.agg(mg(F.col("token"))).as[String].head()
-      .split('\u0001').toSeq.filter(_.nonEmpty)
+    val cand = toks.agg(mg(F.col("token"))).head().getSeq[String](0)
     val got = toks.filter(F.col("token").isin(cand: _*))
       .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
       .filter(F.col("cnt") * 20 >= n)

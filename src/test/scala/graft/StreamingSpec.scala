@@ -82,6 +82,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(dup === 0)
   }
 
+  test("q65 stateful top-k survives a checkpointed restart: no dup, no loss") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_topk_restart").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("ts_ms")).cache()
+    val mid = ev.agg(percentile_approx(col("ts_ms"), lit(0.5), lit(100))).collect()(0).getLong(0)
+    val maxMs = ev.agg(max("ts_ms")).collect()(0).getLong(0)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$base/in_$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("event_type STRING, ts TIMESTAMP, ts_ms LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+      val q = graft.ops.StatefulTopK.topkStream(spark,
+          src.withWatermark("ts", "0 seconds")).toDF()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // phase 1: only the first half exists; the query checkpoints and stops
+    writeOne(ev.filter(col("ts_ms") <= mid), "b1")
+    runOnce()
+    // phase 2: the rest + a far-future sentinel arrive; the RESTARTED
+    // query must resume from state (open days keep their counts) and
+    // flush every real day exactly once
+    writeOne(ev.filter(col("ts_ms") > mid), "b2")
+    writeOne(Seq(("zz_sentinel", new java.sql.Timestamp(maxMs + 86400L * 1000 * 10), maxMs + 86400L * 1000 * 10))
+      .toDF("event_type", "ts", "ts_ms"), "b3")
+    Seq("b1", "b2", "b3").zipWithIndex.foreach { case (n, i) =>
+      Files.setLastModifiedTime(Paths.get(s"$base/in_$n.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000))
+    }
+    runOnce()
+    val got = spark.read.parquet(out)
+      .filter(col("event_type") =!= "zz_sentinel")
+      .collect().map(_.mkString("|")).toSet
+    val want = graft.ops.StatefulTopK.topkBatch(spark, ev).toDF()
+      .collect().map(_.mkString("|")).toSet
+    assert(got === want)
+    // exactly-once: a day that closed after the restart emitted one
+    // ranking, and no (day, rnk) appears twice
+    val dup = spark.read.parquet(out).groupBy("day", "rnk").count()
+      .filter(col("count") > 1).count()
+    assert(dup === 0)
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

@@ -91,7 +91,9 @@ object SparkEntry {
     "q63_deterministic_sample" -> Relational.q63DeterministicSample _,
     "q64_heavy_hitters" -> graft.ops.Sketches.q64HeavyHitters _,
     "q65_stream_topk" -> graft.ops.StatefulTopK.q65StreamTopk _,
-    "q66_zorder_curve" -> graft.ops.Layout.q66ZorderCurve _
+    "q66_zorder_curve" -> graft.ops.Layout.q66ZorderCurve _,
+    "q67_data_quality_audit" -> graft.ops.Quality.q67DataQualityAudit _,
+    "q68_funnel_conversion" -> Features.q68FunnelConversion _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -366,6 +368,20 @@ object SparkEntry {
       """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2),
         |r AS (SELECT day, event_type, n, row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rnk FROM c)
         |SELECT day, CAST(rnk AS INTEGER) AS rnk, event_type, CAST(n AS BIGINT) AS n FROM r WHERE rnk <= 2 ORDER BY day, rnk""".stripMargin,
+    "q67_data_quality_audit" ->
+      """SELECT 'accepted_values_orderstatus' AS check_name, CAST((SELECT count(*) FROM orders WHERE NOT (o_orderstatus IN ('F','O','P'))) AS BIGINT) AS n_violations
+        |UNION ALL SELECT 'not_null_custkey', CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+        |UNION ALL SELECT 'relationship_orders_customer', CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |UNION ALL SELECT 'unique_orderkey', CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) t) AS BIGINT)
+        |ORDER BY check_name""".stripMargin,
+    "q68_funnel_conversion" ->
+      """WITH up AS (SELECT CAST(ts AS DATE) AS day, user_id,
+        |min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v,
+        |min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p
+        |FROM events GROUP BY 1, 2)
+        |SELECT day, CAST(count(v) AS BIGINT) AS n_viewers,
+        |CAST(SUM(CASE WHEN v IS NOT NULL AND p IS NOT NULL AND p > v THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM up GROUP BY day ORDER BY day""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

@@ -239,6 +239,28 @@ object Features {
       .orderBy("session_id")
   }
 
+  /** Declared q68: funnel conversion — per day, how many users VIEWED
+    * and how many of those later PURCHASED (first purchase strictly
+    * after first view, same day). The behavioral question the
+    * reference's event log exists to answer, as two partial-agg
+    * shuffles: conditional min per (day, user), then counts per day —
+    * no join, no window, integer-only outputs. At 100 TB the
+    * (day, user) aggregate is the only large shuffle and it combines
+    * map-side.
+    */
+  def q68FunnelConversion(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_ms"))).as("v"),
+        min(when(col("event_type") === "purchase", col("ts_ms"))).as("p"))
+      .groupBy("day")
+      .agg(
+        count(col("v")).as("n_viewers"),
+        sum(when(col("v").isNotNull && col("p").isNotNull && col("p") > col("v"), 1L)
+          .otherwise(0L)).as("n_converted"))
+      .orderBy("day")
+
   /** UDAF exemplar (SURVEY §2.12 policy step 2): HR@k as a typed
     * `Aggregator` — proves the custom-aggregate path without putting a
     * non-codegen expression on any declared hot path.

@@ -43,4 +43,33 @@ object Quality {
     */
   def runChecks(checks: (String, DataFrame)*): Seq[(String, Long)] =
     checks.map { case (name, v) => name -> v.count() }
+
+  /** Declared q67: the dbt-test audit as ONE distributed query — each
+    * check reduced to its violation count and unioned into a (check,
+    * n_violations) report. This is `dbt test` run inside the engine:
+    * the union of independent aggregates executes as parallel stages
+    * of one job, each check a partial-agg count with no data movement
+    * beyond its own shuffle. The hash-green row proves the checks
+    * return the same verdicts as the oracle SQL running the same
+    * assertions (all four pass on the harness data, and the count
+    * column - not emptiness - is what the driver hashes, so a
+    * regression that introduces violations flips the row red).
+    */
+  def q67DataQualityAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+    val customer = graft.Tables.customer(spark, dir)
+    def report(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).cast("long").as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    report("accepted_values_orderstatus",
+        expectAcceptedValues(orders, "o_orderstatus", Seq("F", "O", "P")))
+      .unionByName(report("not_null_custkey",
+        expectNotNull(orders, Seq("o_custkey"))))
+      .unionByName(report("relationship_orders_customer",
+        expectRelationship(orders, "o_custkey", customer, "c_custkey")))
+      .unionByName(report("unique_orderkey",
+        expectUnique(orders, Seq("o_orderkey"))))
+      .orderBy("check_name")
+  }
 }

@@ -113,6 +113,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.filter(element_at(col("padded_a"), -1).cast("long") =!= col("last_el")).count() === 0)
     r.unpersist()
   }
+
+  test("q67: all dbt-style checks hold on the harness data") {
+    val got = graft.ops.Quality.q67DataQualityAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size === 4)
+    assert(got.values.forall(_ === 0L), got.toString)
+  }
+
+  test("q68 funnel laws: converted <= viewers; a seeded conversion is counted") {
+    import spark.implicits._
+    val got = Features.q68FunnelConversion(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1), r.toString)
+    }
+    // fixture: u1 view->purchase converts; u2 purchase-before-view
+    // does not; u3 view only does not. ts is written as raw ns longs,
+    // the on-disk shape Tables.events expects.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val t0ns = 1700000000000000000L
+    def ev(u: Long, t: String, offMin: Long) =
+      (u, u * 10 + offMin, t, t0ns + offMin * 60000000000L)
+    Seq(ev(1, "view", 1), ev(1, "purchase", 2),
+        ev(2, "purchase", 1), ev(2, "view", 2),
+        ev(3, "view", 1))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val fx = Features.q68FunnelConversion(spark, tmp).collect()
+    assert(fx.length === 1)
+    assert(fx(0).getLong(1) === 3L && fx(0).getLong(2) === 1L)
+  }
 }
 
 /** Salted two-phase aggregation == direct aggregation (Skew.scala). */

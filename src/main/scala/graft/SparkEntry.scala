@@ -93,7 +93,8 @@ object SparkEntry {
     "q65_stream_topk" -> graft.ops.StatefulTopK.q65StreamTopk _,
     "q66_zorder_curve" -> graft.ops.Layout.q66ZorderCurve _,
     "q67_data_quality_audit" -> graft.ops.Quality.q67DataQualityAudit _,
-    "q68_funnel_conversion" -> Features.q68FunnelConversion _
+    "q68_funnel_conversion" -> Features.q68FunnelConversion _,
+    "q69_retention_cohorts" -> Features.q69RetentionCohorts _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -382,6 +383,12 @@ object SparkEntry {
         |SELECT day, CAST(count(v) AS BIGINT) AS n_viewers,
         |CAST(SUM(CASE WHEN v IS NOT NULL AND p IS NOT NULL AND p > v THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM up GROUP BY day ORDER BY day""".stripMargin,
+    "q69_retention_cohorts" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, CAST(day - cohort_day AS INTEGER) AS day_offset,
+        |CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

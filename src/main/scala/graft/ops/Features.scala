@@ -261,6 +261,26 @@ object Features {
           .otherwise(0L)).as("n_converted"))
       .orderBy("day")
 
+  /** Declared q69: cohort retention — users grouped by their FIRST
+    * active day (the cohort), counted distinct on each later offset
+    * day. The (cohort × offset) matrix behind every retention curve.
+    * Plan shape: the user-keyed min-day aggregate and the events
+    * relation join on user_id (co-partitioned — Catalyst reuses the
+    * exchange), then one partial-agg shuffle on (cohort, offset).
+    * countDistinct is exact here; at 100 TB swap in
+    * approx_count_distinct per q14 when ±2% is acceptable.
+    */
+  def q69RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = d.groupBy("user_id").agg(min("day").as("cohort_day"))
+    d.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** UDAF exemplar (SURVEY §2.12 policy step 2): HR@k as a typed
     * `Aggregator` — proves the custom-aggregate path without putting a
     * non-codegen expression on any declared hot path.

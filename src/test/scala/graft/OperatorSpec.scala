@@ -144,6 +144,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(fx.length === 1)
     assert(fx(0).getLong(1) === 3L && fx(0).getLong(2) === 1L)
   }
+
+  test("q69 cohort laws: day-0 equals cohort size, later offsets never exceed it") {
+    val rows = Features.q69RetentionCohorts(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_._2 == 0).map(t => t._1 -> t._3).toMap
+    // every cohort has a day-0 row and no offset beats it
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      assert(day0.contains(c), s"cohort $c missing day-0 row")
+      rs.foreach { case (_, off, n) =>
+        assert(off >= 0 && n <= day0(c), s"cohort $c offset $off: $n > ${day0(c)}")
+      }
+    }
+    // day-0 totals cover every user exactly once
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(day0.values.sum === users)
+  }
 }
 
 /** Salted two-phase aggregation == direct aggregation (Skew.scala). */

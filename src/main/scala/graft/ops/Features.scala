@@ -264,10 +264,12 @@ object Features {
   /** Declared q69: cohort retention — users grouped by their FIRST
     * active day (the cohort), counted distinct on each later offset
     * day. The (cohort × offset) matrix behind every retention curve.
-    * Plan shape: the user-keyed min-day aggregate and the events
-    * relation join on user_id (co-partitioned — Catalyst reuses the
-    * exchange), then one partial-agg shuffle on (cohort, offset).
-    * countDistinct is exact here; at 100 TB swap in
+    * Plan shape: one shuffle builds the per-user min-day aggregate;
+    * at harness scale AQE broadcasts that (small) side back onto the
+    * events scan, at corpus scale it exceeds the broadcast threshold
+    * and the join runs sort-merge on the user_id partitioning both
+    * sides already share. Then one partial-agg shuffle on (cohort,
+    * offset). countDistinct is exact here; at 100 TB swap in
     * approx_count_distinct per q14 when ±2% is acceptable.
     */
   def q69RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {

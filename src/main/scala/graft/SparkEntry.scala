@@ -94,7 +94,8 @@ object SparkEntry {
     "q66_zorder_curve" -> graft.ops.Layout.q66ZorderCurve _,
     "q67_data_quality_audit" -> graft.ops.Quality.q67DataQualityAudit _,
     "q68_funnel_conversion" -> Features.q68FunnelConversion _,
-    "q69_retention_cohorts" -> Features.q69RetentionCohorts _
+    "q69_retention_cohorts" -> Features.q69RetentionCohorts _,
+    "q70_embedding_centroids" -> LlmOps.q70EmbeddingCentroids _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -389,6 +390,13 @@ object SparkEntry {
         |SELECT cohort_day, CAST(day - cohort_day AS INTEGER) AS day_offset,
         |CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q70_embedding_centroids" ->
+      """WITH ex AS (SELECT COALESCE(label, -1) AS label, CAST(p - 1 AS INTEGER) AS pos, embedding[p] AS v
+        |FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS p FROM embeddings) t),
+        |a AS (SELECT label, pos, CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
+        |FROM ex GROUP BY 1, 2)
+        |SELECT label, pos, round(CAST(s AS DOUBLE) / 1000000.0 / n, 6) AS centroid
+        |FROM a ORDER BY label, pos""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

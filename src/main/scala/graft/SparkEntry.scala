@@ -95,7 +95,8 @@ object SparkEntry {
     "q67_data_quality_audit" -> graft.ops.Quality.q67DataQualityAudit _,
     "q68_funnel_conversion" -> Features.q68FunnelConversion _,
     "q69_retention_cohorts" -> Features.q69RetentionCohorts _,
-    "q70_embedding_centroids" -> LlmOps.q70EmbeddingCentroids _
+    "q70_embedding_centroids" -> LlmOps.q70EmbeddingCentroids _,
+    "q71_transition_matrix" -> Features.q71TransitionMatrix _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -397,6 +398,13 @@ object SparkEntry {
         |FROM ex GROUP BY 1, 2)
         |SELECT label, pos, round(CAST(s AS DOUBLE) / 1000000.0 / n, 6) AS centroid
         |FROM a ORDER BY label, pos""".stripMargin,
+    "q71_transition_matrix" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |pp AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_type FROM s),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM pp WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+        |round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

@@ -283,6 +283,28 @@ object Features {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Declared q71: empirical next-event transition matrix — the
+    * Markov baseline the reference's next-event LSTM must beat
+    * (lstm_model.py predicts next SKU; this is the same conditional
+    * distribution at the event_type level, computed relationally).
+    * One user_id-partitioned window for `lead`, one partial-agg
+    * shuffle on the tiny (type, next) key space, probabilities as a
+    * type-partitioned window over ~|types|² rows. Counts stay integer;
+    * the probability division is the only double op (identical
+    * expression in the oracle).
+    */
+  def q71TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("event_type")), 6))
+      .orderBy("event_type", "next_type")
+  }
+
   /** UDAF exemplar (SURVEY §2.12 policy step 2): HR@k as a typed
     * `Aggregator` — proves the custom-aggregate path without putting a
     * non-codegen expression on any declared hot path.

@@ -161,6 +161,19 @@ class OperatorSpec extends AnyFunSuite {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(day0.values.sum === users)
   }
+
+  test("q71 transition laws: rows sum to 1 per type; transitions = events - users") {
+    val rows = Features.q71TransitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val pSum = rs.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$t: probabilities sum to $pSum")
+    }
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === expected)
+  }
 }
 
 /** Salted two-phase aggregation == direct aggregation (Skew.scala). */

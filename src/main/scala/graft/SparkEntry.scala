@@ -96,7 +96,8 @@ object SparkEntry {
     "q68_funnel_conversion" -> Features.q68FunnelConversion _,
     "q69_retention_cohorts" -> Features.q69RetentionCohorts _,
     "q70_embedding_centroids" -> LlmOps.q70EmbeddingCentroids _,
-    "q71_transition_matrix" -> Features.q71TransitionMatrix _
+    "q71_transition_matrix" -> Features.q71TransitionMatrix _,
+    "q72_anomaly_flags" -> ((s: SparkSession, d: String) => Scalars.q72AnomalyFlags(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -405,6 +406,14 @@ object SparkEntry {
         |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
         |round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 6) AS p
         |FROM c ORDER BY event_type, next_type""".stripMargin,
+    "q72_anomaly_flags" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT user_id, count(*) AS cnt, CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS sq FROM e GROUP BY 1 HAVING count(*) >= 5),
+        |j AS (SELECT e.user_id, event_id, c, CAST(s AS DOUBLE) / cnt AS mean,
+        |sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)) AS std
+        |FROM e JOIN st USING (user_id))
+        |SELECT user_id, event_id, c AS value_cents, round((CAST(c AS DOUBLE) - mean) / std, 6) AS z
+        |FROM j WHERE std > 0 AND abs(CAST(c AS DOUBLE) - mean) > 3 * std ORDER BY user_id, event_id""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

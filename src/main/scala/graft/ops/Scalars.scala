@@ -106,6 +106,38 @@ object Scalars {
       .orderBy("l_returnflag")
   }
 
+  /** Declared q72: per-user 3σ anomaly flags over the event value —
+    * the statistical data-quality gate a pipeline runs before
+    * training (spike/corruption detection per entity). Two passes,
+    * both partial-agg: per-user (count, Σc, Σc²) in exact cents longs
+    * (q27's determinism rule — no float summation order anywhere),
+    * then a join back flags events with |c − mean| > 3·std. At
+    * harness scale AQE broadcasts the per-user stats; at 100 TB both
+    * sides share the user_id hash partitioning. Σc² of cents fits a
+    * long to ~10⁹ same-user events of 10⁵ cents (ANSI would throw,
+    * not wrap, beyond).
+    */
+  def q72AnomalyFlags(spark: SparkSession, dir: String, sigmas: Double = 3.0,
+      minEvents: Long = 5L): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        Relational.cents(col("value")).as("c"))
+    val st = e.groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), sum("c").as("s"), sum(col("c") * col("c")).as("sq"))
+      .filter(col("cnt") >= minEvents)
+    val mean = col("s").cast("double") / col("cnt")
+    val std = sqrt((col("sq").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("cnt")) /
+      (col("cnt") - lit(1)))
+    e.join(st, "user_id")
+      .withColumn("mean", mean).withColumn("std", std)
+      .filter(col("std") > 0 &&
+        abs(col("c").cast("double") - col("mean")) > lit(sigmas) * col("std"))
+      .select(col("user_id"), col("event_id"), col("c").as("value_cents"),
+        round((col("c").cast("double") - col("mean")) / col("std"), 6).as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Exact interpolated quantiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont`: sort + linear interpolation). The exact
     * form is the oracle-able twin; at 100 TB use

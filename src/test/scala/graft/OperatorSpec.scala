@@ -367,6 +367,16 @@ class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got((2L, 1))._1 === "y" && got((3L, 1))._1 === "z")
   }
 
+  test("q72 anomaly laws: every flag exceeds 3 sigma and points at a real event") {
+    val flags = graft.ops.Scalars.q72AnomalyFlags(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(flags.nonEmpty)
+    flags.foreach { case (_, z) => assert(math.abs(z) > 3.0, s"z=$z") }
+    val ids = Tables.events(spark, sf).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flags.map(_._1).toSet.subsetOf(ids))
+  }
+
   test("q63 sample is deterministic, a subset, and near the declared rates") {
     val s1 = Relational.q63DeterministicSample(spark, sf).collect()
     val s2 = Relational.q63DeterministicSample(spark, sf).collect()

@@ -97,7 +97,8 @@ object SparkEntry {
     "q69_retention_cohorts" -> Features.q69RetentionCohorts _,
     "q70_embedding_centroids" -> LlmOps.q70EmbeddingCentroids _,
     "q71_transition_matrix" -> Features.q71TransitionMatrix _,
-    "q72_anomaly_flags" -> ((s: SparkSession, d: String) => Scalars.q72AnomalyFlags(s, d))
+    "q72_anomaly_flags" -> ((s: SparkSession, d: String) => Scalars.q72AnomalyFlags(s, d)),
+    "q73_dedup_fuzzy" -> ((s: SparkSession, d: String) => LlmOps.q73DedupFuzzy(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -414,6 +415,12 @@ object SparkEntry {
         |FROM e JOIN st USING (user_id))
         |SELECT user_id, event_id, c AS value_cents, round((CAST(c AS DOUBLE) - mean) / std, 6) AS z
         |FROM j WHERE std > 0 AND abs(CAST(c AS DOUBLE) - mean) > 3 * std ORDER BY user_id, event_id""".stripMargin,
+    "q73_dedup_fuzzy" ->
+      """WITH d AS (SELECT doc_id, text, lang, string_split(text, ' ')[1] AS tok0,
+        |CAST(floor(len(text) / 20.0) AS INTEGER) AS lb FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 30 ORDER BY doc_a, doc_b""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

@@ -273,6 +273,49 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Declared q73: fuzzy (edit-distance) dedup — the OCR-noise /
+    * typo-variant detector that token-set methods (#36/#47) and
+    * shingle methods (#37/#40) both miss, since one character flip
+    * breaks a whole shingle. All-pairs Levenshtein is O(n²·len²), so
+    * pairs come from BLOCKING keys (lang, first token, length
+    * bucket) — one equi-join shuffle, quadratic only within a block,
+    * the classic bounded-recall trade of record linkage (a hot block
+    * is a salting candidate at corpus scale). `levenshtein` is a
+    * built-in with identical semantics in the oracle. Length bucket
+    * uses explicit floor: DuckDB CAST(double AS INT) rounds while
+    * Spark truncates, so a bare cast would disagree on .5 buckets.
+    */
+  def q73DedupFuzzy(spark: SparkSession, dir: String,
+      maxDist: Int = 30): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"), col("lang"),
+      element_at(split(col("text"), " "), 1).as("tok0"),
+      floor(length(col("text")) / lit(20.0)).cast("int").as("lb"))
+    // Two plan traps around the expensive distance stage: (1) the
+    // broadcast join emits candidates in the LEFT side's one-or-two
+    // scan partitions, serializing the O(len²) Levenshtein pass; (2)
+    // predicate pushdown substitutes `dist <= maxDist` through the
+    // projection AND through a bare repartition, so the distance would
+    // run before the re-spread (single-partition) and again in the
+    // projection. The repartition + eager localCheckpoint spreads the
+    // (tiny, bounded) candidate set across cores AND is a pushdown
+    // barrier, so Levenshtein executes once, parallel — the same
+    // checkpoint pattern as the q37/q40 shingle relations.
+    val parts = spark.sparkContext.defaultParallelism
+    val spread = d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
+          col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.text").as("ta"), col("b.text").as("tb"))
+      .repartition(parts, col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    spread
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -- similarity search --------------------------------------------
 
   /** Double-precision dot product, index-ordered accumulation — the

@@ -131,6 +131,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(total === Tables.events(spark, sf).count())
   }
 
+  test("q73 fuzzy dedup finds seeded typo variants within its blocks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      (2L, "alpha beta gamma delta epsilox", "en", "s", 30L), // 1 flip -> pair
+      (3L, "alpha beta gamma delta epsilon", "fr", "s", 30L), // other lang -> blocked out
+      (4L, "omega beta gamma delta epsilon", "en", "s", 30L)) // other first token -> blocked out
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmOps.q73DedupFuzzy(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1)))
+    // real corpus: pair ordering and threshold laws hold
+    val real = LlmOps.q73DedupFuzzy(spark, sf).collect()
+    real.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getInt(2) <= 30)
+    }
+  }
+
   test("q44/q45/q46 ratios stay in range") {
     val q = LlmOps.q44TextQuality(spark, sf).cache()
     assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)

@@ -61,9 +61,6 @@ object LlmOps {
     */
   def q37DedupNearMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    val nSeeds = 64
-    val bands = 16
-    val rowsPerBand = nSeeds / bands
     // Everything up to the band join is MAP-SIDE: per-doc shingle
     // array -> within-doc distinct (no shuffle, unlike explode+
     // distinct) -> one string hash per shingle -> 64 "permutations"
@@ -71,23 +68,40 @@ object LlmOps {
     // shuffles in the whole operator are the (band, hash) bucket join
     // over #docs x #bands tiny rows and the final candidate lookups —
     // this is what makes MinHash-LSH linear at 100 TB.
-    val w = 3
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= w)
+    //
     // localCheckpoint (eager), not cache(): the per-doc hash sets are
     // read three times (signature, both candidate lookups) but must
     // not outlive the query — checkpoint blocks are GC-reclaimed with
     // the plan, while cache() entries accumulate in the cache manager
     // across bench/verify invocations. At cluster scale promote to a
     // reliable checkpoint (survives executor loss).
-    val withHs = docs.select(col("doc_id"),
-      array_distinct(transform(
-        transform(sequence(lit(0), size(col("toks")) - w),
-          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(w)))),
-        s => xxhash64(s))).as("hs"))
-      .localCheckpoint()
-    // 64 mins in one codegen'd two-level loop (functions.MinHashSignature)
+    val withHs = shingleHashSets(Tables.documents(spark, dir)).localCheckpoint()
+    val buckets = bandBuckets(withHs)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, withHs, withHs, threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-doc distinct shingle-hash sets (map-side; q37's first stage). */
+  private def shingleHashSets(docs: DataFrame, w: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          transform(sequence(lit(0), size(col("toks")) - w),
+            i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(w)))),
+          s => xxhash64(s))).as("hs"))
+
+  /** LSH band-bucket rows (doc_id, band, bh): 64 mins in one codegen'd
+    * two-level loop (functions.MinHashSignature), banded 16×4.
+    */
+  private def bandBuckets(withHs: DataFrame,
+      nSeeds: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = nSeeds / bands
     val sig = withHs.select(col("doc_id"),
       graft.functions.MinHashSignature.signature(col("hs"), nSeeds).as("sig"))
     val bandCols = (0 until bands).map { b =>
@@ -95,26 +109,63 @@ object LlmOps {
         element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // Exact verification on the candidate set only: fetch both hash
-    // sets (hash-set Jaccard == shingle-set Jaccard, xxhash64
-    // collisions are negligible) and intersect locally per pair.
-    val verified = cand
-      .join(withHs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
-      .join(withHs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against two hash-set relations (hash-set Jaccard == shingle-set
+    * Jaccard; xxhash64 collisions are negligible).
+    */
+  private def verifyJaccard(cand: DataFrame, hsA: DataFrame,
+      hsB: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(hsA.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+      .join(hsB.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
           (size(col("hs_a")) + size(col("hs_b")) -
             size(array_intersect(col("hs_a"), col("hs_b"))))).as("jaccard"))
-    verified
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Persist the LSH index for a corpus: band buckets (partitioned by
+    * band — a probe prunes to its own band directories) plus the
+    * per-doc hash sets needed for exact verification. This is the
+    * STATE that makes dedup incremental at 100 TB: it is written once
+    * per corpus and extended per batch, never recomputed.
+    */
+  def dedupIndexWrite(docs: DataFrame, indexPath: String,
+      mode: String = "overwrite"): Unit = {
+    val withHs = shingleHashSets(docs).localCheckpoint()
+    bandBuckets(withHs)
+      .repartition(col("band"))
+      .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("band").parquet(s"$indexPath/buckets")
+    withHs.write.mode(mode).parquet(s"$indexPath/hs")
+  }
+
+  /** Incremental near-dup: check a NEW batch against the persisted
+    * index without touching the historical corpus — new signatures are
+    * map-side, the band join probes the index's bucket files (band-
+    * partition-pruned), and exact verification reads only the matched
+    * docs' hash sets. Cost scales with the batch + its collisions, not
+    * with history; append the batch via `dedupIndexWrite(_, _,
+    * "append")` once its survivors are admitted. Returns
+    * (doc_a = historical dup, doc_b = new doc, jaccard).
+    */
+  def dedupIncremental(spark: SparkSession, newDocs: DataFrame,
+      indexPath: String, threshold: Double = 0.8): DataFrame = {
+    val newHs = shingleHashSets(newDocs).localCheckpoint()
+    val newBuckets = bandBuckets(newHs)
+    val idxBuckets = spark.read.parquet(s"$indexPath/buckets")
+    val idxHs = spark.read.parquet(s"$indexPath/hs")
+    val cand = idxBuckets.as("a").join(newBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, idxHs, newHs, threshold)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -131,6 +131,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(total === Tables.events(spark, sf).count())
   }
 
+  test("incremental dedup against a persisted index == batch pairs across the split") {
+    val docs = Tables.documents(spark, sf)
+    val mid = 250L
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    LlmOps.dedupIndexWrite(docs.filter(col("doc_id") < mid), idx)
+    val got = LlmOps.dedupIncremental(spark, docs.filter(col("doc_id") >= mid), idx, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the batch detector's cross-split pairs
+    val want = LlmOps.q37DedupNearMinhash(spark, sf, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < mid && b >= mid }.toSet
+    assert(got === want)
+    assert(want.nonEmpty || got.isEmpty)
+    // extending the index with the new batch makes a re-probe self-match-free
+    LlmOps.dedupIndexWrite(docs.filter(col("doc_id") >= mid), idx, "append")
+    val reprobe = LlmOps.dedupIncremental(spark, docs.filter(col("doc_id") >= mid), idx, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    reprobe.foreach { case (a, b) => assert(a != b) }
+  }
+
   test("q73 fuzzy dedup finds seeded typo variants within its blocks") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString

@@ -628,6 +628,70 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Persist the IVF index: the k-means centroids (bounded — nCells
+    * rows) plus every vector assigned to its cell, PARTITIONED BY
+    * CELL so a probe touches only its nProbe cell directories. The
+    * index is the state that makes similarity search incremental:
+    * built once, extended per batch (`mode = "append"` keeps the
+    * existing centroids and assigns the new vectors to them),
+    * rebuilt only when drift degrades recall.
+    */
+  def annIndexWrite(spark: SparkSession, embeddings: DataFrame,
+      indexPath: String, nCells: Int = 16, kmeansIters: Int = 3,
+      mode: String = "overwrite"): Unit = {
+    val emb = embeddings
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val cents =
+      if (mode == "append") readCentroids(spark, indexPath)
+      else kmeansCentroids(emb, nCells, kmeansIters)
+    if (mode != "append") {
+      import spark.implicits._
+      cents.toSeq.toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    }
+    emb.withColumn("cell", bestCellOf(centroidScores(cents)))
+      .repartition(col("cell"))
+      .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$indexPath/vectors")
+  }
+
+  private def readCentroids(spark: SparkSession,
+      indexPath: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+
+  /** Probe query vectors against the persisted index: each query
+    * ranks only the members of its nProbe best cells. The probe side
+    * broadcasts, so dynamic partition pruning restricts the vectors
+    * scan to the probed cell directories — cost scales with the query
+    * batch and cell sizes, never with the whole indexed corpus.
+    */
+  def annIncremental(spark: SparkSession, queries: DataFrame,
+      indexPath: String, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val scored = centroidScores(readCentroids(spark, indexPath))
+    // centroidScores reads the row's `nsq` prenorm — alias to qnsq in
+    // the SAME select (resolution is against the child, as in q49)
+    val probes = queries
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nsq").as("qnsq"),
+        explode(transform(slice(array_sort(scored), 1, nProbe),
+          x => x.getField("cid"))).as("cell"))
+    spark.read.parquet(s"$indexPath/vectors")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   // -- text analysis ------------------------------------------------
 
   /** #39 Tokenize + explode + frequency per language (token machinery

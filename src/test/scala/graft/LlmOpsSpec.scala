@@ -151,6 +151,37 @@ class LlmOpsSpec extends AnyFunSuite {
     reprobe.foreach { case (a, b) => assert(a != b) }
   }
 
+  test("persisted IVF index: incremental probe has decent recall; append extends it") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    LlmOps.annIndexWrite(spark, emb, idx)
+    // cell-partitioned layout exists (dynamic pruning target)
+    val cellDirs = new java.io.File(s"$idx/vectors").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs > 1)
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = LlmOps.annIncremental(spark, queries, idx, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    // recall vs the exact brute-force top-k
+    val exact = LlmOps.q38SimilarityTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recall = exact.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }.sum / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    // append a new batch under the same centroids; the new vectors
+    // become findable without touching the original index files
+    val extra = emb.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    LlmOps.annIndexWrite(spark, extra, idx, mode = "append")
+    val re = LlmOps.annIncremental(spark, queries.filter(col("vec_id") < 3), idx,
+      k = 1, nProbe = 4).collect()
+    // a duplicate vector ranks as its own top neighbor (cos = 1)
+    re.foreach { r => assert(r.getLong(2) === r.getLong(0) + 100000L, r.toString) }
+  }
+
   test("q73 fuzzy dedup finds seeded typo variants within its blocks") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString

@@ -131,6 +131,54 @@ object Pipeline {
       end: java.sql.Date): DataFrame =
     features(extractSessions(sessionEvents(explodeEvents(raw)), apiKey, start, end))
 
+  /** Per-stage counts from [[prepareCorpus]] — the audit record a
+    * training run stores next to its data manifest.
+    */
+  case class CorpusReport(input: Long, afterExactDedup: Long,
+      afterNearDedup: Long, afterQuality: Long, train: Long, holdout: Long)
+
+  /** The LLM-training-data preparation chain, composing the
+    * north-star operators end to end over any (doc_id, text, ...)
+    * corpus: exact dedup (content hash, min-id keeper) → transitive
+    * near-dup clustering (pair graph → connected components, ONE
+    * canonical doc per cluster) → minimum-quality gate → reproducible
+    * hash-gate train/holdout split (~90/10, stable across runs,
+    * partitionings and retries — the q63 rule). Returns the cleaned
+    * corpus (with `is_train`) plus per-stage counts. Runs actions by
+    * design — the report IS the product; the heavy chain is
+    * checkpointed once and the counts read from that materialization.
+    *
+    * Idempotent: re-running on its own output removes nothing (exact
+    * keepers are unique; surviving canonicals are pairwise below the
+    * near-dup threshold, else they would have shared a component).
+    */
+  def prepareCorpus(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, nearThreshold: Double = 0.5,
+      minTokens: Int = 5): (DataFrame, CorpusReport) = {
+    val input = docs.count()
+    val exact = docs.join(
+      docs.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id"),
+      "doc_id")
+    val nExact = exact.count()
+    val labels = ops.Graph.connectedComponents(
+        ops.LlmOps.ngramJaccardPairsOf(exact, nearThreshold)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .withColumnRenamed("node", "doc_id")
+    val near = exact.join(labels, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .drop("component")
+    val cleaned = near
+      .filter(size(split(col("text"), " ")) >= minTokens)
+      .withColumn("is_train",
+        substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
+      .localCheckpoint()
+    val nQuality = cleaned.count()
+    val nTrain = cleaned.filter(col("is_train")).count()
+    (cleaned, CorpusReport(input, nExact, near.count(), nQuality,
+      nTrain, nQuality - nTrain))
+  }
+
   /** Per-stage lineage export — the Catalyst answer to the
     * reference's dbt-manifest DAG render (my_dbt_flow.py:122-170).
     * Each stage name is paired with its optimized logical plan text;

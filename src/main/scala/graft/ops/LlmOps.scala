@@ -205,8 +205,15 @@ object LlmOps {
     * aggregate further (q61 clustering) skip the presentation sort.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocs)
+      threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame =
+    ngramJaccardPairsOf(
+      Tables.documents(spark, dir).filter(col("doc_id") < maxDocs), threshold)
+
+  /** DataFrame-based core of [[ngramJaccardPairs]] — composable into
+    * pipelines over any (doc_id, text) relation.
+    */
+  def ngramJaccardPairsOf(docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     // Join on the 8-byte shingle hash, not the string: same pairs
     // (collisions negligible, and the exact-Jaccard filter is over
     // the same hashed sets), half the shuffle bytes.

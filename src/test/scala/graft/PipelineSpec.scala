@@ -111,4 +111,23 @@ class PipelineSpec extends AnyFunSuite {
     val featPlan = stages.last._2
     assert(featPlan.contains("raw_data") || featPlan.contains("LocalRelation"), featPlan)
   }
+
+  test("prepareCorpus: monotone stage counts, reproducible split, idempotent") {
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+    val (cleaned, r) = Pipeline.prepareCorpus(spark, docs)
+    assert(r.input >= r.afterExactDedup)
+    assert(r.afterExactDedup >= r.afterNearDedup)
+    assert(r.afterNearDedup >= r.afterQuality)
+    assert(r.train + r.holdout === r.afterQuality)
+    assert(cleaned.count() === r.afterQuality)
+    // hash-gate split lands near 90/10 and is exactly reproducible
+    val frac = r.train.toDouble / r.afterQuality
+    assert(frac > 0.8 && frac < 0.97, s"train frac $frac")
+    val (_, r2) = Pipeline.prepareCorpus(spark, docs)
+    assert(r2 === r)
+    // idempotence: a second pass over the cleaned corpus removes nothing
+    val (_, r3) = Pipeline.prepareCorpus(spark, cleaned.drop("is_train"))
+    assert(r3.afterQuality === r.afterQuality)
+    assert(r3.input === r3.afterNearDedup)
+  }
 }

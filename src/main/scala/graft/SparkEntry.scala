@@ -395,11 +395,9 @@ object SparkEntry {
         |FROM d JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q70_embedding_centroids" ->
       """WITH ex AS (SELECT COALESCE(label, -1) AS label, CAST(p - 1 AS INTEGER) AS pos, embedding[p] AS v
-        |FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS p FROM embeddings) t),
-        |a AS (SELECT label, pos, CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
-        |FROM ex GROUP BY 1, 2)
-        |SELECT label, pos, round(CAST(s AS DOUBLE) / 1000000.0 / n, 6) AS centroid
-        |FROM a ORDER BY label, pos""".stripMargin,
+        |FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS p FROM embeddings) t)
+        |SELECT label, pos, CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro, CAST(count(*) AS BIGINT) AS n
+        |FROM ex GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "q71_transition_matrix" ->
       """WITH s AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
         |pp AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_type FROM s),

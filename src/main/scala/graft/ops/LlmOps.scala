@@ -411,22 +411,22 @@ object LlmOps {
     * computation under few-shot classification, cluster seeding (q49's
     * k-means init done right), and embedding-drift monitoring. Shape:
     * posexplode fans each vector into (dim, value) rows MAP-SIDE, one
-    * partial-agg shuffle on the tiny (label, dim) key space, divide at
-    * the end. Sums run in round(v·1e6) scaled longs, so the result is
-    * bit-identical to the oracle regardless of summation order — the
-    * same exactness rule as the money columns. Output is one row per
-    * (label, dim): doubles compare natively in the driver, where a
-    * stringified vector would be at the mercy of float formatting.
+    * partial-agg shuffle on the tiny (label, dim) key space. Sums run
+    * in round(v·1e6) scaled longs — bit-identical regardless of
+    * summation order (the money-column exactness rule) — and the
+    * DECLARED output stays the integer pair (sum_micro, n) rather
+    * than a rounded mean: a mean that lands on a round-half tie
+    * (observed at sf0.1: ...349999 e-6) splits Spark's BigDecimal
+    * HALF_UP from DuckDB's float rounding. centroid = sum_micro /
+    * 1e6 / n for consumers.
     */
   def q70EmbeddingCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(coalesce(col("label"), lit(-1)).as("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(sum(round(col("v").cast("double") * lit(1000000.0)).cast("long")).as("s"),
+      .agg(sum(round(col("v").cast("double") * lit(1000000.0)).cast("long")).as("sum_micro"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("pos"),
-        round(col("s").cast("double") / lit(1000000.0) / col("n"), 6).as("centroid"))
       .orderBy("label", "pos")
 
   def q38SimilarityTopk(spark: SparkSession, dir: String,

@@ -145,8 +145,9 @@ object Pipeline {
     * hash-gate train/holdout split (~90/10, stable across runs,
     * partitionings and retries — the q63 rule). Returns the cleaned
     * corpus (with `is_train`) plus per-stage counts. Runs actions by
-    * design — the report IS the product; the heavy chain is
-    * checkpointed once and the counts read from that materialization.
+    * design — the report IS the product; each heavy stage is
+    * checkpointed once and every later stage and count reads the
+    * materialization.
     *
     * Idempotent: re-running on its own output removes nothing (exact
     * keepers are unique; surviving canonicals are pairwise below the
@@ -156,10 +157,13 @@ object Pipeline {
       docs: DataFrame, nearThreshold: Double = 0.5,
       minTokens: Int = 5): (DataFrame, CorpusReport) = {
     val input = docs.count()
+    // checkpoint each heavy stage once: every later stage AND its
+    // count reads the materialization, not a re-run of the upstream
+    // scan + shuffles (3 full corpus passes otherwise)
     val exact = docs.join(
       docs.groupBy(sha2(col("text"), 256).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id"),
-      "doc_id")
+      "doc_id").localCheckpoint()
     val nExact = exact.count()
     val labels = ops.Graph.connectedComponents(
         ops.LlmOps.ngramJaccardPairsOf(exact, nearThreshold)
@@ -168,11 +172,11 @@ object Pipeline {
     val near = exact.join(labels, Seq("doc_id"), "left")
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .drop("component")
+      .localCheckpoint()
     val cleaned = near
       .filter(size(split(col("text"), " ")) >= minTokens)
       .withColumn("is_train",
         substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
-      .localCheckpoint()
     val nQuality = cleaned.count()
     val nTrain = cleaned.filter(col("is_train")).count()
     (cleaned, CorpusReport(input, nExact, near.count(), nQuality,

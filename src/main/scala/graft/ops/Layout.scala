@@ -74,8 +74,9 @@ object Layout {
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
       path: String, nFiles: Int, bits: Int = 10): ((Long, Long), (Long, Long)) = {
     val bounds = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
-    require(!bounds.isNullAt(0),
-      s"zorderWrite: empty input, no layout to write for $path")
+    require((0 until 4).forall(!bounds.isNullAt(_)),
+      s"zorderWrite: empty input or all-NULL key column ($xCol/$yCol), " +
+        s"no layout to write for $path")
     val Array(xMin, xMax, yMin, yMax) =
       bounds.toSeq.map(v => v.asInstanceOf[Number].longValue()).toArray
     val z = zValue(

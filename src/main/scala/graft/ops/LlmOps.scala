@@ -146,13 +146,16 @@ object LlmOps {
   }
 
   /** Incremental near-dup: check a NEW batch against the persisted
-    * index without touching the historical corpus — new signatures are
-    * map-side, the band join probes the index's bucket files (band-
-    * partition-pruned), and exact verification reads only the matched
-    * docs' hash sets. Cost scales with the batch + its collisions, not
-    * with history; append the batch via `dedupIndexWrite(_, _,
-    * "append")` once its survivors are admitted. Returns
-    * (doc_a = historical dup, doc_b = new doc, jaccard).
+    * index AND against itself without touching the historical corpus —
+    * new signatures are map-side, the band join probes the index's
+    * bucket files (band-partition-pruned), the within-batch self-join
+    * is batch-sized, and exact verification reads only matched docs'
+    * hash sets. (Without the self pairs, two near-identical docs that
+    * both arrive in the same batch would BOTH be admitted.) Cost
+    * scales with the batch + its collisions, not with history; append
+    * the batch via `dedupIndexWrite(_, _, "append")` once its
+    * survivors are admitted. Returns (doc_a = historical-or-earlier
+    * dup, doc_b = new doc, jaccard).
     */
   def dedupIncremental(spark: SparkSession, newDocs: DataFrame,
       indexPath: String, threshold: Double = 0.8): DataFrame = {
@@ -160,13 +163,17 @@ object LlmOps {
     val newBuckets = bandBuckets(newHs)
     val idxBuckets = spark.read.parquet(s"$indexPath/buckets")
     val idxHs = spark.read.parquet(s"$indexPath/hs")
-    val cand = idxBuckets.as("a").join(newBuckets.as("b"),
+    val histCand = idxBuckets.as("a").join(newBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, idxHs, newHs, threshold)
-      .orderBy("doc_a", "doc_b")
+    val selfCand = newBuckets.as("a").join(newBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hist = verifyJaccard(histCand.distinct(), idxHs, newHs, threshold)
+    val self = verifyJaccard(selfCand.distinct(), newHs, newHs, threshold)
+    hist.unionByName(self).orderBy("doc_a", "doc_b")
   }
 
   /** Exact shingle Jaccard for an explicit pair list: intersection via
@@ -572,9 +579,13 @@ object LlmOps {
     * need no re-normalization between rounds.
     */
   def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): Array[(Int, Array[Float])] = {
-    var cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    // seed from the nCells smallest vec_ids (deterministic, id-range
+    // agnostic — `vec_id < nCells` would silently yield ZERO seeds on
+    // a corpus whose ids don't start at 0), relabelled to dense cids
+    var cents = emb.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(nCells).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     for (_ <- 0 until iters) {
       val assigned = emb.withColumn("cell", bestCellOf(centroidScores(cents)))
       val means = assigned.select(col("cell"), posexplode(col("embedding")))
@@ -657,9 +668,13 @@ object LlmOps {
       cents.toSeq.toDF("cid", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     }
+    // plain full-directory overwrite for a rebuild — DYNAMIC overwrite
+    // would leave stale cell=N directories behind whenever the new
+    // clustering assigns no vectors to a cell, and probes would then
+    // return vectors no longer in the corpus
     emb.withColumn("cell", bestCellOf(centroidScores(cents)))
       .repartition(col("cell"))
-      .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+      .write.mode(mode)
       .partitionBy("cell").parquet(s"$indexPath/vectors")
   }
 
@@ -675,7 +690,8 @@ object LlmOps {
     * batch and cell sizes, never with the whole indexed corpus.
     */
   def annIncremental(spark: SparkSession, queries: DataFrame,
-      indexPath: String, k: Int = 5, nProbe: Int = 4): DataFrame = {
+      indexPath: String, k: Int = 5, nProbe: Int = 4,
+      excludeQueryId: Boolean = true): DataFrame = {
     val scored = centroidScores(readCentroids(spark, indexPath))
     // centroidScores reads the row's `nsq` prenorm — alias to qnsq in
     // the SAME select (resolution is against the child, as in q49)
@@ -687,7 +703,10 @@ object LlmOps {
           x => x.getField("cid"))).as("cell"))
     spark.read.parquet(s"$indexPath/vectors")
       .join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+      // self-exclusion only makes sense when queries ARE indexed
+      // vectors (the q38/q49 shape); disable it for an external query
+      // table whose ids could collide with unrelated indexed ids
+      .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
           col("qnsq"), col("nsq")), 6).as("cos"))

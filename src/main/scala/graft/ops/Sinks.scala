@@ -57,8 +57,14 @@ object Sinks {
     // Spark 3 — same guard as Skew.rowSalt).
     val hashCols = df.schema.fields
       .filter(f => Skew.hashSupported(f.dataType)).map(f => col(f.name))
-    val rowHash =
-      if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols.toIndexedSeq: _*)
+    // refuse rather than degrade: a constant bucket would collapse
+    // every partition to ONE file — the size contract compact exists
+    // to enforce. (Contrast Skew.rowSalt, where a degenerate constant
+    // salt is still CORRECT; here the file layout IS the output.)
+    require(hashCols.nonEmpty,
+      "compact: no hash-supported columns to bucket rows by " +
+        "(all-map schema?) — project a hashable key column first")
+    val rowHash = xxhash64(hashCols.toIndexedSeq: _*)
     val withBudget = df.join(broadcast(counts), partCol)
       .withColumn("__files", ceil(col("cnt").cast("double") / lit(targetRowsPerFile.toDouble)).cast("int"))
       .withColumn("__bucket", pmod(rowHash, col("__files").cast("long")))

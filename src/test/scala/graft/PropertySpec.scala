@@ -124,4 +124,53 @@ class PropertySpec extends AnyFunSuite {
         && direct.exceptAll(twoPhase).count() === 0, s"n=$n buckets=$buckets")
     }
   }
+
+  test("MisraGries: retention guarantee holds on random skewed corpora (pure)") {
+    val corpusGen = for {
+      nDistinct <- Gen.chooseNum(5, 60)
+      counts <- Gen.listOfN(nDistinct, Gen.chooseNum(1, 40))
+    } yield counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(s"t$i") }
+    samples(corpusGen, 25).foreach { corpus =>
+      val k = 8
+      val agg = new graft.ops.Sketches.MisraGries(k)
+      val n = corpus.size.toLong
+      // split into 4 partial summaries then merge — exercises the
+      // mergeable path, not just sequential reduce
+      val parts = corpus.grouped(math.max(1, corpus.size / 4)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = parts.foldLeft(agg.zero)(agg.merge)
+      val cand = agg.finish(merged).toSet
+      assert(cand.size <= k)
+      val exact = corpus.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      exact.foreach { case (t, c) =>
+        if (c > n / (k + 1)) assert(cand(t), s"dropped $t ($c of $n)")
+      }
+    }
+  }
+
+  test("connectedComponents == union-find on random graphs (varied seeds)") {
+    val edgeGen = for {
+      nNodes <- Gen.chooseNum(2, 60)
+      nEdges <- Gen.chooseNum(0, 80)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0, nNodes - 1)
+        b <- Gen.chooseNum(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter { case (a, b) => a != b }
+    samples(edgeGen, 6).foreach { edges =>
+      val got = graft.ops.Graph.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      assert(got === want, s"edges=$edges")
+    }
+  }
 }

@@ -70,11 +70,14 @@ object Graph {
     * safety rail far above the O(log² n) bound; non-convergence throws
     * rather than returning partial labels.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    var e = edges
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val base = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // callers whose edge list is distinct by construction (q61: a
+    // groupBy output) skip one shuffle here
+    var e = (if (assumeDistinct) base else base.distinct())
       .localCheckpoint()
     var eCount = e.count()
     var converged = false

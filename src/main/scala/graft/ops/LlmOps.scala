@@ -328,7 +328,8 @@ object LlmOps {
       threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir, threshold, maxDocs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = Graph.connectedComponents(pairs)
+    // pairs are distinct by construction (groupBy output, a < b)
+    val labels = Graph.connectedComponents(pairs, assumeDistinct = true)
       .withColumnRenamed("node", "doc_id")
     Tables.documents(spark, dir).filter(col("doc_id") < maxDocs)
       .select(col("doc_id"))

@@ -112,8 +112,13 @@ object Skew {
     * answers identically to the direct aggregation.
     */
   def q57SkewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
-    saltedCountSum(graft.Tables.events(spark, dir), col("user_id"),
-        Relational.cents(col("value")))
+    // project BEFORE salting: rowSalt hashes every hash-supported
+    // column of its input, so an unprojected events frame would drag
+    // the full table width (incl. the JSON props) through the scan
+    // just to compute the salt; event_id keeps the salt basis unique
+    saltedCountSum(
+        graft.Tables.events(spark, dir).select("user_id", "event_id", "value"),
+        col("user_id"), Relational.cents(col("value")))
       .select(col("key").as("user_id"), col("n"), col("s").as("sum_cents"))
       .orderBy("user_id")
 

@@ -31,6 +31,29 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(path)
 
+  /** Training-shard export: write exactly `nShards` files, rows
+    * assigned to shards by a DETERMINISTIC key hash (stable across
+    * runs, partitionings and task retries — the same rule as every
+    * shuffle key in this library) and sorted within each shard by
+    * `orderCols`. This is the hand-off a sequential training consumer
+    * wants: reproducible shard membership for resumable epochs, local
+    * ordering for curriculum/session contiguity, bounded shard count
+    * for the data-loader fan-in. One range-free shuffle + in-partition
+    * sort — no global ordering is paid for.
+    */
+  def exportShards(df: DataFrame, shardKey: String,
+      orderCols: Seq[String], nShards: Int, path: String): Unit =
+    // shard id is an EXPLICIT partition value (shard=K directories),
+    // not a task index: a plain repartition(n, expr) re-hashes the
+    // expression so shard→task is opaque and empty tasks silently
+    // drop shards. The directory layout also gives readers shard
+    // pruning. Sort keys start with the shard so a task holding
+    // several shards still writes each directory's file in order.
+    df.withColumn("__shard", pmod(xxhash64(col(shardKey)), lit(nShards.toLong)))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(("__shard" +: orderCols).map(col): _*)
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
+
   /** Small-file compaction: rewrite a partitioned dataset so each
     * partition directory holds ~`targetRowsPerFile` rows per file
     * (computed per partition from actual counts — a skewed hot date

@@ -39,18 +39,29 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // ms precision keeps the single JSON line short enough to survive
-    // tail-window capture by the harness (full doubles pushed the line
-    // past the captured tail in round 2 → unparseable)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // stdout under sbt gets an [info] prefix; also drop the raw JSON
-    // into a file so the harness can parse `value` without scraping.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    // Full-name JSON goes to bench_out.json (no length constraint) so
+    // anyone inspecting the run sees the complete query identifiers.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullJson + "\n")
+    // The stdout line is captured by the harness through a 2000-char
+    // tail window (rounds 3-4: the 74-query full-name line ran ~2300
+    // chars, the window clipped the line's head, and the harness
+    // recorded parsed:null). Shorten the per-query keys to their
+    // unique qNN prefix and values to centi-second precision so the
+    // line stays well under the window even after the trailing sbt
+    // "[success] ..." line (~90 chars) is included.
+    val shortQs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failedJson,"sf":"$sfDir"}"""
+    if (json.length > 1850)
+      System.err.println(s"[bench] WARNING stdout JSON line is ${json.length} chars; tail window is 2000")
     println(json)
     spark.stop()
   }

@@ -117,6 +117,74 @@ object Pipeline {
       (element_at(col("ids"), -1) - lit(1)).as("y"))
   }
 
+  /** Keras-`Tokenizer` OOV id: `oov_token='<UNK>'` always occupies
+    * index 1 of `word_index` (my_dbt_flow.py:326-333), known tokens
+    * start at 2, and 0 stays reserved for padding.
+    */
+  val OovId = 1
+
+  /** Fit a vocabulary on the TRAIN split only — the reference's
+    * `tokenizer.fit_on_texts(train_sessions)` (my_dbt_flow.py:326-335)
+    * as a relational contract: ids 2..V+1 by frequency desc, token asc
+    * (our declared tie-break replacing Keras insertion order), with id
+    * [[OovId]] reserved for `<UNK>`. Two-phase globalRowNumber — no
+    * single-partition window even at web-corpus vocabulary sizes.
+    *
+    * @param tokens one row per token OCCURRENCE (the frequency source),
+    *               e.g. the posexploded train split
+    * @return (tokenCol, id) — one row per DISTINCT known token
+    */
+  def fitVocab(tokens: DataFrame, tokenCol: String = "token"): DataFrame =
+    ops.Features.globalRowNumber(
+        tokens.groupBy(tokenCol).agg(count(lit(1)).as("freq")),
+        "id", 32, desc("freq"), asc(tokenCol))
+      .select(col(tokenCol), (col("id") + lit(1)).cast("int").as("id"))
+
+  /** `VOCAB_SIZE = len(tokenizer.word_index)` (my_dbt_flow.py:335):
+    * distinct known tokens PLUS the `<UNK>` entry.
+    */
+  def vocabSize(vocab: DataFrame): Long = vocab.count() + 1
+
+  /** Encode token occurrences through a fitted vocab — the reference's
+    * `texts_to_sequences` on a vocab fitted elsewhere: LEFT join +
+    * coalesce to [[OovId]], so a test-split token unseen at fit time
+    * maps to `<UNK>` instead of silently dropping its row (the
+    * inner-join trap: an inner join here would DELETE unseen-SKU
+    * events from the encoded session). Vocab is broadcast — it is
+    * bounded by distinct-token count, not corpus size.
+    */
+  def encode(toks: DataFrame, vocab: DataFrame, tokenCol: String = "token"): DataFrame = {
+    // the vocab's first column is its token column whatever it was
+    // named at fit time; align it with this side's tokenCol so the
+    // USING join resolves
+    val v = vocab.select(
+      col(vocab.columns(0)).as(tokenCol), col(vocab.columns(1)).as("id"))
+    toks.join(broadcast(v), Seq(tokenCol), "left")
+      .withColumn("id", coalesce(col("id"), lit(OovId)))
+  }
+
+  /** [[features]] with an externally fitted vocab — the reference's
+    * train/test workflow: fit on train ([[fitVocab]]), encode BOTH
+    * splits through that vocab with OOV mapping. Same tensor contract
+    * as [[features]] (x left-padded, 0 = pad, y = last id − 1) except
+    * ids are the OOV-aware 2-based kind, so an unseen trailing SKU
+    * yields y = OovId − 1 = 0 — the `<UNK>` class, exactly what the
+    * reference's `s[-1]-1` computes for an OOV tail.
+    */
+  def featuresWithVocab(sessions: DataFrame, vocab: DataFrame,
+      maxLen: Int = 20): DataFrame = {
+    val toks = sessions.select(col("session_id"), posexplode(col("interactions")))
+      .withColumnRenamed("col", "sku")
+    val enc = encode(toks, vocab, "sku")
+      .groupBy("session_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id")).as("ids"))
+    enc.select(
+      col("session_id"),
+      ops.Scalars.padTo(slice(col("ids"), lit(1), size(col("ids")) - 1), maxLen, lit(0)).as("x"),
+      (element_at(col("ids"), -1) - lit(1)).as("y"))
+  }
+
   /** Full chain on a raw append-only log.
     *
     * NOT plan-only: the features stage runs bounded Spark jobs at

@@ -98,7 +98,8 @@ object SparkEntry {
     "q70_embedding_centroids" -> LlmOps.q70EmbeddingCentroids _,
     "q71_transition_matrix" -> Features.q71TransitionMatrix _,
     "q72_anomaly_flags" -> ((s: SparkSession, d: String) => Scalars.q72AnomalyFlags(s, d)),
-    "q73_dedup_fuzzy" -> ((s: SparkSession, d: String) => LlmOps.q73DedupFuzzy(s, d))
+    "q73_dedup_fuzzy" -> ((s: SparkSession, d: String) => LlmOps.q73DedupFuzzy(s, d)),
+    "q74_vocab_oov" -> Features.q74VocabOov _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -419,6 +420,12 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
         |FROM d a JOIN d b ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.lb = b.lb AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 30 ORDER BY doc_a, doc_b""".stripMargin,
+    "q74_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, p - 1 AS pos, sp[p] AS token FROM (SELECT doc_id, sp, unnest(range(1, len(sp) + 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t0) t1),
+        |tr AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM documents),
+        |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) + 1 AS INTEGER) AS id FROM tok JOIN tr USING (doc_id) WHERE tr.is_train GROUP BY token),
+        |enc AS (SELECT t.doc_id, string_agg(CAST(COALESCE(v.id, 1) AS VARCHAR), '|' ORDER BY t.pos) AS ids FROM tok t LEFT JOIN vocab v ON t.token = v.token GROUP BY t.doc_id)
+        |SELECT e.doc_id, tr.is_train, e.ids FROM enc e JOIN tr USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

@@ -196,6 +196,35 @@ object Features {
       .orderBy("doc_id")
   }
 
+  /** #74 Train-split-only vocabulary + OOV token — the reference's
+    * actual tokenizer workflow (my_dbt_flow.py:326-340): fit
+    * `Tokenizer(oov_token='<UNK>')` on the TRAIN split only, then
+    * encode EVERY document through that vocab, with tokens unseen at
+    * fit time mapping to `<UNK>` = id 1 (known ids start at 2, 0
+    * stays reserved for pad). The train membership gate is the q63
+    * deterministic md5 rule (~90%), so the split is reproducible
+    * across runs and engines. Encoding is a LEFT join + coalesce —
+    * an inner join here would silently DROP unseen-token rows, the
+    * one reference-semantics divergence round 3 left open.
+    * Scale shape: vocab is fit via two-phase globalRowNumber (no
+    * single-partition window) and broadcast for the encode.
+    */
+  def q74VocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("is_train",
+        substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
+      .select(col("doc_id"), col("is_train"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "token")
+    val vocab = graft.Pipeline.fitVocab(toks.filter(col("is_train")).select("token"))
+    graft.Pipeline.encode(toks, vocab)
+      .groupBy("doc_id", "is_train")
+      .agg(concat_ws("|", transform(
+        array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id").cast("string"))).as("ids"))
+      .select("doc_id", "is_train", "ids")
+      .orderBy("doc_id")
+  }
+
   /** #31 HR@k (my_reclist.py:18-26): share of rows whose label appears
     * in the top-k prediction list. The declared query builds a
     * deterministic synthetic prediction list (uuid-free) and reduces

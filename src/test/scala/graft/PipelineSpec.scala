@@ -112,6 +112,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(featPlan.contains("raw_data") || featPlan.contains("LocalRelation"), featPlan)
   }
 
+  test("fitVocab/encode: train-only vocab, unseen test SKU -> OOV id 1, no dropped rows") {
+    // train sessions cover {sku_a, sku_b, sku_c}; sku_a appears twice
+    val train = Seq(
+      ("t1", Seq("sku_a", "sku_b", "sku_a")),
+      ("t2", Seq("sku_c", "sku_a"))
+    ).toDF("session_id", "interactions")
+    // test session ends in a SKU the train split never saw
+    val test = Seq(
+      ("u1", Seq("sku_b", "sku_zzz", "sku_a")),
+      ("u2", Seq("sku_never", "sku_never2"))
+    ).toDF("session_id", "interactions")
+    val trainToks = train.select(posexplode(col("interactions")))
+      .withColumnRenamed("col", "token").select("token")
+    val vocab = Pipeline.fitVocab(trainToks)
+    // Keras parity: <UNK> holds id 1, known ids start at 2 by freq
+    // desc / token asc -> a=2 (freq 3), b=3, c=4 (freq 1, token asc)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v === Map("sku_a" -> 2, "sku_b" -> 3, "sku_c" -> 4))
+    assert(Pipeline.vocabSize(vocab) === 4) // 3 known + <UNK>
+    // encode the TEST split through the TRAIN vocab: unseen tokens map
+    // to OOV, and crucially no token row disappears
+    val testToks = test.select(col("session_id"), posexplode(col("interactions")))
+      .withColumnRenamed("col", "sku")
+    val enc = Pipeline.encode(testToks, vocab, "sku")
+    assert(enc.count() === 5) // all 5 test token rows survive
+    val u1 = enc.filter(col("session_id") === "u1").orderBy("pos")
+      .select("id").as[Int].collect().toSeq
+    assert(u1 === Seq(3, Pipeline.OovId, 2)) // b=3, zzz=OOV, a=2
+    // featuresWithVocab: an all-OOV session still yields a row, with
+    // x ids OOV-mapped and y = OovId - 1 = 0 (the <UNK> class)
+    val f = Pipeline.featuresWithVocab(test, vocab, maxLen = 3)
+      .orderBy("session_id").collect()
+    assert(f.length === 2)
+    val byId = f.map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getInt(2)))).toMap
+    assert(byId("u1") === ((Seq(0, 3, Pipeline.OovId), 2 - 1)))
+    assert(byId("u2") === ((Seq(0, 0, Pipeline.OovId), Pipeline.OovId - 1)))
+  }
+
   test("prepareCorpus: monotone stage counts, reproducible split, idempotent") {
     val docs = Tables.documents(spark, SharedSpark.sfTiny)
     val (cleaned, r) = Pipeline.prepareCorpus(spark, docs)

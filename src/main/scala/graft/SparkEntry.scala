@@ -99,7 +99,9 @@ object SparkEntry {
     "q71_transition_matrix" -> Features.q71TransitionMatrix _,
     "q72_anomaly_flags" -> ((s: SparkSession, d: String) => Scalars.q72AnomalyFlags(s, d)),
     "q73_dedup_fuzzy" -> ((s: SparkSession, d: String) => LlmOps.q73DedupFuzzy(s, d)),
-    "q74_vocab_oov" -> Features.q74VocabOov _
+    "q74_vocab_oov" -> Features.q74VocabOov _,
+    "q75_dedup_clusters_lsh" -> ((s: SparkSession, d: String) => LlmOps.q75DedupClustersLsh(s, d)),
+    "q76_skew_salted_join" -> graft.ops.Skew.q76SkewSaltedJoin _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -315,6 +317,11 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q76_skew_salted_join" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q58_pivot" ->
       """SELECT o_orderpriority,
         |CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,

@@ -339,6 +339,30 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Declared q75: transitive dedup clusters over the UNCAPPED corpus,
+    * with pairs from q37's MinHash-LSH detector instead of q61's capped
+    * exact twin. This is the 100 TB composition the q61 scaladoc
+    * promises: banded LSH keeps candidate generation linear in corpus
+    * size, exact-Jaccard verification bounds false positives, and the
+    * alternating-star components run on the (tiny) pair set only. No
+    * DuckDB oracle (xxhash64-seeded, like q37); LlmOpsSpec asserts the
+    * clustering equals q61's on the corpus where the cap doesn't bite,
+    * and ranges over the same detector-agnostic Graph labels.
+    */
+  def q75DedupClustersLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = q37DedupNearMinhash(spark, dir, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // distinct by construction: q37 emits each a < b pair once
+    val labels = Graph.connectedComponents(pairs, assumeDistinct = true)
+      .withColumnRenamed("node", "doc_id")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Declared q73: fuzzy (edit-distance) dedup — the OCR-noise /
     * typo-variant detector that token-set methods (#36/#47) and
     * shingle methods (#37/#40) both miss, since one character flip

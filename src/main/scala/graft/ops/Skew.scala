@@ -129,4 +129,26 @@ object Skew {
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Declared q76: [[saltedJoin]] as a driver-verified query — the
+    * event log (skewed big side) joined to customers through the salt
+    * spread, rolled up per market segment. Like q57, the salt is
+    * invisible in the result (each big-side row meets exactly the one
+    * small-side replica carrying its salt), so the oracle is the PLAIN
+    * join + GROUP BY — the hash-green row proves the skew path answers
+    * identically to the direct join. Projection before salting keeps
+    * the salt basis narrow (and event_id keeps it unique), same trap
+    * q57 documents.
+    */
+  def q76SkewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "event_id", "value")
+    val cust = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    saltedJoin(ev, cust, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(Relational.cents(col("value"))).as("sum_cents"))
+      .orderBy("c_mktsegment")
+  }
 }

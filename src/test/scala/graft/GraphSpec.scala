@@ -70,4 +70,16 @@ class GraphSpec extends AnyFunSuite {
     // cluster id is a member of its own cluster (the canonical doc)
     labels.values.toSet.foreach { c: Long => assert(labels(c) === c) }
   }
+
+  test("q75: uncapped LSH-pair clustering equals q61 where the cap doesn't bite") {
+    // sf0.001 has 500 docs, all under q61's maxDocs=5000 cap, so the
+    // two detectors see the same corpus; at J>=0.5 the test corpus's
+    // near-dup pairs are all found by the banded LSH (q37 spec pins
+    // LSH == brute force), so the component structures must agree
+    val exact = LlmOps.q61DedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = LlmOps.q75DedupClustersLsh(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh === exact)
+  }
 }

@@ -28,6 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** One Misra-Gries prune step: subtract the (capacity+1)-th largest
+    * count from every entry and drop the non-positive — ≤ capacity
+    * survivors, each true count under-estimated by at most
+    * n/(capacity+1) in total. Shared by the [[MisraGries]] Aggregator
+    * and [[StatefulTopK]]'s sketched streaming state, so the two
+    * cannot drift.
+    */
+  private[ops] def mgPrune(m: Map[String, Long], capacity: Int): Map[String, Long] =
+    if (m.size <= capacity) m
+    else {
+      val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+      m.collect { case (t, c) if c > cut => t -> (c - cut) }
+    }
+
   /** Capacity-bounded Misra-Gries summary as a typed `Aggregator`.
     * Buffer is an opaque kryo map (never a declared output column);
     * the result surfaces as a typed array of candidate tokens —
@@ -37,15 +51,8 @@ object Sketches {
       extends Aggregator[String, Map[String, Long], Seq[String]] {
     def zero: Map[String, Long] = Map.empty
 
-    // Subtract the (capacity+1)-th largest count from every entry and
-    // drop the non-positive: ≤ capacity survivors, each true count
-    // under-estimated by at most n/(capacity+1) in total.
     private def prune(m: Map[String, Long]): Map[String, Long] =
-      if (m.size <= capacity) m
-      else {
-        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
-        m.collect { case (t, c) if c > cut => t -> (c - cut) }
-      }
+      mgPrune(m, capacity)
 
     def reduce(b: Map[String, Long], a: String): Map[String, Long] =
       prune(b.updated(a, b.getOrElse(a, 0L) + 1L))

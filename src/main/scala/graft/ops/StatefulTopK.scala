@@ -68,6 +68,45 @@ object StatefulTopK {
     }
   }
 
+  /** [[transition]] with Misra-Gries state instead of the exact map —
+    * the high-cardinality form the exact variant's scaladoc promises:
+    * state per open day is O(capacity) regardless of how many distinct
+    * ranked keys the day sees (per-SKU at web scale), at the standard
+    * MG price — emitted counts are lower bounds short by at most
+    * n_day/(capacity+1) in total, and the ranking is exact whenever
+    * adjacent true counts are separated by more than that slack (a
+    * top-k consumer sizes capacity ≫ k so heavy hitters clear it
+    * easily). Same flush contract as [[transition]]; the micro-batch
+    * folds through [[Sketches.mgPrune]] every 4×capacity insertions so
+    * state stays bounded even inside one huge batch.
+    */
+  def transitionSketched(k: Int, capacity: Int, flushTrailing: Boolean)(
+      day: java.sql.Date, it: Iterator[DayEv],
+      state: GroupState[TState]): Iterator[TopRow] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit(day, k, _)).getOrElse(Iterator.empty)
+      state.remove()
+      return out
+    }
+    var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+    var dayEnd = state.getOption.map(_.dayEndMs).getOrElse(0L)
+    it.foreach { e =>
+      counts = counts.updated(e.event_type, counts.getOrElse(e.event_type, 0L) + 1L)
+      if (counts.size > capacity * 4) counts = Sketches.mgPrune(counts, capacity)
+      dayEnd = math.max(dayEnd, e.day_end_ms)
+    }
+    val st = TState(Sketches.mgPrune(counts, capacity), dayEnd)
+    if (flushTrailing) {
+      state.remove()
+      emit(day, k, st)
+    } else {
+      state.update(st)
+      state.setTimeoutTimestamp(
+        math.max(st.dayEndMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
   private def toDayEvents(events: DataFrame)(implicit spark: SparkSession): Dataset[DayEv] = {
     import spark.implicits._
     events.select(to_date(col("ts")).as("day"), col("event_type"),
@@ -96,6 +135,28 @@ object StatefulTopK {
       .groupByKey(_.day)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         transition(k, flushTrailing = false))
+  }
+
+  /** Batch form of the sketched ranking (groups complete). */
+  def topkSketchedBatch(spark: SparkSession, events: DataFrame,
+      k: Int = 2, capacity: Int = 64): Dataset[TopRow] = {
+    import spark.implicits._
+    toDayEvents(events)(spark)
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        transitionSketched(k, capacity, flushTrailing = true))
+  }
+
+  /** Streaming form of the sketched ranking: O(capacity) state per
+    * open day, days emit on event-time timeout exactly once each.
+    */
+  def topkSketchedStream(spark: SparkSession, events: DataFrame,
+      k: Int = 2, capacity: Int = 64): Dataset[TopRow] = {
+    import spark.implicits._
+    toDayEvents(events)(spark)
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        transitionSketched(k, capacity, flushTrailing = false))
   }
 
   /** Declared q65: the custom-state ranking driven as a deterministic

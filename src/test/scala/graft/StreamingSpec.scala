@@ -138,6 +138,105 @@ class StreamingSpec extends AnyFunSuite {
     assert(dup === 0)
   }
 
+  test("sketched top-k: tail beyond capacity still yields the exact ranking") {
+    // heavy hitters separated by far more than the MG slack, plus a
+    // singleton tail an order of magnitude wider than the capacity —
+    // the configuration the sketched variant exists for
+    def burst(d: String, n: Int, t: String) =
+      (1 to n).map(_ => (t, java.sql.Timestamp.valueOf(s"$d 12:00:00")))
+    val rows =
+      burst("2024-01-01", 500, "hot_a") ++ burst("2024-01-01", 300, "hot_b") ++
+        burst("2024-01-01", 100, "hot_c") ++
+        (1 to 200).map(i => (f"tail_$i%04d", java.sql.Timestamp.valueOf("2024-01-01 13:00:00"))) ++
+      burst("2024-01-02", 400, "hot_b") ++ burst("2024-01-02", 250, "hot_a") ++
+        burst("2024-01-02", 120, "hot_c") ++
+        (1 to 150).map(i => (f"tl2_$i%04d", java.sql.Timestamp.valueOf("2024-01-02 09:00:00")))
+    val ev = rows.toDF("event_type", "ts")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val capacity = 16
+    val exact = graft.ops.StatefulTopK.topkBatch(spark, ev, k = 3).toDF().cache()
+    val sk = graft.ops.StatefulTopK.topkSketchedBatch(spark, ev, k = 3, capacity = capacity)
+      .toDF().cache()
+    // the RANKING is exact: count gaps (>=100) clear the slack (<=65)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("day", "rnk", "event_type").collect().map(_.mkString("|")).toSet
+    assert(triples(sk) === triples(exact))
+    assert(triples(exact).size === 6) // 2 days x k=3
+    // counts are lower bounds within the per-day MG slack n/(cap+1)
+    val dayTotals = ev.groupBy(to_date(col("ts")).as("day")).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val exactN = exact.collect()
+      .map(r => (r.getDate(0).toString, r.getString(2)) -> r.getLong(3)).toMap
+    sk.collect().foreach { r =>
+      val key = (r.getDate(0).toString, r.getString(2))
+      val slack = dayTotals(key._1) / (capacity + 1) + 1
+      assert(r.getLong(3) <= exactN(key))
+      assert(exactN(key) - r.getLong(3) <= slack,
+        s"$key off by ${exactN(key) - r.getLong(3)} > $slack")
+    }
+  }
+
+  test("sketched top-k: exactly-once across a checkpointed restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // the q65 restart harness with Misra-Gries state: distinct types
+    // stay under capacity here so the sketch is exact and equality is
+    // strict — what this proves is that the MG map round-trips the
+    // state checkpoint and open days resume their counts
+    val base = Files.createTempDirectory("graft_topk_sk_restart").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val types = Seq("a", "b", "c", "d", "e")
+    val rows = for {
+      d <- 1 to 3
+      (t, i) <- types.zipWithIndex
+      _ <- 1 to (10 - 2 * i + d)
+    } yield (t, java.sql.Timestamp.valueOf(f"2024-02-0$d%d ${8 + i}%02d:00:00"))
+    val ev = rows.toDF("event_type", "ts")
+      .withColumn("ts_ms", unix_millis(col("ts"))).cache()
+    val mid = ev.agg(percentile_approx(col("ts_ms"), lit(0.5), lit(100))).collect()(0).getLong(0)
+    val maxMs = ev.agg(max("ts_ms")).collect()(0).getLong(0)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$base/in_$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("event_type STRING, ts TIMESTAMP, ts_ms LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+      val q = graft.ops.StatefulTopK.topkSketchedStream(spark,
+          src.withWatermark("ts", "0 seconds"), k = 2, capacity = 8).toDF()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeOne(ev.filter(col("ts_ms") <= mid), "b1")
+    runOnce()
+    writeOne(ev.filter(col("ts_ms") > mid), "b2")
+    writeOne(Seq(("zz_sentinel", new java.sql.Timestamp(maxMs + 86400L * 1000 * 10), maxMs + 86400L * 1000 * 10))
+      .toDF("event_type", "ts", "ts_ms"), "b3")
+    Seq("b1", "b2", "b3").zipWithIndex.foreach { case (n, i) =>
+      Files.setLastModifiedTime(Paths.get(s"$base/in_$n.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000))
+    }
+    runOnce()
+    val got = spark.read.parquet(out)
+      .filter(col("event_type") =!= "zz_sentinel")
+      .collect().map(_.mkString("|")).toSet
+    val want = graft.ops.StatefulTopK.topkSketchedBatch(spark, ev, k = 2, capacity = 8)
+      .toDF().collect().map(_.mkString("|")).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    val dup = spark.read.parquet(out).groupBy("day", "rnk").count()
+      .filter(col("count") > 1).count()
+    assert(dup === 0)
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

@@ -73,7 +73,7 @@ object SparkEntry {
     "q45_lang_id" -> LlmOps.q45LangId _,
     "q46_token_count_bpe" -> LlmOps.q46TokenCountBpe _,
     "q47_doc_fingerprint" -> LlmOps.q47DocFingerprint _,
-    "q48_multimodal_stub" -> LlmOps.q48MultimodalStub _,
+    "q48_multimodal_decode" -> LlmOps.q48MultimodalDecode _,
     "q49_simsearch_ivf" -> ((s: SparkSession, d: String) => LlmOps.q49SimsearchIvf(s, d)),
     "q50_multimodal_frames" -> ((s: SparkSession, d: String) => LlmOps.q50MultimodalFrames(s, d)),
     "q51_sources_roundtrip" -> Relational.q51SourcesRoundtrip _,
@@ -107,7 +107,7 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same parquet tables registered by
     * name). Omitted: q02/q03 (sinks, smoke-only), q14 (approximate),
     * q37/q41/q43 (xxhash64-seeded candidate generation — verified in
-    * ScalaTest against exact twins q40/q47/q38), q48 (binary stub).
+    * ScalaTest against exact twins q40/q47/q38), q48 (binary media).
     */
   def oracleSql: Map[String, String] = Map(
     "q00_flagship_sessionize" ->

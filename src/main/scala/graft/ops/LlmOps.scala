@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -842,72 +842,150 @@ object LlmOps {
   // -- multimodal binary columns ------------------------------------
 
   case class MediaRow(doc_id: Long, mime: String, media: Array[Byte])
-  /** `feature` is the fixed-width decode output joined to a pipe
-    * string: declared outputs are scalar-only (driver sort gate); the
-    * in-flight representation inside the mapPartitions stays a typed
-    * Array[Double].
+  /** `feature` is the per-mime fixed-width decode output joined to a
+    * pipe string of integers: declared outputs are scalar-only
+    * (driver sort gate) and integer features are bit-stable across
+    * engines; the in-flight representation inside the mapPartitions
+    * stays a typed Array[Long].
     */
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
       checksum: Long, feature: String)
-
-  /** Multimodal pipeline plumbing: opaque `binary` payload column +
-    * typed metadata, "decoded" per-partition into a feature row.
-    *
-    * STUB: the decode step is a deterministic fake (byte stats — the
-    * real image/audio codecs are not in this container). The
-    * Spark-side contract is real and tested: binary schema, typed
-    * Dataset boundary, partition-batched iteration (no per-row JNI
-    * setup at scale, no driver collect), fixed-width feature output.
-    */
   case class FrameRow(doc_id: Long, frame_idx: Int, offset: Int, frame_hash: Long)
 
-  /** Frame sampling over binary media: each payload yields one typed
-    * row per fixed-stride "frame" (flatMap over partitions — the
-    * explode-shaped half of the multimodal surface; decode itself is
-    * the same deterministic STUB as q48, the real codec would replace
-    * the per-frame hash). Output size is data-dependent but bounded
-    * by payload bytes / stride — the partition-batched iteration
-    * never materializes a document's frames in driver memory.
+  private def mediaChecksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
+
+  /** Deterministic mixed-media corpus: every third document becomes a
+    * real 16×16 24-bit BMP (pixels cycle the text bytes), every third
+    * an 8 kHz mono 16-bit WAV (one centered sample per text byte),
+    * the rest stay raw UTF-8 text. Synthesis happens executor-side in
+    * the same `mapPartitions` shape a real ingest would use — the
+    * driver never sees a payload. This is the fixture generator AND
+    * the declared queries' input, so the REAL decoders below are
+    * exercised by the driver gate, not just specs.
+    */
+  def mediaPayloads(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, txt) =>
+          (id % 3) match {
+            case 0 =>
+              val rgb = new Array[Byte](16 * 16 * 3)
+              var i = 0
+              while (i < rgb.length) {
+                rgb(i) = if (txt.isEmpty) 0 else txt(i % txt.length); i += 1
+              }
+              MediaRow(id, "image/bmp", Media.encodeBmp(16, 16, rgb))
+            case 1 =>
+              val samples = new Array[Short](math.max(1, txt.length))
+              var i = 0
+              while (i < txt.length) {
+                samples(i) = (((txt(i) & 0xFF) - 128) * 256).toShort; i += 1
+              }
+              MediaRow(id, "audio/wav", Media.encodeWav(8000, 1, samples))
+            case _ => MediaRow(id, "text/plain", txt)
+          }
+        }
+      }
+  }
+
+  /** Decode features per payload, dispatching REAL codecs by mime
+    * ([[Media.decodeBmp]] / [[Media.decodeWav]] — pure-JVM parsers,
+    * not fakes): BMP → [width, height, mean R|G|B in milli-units],
+    * WAV → [sample rate, channels, sample count, RMS in micro-units],
+    * text → byte stats. Partition-batched iteration (one codec scope
+    * per partition, no per-row setup, no driver collect); feature
+    * vectors are integers so the output is engine-bit-stable.
+    */
+  def mediaFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val feat: Array[Long] = r.mime match {
+          case "image/bmp" =>
+            val img = Media.decodeBmp(r.media)
+            val n = img.width.toLong * img.height
+            var rAcc = 0L; var gAcc = 0L; var bAcc = 0L
+            var i = 0
+            while (i < img.rgb.length) {
+              rAcc += img.rgb(i) & 0xFF; gAcc += img.rgb(i + 1) & 0xFF
+              bAcc += img.rgb(i + 2) & 0xFF; i += 3
+            }
+            Array(img.width, img.height,
+              rAcc * 1000 / n, gAcc * 1000 / n, bAcc * 1000 / n)
+          case "audio/wav" =>
+            val w = Media.decodeWav(r.media)
+            Array(w.sampleRate, w.channels, w.samples.length, Media.rmsMicro(w))
+          case _ =>
+            val sum = mediaChecksum(r.media)
+            Array(r.media.length.toLong, sum % 997,
+              if (r.media.isEmpty) 0L else (r.media.head & 0xFF).toLong,
+              if (r.media.isEmpty) 0L else (r.media.last & 0xFF).toLong)
+        }
+        MediaFeatures(r.doc_id, r.mime, r.media.length,
+          mediaChecksum(r.media), feat.mkString("|"))
+      }
+    }
+  }
+
+  /** #48 Multimodal decode: binary payload column + typed metadata →
+    * per-mime feature rows through the real [[Media]] codecs. The
+    * Spark contract the SURVEY asks for — binary schema, typed
+    * Dataset boundary, partition-batched decode, fixed-width feature
+    * output — with an actual parser behind it (24-bit BMP and PCM16
+    * WAV; formats with public single-pass layouts, so no native libs
+    * are needed in-container).
+    */
+  def q48MultimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    mediaFeatures(mediaPayloads(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Frame sampling over binary media — the explode-shaped half of
+    * the multimodal surface, decode-aware per mime: WAV frames are
+    * `stride`-sample windows of DECODED samples (offset = sample
+    * index), BMP frames are decoded pixel rows (offset = row index),
+    * text falls back to fixed-stride byte windows. Output size is
+    * bounded by payload size / stride; the partition-batched
+    * iteration never materializes a document's frames in driver
+    * memory.
     */
   def q50MultimodalFrames(spark: SparkSession, dir: String,
       stride: Int = 256): DataFrame = {
     import spark.implicits._
-    val payloads = Tables.documents(spark, dir)
-      .select(col("doc_id"), lit("text/plain").as("mime"),
-        encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
-    payloads.mapPartitions { it =>
+    def fnv(bytes: Iterator[Int]): Long =
+      bytes.foldLeft(1125899906842597L)((h, b) => h * 31 + b)
+    mediaPayloads(spark, dir).mapPartitions { it =>
       it.flatMap { r =>
-        val nFrames = math.max(1, r.media.length / stride)
-        (0 until nFrames).iterator.map { f =>
-          val from = f * stride
-          val until = math.min(r.media.length, from + stride)
-          var h = 1125899906842597L
-          var i = from
-          while (i < until) { h = h * 31 + (r.media(i) & 0xFF); i += 1 }
-          FrameRow(r.doc_id, f, from, h)
+        r.mime match {
+          case "audio/wav" =>
+            val w = Media.decodeWav(r.media)
+            val nFrames = math.max(1, w.samples.length / stride)
+            (0 until nFrames).iterator.map { f =>
+              val from = f * stride
+              val until = math.min(w.samples.length, from + stride)
+              FrameRow(r.doc_id, f, from,
+                fnv((from until until).iterator.map(w.samples(_) & 0xFFFF)))
+            }
+          case "image/bmp" =>
+            val img = Media.decodeBmp(r.media)
+            (0 until img.height).iterator.map { y =>
+              val from = y * img.width * 3
+              FrameRow(r.doc_id, y, from,
+                fnv((from until from + img.width * 3).iterator.map(img.rgb(_) & 0xFF)))
+            }
+          case _ =>
+            val nFrames = math.max(1, r.media.length / stride)
+            (0 until nFrames).iterator.map { f =>
+              val from = f * stride
+              val until = math.min(r.media.length, from + stride)
+              FrameRow(r.doc_id, f, from,
+                fnv((from until until).iterator.map(r.media(_) & 0xFF)))
+            }
         }
       }
     }.toDF().orderBy("doc_id", "frame_idx")
-  }
-
-  def q48MultimodalStub(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val payloads = Tables.documents(spark, dir)
-      .select(col("doc_id"), lit("text/plain").as("mime"),
-        encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
-    payloads.mapPartitions { it =>
-      // One decoder init per partition would go here (codec handle).
-      it.map { r =>
-        val sum = r.media.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
-        MediaFeatures(r.doc_id, r.mime, r.media.length, sum,
-          Array(r.media.length.toDouble,
-            (sum % 997).toDouble,
-            if (r.media.isEmpty) 0.0 else (r.media.head & 0xFF).toDouble,
-            if (r.media.isEmpty) 0.0 else (r.media.last & 0xFF).toDouble)
-            .mkString("|"))
-      }
-    }.toDF().orderBy("doc_id")
   }
 }

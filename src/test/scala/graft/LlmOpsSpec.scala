@@ -101,17 +101,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fp.filter(col("n") < 2).count() === 0)
   }
 
-  test("q48 multimodal stub: schema and determinism") {
-    val a = LlmOps.q48MultimodalStub(spark, sf).collect()
-    val b = LlmOps.q48MultimodalStub(spark, sf).collect()
+  test("q48 multimodal decode: real BMP/WAV features per mime, determinism") {
+    val a = LlmOps.q48MultimodalDecode(spark, sf).collect()
+    val b = LlmOps.q48MultimodalDecode(spark, sf).collect()
     assert(a.length === Tables.documents(spark, sf).count())
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
-    val r = a.head
-    assert(r.getAs[String]("feature").split("\\|").length === 4)
-    assert(r.getAs[Int]("n_bytes") > 0)
+    // every mime is present and decoded to its declared feature shape
+    val byMime = a.groupBy(_.getAs[String]("mime"))
+    assert(byMime.keySet === Set("image/bmp", "audio/wav", "text/plain"))
+    byMime("image/bmp").foreach { r =>
+      val f = r.getAs[String]("feature").split("\\|").map(_.toLong)
+      assert(f.length === 5)
+      assert((f(0), f(1)) === ((16L, 16L))) // REAL decoded dimensions
+      assert(f.drop(2).forall(m => m >= 0 && m <= 255000)) // channel means (milli)
+    }
+    byMime("audio/wav").foreach { r =>
+      val f = r.getAs[String]("feature").split("\\|").map(_.toLong)
+      assert(f.length === 4)
+      assert((f(0), f(1)) === ((8000L, 1L))) // REAL decoded rate + channels
+      assert(f(2) > 0 && f(3) >= 0 && f(3) <= 1000000L) // samples, rms micro
+    }
+    byMime("text/plain").foreach { r =>
+      assert(r.getAs[String]("feature").split("\\|").length === 4)
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
   }
 
-  test("q50 frames: coverage and determinism") {
+  test("q50 frames: decode-aware coverage and determinism") {
     val frames = LlmOps.q50MultimodalFrames(spark, sf).cache()
     val docs = Tables.documents(spark, sf).count()
     assert(frames.select("doc_id").distinct().count() === docs)
@@ -120,6 +136,14 @@ class LlmOpsSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
       .filter(col("mx") =!= col("n") - 1)
     assert(bad.count() === 0)
+    // BMP docs (doc_id % 3 == 0) frame per decoded pixel row: exactly 16
+    val bmpCounts = frames.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .groupBy("doc_id").count().select("count").distinct().collect()
+    assert(bmpCounts.map(_.getLong(0)).toSeq === Seq(16L))
+    // WAV docs: sample-window frames, offset strides in samples (256)
+    val wavOff = frames.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .filter(col("frame_idx") === 1).select("offset").distinct().collect()
+    assert(wavOff.map(_.getInt(0)).toSeq === Seq(256))
     assert(frames.collect().map(_.toString).toSeq ===
       LlmOps.q50MultimodalFrames(spark, sf).collect().map(_.toString).toSeq)
   }

@@ -66,36 +66,8 @@ object Sinks {
   def compact(spark: SparkSession, path: String, partCol: String,
       targetRowsPerFile: Long = 1000000L): Unit = {
     val df = spark.read.parquet(path)
-    // localCheckpoint: the counts feed the broadcast join side AND the
-    // pre-swap validation — pin them so the source is scanned once for
-    // counts, not once per consumer (a whole extra pass at lake scale)
-    val counts = df.groupBy(partCol).agg(count(lit(1)).as("cnt")).localCheckpoint()
-    // files-per-partition as a column: ceil(cnt / target); the
-    // repartition key (partValue, bucket) spreads each partition over
-    // exactly its file budget. The bucket MUST be a deterministic
-    // function of row content (never monotonically_increasing_id):
-    // a partial map-stage retry re-evaluates it, and a value that
-    // changes across attempts duplicates/drops rows in the rewrite.
-    // Hash only hash-supported columns (maps are unhashable since
-    // Spark 3 — same guard as Skew.rowSalt).
-    val hashCols = df.schema.fields
-      .filter(f => Skew.hashSupported(f.dataType)).map(f => col(f.name))
-    // refuse rather than degrade: a constant bucket would collapse
-    // every partition to ONE file — the size contract compact exists
-    // to enforce. (Contrast Skew.rowSalt, where a degenerate constant
-    // salt is still CORRECT; here the file layout IS the output.)
-    require(hashCols.nonEmpty,
-      "compact: no hash-supported columns to bucket rows by " +
-        "(all-map schema?) — project a hashable key column first")
-    val rowHash = xxhash64(hashCols.toIndexedSeq: _*)
-    val withBudget = df.join(broadcast(counts), partCol)
-      .withColumn("__files", ceil(col("cnt").cast("double") / lit(targetRowsPerFile.toDouble)).cast("int"))
-      .withColumn("__bucket", pmod(rowHash, col("__files").cast("long")))
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    withBudget
-      .repartition(col(partCol), col("__bucket"))
-      .drop("cnt", "__files", "__bucket")
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    val (counts, _) = rewriteBudgeted(df, partCol, targetRowsPerFile, tmp)
     // Validate BEFORE the swap: the rewrite must carry every row (the
     // counts aggregate is the independent expectation). A bad rewrite
     // aborts here with the live directory untouched — the swap below
@@ -111,10 +83,10 @@ object Sinks {
         s"compact: rewrite has $actual rows, expected $expected; aborted with $path untouched")
     }
     // two-step swap, old data parked until the verified rename lands —
-    // never delete-then-hope; on object stores prefer writing a new
-    // versioned prefix and flipping a pointer (manifest commit), since
-    // renames there are copies and readers can observe the gap between
-    // the two renames below
+    // never delete-then-hope. On object stores renames are copies and
+    // readers can observe the gap between the two renames below: use
+    // [[compactVersioned]] there, which replaces the swap with a
+    // versioned prefix + one-file manifest flip.
     val dst = new org.apache.hadoop.fs.Path(path)
     val trash = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
     fs.delete(trash, true)
@@ -125,5 +97,182 @@ object Sinks {
       throw new java.io.IOException(s"compact: rename $tmp -> $dst failed; original restored")
     }
     fs.delete(trash, true)
+  }
+
+  /** Shared rewrite core for [[compact]]/[[compactVersioned]]: write
+    * `df` to `dest` with per-partition file budgets (ceil(cnt /
+    * target) files each, skewed hot partitions get more, sparse ones
+    * get one). Returns the pinned counts (the validation expectation)
+    * and the budget source. The bucket MUST be a deterministic
+    * function of row content (never monotonically_increasing_id): a
+    * partial map-stage retry re-evaluates it, and a value that
+    * changes across attempts duplicates/drops rows in the rewrite.
+    * Hash only hash-supported columns (maps are unhashable since
+    * Spark 3 — same guard as Skew.rowSalt).
+    */
+  private def rewriteBudgeted(df: DataFrame, partCol: String,
+      targetRowsPerFile: Long, dest: String): (DataFrame, Long) = {
+    // localCheckpoint: the counts feed the broadcast join side AND the
+    // pre-commit validation — pin them so the source is scanned once
+    // for counts, not once per consumer (an extra pass at lake scale)
+    val counts = df.groupBy(partCol).agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val hashCols = df.schema.fields
+      .filter(f => Skew.hashSupported(f.dataType)).map(f => col(f.name))
+    // refuse rather than degrade: a constant bucket would collapse
+    // every partition to ONE file — the size contract compaction
+    // exists to enforce. (Contrast Skew.rowSalt, where a degenerate
+    // constant salt is still CORRECT; here the file layout IS the
+    // output.)
+    require(hashCols.nonEmpty,
+      "compact: no hash-supported columns to bucket rows by " +
+        "(all-map schema?) — project a hashable key column first")
+    val rowHash = xxhash64(hashCols.toIndexedSeq: _*)
+    df.join(broadcast(counts), partCol)
+      .withColumn("__files", ceil(col("cnt").cast("double") / lit(targetRowsPerFile.toDouble)).cast("int"))
+      .withColumn("__bucket", pmod(rowHash, col("__files").cast("long")))
+      .repartition(col(partCol), col("__bucket"))
+      .drop("cnt", "__files", "__bucket")
+      .write.mode("overwrite").partitionBy(partCol).parquet(dest)
+    val expected = counts.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
+    (counts, expected)
+  }
+
+  // -- versioned table (object-store-safe commit) -------------------
+  //
+  // Layout:   root/v=1/  root/v=2/  ...   root/MANIFEST
+  // MANIFEST is ONE small file whose entire content is the live
+  // version number. Commit = write the full new version under a fresh
+  // v=N+1/ prefix, validate it, then flip the manifest — a single-
+  // object replace, which object stores make atomic (readers see the
+  // old pointer or the new one, never a torn directory). Old version
+  // directories stay on disk untouched until [[pruneVersions]], so a
+  // reader that resolved the manifest BEFORE the flip keeps reading a
+  // complete, immutable dataset for as long as the grace window
+  // allows. Single-writer discipline is assumed (no CAS on the
+  // manifest): concurrent committers need an external lock, same as
+  // any manifest-pointer table format.
+
+  private def fsFor(spark: SparkSession, p: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+
+  private def manifest(root: String) =
+    new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "/MANIFEST")
+
+  def versionDir(root: String, v: Long): String =
+    root.stripSuffix("/") + s"/v=$v"
+
+  /** Live version per the manifest; None for an uninitialized root. */
+  def liveVersion(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsFor(spark, root)
+    val m = manifest(root)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Read the live version (the only public read path — readers never
+    * list version directories, they follow the pointer).
+    */
+  def readVersioned(spark: SparkSession, root: String): DataFrame = {
+    val v = liveVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no MANIFEST under $root"))
+    spark.read.parquet(versionDir(root, v))
+  }
+
+  /** Atomically point the manifest at `v`: write MANIFEST.tmp, then
+    * FileContext rename with OVERWRITE (atomic on HDFS/local; on an
+    * object store replace this with the store's single-PUT — one
+    * object either way).
+    */
+  private def flipManifest(spark: SparkSession, root: String, v: Long): Unit = {
+    val fs = fsFor(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "/MANIFEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, manifest(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Next version number: one past the max v= dir present (NOT live+1
+    * — an aborted commit may have left an unreferenced higher dir,
+    * which must never be reused for different data).
+    */
+  private def nextVersion(spark: SparkSession, root: String): Long = {
+    val fs = fsFor(spark, root)
+    val r = new org.apache.hadoop.fs.Path(root)
+    val existing = if (!fs.exists(r)) Array.empty[Long]
+      else fs.listStatus(r).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+    if (existing.isEmpty) 1L else existing.max + 1L
+  }
+
+  /** Commit `df` as the next version of a versioned table and flip
+    * the manifest. Returns the committed version number. The write is
+    * validated (row count vs the plan's own count) before the flip —
+    * a bad write leaves an unreferenced directory and an untouched
+    * pointer, never a broken table.
+    */
+  def commitVersion(spark: SparkSession, root: String, df: DataFrame,
+      partCol: Option[String] = None): Long = {
+    val v = nextVersion(spark, root)
+    val dir = versionDir(root, v)
+    val expected = df.count()
+    partCol match {
+      case Some(p) => df.repartition(col(p)).write.partitionBy(p).parquet(dir)
+      case None => df.write.parquet(dir)
+    }
+    val actual = spark.read.parquet(dir).count()
+    if (actual != expected) {
+      fsFor(spark, root).delete(new org.apache.hadoop.fs.Path(dir), true)
+      throw new java.io.IOException(
+        s"commitVersion: wrote $actual rows, expected $expected; manifest untouched")
+    }
+    flipManifest(spark, root, v)
+    v
+  }
+
+  /** [[compact]] for versioned tables — the object-store-safe form:
+    * rewrite the live version's data with per-partition file budgets
+    * into `v=N+1/`, validate, flip the manifest. No renames of data
+    * files at all; readers holding the old manifest keep a complete
+    * `v=N/` until [[pruneVersions]]. Returns the new version.
+    */
+  def compactVersioned(spark: SparkSession, root: String, partCol: String,
+      targetRowsPerFile: Long = 1000000L): Long = {
+    val live = liveVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no MANIFEST under $root"))
+    val v = nextVersion(spark, root)
+    val dir = versionDir(root, v)
+    val df = spark.read.parquet(versionDir(root, live))
+    val (_, expected) = rewriteBudgeted(df, partCol, targetRowsPerFile, dir)
+    val actual = spark.read.parquet(dir).count()
+    if (actual != expected) {
+      fsFor(spark, root).delete(new org.apache.hadoop.fs.Path(dir), true)
+      throw new java.io.IOException(
+        s"compactVersioned: rewrite has $actual rows, expected $expected; " +
+          s"manifest still points at v=$live")
+    }
+    flipManifest(spark, root, v)
+    v
+  }
+
+  /** Drop every version directory except the live one (call after the
+    * reader grace window — e.g. the max query runtime — has passed).
+    * Unreferenced directories from aborted commits are removed too.
+    */
+  def pruneVersions(spark: SparkSession, root: String): Unit = {
+    val live = liveVersion(spark, root).getOrElse(return)
+    val fs = fsFor(spark, root)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") && p.getName != s"v=$live")
+      .foreach(fs.delete(_, true))
   }
 }

@@ -58,6 +58,46 @@ class SinksSpec extends AnyFunSuite {
     assert(filesPerDay().values.forall(_ === 1), filesPerDay().toString)
   }
 
+  test("compactVersioned: old-manifest reader stays complete across the commit") {
+    val root = tmpDir("versioned")
+    // fragmented initial commit: 20 tasks x 2 days
+    val df = spark.range(1000)
+      .withColumn("day", when(col("id") % 2 === 0, "2024-01-01").otherwise("2024-01-02"))
+      .repartition(20)
+    val v1 = Sinks.commitVersion(spark, root, df, partCol = Some("day"))
+    assert(v1 === 1L)
+    assert(Sinks.liveVersion(spark, root) === Some(1L))
+    val allIds = (0L until 1000L).toSeq
+    // a reader resolves the manifest NOW — before any compaction runs —
+    // and pins the physical path it will scan (what a long query does)
+    val oldReaderPath = Sinks.versionDir(root, Sinks.liveVersion(spark, root).get)
+    val v2 = Sinks.compactVersioned(spark, root, "day", targetRowsPerFile = 500L)
+    assert(v2 === 2L)
+    // MID-COMMIT VIEW: the new version is live, but the old reader's
+    // pinned path still holds the COMPLETE original dataset — no
+    // rename window, nothing was touched under v=1/
+    assert(spark.read.parquet(oldReaderPath)
+      .select("id").as[Long].collect().sorted.toSeq === allIds)
+    // new readers follow the pointer and see the same rows, compacted
+    assert(Sinks.readVersioned(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq === allIds)
+    val v2files = new java.io.File(Sinks.versionDir(root, 2))
+      .listFiles().filter(_.getName.startsWith("day="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(v2files.forall(_ === 1), v2files.toSeq.toString) // 500 rows/day at target 500
+    // prune after the grace window: only the live version survives,
+    // and the pointer read is unaffected
+    Sinks.pruneVersions(spark, root)
+    val dirs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSeq
+    assert(dirs === Seq("v=2"))
+    assert(Sinks.readVersioned(spark, root).count() === 1000L)
+    // a second commit cycle keeps working on the pruned table
+    val v3 = Sinks.compactVersioned(spark, root, "day", targetRowsPerFile = 100L)
+    assert(v3 === 3L)
+    assert(Sinks.readVersioned(spark, root).count() === 1000L)
+  }
+
   test("saltedJoin equals the plain join on a skewed fixture") {
     val big = spark.range(10000)
       .withColumn("k", when(col("id") < 9000, lit(1L)).otherwise(col("id") % 50))

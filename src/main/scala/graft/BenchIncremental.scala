@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.LlmOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incremental-index cost benchmark — the claim under test is the
+  * whole POINT of the persisted indexes: per-batch cost stays flat as
+  * the index grows, because a batch only pays for itself plus its
+  * collisions/probed cells, never for history. Splits the corpus into
+  * equal batches, seeds each index from batch 0, then per batch:
+  * probe (dedupIncremental / annIncremental) + append. Prints one
+  * JSON line with per-batch seconds; a cost that CLIMBS with index
+  * size here falsifies the 100 TB design argument.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.BenchIncremental"
+  */
+object BenchIncremental {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nBatches = 4
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft_bench_incr").toString
+
+    // -- LSH dedup index: batch = doc_id mod nBatches ----------------
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("__b", pmod(col("doc_id"), lit(nBatches.toLong)))
+      .localCheckpoint()
+    val dedupIdx = s"$work/dedup_idx"
+    LlmOps.dedupIndexWrite(docs.filter(col("__b") === 0).drop("__b"), dedupIdx)
+    val dedupTimes = (1 until nBatches).map { b =>
+      val batch = docs.filter(col("__b") === b).drop("__b")
+      timed {
+        LlmOps.dedupIncremental(spark, batch, dedupIdx).count()
+        LlmOps.dedupIndexWrite(batch, dedupIdx, "append")
+      }
+    }
+
+    // -- IVF ANN index: batch = vec_id mod nBatches ------------------
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("__b", pmod(col("vec_id"), lit(nBatches.toLong)))
+      .localCheckpoint()
+    val annIdx = s"$work/ann_idx"
+    LlmOps.annIndexWrite(spark, emb.filter(col("__b") === 0).drop("__b"), annIdx)
+    val annTimes = (1 until nBatches).map { b =>
+      val batch = emb.filter(col("__b") === b).drop("__b")
+      timed {
+        LlmOps.annIncremental(spark, batch.limit(50), annIdx).count()
+        LlmOps.annIndexWrite(spark, batch, annIdx, mode = "append")
+      }
+    }
+
+    def arr(xs: Seq[Double]) =
+      xs.map("%.3f".formatLocal(java.util.Locale.ROOT, _)).mkString("[", ",", "]")
+    // flatness ratio: last batch vs first — the index behind the last
+    // batch is (nBatches-1)x larger than behind the first, so a ratio
+    // near 1 demonstrates history-independent cost
+    def ratio(xs: Seq[Double]) =
+      "%.2f".formatLocal(java.util.Locale.ROOT, xs.last / xs.head)
+    val json = s"""{"metric":"incremental_batch_sec","batches":${nBatches - 1},""" +
+      s""""dedup":${arr(dedupTimes)},"dedup_last_over_first":${ratio(dedupTimes)},""" +
+      s""""ann":${arr(annTimes)},"ann_last_over_first":${ratio(annTimes)},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_incremental.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

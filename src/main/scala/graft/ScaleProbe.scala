@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1-class scale probe: replicate the sf0.1 tables `REPL`× with
+  * DECORRELATED content and re-time the headline queries, so every
+  * scale argument in this repo is backed by a measured curve, not
+  * only plan shape.
+  *
+  * Replication is deliberately not plain duplication — identical
+  * replicas would be adversarial, not realistic:
+  *  - documents: every token gets a per-replica suffix, so shingles
+  *    never collide ACROSS replicas. Near-dup structure is preserved
+  *    within each replica, so LSH candidate volume grows linearly
+  *    with the corpus (clone-everything would grow it quadratically —
+  *    a dedup stress test, not a scale probe).
+  *  - embeddings: per-replica circular rotation + alternating sign
+  *    flip (norm-preserving, decorrelating) so LSH buckets / IVF
+  *    cells don't accumulate identical vectors.
+  *  - events/lineitem/orders: id columns shifted per replica (fresh
+  *    users/orders; per-key group sizes stay constant, the population
+  *    widens — the growth shape of a real log).
+  *
+  * Run: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g sbt "runMain graft.ScaleProbe"
+  * Writes /tmp/graft_sf1 once (reused if present) and prints one JSON
+  * line with per-query seconds at sf0.1 vs the replica and the ratio.
+  */
+object ScaleProbe {
+
+  private final val IdStride = 1000000000L // replica id offset, > any base id
+
+  def buildReplica(spark: SparkSession, src: String, dst: String, repl: Int): Unit = {
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val out = (0 until repl).map(i => f(base, i)).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      ()
+    }
+    val shift = (c: String, i: Int) => col(c) + lit(i.toLong * IdStride)
+    replicate("events", (df, i) => df
+      .withColumn("event_id", shift("event_id", i))
+      .withColumn("user_id", shift("user_id", i)))
+    replicate("documents", (df, i) => df
+      .withColumn("doc_id", shift("doc_id", i))
+      // suffix every token: within-replica similarity intact, zero
+      // cross-replica shingle collisions
+      .withColumn("text",
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1x$i")))
+    replicate("embeddings", (df, i) => df
+      .withColumn("vec_id", shift("vec_id", i))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else {
+          val n = size(col("embedding"))
+          val rot = concat(
+            slice(col("embedding"), lit(i + 1), n - lit(i)),
+            slice(col("embedding"), lit(1), lit(i)))
+          transform(rot, (x, j) =>
+            when(pmod(j + lit(i), lit(2)) === 0, x).otherwise(-x))
+        }))
+    replicate("lineitem", (df, i) => df
+      .withColumn("l_orderkey", shift("l_orderkey", i)))
+    replicate("orders", (df, i) => df
+      .withColumn("o_orderkey", shift("o_orderkey", i))
+      .withColumn("o_custkey", shift("o_custkey", i)))
+    // dimension tables are bounded by design — copy as-is
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$dst/documents.parquet").exists()) {
+      System.err.println(s"[scaleprobe] building ${repl}x replica at $dst")
+      buildReplica(spark, src, dst, repl)
+    }
+    val probes = Seq(
+      "q00_flagship_sessionize", "q57_skew_salted_agg",
+      "q11_agg_hash_groupby", "q08_join_shuffle_multiway",
+      "q37_dedup_near_minhash", "q75_dedup_clusters_lsh",
+      "q43_simsearch_lsh_ann", "q49_simsearch_ivf")
+    def timeAt(dir: String): Map[String, Double] = probes.map { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    // warmup pass at the small SF initializes codegen/readers; then
+    // measure small, then large
+    timeAt(src)
+    val small = timeAt(src)
+    val large = timeAt(dst)
+    def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val per = probes.map { n =>
+      s""""$n":{"sf01":${fmt(small(n))},"x$repl":${fmt(large(n))},"ratio":${fmt(large(n) / small(n))}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scale_probe","repl":$repl,"queries":$per}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_probe.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -101,7 +101,10 @@ object SparkEntry {
     "q73_dedup_fuzzy" -> ((s: SparkSession, d: String) => LlmOps.q73DedupFuzzy(s, d)),
     "q74_vocab_oov" -> Features.q74VocabOov _,
     "q75_dedup_clusters_lsh" -> ((s: SparkSession, d: String) => LlmOps.q75DedupClustersLsh(s, d)),
-    "q76_skew_salted_join" -> graft.ops.Skew.q76SkewSaltedJoin _
+    "q76_skew_salted_join" -> graft.ops.Skew.q76SkewSaltedJoin _,
+    "q77_repetition_stats" -> ((s: SparkSession, d: String) => LlmOps.q77RepetitionStats(s, d)),
+    "q78_pii_redact" -> LlmOps.q78PiiRedact _,
+    "q79_stratified_sample" -> ((s: SparkSession, d: String) => LlmOps.q79StratifiedSample(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -433,6 +436,30 @@ object SparkEntry {
         |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) + 1 AS INTEGER) AS id FROM tok JOIN tr USING (doc_id) WHERE tr.is_train GROUP BY token),
         |enc AS (SELECT t.doc_id, string_agg(CAST(COALESCE(v.id, 1) AS VARCHAR), '|' ORDER BY t.pos) AS ids FROM tok t LEFT JOIN vocab v ON t.token = v.token GROUP BY t.doc_id)
         |SELECT e.doc_id, tr.is_train, e.ids FROM enc e JOIN tr USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q77_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bi FROM t),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_n FROM tf GROUP BY 1),
+        |c AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, len(bi) AS tb, len(list_distinct(bi)) AS db FROM b)
+        |SELECT c.doc_id, c.n_tokens,
+        |CAST(((tb - db) * 1000) // greatest(tb, 1) AS INTEGER) AS dup_bigram_milli,
+        |CAST((top_n * 1000) // n_tokens AS INTEGER) AS top_token_milli,
+        |CAST((((tb - db) * 1000) // greatest(tb, 1)) > 300 OR ((top_n * 1000) // n_tokens) > 200 AS INTEGER) AS repetitive
+        |FROM c JOIN top ON c.doc_id = top.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q78_pii_redact" ->
+      """WITH a AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug FROM documents),
+        |r AS (SELECT doc_id, aug, regexp_replace(regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS redacted FROM a)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |CAST(length(redacted) AS INTEGER) AS n_chars_redacted,
+        |substring(md5(redacted), 1, 16) AS redacted_hash
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q79_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM documents)
+        |SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

@@ -810,6 +810,108 @@ object LlmOps {
         size(expr("regexp_extract_all(concat_ws(' ', toks), '[a-z]+', 0)")).as("n_alpha_chunks"))
       .orderBy("doc_id")
 
+  /** #77 Repetition stats (the Gopher/C4 filter family): per-doc
+    * duplicate-bigram fraction and top-token fraction, in integer
+    * milli-units so both engines agree exactly (the `div`/`//`
+    * integer division IS the declared semantics, not a rounding of
+    * some "true" double). Entirely map-side — bigrams, distincts and
+    * the max run length all come from array expressions on the
+    * in-row token list, so the operator costs one scan at any corpus
+    * size (the filter shape you want in front of a 100 TB pretrain
+    * corpus). Top-token frequency = longest run in the SORTED token
+    * array (aggregate() fold), avoiding an explode+groupBy shuffle.
+    */
+  def q77RepetitionStats(spark: SparkSession, dir: String,
+      dupMilliMax: Int = 300, topMilliMax: Int = 200): DataFrame =
+    docTokens(spark, dir)
+      .select(col("doc_id"), col("toks"),
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b)).as("bi"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("bi")).as("tb"),
+        size(array_distinct(col("bi"))).as("db"),
+        aggregate(array_sort(col("toks")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")).as("top_n"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(((tb - db) * 1000) DIV tb AS INT)").as("dup_bigram_milli"),
+        expr("CAST((top_n * 1000) DIV n_tokens AS INT)").as("top_token_milli"))
+      .withColumn("repetitive",
+        (col("dup_bigram_milli") > dupMilliMax ||
+          col("top_token_milli") > topMilliMax).cast("int"))
+      .orderBy("doc_id")
+
+  /** #78 PII redaction: find-and-mask emails and phone-shaped strings,
+    * reporting match counts and a hash of the redacted text (the
+    * audit trail a compliance pass needs). The corpus is synthetic, so
+    * the query plants one deterministic email + phone per document
+    * FIRST (derived from doc_id — both engines construct the same
+    * string), then redacts; nonzero counts prove the masking ran. The
+    * regexes stay in the Java∩RE2 common dialect (character classes +
+    * bounded quantifiers, no lookaround) so Spark and DuckDB agree.
+    * Map-side per-doc work — one scan at any scale.
+    */
+  def q78PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "555-[0-9]{4}"
+    Tables.documents(spark, dir)
+      .withColumn("aug", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com phone 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(emailRe)).cast("int").as("n_emails"),
+        regexp_count(col("aug"), lit(phoneRe)).cast("int").as("n_phones"),
+        length(col("redacted")).cast("int").as("n_chars_redacted"),
+        substring(md5(col("redacted")), 1, 16).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** #79 Stratified sample: exactly `quota` docs per language, chosen
+    * by deterministic hash order (reproducible across runs/engines —
+    * the per-stratum twin of q63's Bernoulli rule). Declared
+    * semantics: rank by md5(doc_id) within lang, keep rank ≤ quota.
+    *
+    * Scale shape: a naive per-lang window shuffles the ENTIRE corpus
+    * into #lang partitions. Instead the per-lang counts (a tiny agg)
+    * derive a hash-prefix threshold that pre-prunes to ~16×quota
+    * expected survivors per language BEFORE the window, so the
+    * window's input is bounded by strata×quota, not corpus size. The
+    * prune is count-adaptive: small strata (cnt ≤ 16×quota) keep all
+    * rows, so the declared result is exact at every SF; for a
+    * stratum where cnt ≫ quota the probability the true top-quota
+    * rows are not all inside the kept 16×quota/cnt hash fraction is
+    * Binomial-tail negligible (and the driver's oracle gate would
+    * catch the miss).
+    */
+  def q79StratifiedSample(spark: SparkSession, dir: String,
+      quota: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val margin = quota.toLong * 16L
+    val kept = docs.join(broadcast(counts), "lang")
+      .filter(col("cnt") <= margin ||
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") <=
+          ceil(lit(margin.toDouble * 4294967296.0) / col("cnt")).cast("long"))
+    kept.withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rnk") <= quota)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy("lang", "rnk")
+  }
+
   /** TF-IDF top-k terms per document — the classic relevance scoring
     * over a corpus (tf = raw term count, idf = ln(N/df)). Plan shape
     * at scale: two partial-agg shuffles ((doc,term) counts, then term

@@ -104,7 +104,9 @@ object SparkEntry {
     "q76_skew_salted_join" -> graft.ops.Skew.q76SkewSaltedJoin _,
     "q77_repetition_stats" -> ((s: SparkSession, d: String) => LlmOps.q77RepetitionStats(s, d)),
     "q78_pii_redact" -> LlmOps.q78PiiRedact _,
-    "q79_stratified_sample" -> ((s: SparkSession, d: String) => LlmOps.q79StratifiedSample(s, d))
+    "q79_stratified_sample" -> ((s: SparkSession, d: String) => LlmOps.q79StratifiedSample(s, d)),
+    "q80_sequence_packing" -> ((s: SparkSession, d: String) => LlmOps.q80SequencePacking(s, d)),
+    "q81_decontamination" -> ((s: SparkSession, d: String) => LlmOps.q81Decontamination(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -460,6 +462,22 @@ object SparkEntry {
     "q79_stratified_sample" ->
       """WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM documents)
         |SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "q80_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens, COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens, 0) AS cum_before FROM d)
+        |SELECT doc_id, shard, n_tokens, CAST(cum_before // 512 AS INTEGER) AS bin, CAST(cum_before % 512 AS INTEGER) AS bin_offset FROM c ORDER BY doc_id""".stripMargin,
+    "q81_decontamination" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, is_train, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+        |FROM (SELECT doc_id, is_train, toks, unnest(range(1, len(toks) - 1)) AS i FROM docs WHERE len(toks) >= 3) x),
+        |tr AS (SELECT DISTINCT shingle FROM sh WHERE is_train),
+        |te AS (SELECT doc_id, shingle FROM sh WHERE NOT is_train),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM te JOIN tr USING (shingle) GROUP BY 1),
+        |n AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1)
+        |SELECT n.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |CAST((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles AS INTEGER) AS overlap_milli,
+        |CAST(((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles) >= 100 AS INTEGER) AS contaminated
+        |FROM n LEFT JOIN ov ON n.doc_id = ov.doc_id ORDER BY n.doc_id""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

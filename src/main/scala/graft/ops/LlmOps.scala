@@ -912,6 +912,70 @@ object LlmOps {
       .orderBy("lang", "rnk")
   }
 
+  /** #80 Sequence packing: assign each document a (shard, bin,
+    * offset) for fixed-token-budget training batches — the "pack
+    * short docs into max_len sequences" step every LLM data loader
+    * needs. Declared semantics: contiguous greedy fill in doc_id
+    * order within a shard (a doc whose tokens straddle a boundary
+    * opens the next bin at its cumulative offset; the trainer splits
+    * or pads at read time). The cumulative sum is a window
+    * PARTITIONED BY SHARD — shards bound window width at any corpus
+    * size, so there is no global sort and no unpartitioned window
+    * (the q16-family rule). Per-shard packing is the production
+    * shape anyway: shards are the read-parallelism unit.
+    */
+  def q80SequencePacking(spark: SparkSession, dir: String,
+      capacity: Int = 512, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).cast("int").as("shard"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"CAST(cum_before DIV $capacity AS INT)").as("bin"),
+        expr(s"CAST(cum_before % $capacity AS INT)").as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** #81 Train/test decontamination: flag test-split documents whose
+    * w-shingle overlap with ANY train document exceeds a threshold —
+    * the leakage check run before every serious eval. Split rule is
+    * the q74 deterministic md5 gate, so the same split is
+    * reproducible in both engines. Shape at scale: distinct train
+    * shingles (map+explode, partial-agg distinct) hash-joined to test
+    * shingles — one shuffle keyed by shingle, linear in corpus, the
+    * standard map-reduce decontamination; the per-test-doc rollup is
+    * a second bounded agg. (A bloom/minhash prefilter in front of the
+    * join is the 100 TB refinement; the join itself is already
+    * collision-free and exact.)
+    */
+  def q81Decontamination(spark: SparkSession, dir: String,
+      w: Int = 3, milliMin: Int = 100): DataFrame = {
+    // split membership is a pure function of doc_id (the q74 md5
+    // gate), so it is RE-DERIVED map-side after shingling instead of
+    // joined back — joining the exploded shingle set to the corpus
+    // just to recover a derivable flag would add a corpus-wide
+    // shuffle join for nothing
+    val sh = shingles(Tables.documents(spark, dir)
+        .select("doc_id", "text"), w)
+      .withColumn("is_train",
+        substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
+    val trainShingles = sh.filter(col("is_train"))
+      .select("shingle").distinct()
+    val testSh = sh.filter(!col("is_train"))
+    val overlaps = testSh.join(trainShingles, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        expr("CAST((n_overlap * 1000) DIV n_shingles AS INT)").as("overlap_milli"))
+      .withColumn("contaminated", (col("overlap_milli") >= milliMin).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top-k terms per document — the classic relevance scoring
     * over a corpus (tf = raw term count, idf = ln(N/df)). Plan shape
     * at scale: two partial-agg shuffles ((doc,term) counts, then term

@@ -203,27 +203,34 @@ object Pipeline {
     * training run stores next to its data manifest.
     */
   case class CorpusReport(input: Long, afterExactDedup: Long,
-      afterNearDedup: Long, afterQuality: Long, train: Long, holdout: Long)
+      afterNearDedup: Long, afterQuality: Long, train: Long, holdout: Long,
+      decontaminated: Long = 0L)
 
   /** The LLM-training-data preparation chain, composing the
     * north-star operators end to end over any (doc_id, text, ...)
     * corpus: exact dedup (content hash, min-id keeper) → transitive
     * near-dup clustering (pair graph → connected components, ONE
-    * canonical doc per cluster) → minimum-quality gate → reproducible
-    * hash-gate train/holdout split (~90/10, stable across runs,
-    * partitionings and retries — the q63 rule). Returns the cleaned
-    * corpus (with `is_train`) plus per-stage counts. Runs actions by
-    * design — the report IS the product; each heavy stage is
-    * checkpointed once and every later stage and count reads the
-    * materialization.
+    * canonical doc per cluster) → quality gate (minimum length AND
+    * the q77 repetition thresholds, both map-side) → optional
+    * decontamination against an external eval corpus (q81's shingle
+    * overlap — drop any doc that would leak eval content into
+    * training) → reproducible hash-gate train/holdout split (~90/10,
+    * stable across runs, partitionings and retries — the q63 rule).
+    * Returns the cleaned corpus (with `is_train`) plus per-stage
+    * counts. Runs actions by design — the report IS the product;
+    * each heavy stage is checkpointed once and every later stage and
+    * count reads the materialization.
     *
     * Idempotent: re-running on its own output removes nothing (exact
     * keepers are unique; surviving canonicals are pairwise below the
-    * near-dup threshold, else they would have shared a component).
+    * near-dup threshold, else they would have shared a component;
+    * quality and contamination are per-doc deterministic).
     */
   def prepareCorpus(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nearThreshold: Double = 0.5,
-      minTokens: Int = 5): (DataFrame, CorpusReport) = {
+      minTokens: Int = 5, dupMilliMax: Int = 300, topMilliMax: Int = 200,
+      evalDocs: Option[DataFrame] = None,
+      contaminationMilli: Int = 100): (DataFrame, CorpusReport) = {
     val input = docs.count()
     // checkpoint each heavy stage once: every later stage AND its
     // count reads the materialization, not a re-run of the upstream
@@ -241,14 +248,30 @@ object Pipeline {
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .drop("component")
       .localCheckpoint()
-    val cleaned = near
+    val (dupM, topM) = ops.LlmOps.repetitionMetrics(split(col("text"), " "))
+    val quality = near
       .filter(size(split(col("text"), " ")) >= minTokens)
-      .withColumn("is_train",
-        substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
+      .filter(dupM <= dupMilliMax && topM <= topMilliMax)
+    val (decon, nDropped) = evalDocs match {
+      case Some(ev) =>
+        val q = quality.localCheckpoint()
+        val flagged = ops.LlmOps.shingleOverlap(
+            ops.LlmOps.shingles(q.select("doc_id", "text")),
+            ops.LlmOps.shingles(ev.select("doc_id", "text"))
+              .select("shingle").distinct())
+          .filter(col("overlap_milli") >= contaminationMilli)
+          .select("doc_id")
+        val d = q.join(flagged, Seq("doc_id"), "left_anti")
+        val n = d.count()
+        (d, q.count() - n)
+      case None => (quality, 0L)
+    }
+    val cleaned = decon.withColumn("is_train",
+      substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
     val nQuality = cleaned.count()
     val nTrain = cleaned.filter(col("is_train")).count()
     (cleaned, CorpusReport(input, nExact, near.count(), nQuality,
-      nTrain, nQuality - nTrain))
+      nTrain, nQuality - nTrain, nDropped))
   }
 
   /** Per-stage lineage export — the Catalyst answer to the

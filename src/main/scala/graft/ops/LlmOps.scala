@@ -810,45 +810,56 @@ object LlmOps {
         size(expr("regexp_extract_all(concat_ws(' ', toks), '[a-z]+', 0)")).as("n_alpha_chunks"))
       .orderBy("doc_id")
 
+  /** Repetition metrics as pure column expressions over a token
+    * array: (duplicate-bigram milli-fraction, top-token
+    * milli-fraction). Integer milli-units so engines agree exactly;
+    * top-token frequency = longest run in the SORTED token array
+    * (aggregate() fold — no explode+groupBy shuffle). Shared by q77
+    * and [[graft.Pipeline.prepareCorpus]]'s quality gate so the
+    * declared query and the pipeline filter cannot drift. (floor of
+    * the double division equals integer DIV here: all operands are
+    * nonnegative ints ≪ 2^53.)
+    */
+  def repetitionMetrics(toks: Column): (Column, Column) = {
+    val bi = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val tb = size(bi)
+    val db = size(array_distinct(bi))
+    val top = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    (floor((tb - db).cast("long") * 1000 / greatest(tb, lit(1))).cast("int"),
+      floor(top * 1000 / size(toks)).cast("int"))
+  }
+
   /** #77 Repetition stats (the Gopher/C4 filter family): per-doc
     * duplicate-bigram fraction and top-token fraction, in integer
-    * milli-units so both engines agree exactly (the `div`/`//`
-    * integer division IS the declared semantics, not a rounding of
-    * some "true" double). Entirely map-side — bigrams, distincts and
-    * the max run length all come from array expressions on the
-    * in-row token list, so the operator costs one scan at any corpus
-    * size (the filter shape you want in front of a 100 TB pretrain
-    * corpus). Top-token frequency = longest run in the SORTED token
-    * array (aggregate() fold), avoiding an explode+groupBy shuffle.
+    * milli-units — the declared semantics IS the integer division.
+    * Entirely map-side ([[repetitionMetrics]] array expressions), so
+    * the operator costs one scan at any corpus size — the filter
+    * shape you want in front of a 100 TB pretrain corpus.
     */
   def q77RepetitionStats(spark: SparkSession, dir: String,
-      dupMilliMax: Int = 300, topMilliMax: Int = 200): DataFrame =
+      dupMilliMax: Int = 300, topMilliMax: Int = 200): DataFrame = {
+    val (dupM, topM) = repetitionMetrics(col("toks"))
     docTokens(spark, dir)
-      .select(col("doc_id"), col("toks"),
-        zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat(a, lit(" "), b)).as("bi"))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
-        size(col("bi")).as("tb"),
-        size(array_distinct(col("bi"))).as("db"),
-        aggregate(array_sort(col("toks")),
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-          (acc, x) => {
-            val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-              .otherwise(lit(1L))
-            struct(x.as("prev"), run.as("run"),
-              greatest(acc.getField("best"), run).as("best"))
-          },
-          acc => acc.getField("best")).as("top_n"))
-      .select(col("doc_id"), col("n_tokens"),
-        expr("CAST(((tb - db) * 1000) DIV tb AS INT)").as("dup_bigram_milli"),
-        expr("CAST((top_n * 1000) DIV n_tokens AS INT)").as("top_token_milli"))
+        dupM.as("dup_bigram_milli"),
+        topM.as("top_token_milli"))
       .withColumn("repetitive",
         (col("dup_bigram_milli") > dupMilliMax ||
           col("top_token_milli") > topMilliMax).cast("int"))
       .orderBy("doc_id")
+  }
 
   /** #78 PII redaction: find-and-mask emails and phone-shaped strings,
     * reporting match counts and a hash of the redacted text (the
@@ -962,18 +973,26 @@ object LlmOps {
         .select("doc_id", "text"), w)
       .withColumn("is_train",
         substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
-    val trainShingles = sh.filter(col("is_train"))
-      .select("shingle").distinct()
-    val testSh = sh.filter(!col("is_train"))
-    val overlaps = testSh.join(trainShingles, Seq("shingle"), "left_semi")
+    shingleOverlap(sh.filter(!col("is_train")).drop("is_train"),
+        sh.filter(col("is_train")).select("shingle").distinct())
+      .withColumn("contaminated", (col("overlap_milli") >= milliMin).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc shingle overlap of `targetSh` (doc_id, shingle) against
+    * a distinct reference shingle set: (doc_id, n_shingles,
+    * n_overlap, overlap_milli). One shuffle keyed by shingle (the
+    * semi-join) + bounded per-doc rollups. Shared by q81 and
+    * [[graft.Pipeline.prepareCorpus]]'s decontamination stage.
+    */
+  def shingleOverlap(targetSh: DataFrame, refShingles: DataFrame): DataFrame = {
+    val overlaps = targetSh.join(refShingles, Seq("shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    targetSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(overlaps, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         expr("CAST((n_overlap * 1000) DIV n_shingles AS INT)").as("overlap_milli"))
-      .withColumn("contaminated", (col("overlap_milli") >= milliMin).cast("int"))
-      .orderBy("doc_id")
   }
 
   /** TF-IDF top-k terms per document — the classic relevance scoring

@@ -168,4 +168,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.afterQuality === r.afterQuality)
     assert(r3.input === r3.afterNearDedup)
   }
+
+  test("prepareCorpus decontamination: eval-overlapping docs are dropped") {
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+    val (base, rBase) = Pipeline.prepareCorpus(spark, docs)
+    assert(rBase.decontaminated === 0L)
+    // the eval set contains one surviving corpus doc verbatim — that
+    // doc (and only near-copies of it) must be dropped from training
+    val leakedId = base.orderBy("doc_id").select("doc_id").as[Long].head()
+    val eval_ = docs.filter(col("doc_id") === leakedId)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val (clean, r) = Pipeline.prepareCorpus(spark, docs, evalDocs = Some(eval_))
+    assert(r.decontaminated >= 1L)
+    assert(clean.filter(col("doc_id") === leakedId).count() === 0L)
+    assert(r.afterQuality === rBase.afterQuality - r.decontaminated)
+    // a clean eval set drops nothing
+    val cleanEval = Seq((9999999L, "completely unrelated zebra quux tokens"))
+      .toDF("doc_id", "text")
+    val (_, r2) = Pipeline.prepareCorpus(spark, docs, evalDocs = Some(cleanEval))
+    assert(r2.decontaminated === 0L)
+    assert(r2.afterQuality === rBase.afterQuality)
+  }
 }

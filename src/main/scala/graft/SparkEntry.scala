@@ -106,7 +106,8 @@ object SparkEntry {
     "q78_pii_redact" -> LlmOps.q78PiiRedact _,
     "q79_stratified_sample" -> ((s: SparkSession, d: String) => LlmOps.q79StratifiedSample(s, d)),
     "q80_sequence_packing" -> ((s: SparkSession, d: String) => LlmOps.q80SequencePacking(s, d)),
-    "q81_decontamination" -> ((s: SparkSession, d: String) => LlmOps.q81Decontamination(s, d))
+    "q81_decontamination" -> ((s: SparkSession, d: String) => LlmOps.q81Decontamination(s, d)),
+    "q82_simsearch_quantized" -> ((s: SparkSession, d: String) => LlmOps.q82SimsearchQuantized(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by

@@ -496,6 +496,47 @@ object LlmOps {
       .orderBy("va", "vb")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x|/127, stored as `qe: array<tinyint>` + one float —
+    * a 4× cut in embedding storage, scan IO and shuffle bytes, which
+    * at a 100 TB corpus is the difference between an index that fits
+    * the cluster and one that doesn't. Cosine needs NO dequantization
+    * at all: the per-vector scales cancel in dot/(|a||b|), so search
+    * ranks the raw int8 vectors directly.
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame =
+    emb.withColumn("scale",
+        (greatest(aggregate(col("embedding"), lit(0.0f),
+          (a, x) => greatest(a, abs(x))), lit(1e-12f)) / lit(127.0f)).cast("float"))
+      .withColumn("qe",
+        transform(col("embedding"), x => round(x / col("scale")).cast("tinyint")))
+
+  /** #82 Similarity top-k over the int8-quantized corpus — the q38
+    * brute-force shape on vectors a quarter the size. Scales cancel
+    * in cosine, so the only approximation is the rounding itself;
+    * LlmOpsSpec pins recall vs exact q38 and the per-pair cosine
+    * error. Spec-verified (no oracle: float-scale rounding has no
+    * cross-engine bit contract, the q43/q49 rule).
+    */
+  def q82SimsearchQuantized(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = quantizeEmbeddings(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        transform(col("qe"), x => x.cast("float")).as("qf"))
+      .withColumn("nsq", dotProduct(col("qf"), col("qf")))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qf").as("pe"), col("nsq").as("qnsq"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenorm(dotProduct(col("pe"), col("qf")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: weights in
     * [-1,1) from a splitmix64-style integer mix of (plane, dim) — no
     * RNG state, reproducible across engines and runs.

@@ -81,6 +81,35 @@ class LlmOpsSpec extends AnyFunSuite {
     overlap.foreach(k => assert(am(k) === bm(k)))
   }
 
+  test("q82 quantized cosine: high recall vs exact, bounded cos error, scales cancel") {
+    val quant = LlmOps.q82SimsearchQuantized(spark, sf).cache()
+    val brute = LlmOps.q38SimilarityTopk(spark, sf).cache()
+    val a = quant.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val b = brute.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val aSet = a.map(t => (t._1, t._2)).toSet
+    val bSet = b.map(t => (t._1, t._2)).toSet
+    // int8 rounding barely perturbs the ranking: recall@k >= 0.9
+    val overlap = aSet.intersect(bSet)
+    assert(overlap.size * 10 >= bSet.size * 9,
+      s"quantized overlap ${overlap.size}/${bSet.size} below 90%")
+    // quantized cosine within 0.02 of the exact value on shared pairs
+    val bm = b.map(t => (t._1, t._2) -> t._3).toMap
+    a.foreach { case (q, n, c) =>
+      bm.get((q, n)).foreach(ex =>
+        assert(math.abs(c - ex) <= 0.02, s"($q,$n) quant $c vs exact $ex"))
+    }
+    // per-vector scales cancel in cosine: doubling a vector changes
+    // its quantized ints not at all (same max|x|/127 ratio)
+    val e = Tables.embeddings(spark, sf).limit(5)
+    val q1 = LlmOps.quantizeEmbeddings(e).select("vec_id", "qe")
+      .as[(Long, Seq[Byte])].collect().toMap
+    val doubled = e.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(2.0f)))
+    val q2 = LlmOps.quantizeEmbeddings(doubled).select("vec_id", "qe")
+      .as[(Long, Seq[Byte])].collect().toMap
+    q1.foreach { case (id, qe) => assert(q2(id) === qe) }
+  }
+
   test("q49 IVF-ANN: valid cosines, decent recall vs exact") {
     val ivf = LlmOps.q49SimsearchIvf(spark, sf).cache()
     val brute = LlmOps.q38SimilarityTopk(spark, sf).cache()

@@ -148,6 +148,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Media BMP: encode/decode round-trips arbitrary dims and pixels (pure)") {
+    val img = for {
+      w <- Gen.chooseNum(1, 13) // odd widths exercise row padding
+      h <- Gen.chooseNum(1, 9)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, px.toArray)
+    samples(img, 60).foreach { case (w, h, px) =>
+      val decoded = graft.ops.Media.decodeBmp(graft.ops.Media.encodeBmp(w, h, px))
+      assert((decoded.width, decoded.height) === ((w, h)))
+      assert(decoded.rgb.toSeq === px.toSeq, s"pixels differ at ${w}x$h")
+    }
+  }
+
+  test("Media WAV: encode/decode round-trips arbitrary rates/channels/samples (pure)") {
+    val wav = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      ch <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(0, 50)
+      s <- Gen.listOfN(n * ch,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort))
+    } yield (rate, ch, s.toArray)
+    samples(wav, 60).foreach { case (rate, ch, s) =>
+      val w = graft.ops.Media.decodeWav(graft.ops.Media.encodeWav(rate, ch, s))
+      assert((w.sampleRate, w.channels) === ((rate, ch)))
+      assert(w.samples.toSeq === s.toSeq)
+      assert(graft.ops.Media.rmsMicro(w) >= 0)
+    }
+  }
+
   test("connectedComponents == union-find on random graphs (varied seeds)") {
     val edgeGen = for {
       nNodes <- Gen.chooseNum(2, 60)

@@ -95,7 +95,8 @@ object ScaleProbe {
       "q00_flagship_sessionize", "q57_skew_salted_agg",
       "q11_agg_hash_groupby", "q08_join_shuffle_multiway",
       "q37_dedup_near_minhash", "q75_dedup_clusters_lsh",
-      "q43_simsearch_lsh_ann", "q49_simsearch_ivf")
+      "q43_simsearch_lsh_ann", "q49_simsearch_ivf",
+      "q77_repetition_stats", "q80_sequence_packing", "q81_decontamination")
     def timeAt(dir: String): Map[String, Double] = probes.map { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

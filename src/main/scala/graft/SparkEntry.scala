@@ -107,7 +107,8 @@ object SparkEntry {
     "q79_stratified_sample" -> ((s: SparkSession, d: String) => LlmOps.q79StratifiedSample(s, d)),
     "q80_sequence_packing" -> ((s: SparkSession, d: String) => LlmOps.q80SequencePacking(s, d)),
     "q81_decontamination" -> ((s: SparkSession, d: String) => LlmOps.q81Decontamination(s, d)),
-    "q82_simsearch_quantized" -> ((s: SparkSession, d: String) => LlmOps.q82SimsearchQuantized(s, d))
+    "q82_simsearch_quantized" -> ((s: SparkSession, d: String) => LlmOps.q82SimsearchQuantized(s, d)),
+    "q83_stream_topk_sketched" -> graft.ops.StatefulTopK.q83StreamTopkSketched _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -384,6 +385,13 @@ object SparkEntry {
         |HAVING count(*) * 200 >= (SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents) u)
         |ORDER BY token""".stripMargin,
     "q65_stream_topk" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n, row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rnk FROM c)
+        |SELECT day, CAST(rnk AS INTEGER) AS rnk, event_type, CAST(n AS BIGINT) AS n FROM r WHERE rnk <= 2 ORDER BY day, rnk""".stripMargin,
+    // identical oracle to q65 BY DESIGN: with capacity >= distinct
+    // keys the MG sketch is exact, so the sketched state path must
+    // reproduce the exact ranking bit for bit
+    "q83_stream_topk_sketched" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2),
         |r AS (SELECT day, event_type, n, row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rnk FROM c)
         |SELECT day, CAST(rnk AS INTEGER) AS rnk, event_type, CAST(n AS BIGINT) AS n FROM r WHERE rnk <= 2 ORDER BY day, rnk""".stripMargin,

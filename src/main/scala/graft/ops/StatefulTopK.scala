@@ -165,4 +165,15 @@ object StatefulTopK {
   def q65StreamTopk(spark: SparkSession, dir: String): DataFrame =
     topkBatch(spark, Tables.events(spark, dir)).toDF()
       .orderBy("day", "rnk")
+
+  /** Declared q83: the SKETCHED ranking as a deterministic batch
+    * query, with capacity far above the per-day distinct-key count —
+    * Misra-Gries never prunes, counts are exact, and the driver's
+    * q65 oracle therefore proves the sketched state path end to end
+    * (the under-capacity regime; the over-capacity regime is
+    * spec-tested in StreamingSpec where no oracle can exist).
+    */
+  def q83StreamTopkSketched(spark: SparkSession, dir: String): DataFrame =
+    topkSketchedBatch(spark, Tables.events(spark, dir), k = 2, capacity = 64)
+      .toDF().orderBy("day", "rnk")
 }

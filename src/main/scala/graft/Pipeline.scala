@@ -230,7 +230,8 @@ object Pipeline {
       docs: DataFrame, nearThreshold: Double = 0.5,
       minTokens: Int = 5, dupMilliMax: Int = 300, topMilliMax: Int = 200,
       evalDocs: Option[DataFrame] = None,
-      contaminationMilli: Int = 100): (DataFrame, CorpusReport) = {
+      contaminationMilli: Int = 100,
+      exactNearDedup: Boolean = false): (DataFrame, CorpusReport) = {
     val input = docs.count()
     // checkpoint each heavy stage once: every later stage AND its
     // count reads the materialization, not a re-run of the upstream
@@ -240,9 +241,18 @@ object Pipeline {
         .agg(min("doc_id").as("doc_id")).select("doc_id"),
       "doc_id").localCheckpoint()
     val nExact = exact.count()
+    // DEFAULT pair source is LSH (minhashPairsOf): candidate volume
+    // linear in the corpus — the only shape that survives 100 TB.
+    // LSH recall below ~J=0.6 is probabilistic (16 bands x 4 rows:
+    // ~64% at J=0.5) but DETERMINISTIC per corpus, so idempotence is
+    // unaffected: a missed pair is missed identically on the re-run.
+    // exactNearDedup=true swaps in the exhaustive shingle-join pair
+    // source (quadratic in hot shingles — small corpora only).
+    val pairs =
+      if (exactNearDedup) ops.LlmOps.ngramJaccardPairsOf(exact, nearThreshold)
+      else ops.LlmOps.minhashPairsOf(exact, nearThreshold)
     val labels = ops.Graph.connectedComponents(
-        ops.LlmOps.ngramJaccardPairsOf(exact, nearThreshold)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .withColumnRenamed("node", "doc_id")
     val near = exact.join(labels, Seq("doc_id"), "left")
       .filter(col("component").isNull || col("component") === col("doc_id"))

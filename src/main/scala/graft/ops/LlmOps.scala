@@ -60,22 +60,32 @@ object LlmOps {
     * ScalaTest verifies against brute-force Jaccard.
     */
   def q37DedupNearMinhash(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
-    // Everything up to the band join is MAP-SIDE: per-doc shingle
-    // array -> within-doc distinct (no shuffle, unlike explode+
-    // distinct) -> one string hash per shingle -> 64 "permutations"
-    // as array_min over seed-rehashes of the 8-byte value. The ONLY
-    // shuffles in the whole operator are the (band, hash) bucket join
-    // over #docs x #bands tiny rows and the final candidate lookups —
-    // this is what makes MinHash-LSH linear at 100 TB.
-    //
-    // localCheckpoint (eager), not cache(): the per-doc hash sets are
-    // read three times (signature, both candidate lookups) but must
-    // not outlive the query — checkpoint blocks are GC-reclaimed with
-    // the plan, while cache() entries accumulate in the cache manager
-    // across bench/verify invocations. At cluster scale promote to a
-    // reliable checkpoint (survives executor loss).
-    val withHs = shingleHashSets(Tables.documents(spark, dir)).localCheckpoint()
+      threshold: Double = 0.8): DataFrame =
+    minhashPairsOf(Tables.documents(spark, dir), threshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** DataFrame-based core of [[q37DedupNearMinhash]] — composable
+    * into pipelines over any (doc_id, text) relation (the LSH twin of
+    * [[ngramJaccardPairsOf]], and the pair source a 100 TB
+    * [[graft.Pipeline.prepareCorpus]] run should use).
+    *
+    * Everything up to the band join is MAP-SIDE: per-doc shingle
+    * array -> within-doc distinct (no shuffle, unlike explode+
+    * distinct) -> one string hash per shingle -> 64 "permutations"
+    * as array_min over seed-rehashes of the 8-byte value. The ONLY
+    * shuffles in the whole operator are the (band, hash) bucket join
+    * over #docs x #bands tiny rows and the final candidate lookups —
+    * this is what makes MinHash-LSH linear at 100 TB.
+    *
+    * localCheckpoint (eager), not cache(): the per-doc hash sets are
+    * read three times (signature, both candidate lookups) but must
+    * not outlive the query — checkpoint blocks are GC-reclaimed with
+    * the plan, while cache() entries accumulate in the cache manager
+    * across bench/verify invocations. At cluster scale promote to a
+    * reliable checkpoint (survives executor loss).
+    */
+  def minhashPairsOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val withHs = shingleHashSets(docs).localCheckpoint()
     val buckets = bandBuckets(withHs)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -83,7 +93,6 @@ object LlmOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, withHs, withHs, threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Per-doc distinct shingle-hash sets (map-side; q37's first stage). */

@@ -167,6 +167,12 @@ class PipelineSpec extends AnyFunSuite {
     val (_, r3) = Pipeline.prepareCorpus(spark, cleaned.drop("is_train"))
     assert(r3.afterQuality === r.afterQuality)
     assert(r3.input === r3.afterNearDedup)
+    // the exact pair source can only find MORE near-dup pairs than
+    // LSH (its candidates are exhaustive, verification identical), so
+    // exhaustive near-dedup keeps at most as many docs
+    val (_, rExact) = Pipeline.prepareCorpus(spark, docs, exactNearDedup = true)
+    assert(rExact.afterNearDedup <= r.afterNearDedup)
+    assert(rExact.afterExactDedup === r.afterExactDedup)
   }
 
   test("prepareCorpus decontamination: eval-overlapping docs are dropped") {

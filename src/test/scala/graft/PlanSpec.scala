@@ -65,6 +65,44 @@ class PlanSpec extends AnyFunSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) === raw)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // one key carries ~90% of the rows; with the skew thresholds
+    // lowered to toy scale, AQE must mark and split that partition in
+    // the FINAL adaptive plan — the runtime half of the skew story
+    // (the static half, salting, is q57/q76)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ/SHJ
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), col("id")).as(("v")))
+      val small = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = big.join(small, "k")
+      // drive THIS queryExecution (count() would build a separate
+      // plan and leave this one unexecuted => isFinalPlan=false)
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-split in final adaptive plan:\n${finalPlan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("q09: semi/anti joins stay hash-based") {
     val p = plan(Relational.q09JoinSemiAnti(spark, sf))
     assert(p.contains("LeftSemi"), p)

@@ -154,6 +154,30 @@ object LlmOps {
     withHs.write.mode(mode).parquet(s"$indexPath/hs")
   }
 
+  /** [[dedupIndexWrite]] stamped with an ingest batch id — the
+    * replay-safe append for streaming ingest: both index relations
+    * are partitioned by (leading) pruning column plus `__batch_id`
+    * and written with DYNAMIC overwrite, so a replayed micro-batch
+    * rewrites exactly its own index directories instead of appending
+    * duplicates (the streamToPartitionedSink rule applied to index
+    * state). Probes still prune on `band`, the leading partition
+    * column. A streaming-ingested index must use this writer from its
+    * FIRST batch — the layouts of the two writers don't mix.
+    */
+  def dedupIndexAppendBatch(docs: DataFrame, indexPath: String,
+      batchId: Long): Unit = {
+    val withHs = shingleHashSets(docs).localCheckpoint()
+    bandBuckets(withHs)
+      .withColumn("__batch_id", lit(batchId))
+      .repartition(col("band"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("band", "__batch_id").parquet(s"$indexPath/buckets")
+    withHs.withColumn("__batch_id", lit(batchId))
+      .repartition(col("__batch_id"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(s"$indexPath/hs")
+  }
+
   /** Incremental near-dup: check a NEW batch against the persisted
     * index AND against itself without touching the historical corpus —
     * new signatures are map-side, the band join probes the index's

@@ -173,6 +173,44 @@ object Streaming {
       .option("checkpointLocation", path.stripSuffix("/") + "__checkpoint")
       .start()
 
+  /** Streaming dedup ingest: the incremental-index story run as a
+    * Structured Streaming pipeline. Per micro-batch of (doc_id, text)
+    * documents: probe the persisted LSH index for near-dups against
+    * ALL history AND within the batch ([[LlmOps.dedupIncremental]]),
+    * drop the duplicates (min-id doc of each pair is the keeper, the
+    * q36 rule), append the ADMITTED docs to the index, and write them
+    * to the clean-corpus sink. Both writes are batch-id-stamped
+    * dynamic overwrites, so a replayed micro-batch rewrites exactly
+    * its own directories — the sink and the index state stay
+    * exactly-once on at-least-once delivery, and re-probing a
+    * replayed batch is deterministic (self-matches are id-excluded,
+    * its dropped docs still match their admitted keepers). Per-batch
+    * cost scales with the batch + its collisions, never with history —
+    * the 100 TB ingest shape.
+    */
+  def dedupIngest(docs: DataFrame, indexPath: String, outPath: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val indexExists = new java.io.File(s"$indexPath/buckets").exists()
+        val dropIds =
+          (if (indexExists) LlmOps.dedupIncremental(spark, b, indexPath, threshold)
+           else LlmOps.minhashPairsOf(b, threshold))
+            .select(col("doc_b").as("doc_id")).distinct()
+        val admitted = b.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
+        LlmOps.dedupIndexAppendBatch(admitted, indexPath, batchId)
+        admitted.withColumn("__batch_id", lit(batchId))
+          .repartition(col("__batch_id"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
+      .start()
+
   // -- streaming runners (used by ScalaTest equivalence specs) -------
 
   /** Read the events parquet as a bounded stream (AvailableNow ≈ batch

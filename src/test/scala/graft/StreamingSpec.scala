@@ -237,6 +237,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(dup === 0)
   }
 
+  test("streaming dedup ingest: cross/within-batch dups dropped, replay-safe") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_dedup_ingest").toString
+    val idx = s"$base/index"
+    val out = s"$base/clean"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    // 40 distinct tokens; a near-copy changes the last token ->
+    // 3 of 38 shingles differ, J = 35/41 ~ 0.854 >= 0.8
+    def text(tag: String, last: String = "end") =
+      ((0 until 39).map(i => s"${tag}_t$i") :+ last).mkString(" ")
+    def nearCopy(tag: String) = text(tag, "CHANGED")
+    val batches = Seq(
+      // batch 0: d2 is a near-copy of d1 (within-batch); d3 distinct
+      Seq((1L, text("a")), (2L, nearCopy("a")), (3L, text("b"))),
+      // batch 1: d4 duplicates history (d1); d5 distinct
+      Seq((4L, nearCopy("a")), (5L, text("c"))),
+      // batch 2: d6 dups history (d5); d7/d8 near-copies of each
+      // other (within-batch); d9 distinct
+      Seq((6L, nearCopy("c")), (7L, text("d")), (8L, nearCopy("d")), (9L, text("e"))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/stage_$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/b$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/b$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.ops.Streaming.dedupIngest(src, idx, out)
+      q.awaitTermination()
+    }
+    runOnce()
+    val admitted = spark.read.parquet(out)
+    assert(admitted.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 5L, 7L, 9L))
+    // index state covers exactly the admitted docs
+    assert(spark.read.parquet(s"$idx/hs").select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 5L, 7L, 9L))
+    // a probe of a fresh near-copy of an admitted doc still matches it
+    val probe = Seq((100L, nearCopy("b"))).toDF("doc_id", "text")
+    val hit = graft.ops.LlmOps.dedupIncremental(spark, probe, idx)
+    assert(hit.select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq ===
+      Seq((3L, 100L)))
+    // replay safety: re-running with no new files changes nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 5)
+    assert(spark.read.parquet(out).select("doc_id").distinct().count() === 5)
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

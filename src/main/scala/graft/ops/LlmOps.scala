@@ -667,6 +667,15 @@ object LlmOps {
   private def bestCellOf(scored: Column): Column = element_at(
     transform(slice(array_sort(scored), 1, 1), x => x.getField("cid")), 1)
 
+  /** Zero-row ANN result with the declared (query_id, rnk,
+    * neighbor_id, cos) schema — the well-defined answer for an empty
+    * corpus or empty centroid set.
+    */
+  private def emptyAnnResult(emb: DataFrame): DataFrame =
+    emb.limit(0).select(col("vec_id").as("query_id"),
+      lit(1).cast("int").as("rnk"), col("vec_id").as("neighbor_id"),
+      lit(0.0).as("cos"))
+
   /** Lloyd-refined coarse-quantizer centroids. Init = first `nCells`
     * vectors, then `iters` rounds of: map-side best-cell assignment →
     * distributed per-(cell, dim) mean via posexplode + partial agg →
@@ -685,6 +694,10 @@ object LlmOps {
       .orderBy("vec_id").limit(nCells).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    // empty corpus: no seeds, nothing to refine — callers handle the
+    // zero-centroid case (an assignment expression over an empty
+    // centroid array cannot even be typed)
+    if (cents.isEmpty) return cents
     for (_ <- 0 until iters) {
       val assigned = emb.withColumn("cell", bestCellOf(centroidScores(cents)))
       val means = assigned.select(col("cell"), posexplode(col("embedding")))
@@ -725,6 +738,10 @@ object LlmOps {
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
     val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    // empty corpus => zero centroids => the centroid-score array has
+    // no element type and every downstream getField fails analysis;
+    // the well-defined result is simply no neighbors
+    if (cents.isEmpty) return emptyAnnResult(emb)
     val scored = centroidScores(cents)
     val assigned = emb.withColumn("cell", bestCellOf(scored))
     val probes = emb.filter(col("vec_id") < nQueries)
@@ -770,8 +787,14 @@ object LlmOps {
     // plain full-directory overwrite for a rebuild — DYNAMIC overwrite
     // would leave stale cell=N directories behind whenever the new
     // clustering assigns no vectors to a cell, and probes would then
-    // return vectors no longer in the corpus
-    emb.withColumn("cell", bestCellOf(centroidScores(cents)))
+    // return vectors no longer in the corpus.
+    // Zero centroids (empty build corpus / empty index): an
+    // assignment expression cannot be typed, and the right state is
+    // an empty cell map anyway — write the empty relation directly.
+    val assigned =
+      if (cents.isEmpty) emb.withColumn("cell", lit(null).cast("int")).limit(0)
+      else emb.withColumn("cell", bestCellOf(centroidScores(cents)))
+    assigned
       .repartition(col("cell"))
       .write.mode(mode)
       .partitionBy("cell").parquet(s"$indexPath/vectors")
@@ -791,7 +814,10 @@ object LlmOps {
   def annIncremental(spark: SparkSession, queries: DataFrame,
       indexPath: String, k: Int = 5, nProbe: Int = 4,
       excludeQueryId: Boolean = true): DataFrame = {
-    val scored = centroidScores(readCentroids(spark, indexPath))
+    val cents = readCentroids(spark, indexPath)
+    if (cents.isEmpty) // empty index: no cells to probe, no neighbors
+      return emptyAnnResult(queries)
+    val scored = centroidScores(cents)
     // centroidScores reads the row's `nsq` prenorm — alias to qnsq in
     // the SAME select (resolution is against the child, as in q49)
     val probes = queries

@@ -59,14 +59,18 @@ object Relational {
     */
   def q03SinkParquetPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    Tables.events(spark, dir)
+    val staged = Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
+    staged
       // Co-locate each date before the write: one file per partition
       // dir instead of (#tasks x #dates) small files. At 100 TB use
       // repartition(n, col) to bound per-date file size instead.
       .repartition(col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
-    spark.read.parquet(out)
+    // explicit schema on the read-back: an EMPTY source day writes no
+    // files at all, and schema inference on a file-less directory
+    // fails — the sink op must round-trip the empty partition too
+    spark.read.schema(staged.schema).parquet(out)
       .groupBy("event_date").agg(count(lit(1)).as("n"))
       .orderBy("event_date")
   }

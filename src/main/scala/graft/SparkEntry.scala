@@ -108,7 +108,8 @@ object SparkEntry {
     "q80_sequence_packing" -> ((s: SparkSession, d: String) => LlmOps.q80SequencePacking(s, d)),
     "q81_decontamination" -> ((s: SparkSession, d: String) => LlmOps.q81Decontamination(s, d)),
     "q82_simsearch_quantized" -> ((s: SparkSession, d: String) => LlmOps.q82SimsearchQuantized(s, d)),
-    "q83_stream_topk_sketched" -> graft.ops.StatefulTopK.q83StreamTopkSketched _
+    "q83_stream_topk_sketched" -> graft.ops.StatefulTopK.q83StreamTopkSketched _,
+    "q84_range_join" -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.q84RangeJoin(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -487,6 +488,14 @@ object SparkEntry {
         |CAST((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles AS INTEGER) AS overlap_milli,
         |CAST(((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles) >= 100 AS INTEGER) AS contaminated
         |FROM n LEFT JOIN ov ON n.doc_id = ov.doc_id ORDER BY n.doc_id""".stripMargin,
+    "q84_range_join" ->
+      """WITH iv AS (SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS s_ms,
+        |epoch_ms(l_shipdate) + ((l_suppkey % 20) + 1) * 86400000 AS e_ms
+        |FROM lineitem WHERE l_quantity = 50),
+        |pt AS (SELECT o_orderkey, epoch_ms(o_orderdate) AS p_ms FROM orders WHERE o_orderstatus = 'P')
+        |SELECT l_orderkey, l_linenumber, o_orderkey, p_ms
+        |FROM iv JOIN pt ON p_ms >= s_ms AND p_ms < e_ms
+        |ORDER BY l_orderkey, l_linenumber, o_orderkey""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

@@ -28,17 +28,48 @@ object Bench {
       spark.read.parquet(tmp).count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Noise-robust protocol (round-6): single-shot timings on this
+    // host are unusable — the r5 record showed 2-6x inflation on
+    // unchanged queries, and in-round experiments reproduced it with
+    // MULTI-MINUTE episodic stalls that hit DIFFERENT queries on
+    // different runs (q51 57s in one run / 1.5s in the next; q03 the
+    // reverse). Back-to-back repeats of one query land inside the
+    // same stall and inflate together (q03's median-of-3 read 115s),
+    // so the protocol interleaves instead: run the WHOLE suite in
+    // `Rounds` passes and keep each query's MIN across rounds —
+    // samples of one query are separated by minutes, a stall episode
+    // can't poison all of them, and for additive noise the min is the
+    // consistent estimator of intrinsic cost. Queries already under
+    // RepeatThresholdSec skip later rounds (below the noise floor;
+    // re-timing buys nothing), bounding total wall-clock.
+    val RepeatThresholdSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_THRESHOLD", "0.5").toDouble
+    val Rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) } catch {
         case e: Throwable =>
           // in-band failure marker: a query that errors out fast must
           // not read as a healthy speedup to whoever parses the JSON
-          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val order = SparkEntry.queries.toSeq
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (round <- 1 to Rounds; (name, fn) <- order) {
+      val skip = failed.contains(name) ||
+        best.get(name).exists(_ <= RepeatThresholdSec)
+      if (!skip) timeOnce(name, fn) match {
+        case Some(t) =>
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        case None =>
+          // first-round failure marks the query failed; a later-round
+          // failure (flaky environment) keeps the earlier good sample
+          if (!best.contains(name)) { failed += name; best(name) = 0.0 }
+      }
+    }
+    val results = order.map { case (name, _) => name -> best(name) }.toMap
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0

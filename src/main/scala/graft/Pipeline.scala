@@ -204,13 +204,16 @@ object Pipeline {
     */
   case class CorpusReport(input: Long, afterExactDedup: Long,
       afterNearDedup: Long, afterQuality: Long, train: Long, holdout: Long,
-      decontaminated: Long = 0L)
+      decontaminated: Long = 0L, paraDropped: Long = 0L)
 
   /** The LLM-training-data preparation chain, composing the
     * north-star operators end to end over any (doc_id, text, ...)
-    * corpus: exact dedup (content hash, min-id keeper) → transitive
-    * near-dup clustering (pair graph → connected components, ONE
-    * canonical doc per cluster) → quality gate (minimum length AND
+    * corpus: exact dedup (content hash, min-id keeper) → optional
+    * paragraph-level boilerplate strip (q86 semantics via
+    * `paraDedupTokens`; dropped-paragraph count lands in the report)
+    * → transitive near-dup clustering (pair graph → connected
+    * components, ONE canonical doc per cluster) → quality gate
+    * (minimum length AND
     * the q77 repetition thresholds, both map-side) → optional
     * decontamination against an external eval corpus (q81's shingle
     * overlap — drop any doc that would leak eval content into
@@ -231,16 +234,33 @@ object Pipeline {
       minTokens: Int = 5, dupMilliMax: Int = 300, topMilliMax: Int = 200,
       evalDocs: Option[DataFrame] = None,
       contaminationMilli: Int = 100,
-      exactNearDedup: Boolean = false): (DataFrame, CorpusReport) = {
+      exactNearDedup: Boolean = false,
+      paraDedupTokens: Option[Int] = None): (DataFrame, CorpusReport) = {
     val input = docs.count()
     // checkpoint each heavy stage once: every later stage AND its
     // count reads the materialization, not a re-run of the upstream
     // scan + shuffles (3 full corpus passes otherwise)
-    val exact = docs.join(
+    val exactKept = docs.join(
       docs.groupBy(sha2(col("text"), 256).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id"),
       "doc_id").localCheckpoint()
-    val nExact = exact.count()
+    // optional paragraph-level boilerplate strip (q86 semantics,
+    // C4/RefinedWeb order: after exact doc dedup, before near-dedup —
+    // stripping repeated paragraphs first makes near-dup similarity
+    // reflect CONTENT, not shared boilerplate). Documents reduced to
+    // nothing are dropped; others continue with their cleaned text.
+    val nExact = exactKept.count()
+    val (exact, nParaDropped) = paraDedupTokens match {
+      case Some(wTok) =>
+        val cleaned = exactKept.drop("text")
+          .join(ops.LlmOps.dedupParagraphs(
+              exactKept.select("doc_id", "text"), wTok)
+            .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+          .filter(length(col("text")) > 0)
+          .localCheckpoint()
+        (cleaned, nExact - cleaned.count())
+      case None => (exactKept, 0L)
+    }
     // DEFAULT pair source is LSH (minhashPairsOf): candidate volume
     // linear in the corpus — the only shape that survives 100 TB.
     // LSH recall below ~J=0.6 is probabilistic (16 bands x 4 rows:
@@ -281,7 +301,7 @@ object Pipeline {
     val nQuality = cleaned.count()
     val nTrain = cleaned.filter(col("is_train")).count()
     (cleaned, CorpusReport(input, nExact, near.count(), nQuality,
-      nTrain, nQuality - nTrain, nDropped))
+      nTrain, nQuality - nTrain, nDropped, nParaDropped))
   }
 
   /** Per-stage lineage export — the Catalyst answer to the

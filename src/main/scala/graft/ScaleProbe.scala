@@ -30,13 +30,36 @@ object ScaleProbe {
 
   private final val IdStride = 1000000000L // replica id offset, > any base id
 
-  def buildReplica(spark: SparkSession, src: String, dst: String, repl: Int): Unit = {
-    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      val out = (0 until repl).map(i => f(base, i)).reduce(_ unionByName _)
-      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      ()
-    }
+  /** Fact tables each probe query reads — lets a high-replication run
+    * (30×+) build ONLY the tables its probe subset needs instead of
+    * paying for a full sf3-class corpus. Dimension tables are always
+    * copied (bounded by design).
+    */
+  private val probeFacts: Map[String, Seq[String]] = Map(
+    "q00_flagship_sessionize" -> Seq("events"),
+    "q57_skew_salted_agg" -> Seq("events"),
+    "q11_agg_hash_groupby" -> Seq("lineitem"),
+    "q08_join_shuffle_multiway" -> Seq("lineitem", "orders"),
+    "q37_dedup_near_minhash" -> Seq("documents"),
+    "q75_dedup_clusters_lsh" -> Seq("documents"),
+    "q43_simsearch_lsh_ann" -> Seq("embeddings"),
+    "q49_simsearch_ivf" -> Seq("embeddings"),
+    "q77_repetition_stats" -> Seq("documents"),
+    "q80_sequence_packing" -> Seq("documents"),
+    "q81_decontamination" -> Seq("documents"))
+
+  private val allFacts =
+    Seq("events", "documents", "embeddings", "lineitem", "orders")
+
+  def buildReplica(spark: SparkSession, src: String, dst: String, repl: Int,
+      tables: Set[String] = allFacts.toSet): Unit = {
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit =
+      if (tables(name)) {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        val out = (0 until repl).map(i => f(base, i)).reduce(_ unionByName _)
+        out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        ()
+      }
     val shift = (c: String, i: Int) => col(c) + lit(i.toLong * IdStride)
     replicate("events", (df, i) => df
       .withColumn("event_id", shift("event_id", i))
@@ -87,16 +110,22 @@ object ScaleProbe {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$dst/documents.parquet").exists()) {
-      System.err.println(s"[scaleprobe] building ${repl}x replica at $dst")
-      buildReplica(spark, src, dst, repl)
+    // SPARK_GRAFT_PROBES narrows the probe set (comma-separated query
+    // names) — used by the 30× run to chase only the steepest curves
+    val probes = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(
+        "q00_flagship_sessionize", "q57_skew_salted_agg",
+        "q11_agg_hash_groupby", "q08_join_shuffle_multiway",
+        "q37_dedup_near_minhash", "q75_dedup_clusters_lsh",
+        "q43_simsearch_lsh_ann", "q49_simsearch_ivf",
+        "q77_repetition_stats", "q80_sequence_packing", "q81_decontamination"))
+    val needed = probes.flatMap(p => probeFacts.getOrElse(p, allFacts)).toSet
+    if (!needed.forall(t =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/$t.parquet")))) {
+      System.err.println(s"[scaleprobe] building ${repl}x replica at $dst (${needed.mkString(",")})")
+      buildReplica(spark, src, dst, repl, needed)
     }
-    val probes = Seq(
-      "q00_flagship_sessionize", "q57_skew_salted_agg",
-      "q11_agg_hash_groupby", "q08_join_shuffle_multiway",
-      "q37_dedup_near_minhash", "q75_dedup_clusters_lsh",
-      "q43_simsearch_lsh_ann", "q49_simsearch_ivf",
-      "q77_repetition_stats", "q80_sequence_packing", "q81_decontamination")
     def timeAt(dir: String): Map[String, Double] = probes.map { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
@@ -112,8 +141,11 @@ object ScaleProbe {
       s""""$n":{"sf01":${fmt(small(n))},"x$repl":${fmt(large(n))},"ratio":${fmt(large(n) / small(n))}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale_probe","repl":$repl,"queries":$per}"""
+    // default 10× run keeps the canonical artifact name; other
+    // replication factors write alongside it instead of clobbering
+    val outName = if (repl == 10) "scale_probe.json" else s"scale_probe_x$repl.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("scale_probe.json"), json + "\n")
+      java.nio.file.Paths.get(outName), json + "\n")
     println(json)
     spark.stop()
   }

@@ -109,13 +109,19 @@ object SparkEntry {
     "q81_decontamination" -> ((s: SparkSession, d: String) => LlmOps.q81Decontamination(s, d)),
     "q82_simsearch_quantized" -> ((s: SparkSession, d: String) => LlmOps.q82SimsearchQuantized(s, d)),
     "q83_stream_topk_sketched" -> graft.ops.StatefulTopK.q83StreamTopkSketched _,
-    "q84_range_join" -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.q84RangeJoin(s, d))
+    "q84_range_join" -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.q84RangeJoin(s, d)),
+    "q85_token_count_bpe_trained" -> ((s: SparkSession, d: String) => graft.ops.Bpe.q85TokenCountBpeTrained(s, d)),
+    "q86_dedup_paragraph" -> ((s: SparkSession, d: String) => LlmOps.q86DedupParagraph(s, d)),
+    "q87_dedup_ingest_batch" -> ((s: SparkSession, d: String) => LlmOps.q87DedupIngestBatch(s, d)),
+    "q88_sequence_packing_bpe" -> ((s: SparkSession, d: String) => graft.ops.Bpe.q88SequencePackingBpe(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
     * name). Omitted: q02/q03 (sinks, smoke-only), q14 (approximate),
     * q37/q41/q43 (xxhash64-seeded candidate generation — verified in
-    * ScalaTest against exact twins q40/q47/q38), q48 (binary media).
+    * ScalaTest against exact twins q40/q47/q38), q48 (binary media),
+    * q85/q88 (iterative trained-BPE encoding is not SQL-expressible —
+    * BpeSpec carries the semantics).
     */
   def oracleSql: Map[String, String] = Map(
     "q00_flagship_sessionize" ->
@@ -292,6 +298,15 @@ object SparkEntry {
     "q47_doc_fingerprint" ->
       """SELECT sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+    // q52's bucketed layout is a physical-plan property (PlanSpec pins
+    // the missing Exchange); its OUTPUT is a plain deterministic join
+    // aggregate, so it carries the plain-join oracle too (round-6).
+    "q52_bucketed_join" ->
+      """SELECT o.o_orderstatus,
+        |CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
     "q53_quantiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 4) AS p25, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         |round(quantile_cont(l_quantity, 0.75), 4) AS p75, round(quantile_cont(l_quantity, 0.9), 4) AS p90
@@ -496,6 +511,32 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, o_orderkey, p_ms
         |FROM iv JOIN pt ON p_ms >= s_ms AND p_ms < e_ms
         |ORDER BY l_orderkey, l_linenumber, o_orderkey""".stripMargin,
+    "q86_dedup_paragraph" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+        |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
+        |FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i FROM toks) x),
+        |ranked AS (SELECT doc_id, para_idx, para,
+        |row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS clean_text
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q87 at threshold 1.0: batch-sequential LSH ingest == global
+    // first-occurrence dedup by identical shingle SET (an equivalence
+    // relation; see LlmOps.q87DedupIngestBatch scaladoc). Docs with
+    // < 3 tokens have no shingles and are always admitted.
+    "q87_dedup_ingest_batch" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |fp AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |array_to_string(list_sort(list_distinct(list_transform(range(1, len(t) - 1),
+        |i -> array_to_string(t[CAST(i AS INTEGER):(CAST(i AS INTEGER) + 2)], ' ')))), chr(31)) END AS f
+        |FROM toks),
+        |keep AS (SELECT doc_id, CASE WHEN f IS NULL THEN doc_id
+        |ELSE min(doc_id) OVER (PARTITION BY f) END AS keeper FROM fp),
+        |b AS (SELECT COALESCE(max(doc_id), -1) // 4 + 1 AS sz FROM documents)
+        |SELECT doc_id, CAST(doc_id // (SELECT GREATEST(sz, 1) FROM b) AS BIGINT) AS batch_id
+        |FROM keep WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

@@ -166,7 +166,12 @@ object LlmOps {
     */
   def dedupIndexAppendBatch(docs: DataFrame, indexPath: String,
       batchId: Long): Unit = {
-    val withHs = shingleHashSets(docs).localCheckpoint()
+    // no checkpoint here (unlike dedupIndexWrite): callers pass an
+    // already-materialized admitted batch, so recomputing the
+    // map-side shingle+hash transform for the second write is one
+    // extra embarrassingly-parallel scan — cheaper at every scale
+    // than materializing TB-class hash-set blocks per micro-batch
+    val withHs = shingleHashSets(docs)
     bandBuckets(withHs)
       .withColumn("__batch_id", lit(batchId))
       .repartition(col("band"))
@@ -176,6 +181,138 @@ object LlmOps {
       .repartition(col("__batch_id"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(s"$indexPath/hs")
+  }
+
+  /** One dedup-ingest step — the shared core of the streaming
+    * foreachBatch pipeline ([[Streaming.dedupIngest]]) and its
+    * declared batch twin ([[q87DedupIngestBatch]]), so the two
+    * cannot drift: probe the persisted index (when it exists) for
+    * near-dups of `batch` against ALL prior admitted history AND
+    * within the batch, drop the duplicates (min-id keeper, the q36
+    * rule), append the admitted docs to the index stamped with
+    * `batchId`, and return them. `batch` should be checkpointed by
+    * the caller (it is read multiple times).
+    */
+  def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
+      indexPath: String, batchId: Long, threshold: Double): DataFrame = {
+    // existence check through the path's own FileSystem — a
+    // java.io.File test is local-FS-only and on an object store
+    // would silently take the "no index" branch forever. "Exists"
+    // means HAS DATA FILES: an all-dropped or empty prior batch
+    // leaves a _SUCCESS-only directory whose schema can't be
+    // inferred, and an index with no rows has no history to probe
+    // anyway — the self-dedup branch is the correct one.
+    val indexExists = {
+      val fs = Sinks.fsFor(spark, indexPath)
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/buckets")
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.endsWith(".parquet")
+        found
+      }
+    }
+    val dropIds =
+      (if (indexExists) dedupIncremental(spark, batch, indexPath, threshold)
+       else minhashPairsOf(batch, threshold))
+        .select(col("doc_b").as("doc_id")).distinct()
+    val admitted = batch.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    dedupIndexAppendBatch(admitted, indexPath, batchId)
+    admitted
+  }
+
+  /** #87 Declared batch twin of the streaming dedup ingest: process
+    * the corpus as `nBatches` ORDERED doc-id ranges through the exact
+    * [[dedupIngestBatch]] machinery (fresh persisted LSH index, probe
+    * + admit + append per batch) and emit the admitted (doc_id,
+    * batch_id) rows. At `threshold = 1.0` the pair rule degenerates
+    * to "identical shingle set" — an EQUIVALENCE relation, so
+    * batch-sequential admission provably equals global
+    * first-occurrence dedup under the same keeper rule, and THAT is
+    * DuckDB-expressible: keep doc iff doc_id = min(doc_id) over its
+    * sorted-distinct-shingle fingerprint (docs with < 3 tokens have
+    * no shingles and are always admitted, mirroring
+    * shingleHashSets's size filter). The oracle hash-gates the whole
+    * ingest loop: index layout, band pruning, incremental probe,
+    * self-pair rule, replay-safe append.
+    */
+  def q87DedupIngestBatch(spark: SparkSession, dir: String,
+      nBatches: Int = 4, threshold: Double = 1.0): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
+      case null => -1L
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+    // same arithmetic as the oracle: bSize = max(doc_id) DIV n + 1
+    val bSize = math.max(1L, maxId / nBatches + 1)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q87_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // a fresh ingest run must not probe a previous run's index
+    val fs = Sinks.fsFor(spark, indexPath)
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    val admitted = (0 until nBatches).map { b =>
+      // no checkpoint on the batch itself: it is a trivial pushed-down
+      // filter over the parquet scan, cheaper to recompute than to
+      // materialize (the streaming twin checkpoints because ITS batch
+      // comes from a source that must not be re-read)
+      val batch = docs.filter(expr(s"doc_id DIV $bSize") === b)
+      dedupIngestBatch(spark, batch, indexPath, b.toLong, threshold)
+        .select(col("doc_id"), lit(b.toLong).as("batch_id"))
+    }
+    admitted.reduce(_.unionByName(_)).orderBy("doc_id")
+  }
+
+  /** #86 Paragraph-level exact dedup (the C4/RefinedWeb boilerplate
+    * strip): segment each document into fixed-width token chunks
+    * ("paragraphs" — the corpus has no newline structure, so the
+    * declared segmentation is every `paraTokens` whitespace tokens),
+    * keep each distinct paragraph ONLY at its globally first
+    * occurrence (min doc_id, then min position — one uniform rule,
+    * unique paragraphs trivially keep themselves), and reassemble
+    * the cleaned documents in original order.
+    *
+    * Plan shape at 100 TB: segmentation is a map-side
+    * transform+posexplode; the keep decision is ONE window shuffle
+    * partitioned by paragraph (row_number over (doc_id, pos) — the
+    * partition is the duplicate group, bounded by the repeat count of
+    * one paragraph); reassembly is one groupBy doc_id whose
+    * collect_list is bounded by the document's own paragraph count.
+    * No corpus-wide sort, no cartesian anything.
+    */
+  def q86DedupParagraph(spark: SparkSession, dir: String,
+      paraTokens: Int = 20): DataFrame =
+    dedupParagraphs(Tables.documents(spark, dir), paraTokens)
+
+  /** DataFrame core of [[q86DedupParagraph]] over any (doc_id, text)
+    * relation — also the optional boilerplate-strip stage of
+    * [[graft.Pipeline.prepareCorpus]], so the declared query and the
+    * pipeline stage share one semantics.
+    */
+  def dedupParagraphs(docs: DataFrame, paraTokens: Int = 20): DataFrame = {
+    val w = lit(paraTokens)
+    val paras = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), ceil(size(col("toks")) / w.cast("double")).cast("int") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * w + 1, w)))))
+      .select(col("doc_id"), col("pos").as("para_idx"), col("col").as("para"))
+    val ranked = paras.withColumn("rn", row_number().over(
+      Window.partitionBy("para").orderBy("doc_id", "para_idx")))
+    ranked.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the null structs of dropped paragraphs;
+        // struct sort orders by para_idx (unique within doc)
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("para_idx"), col("para"))))),
+            x => x.getField("para")),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
   }
 
   /** Incremental near-dup: check a NEW batch against the persisted
@@ -570,17 +707,20 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH: weights in
-    * [-1,1) from a splitmix64-style integer mix of (plane, dim) — no
-    * RNG state, reproducible across engines and runs.
+  /** The pre-fusion HOF bucket expression — `planes` interpreted
+    * aggregate(zip_with(...)) folds. Kept (test-only) as the
+    * reference semantics the codegen'd
+    * [[graft.functions.SignLshBucket]] must reproduce bit-for-bit;
+    * LlmOpsSpec asserts equality over the corpus.
     */
-  private def planeWeight(p: Int, d: Int): Double = {
-    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 42L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-  }
+  private[graft] def lshBucketHof(t: Int, planes: Int, dims: Int): Column =
+    (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+      val w = array((0 until dims).map(d =>
+        lit(graft.functions.SignLshBucket.planeWeight(t * 1000 + p, d))): _*)
+      val dotP = aggregate(zip_with(col("embedding"), w,
+        (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
+      acc + when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
 
   /** LSH-bucketed approximate nearest neighbors: `nTables`
     * independent hash tables of `nPlanes` random-hyperplane sign bits
@@ -613,16 +753,13 @@ object LlmOps {
     // metadata-only job) so buckets never degrade to near-all-pairs
     // as N grows — the knob is computed, not a footnote.
     val planes = if (nPlanes > 0) nPlanes else lshPlanesFor(emb.count())
+    // one codegen'd two-level loop per (row, table) — see
+    // functions.SignLshBucket; the HOF twin lshBucketHof pins the
+    // exact semantics in LlmOpsSpec
     val tableCols = (0 until nTables).map { t =>
-      // Long bit accumulation: Int `1 << p` overflows (ANSI throws)
-      // once the auto-computed plane count passes 31
-      val bucketExpr = (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
-        val w = array((0 until dims).map(d => lit(planeWeight(t * 1000 + p, d))): _*)
-        val dotP = aggregate(zip_with(col("embedding"), w,
-          (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
-        acc + when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("t"), bucketExpr.as("bucket"))
+      struct(lit(t).as("t"),
+        graft.functions.SignLshBucket.bucketOf(col("embedding"), t, planes, dims)
+          .as("bucket"))
     }
     val bucketed = emb
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
@@ -1036,18 +1173,30 @@ object LlmOps {
     * shape anyway: shards are the read-parallelism unit.
     */
   def q80SequencePacking(spark: SparkSession, dir: String,
-      capacity: Int = 512, nShards: Int = 8): DataFrame = {
+      capacity: Int = 512, nShards: Int = 8): DataFrame =
+    packSequences(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(nShards.toLong)).cast("int").as("shard"),
+          size(split(col("text"), " ")).as("n_tokens")),
+      capacity)
+      .orderBy("doc_id")
+
+  /** The packing core shared by q80 (whitespace counts, oracled) and
+    * q88 (trained-BPE counts, spec-covered) — one semantics, two
+    * budget units, so the declared queries cannot drift. Input:
+    * (doc_id, shard, n_tokens). The cumulative sum is a window
+    * PARTITIONED BY SHARD — shards bound window width at any corpus
+    * size (the q16-family rule).
+    */
+  def packSequences(counted: DataFrame, capacity: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        pmod(col("doc_id"), lit(nShards.toLong)).cast("int").as("shard"),
-        size(split(col("text"), " ")).as("n_tokens"))
+    counted
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"CAST(cum_before DIV $capacity AS INT)").as("bin"),
         expr(s"CAST(cum_before % $capacity AS INT)").as("bin_offset"))
-      .orderBy("doc_id")
   }
 
   /** #81 Train/test decontamination: flag test-split documents whose

@@ -34,25 +34,59 @@ object RangeJoin {
     * keeps rows where `start <= point < end` (end-exclusive).
     *
     * `start`/`end`/`point` are LONG columns on one shared axis (epoch
-    * ms, epoch days — any integer domain); `bucket` is the bucket
-    * width W in the same unit. Empty/inverted intervals (end <= start)
-    * match nothing and are dropped up front — also guards
-    * `sequence()`, which would otherwise happily generate a DESCENDING
-    * bucket range for an inverted interval.
+    * ms, epoch days — any integer domain, full long range); `bucket`
+    * is the bucket width W in the same unit. Empty/inverted intervals
+    * (end <= start) match nothing and are dropped up front — also
+    * guards `sequence()`, which would otherwise happily generate a
+    * DESCENDING bucket range for an inverted interval. An interval
+    * covering more than `maxBucketsPerInterval` buckets raises a
+    * runtime error naming the limit (fail-fast beats an executor OOM
+    * from one bad row, and beats silently dropping its matches).
+    * Inputs must not already carry a `__bucket` column. One domain
+    * bound: axis values within `bucket` of Long.MinValue would
+    * overflow the floor computation — keep the axis above
+    * Long.MinValue + bucket (every real epoch unit is).
     */
   def pointInInterval(intervals: DataFrame, points: DataFrame,
-      start: Column, end: Column, point: Column, bucket: Long): DataFrame = {
+      start: Column, end: Column, point: Column, bucket: Long,
+      maxBucketsPerInterval: Long = 1 << 20): DataFrame = {
     require(bucket > 0, s"bucket width must be positive, got $bucket")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    // the bucket id is wired through a temp column; a caller column of
+    // the same name would be silently overwritten by withColumn and
+    // corrupt the join — fail at plan time instead
+    for (df <- Seq(intervals, points) if df.columns.contains("__bucket"))
+      throw new IllegalArgumentException(
+        "pointInInterval: input already has a __bucket column; rename it first")
     val w = lit(bucket)
     // floorDiv semantics for potentially-negative axis values: SQL
     // `div` truncates toward zero, which would glue buckets -1 and 0
     // together; shift-free floor division keeps buckets uniform.
+    // (c - pmod(c, w)) is an EXACT multiple of w, so the division's
+    // true quotient is an integer; doing it in decimal keeps it exact
+    // over the full long range (double `/` silently loses bits past
+    // 2^53 — ns-epoch axes would bucket wrong).
     def floorDiv(c: Column): Column =
-      ((c - pmod(c, w)) / w).cast("long")
+      ((c - pmod(c, w)).cast("decimal(38,0)") / w).cast("long")
+    // one pathological interval (length >> W) would explode() into a
+    // huge per-row array — sequence() throws near Int.MaxValue elements
+    // and OOMs well before that. Fail fast with the offending span
+    // instead of silently truncating matches (a correctness bug) or
+    // letting the executor die. assert_true rides inside the sequence
+    // bound so column pruning can never drop it.
+    def guarded(fdEnd: Column, fdStart: Column): Column =
+      fdEnd + coalesce(
+        assert_true(fdEnd - fdStart < lit(maxBucketsPerInterval),
+          concat(lit("pointInInterval: interval spans more than "),
+            lit(maxBucketsPerInterval),
+            lit(" buckets; raise the bucket width or maxBucketsPerInterval"))
+        ).cast("long"),
+        lit(0L))
     val iv = intervals
       .filter(end > start)
       .withColumn("__bucket",
-        explode(sequence(floorDiv(start), floorDiv(end - lit(1L)))))
+        explode(sequence(floorDiv(start), guarded(floorDiv(end - lit(1L)), floorDiv(start)))))
     val pt = points.withColumn("__bucket", floorDiv(point))
     iv.join(pt, "__bucket")
       .filter(point >= start && point < end)

@@ -234,15 +234,13 @@ object Relational {
     val tbl = s"graft_lineitem_bucketed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     if (!spark.catalog.tableExists(tbl)) {
       // the in-memory catalog forgets tables across sessions but the
-      // warehouse directory persists — clear a stale location first
-      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-      val loc = new java.io.File(
-        if (wh.getScheme == "file") wh.getPath else wh.toString, tbl)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (loc.exists()) rm(loc)
+      // warehouse directory persists — clear a stale location first,
+      // through the warehouse's own FileSystem so a remote warehouse
+      // (object store) is handled the same as file:
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh.stripSuffix("/") + "/" + tbl)
+      val fs = Sinks.fsFor(spark, wh)
+      if (fs.exists(loc)) fs.delete(loc, true)
       Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.mode("overwrite")

@@ -152,7 +152,7 @@ object Sinks {
   // manifest): concurrent committers need an external lock, same as
   // any manifest-pointer table format.
 
-  private def fsFor(spark: SparkSession, p: String) =
+  private[graft] def fsFor(spark: SparkSession, p: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
 

@@ -194,13 +194,9 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.localCheckpoint()
-        val indexExists = new java.io.File(s"$indexPath/buckets").exists()
-        val dropIds =
-          (if (indexExists) LlmOps.dedupIncremental(spark, b, indexPath, threshold)
-           else LlmOps.minhashPairsOf(b, threshold))
-            .select(col("doc_b").as("doc_id")).distinct()
-        val admitted = b.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
-        LlmOps.dedupIndexAppendBatch(admitted, indexPath, batchId)
+        // probe + admit + index-append is the shared core — the
+        // declared q87 batch twin runs the IDENTICAL code path
+        val admitted = LlmOps.dedupIngestBatch(spark, b, indexPath, batchId, threshold)
         admitted.withColumn("__batch_id", lit(batchId))
           .repartition(col("__batch_id"))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -66,6 +66,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ps === ps.sorted)
   }
 
+  test("q43 fused SignLshBucket == the HOF aggregate/zip_with form, every table, every vector") {
+    val emb = Tables.embeddings(spark, sf)
+    for (t <- 0 until 4) {
+      val mismatches = emb.select(col("vec_id"),
+          graft.functions.SignLshBucket.bucketOf(col("embedding"), t, 8, 64).as("fused"),
+          LlmOps.lshBucketHof(t, 8, 64).as("hof"))
+        .filter(col("fused") =!= col("hof")).count()
+      assert(mismatches === 0L, s"table $t")
+    }
+  }
+
   test("q43 LSH-ANN: results are a subset of valid neighbors with decent recall") {
     val ann = LlmOps.q43SimsearchLshAnn(spark, sf).cache()
     val brute = LlmOps.q38SimilarityTopk(spark, sf).cache()

@@ -175,6 +175,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rExact.afterExactDedup === r.afterExactDedup)
   }
 
+  test("prepareCorpus paragraph stage: boilerplate stripped per q86 semantics, reported") {
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+    val (cleaned, r) = Pipeline.prepareCorpus(spark, docs, paraDedupTokens = Some(20))
+    // same keep rule as the declared q86 — the surviving text of any
+    // kept doc must equal q86's clean_text for that doc
+    val q86 = ops.LlmOps.dedupParagraphs(docs.select("doc_id", "text"), 20)
+      .select(col("doc_id"), col("clean_text")).as[(Long, String)].collect().toMap
+    val kept = cleaned.select("doc_id", "text").as[(Long, String)].collect()
+    assert(kept.nonEmpty)
+    kept.foreach { case (id, text) =>
+      // doc may have been rewritten by the para stage BEFORE near-dup
+      // filtering; where it survived, the text is the q86 cleaning
+      assert(q86.contains(id) && q86(id) === text, s"doc $id")
+    }
+    assert(r.paraDropped >= 0L)
+    // a corpus of pure repeated boilerplate collapses to one survivor
+    val boiler = (0L until 6L).map(i =>
+      (i, Seq.fill(20)("boil").mkString(" "))).toDF("doc_id", "text")
+    val (keptB, rB) = Pipeline.prepareCorpus(spark, boiler,
+      paraDedupTokens = Some(20), minTokens = 1, dupMilliMax = 1000, topMilliMax = 1000)
+    // exact dedup keeps doc 0 only; its paragraph is then globally
+    // first-occurrence and survives
+    assert(rB.afterExactDedup === 1L && rB.paraDropped === 0L)
+    assert(keptB.select("doc_id").as[Long].collect().toSeq === Seq(0L))
+  }
+
   test("prepareCorpus decontamination: eval-overlapping docs are dropped") {
     val docs = Tables.documents(spark, SharedSpark.sfTiny)
     val (base, rBase) = Pipeline.prepareCorpus(spark, docs)

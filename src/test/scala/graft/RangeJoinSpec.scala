@@ -51,6 +51,45 @@ class RangeJoinSpec extends AnyFunSuite {
         .select("iid", "pid").as[(Long, Long)].collect().toSet === expected, s"w=$w")
   }
 
+  test("axis values beyond 2^53 bucket exactly (decimal floor-div, not double)") {
+    // near Long.MaxValue a double mantissa is ~1024 off — the old
+    // double-division floorDiv could put a point and its covering
+    // interval in different buckets and silently drop the match
+    val base = Long.MaxValue - 1000L
+    val iv = Seq((1L, base, base + 50L), (2L, base + 100L, base + 107L))
+      .toDF("iid", "s", "e")
+    val pt = Seq((10L, base), (11L, base + 49L), (12L, base + 50L),
+      (13L, base + 103L), (14L, base + 700L)).toDF("pid", "p")
+    val got = RangeJoin.pointInInterval(iv, pt, col("s"), col("e"), col("p"), bucket = 7)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(got === naive(iv, pt))
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+
+  test("interval spanning more than maxBucketsPerInterval fails fast, not OOM") {
+    val iv = Seq((1L, 0L, 1000000L)).toDF("iid", "s", "e")
+    val pt = Seq((10L, 5L)).toDF("pid", "p")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(iv, pt, col("s"), col("e"), col("p"),
+        bucket = 1, maxBucketsPerInterval = 100).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pointInInterval")), e.toString)
+    // same interval passes once the cap covers it
+    assert(RangeJoin.pointInInterval(iv, pt, col("s"), col("e"), col("p"),
+      bucket = 100000, maxBucketsPerInterval = 100).count() === 1L)
+  }
+
+  test("pre-existing __bucket column is rejected, not silently overwritten") {
+    val iv = Seq((1L, 0L, 10L, 99L)).toDF("iid", "s", "e", "__bucket")
+    val pt = Seq((10L, 5L)).toDF("pid", "p")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(iv, pt, col("s"), col("e"), col("p"), bucket = 10)
+    }
+    assert(e.getMessage.contains("__bucket"))
+  }
+
   test("q84 plans a hash/merge join — no cartesian, no nested loop") {
     val p = RangeJoin.q84RangeJoin(spark, SharedSpark.sfTiny)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -113,7 +113,9 @@ object SparkEntry {
     "q85_token_count_bpe_trained" -> ((s: SparkSession, d: String) => graft.ops.Bpe.q85TokenCountBpeTrained(s, d)),
     "q86_dedup_paragraph" -> ((s: SparkSession, d: String) => LlmOps.q86DedupParagraph(s, d)),
     "q87_dedup_ingest_batch" -> ((s: SparkSession, d: String) => LlmOps.q87DedupIngestBatch(s, d)),
-    "q88_sequence_packing_bpe" -> ((s: SparkSession, d: String) => graft.ops.Bpe.q88SequencePackingBpe(s, d))
+    "q88_sequence_packing_bpe" -> ((s: SparkSession, d: String) => graft.ops.Bpe.q88SequencePackingBpe(s, d)),
+    "q89_decontamination_bloom" -> ((s: SparkSession, d: String) => LlmOps.q89DecontaminationBloom(s, d)),
+    "q90_multimodal_transform" -> LlmOps.q90MultimodalTransform _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -123,6 +125,19 @@ object SparkEntry {
     * q85/q88 (iterative trained-BPE encoding is not SQL-expressible —
     * BpeSpec carries the semantics).
     */
+  private val decontaminationOracle: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, is_train, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+      |FROM (SELECT doc_id, is_train, toks, unnest(range(1, len(toks) - 1)) AS i FROM docs WHERE len(toks) >= 3) x),
+      |tr AS (SELECT DISTINCT shingle FROM sh WHERE is_train),
+      |te AS (SELECT doc_id, shingle FROM sh WHERE NOT is_train),
+      |ov AS (SELECT doc_id, count(*) AS n_overlap FROM te JOIN tr USING (shingle) GROUP BY 1),
+      |n AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1)
+      |SELECT n.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |CAST((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles AS INTEGER) AS overlap_milli,
+      |CAST(((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles) >= 100 AS INTEGER) AS contaminated
+      |FROM n LEFT JOIN ov ON n.doc_id = ov.doc_id ORDER BY n.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q00_flagship_sessionize" ->
       """WITH f AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS tms FROM events WHERE event_type IN ('click','view','purchase')),
@@ -491,18 +506,11 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens, COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens, 0) AS cum_before FROM d)
         |SELECT doc_id, shard, n_tokens, CAST(cum_before // 512 AS INTEGER) AS bin, CAST(cum_before % 512 AS INTEGER) AS bin_offset FROM c ORDER BY doc_id""".stripMargin,
-    "q81_decontamination" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, is_train, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
-        |FROM (SELECT doc_id, is_train, toks, unnest(range(1, len(toks) - 1)) AS i FROM docs WHERE len(toks) >= 3) x),
-        |tr AS (SELECT DISTINCT shingle FROM sh WHERE is_train),
-        |te AS (SELECT doc_id, shingle FROM sh WHERE NOT is_train),
-        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM te JOIN tr USING (shingle) GROUP BY 1),
-        |n AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1)
-        |SELECT n.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-        |CAST((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles AS INTEGER) AS overlap_milli,
-        |CAST(((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles) >= 100 AS INTEGER) AS contaminated
-        |FROM n LEFT JOIN ov ON n.doc_id = ov.doc_id ORDER BY n.doc_id""".stripMargin,
+    "q81_decontamination" -> decontaminationOracle,
+    // q89 is q81's declared OUTPUT behind a Bloom prefilter whose
+    // exactness is structural (no false negatives; false positives
+    // die in the exact join) — same oracle, deliberately shared
+    "q89_decontamination_bloom" -> decontaminationOracle,
     "q84_range_join" ->
       """WITH iv AS (SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS s_ms,
         |epoch_ms(l_shipdate) + ((l_suppkey % 20) + 1) * 86400000 AS e_ms

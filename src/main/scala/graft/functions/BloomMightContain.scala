@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** `bloom_might_contain(s)` — membership probe of a string column
+  * against a pre-built [[org.apache.spark.util.sketch.BloomFilter]]
+  * (the public sketch `DataFrameStatFunctions.bloomFilter` builds via
+  * distributed treeAggregate). The filter rides to executors as a
+  * plan reference object, same as every broadcast-small-side pattern
+  * in this repo; the generated code is one call per row inside the
+  * scan's WholeStageCodegen span.
+  *
+  * No false negatives (every inserted member answers true), bounded
+  * false positives (the fpp chosen at build) — which is exactly the
+  * contract a PREFILTER needs: rows that pass still meet the exact
+  * join behind it, rows rejected provably cannot match, so the final
+  * answer is unchanged while the shuffle carries only the ~hit
+  * fraction.
+  */
+case class BloomMightContain(child: Expression, filter: BloomFilter)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainString(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $ref.mightContainString($s.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_might_contain"
+}
+
+object BloomMightContain {
+  def mightContain(s: Column, filter: BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(s), filter))
+}

@@ -1228,14 +1228,60 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** #89 Bloom-prefiltered decontamination — q81's declared output
+    * (same oracle), produced through the 100 TB-shaped plan q81's
+    * scaladoc promises: a Bloom filter of the distinct train shingles
+    * (built by Spark's public sketch aggregate, ~1.2 GB at 1B
+    * shingles / 1% fpp — broadcastable) prefilters test shingles
+    * MAP-SIDE before the semi-join, so the shuffle carries only the
+    * ~overlapping fraction instead of every test shingle. Exactness
+    * is structural, not statistical: Bloom probes have no false
+    * negatives, so every true overlap reaches the exact join; false
+    * positives die in the join; the per-doc denominator reads the
+    * unfiltered side. LlmOpsSpec asserts row-identity with q81.
+    */
+  def q89DecontaminationBloom(spark: SparkSession, dir: String,
+      w: Int = 3, milliMin: Int = 100, fpp: Double = 0.01): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)
+        .select("doc_id", "text"), w)
+      .withColumn("is_train",
+        substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
+    val trainShingles = sh.filter(col("is_train")).select("shingle")
+      .distinct().localCheckpoint()
+    val nTrain = trainShingles.count()
+    // zero train shingles (empty split/partition): the sketch
+    // aggregate returns a buffer-less filter that NPEs on probe, and
+    // there is nothing to prefilter against anyway — run unfiltered
+    // (the semi-join against an empty side is already trivial)
+    val prefilter =
+      if (nTrain == 0) None
+      else Some(graft.functions.BloomMightContain.mightContain(
+        col("shingle"), trainShingles.stat.bloomFilter("shingle", nTrain, fpp)))
+    shingleOverlap(
+        sh.filter(!col("is_train")).drop("is_train"),
+        trainShingles,
+        prefilter)
+      .withColumn("contaminated", (col("overlap_milli") >= milliMin).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc shingle overlap of `targetSh` (doc_id, shingle) against
     * a distinct reference shingle set: (doc_id, n_shingles,
     * n_overlap, overlap_milli). One shuffle keyed by shingle (the
     * semi-join) + bounded per-doc rollups. Shared by q81 and
     * [[graft.Pipeline.prepareCorpus]]'s decontamination stage.
+    *
+    * `prefilter` (optional) drops target shingles BEFORE the
+    * semi-join shuffle — it must never reject a true member (a Bloom
+    * probe qualifies: no false negatives), and then the result is
+    * EXACTLY unchanged: false positives still die in the exact join,
+    * and the per-doc `n_shingles` denominator deliberately reads the
+    * UNFILTERED target side.
     */
-  def shingleOverlap(targetSh: DataFrame, refShingles: DataFrame): DataFrame = {
-    val overlaps = targetSh.join(refShingles, Seq("shingle"), "left_semi")
+  def shingleOverlap(targetSh: DataFrame, refShingles: DataFrame,
+      prefilter: Option[Column] = None): DataFrame = {
+    val probed = prefilter.fold(targetSh)(targetSh.filter)
+    val overlaps = probed.join(refShingles, Seq("shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     targetSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(overlaps, Seq("doc_id"), "left")
@@ -1285,6 +1331,12 @@ object LlmOps {
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
       checksum: Long, feature: String)
   case class FrameRow(doc_id: Long, frame_idx: Int, offset: Int, frame_hash: Long)
+  /** One transformed payload: dims/meta as integers (BMP: out
+    * width/height; WAV: out rate/sample count; text: 0/out length) so
+    * the declared output stays scalar and bit-stable.
+    */
+  case class TransformRow(doc_id: Long, mime: String, in_bytes: Int,
+      out_bytes: Int, out_meta1: Long, out_meta2: Long, out_checksum: Long)
 
   private def mediaChecksum(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
@@ -1376,6 +1428,49 @@ object LlmOps {
     */
   def q48MultimodalDecode(spark: SparkSession, dir: String): DataFrame =
     mediaFeatures(mediaPayloads(spark, dir)).toDF().orderBy("doc_id")
+
+  /** #90 Multimodal transform (the resize / downsample half of the
+    * SURVEY's decode / feature-extract / resize / frame-sample
+    * quartet): per-mime REAL transform → re-encode, executor-side in
+    * the same partition-batched shape as q48 — BMP payloads are
+    * nearest-neighbor halved ([[Media.resize]]) and re-encoded, WAV
+    * payloads are 2:1 decimated (every other sample, half the rate)
+    * and re-encoded, text truncates to its first half. The output
+    * carries byte sizes, new dims/meta and a checksum of the
+    * re-encoded payload — enough for a spec (and any downstream
+    * reader) to verify the transform round-trips through the real
+    * codecs, while the declared row stays scalar-only.
+    */
+  def q90MultimodalTransform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, dir).mapPartitions { it =>
+      it.map { r =>
+        r.mime match {
+          case "image/bmp" =>
+            val img = Media.decodeBmp(r.media)
+            val halved = Media.resize(img,
+              math.max(1, img.width / 2), math.max(1, img.height / 2))
+            val out = Media.encodeBmp(halved.width, halved.height, halved.rgb)
+            TransformRow(r.doc_id, r.mime, r.media.length, out.length,
+              halved.width.toLong, halved.height.toLong, mediaChecksum(out))
+          case "audio/wav" =>
+            val w = Media.decodeWav(r.media)
+            // 2:1 decimation; keep at least one sample so the encoder
+            // always has a payload
+            val dec = new Array[Short](math.max(1, (w.samples.length + 1) / 2))
+            var i = 0
+            while (i < dec.length) { dec(i) = w.samples(i * 2); i += 1 }
+            val out = Media.encodeWav(math.max(1, w.sampleRate / 2), w.channels, dec)
+            TransformRow(r.doc_id, r.mime, r.media.length, out.length,
+              (w.sampleRate / 2).toLong, dec.length.toLong, mediaChecksum(out))
+          case _ =>
+            val out = r.media.take(math.max(1, r.media.length / 2))
+            TransformRow(r.doc_id, r.mime, r.media.length, out.length,
+              0L, out.length.toLong, mediaChecksum(out))
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
 
   /** Frame sampling over binary media — the explode-shaped half of
     * the multimodal surface, decode-aware per mime: WAV frames are

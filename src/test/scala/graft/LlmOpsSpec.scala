@@ -66,6 +66,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ps === ps.sorted)
   }
 
+  test("q89 Bloom-prefiltered decontamination is row-identical to exact q81") {
+    val exact = LlmOps.q81Decontamination(spark, sf).collect().map(_.toString).toSeq
+    val bloom = LlmOps.q89DecontaminationBloom(spark, sf).collect().map(_.toString).toSeq
+    assert(bloom === exact)
+    assert(bloom.nonEmpty)
+    // the prefilter expression itself: no false negatives on members,
+    // overwhelmingly false on disjoint strings
+    val members = (0 until 500).map(i => s"member_$i")
+    val bf = members.toDF("s").stat.bloomFilter("s", 500, 0.01)
+    assert(members.forall(bf.mightContainString))
+    val misses = (0 until 1000).count(i => bf.mightContainString(s"absent_$i"))
+    assert(misses <= 50, s"$misses/1000 false positives at fpp=0.01")
+  }
+
   test("q43 fused SignLshBucket == the HOF aggregate/zip_with form, every table, every vector") {
     val emb = Tables.embeddings(spark, sf)
     for (t <- 0 until 4) {
@@ -165,6 +179,44 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getAs[String]("feature").split("\\|").length === 4)
       assert(r.getAs[Int]("n_bytes") > 0)
     }
+  }
+
+  test("q90 transform: halved BMP/WAV re-encode through the real codecs, checksum-verified") {
+    val rows = LlmOps.q90MultimodalTransform(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    val byMime = rows.groupBy(_.getAs[String]("mime"))
+    // BMP: 16x16 -> 8x8, and the output is a VALID BMP of those dims
+    byMime("image/bmp").foreach { r =>
+      assert((r.getAs[Long]("out_meta1"), r.getAs[Long]("out_meta2")) === ((8L, 8L)))
+      // 8px rows stride to 24 bytes (no padding needed): 54 + 8*24
+      assert(r.getAs[Int]("out_bytes") === 54 + 8 * 24)
+    }
+    // WAV: rate 8000 -> 4000, sample count halved (rounded up)
+    byMime("audio/wav").foreach { r =>
+      assert(r.getAs[Long]("out_meta1") === 4000L)
+      assert(r.getAs[Long]("out_meta2") >= 1L)
+      assert(r.getAs[Int]("out_bytes") === 44 + 2 * r.getAs[Long]("out_meta2").toInt)
+    }
+    byMime("text/plain").foreach { r =>
+      assert(r.getAs[Int]("out_bytes") <= math.max(1, r.getAs[Int]("in_bytes") / 2))
+    }
+    // checksum is the real re-encoded payload's: recompute one BMP
+    // end-to-end locally with the same codecs
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val bmpRow = rows.filter(_.getAs[String]("mime") == "image/bmp")
+      .minBy(_.getAs[Long]("doc_id"))
+    val id = bmpRow.getAs[Long]("doc_id")
+    val txt = docs(id).getBytes("UTF-8")
+    val rgb = Array.tabulate(16 * 16 * 3)(i => if (txt.isEmpty) 0.toByte else txt(i % txt.length))
+    val img = graft.ops.Media.decodeBmp(graft.ops.Media.encodeBmp(16, 16, rgb))
+    val halved = graft.ops.Media.resize(img, 8, 8)
+    val out = graft.ops.Media.encodeBmp(8, 8, halved.rgb)
+    val expect = out.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
+    assert(bmpRow.getAs[Long]("out_checksum") === expect)
+    // determinism
+    assert(LlmOps.q90MultimodalTransform(spark, sf).collect().map(_.toString).toSeq ===
+      rows.map(_.toString).toSeq)
   }
 
   test("q50 frames: decode-aware coverage and determinism") {

@@ -115,7 +115,9 @@ object SparkEntry {
     "q87_dedup_ingest_batch" -> ((s: SparkSession, d: String) => LlmOps.q87DedupIngestBatch(s, d)),
     "q88_sequence_packing_bpe" -> ((s: SparkSession, d: String) => graft.ops.Bpe.q88SequencePackingBpe(s, d)),
     "q89_decontamination_bloom" -> ((s: SparkSession, d: String) => LlmOps.q89DecontaminationBloom(s, d)),
-    "q90_multimodal_transform" -> LlmOps.q90MultimodalTransform _
+    "q90_multimodal_transform" -> LlmOps.q90MultimodalTransform _,
+    "q91_simsearch_pq" -> ((s: SparkSession, d: String) => LlmOps.q91SimsearchPq(s, d)),
+    "q92_simsearch_ivfpq" -> ((s: SparkSession, d: String) => LlmOps.q92SimsearchIvfPq(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by

@@ -38,8 +38,32 @@ object GraftFunctions {
       }
       MinHashSignature(exprs(0), nSeeds)
     }),
-    "simhash64" -> (exprs => SimHash64(exprs(0)))
+    "simhash64" -> (exprs => SimHash64(exprs(0))),
+    // sign_lsh_bucket(embedding, table, planes, dims) — the three
+    // config args must be integral literals (they define the
+    // deterministic hyperplane family, not per-row data)
+    "sign_lsh_bucket" -> (exprs => SignLshBucket(exprs(0),
+      intLit(exprs(1), "sign_lsh_bucket", "table"),
+      intLit(exprs(2), "sign_lsh_bucket", "planes"),
+      intLit(exprs(3), "sign_lsh_bucket", "dims")))
   )
+
+  /** Foldable integral argument → Int, with an analysis-time error
+    * naming the function and parameter (shared by minhash_signature's
+    * inline variant and sign_lsh_bucket).
+    */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case x if x.foldable => x.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integral literal, got $other")
+    }
+    case x => throw new IllegalArgumentException(
+      s"$fn: $arg must be foldable, got ${x.sql}")
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -852,6 +852,204 @@ object LlmOps {
     cents
   }
 
+  /** Train product-quantization codebooks: k-means in each of `m`
+    * disjoint subspaces, all subspaces in ONE distributed job per
+    * Lloyd round (subvector rows keyed by subspace id), means
+    * driver-collected as bounded data (m·k·subDim cells ≤ ~1 k rows).
+    * Seeds are the first-k vectors' subvectors (deterministic, the
+    * kmeansCentroids convention). None for an empty corpus.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, kCodes: Int, subDim: Int,
+      iters: Int): Option[graft.functions.Pq.Codebooks] = {
+    val seeds = emb.select("vec_id", "embedding").orderBy("vec_id")
+      .limit(kCodes).collect()
+      .map(_.getSeq[Float](1).toArray)
+    if (seeds.isEmpty) return None
+    val k = seeds.length
+    val flat = new Array[Float](m * k * subDim)
+    for (mi <- 0 until m; ki <- 0 until k; d <- 0 until subDim)
+      flat((mi * k + ki) * subDim + d) = seeds(ki)(mi * subDim + d)
+    for (_ <- 0 until iters) {
+      val cbLit = array((0 until m).map(mi =>
+        array((0 until k).map(ki =>
+          array((0 until subDim).map(d =>
+            lit(flat((mi * k + ki) * subDim + d))): _*)): _*)): _*)
+      val sub = emb.select(col("vec_id"), posexplode(
+          transform(sequence(lit(0), lit(m - 1)),
+            i => slice(col("embedding"), i * subDim + 1, lit(subDim)))))
+        .toDF("vec_id", "mi", "sub")
+      val dists = transform(element_at(cbLit, col("mi") + 1),
+        c => aggregate(zip_with(col("sub"), c,
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, v) => acc + v))
+      val assigned = sub
+        .withColumn("cell", (array_position(dists, array_min(dists)) - 1).cast("int"))
+        .select(col("mi"), col("cell"), posexplode(col("sub")))
+        .toDF("mi", "cell", "d", "v")
+      val means = assigned.groupBy("mi", "cell", "d").agg(avg("v").as("mean"))
+        .collect()
+      means.foreach { r =>
+        flat((r.getInt(0) * k + r.getInt(1)) * subDim + r.getInt(2)) =
+          r.getDouble(3).toFloat
+      }
+    }
+    Some(new graft.functions.Pq.Codebooks(m, k, subDim, flat))
+  }
+
+  /** #91 Product-quantization similarity search — the compression
+    * member of the ANN family (brute q38, sign-LSH q43, IVF q49,
+    * int8 q82, PQ here; public algorithm: Jégou et al. 2011). Train:
+    * [[pqCodebooks]]. Encode: every vector becomes ONE packed int
+    * (m=8 subspaces × 4-bit centroid ids — 64× smaller than the
+    * float vector), map-side via the codegen'd
+    * [[graft.functions.PqEncode]]. Search: per-query ADC lookup
+    * tables are built DRIVER-side from bounded data (nQueries rows ×
+    * m·k sub-dots) and broadcast as an ordinary column; the candidate
+    * scan then reads ONLY the 4-byte code column and pays m=8 table
+    * lookups per (query, vector) pair ([[graft.functions.PqAdc]]) —
+    * at 100 TB that is the difference between scanning 4 bytes/row
+    * and 256 bytes/row. Approximate top candidates (candFactor·k by
+    * ADC cosine, reconstruction norms from the codebook lookup) are
+    * exactly reranked — the emitted cosines are exact, so the spec
+    * checks recall AND value-identity against brute-force q38.
+    * Approximate ⇒ no oracle; LlmOpsSpec carries recall + a
+    * hand-computed encode fixture. (IVF composition — PQ codes inside
+    * q49's cells — is the standard next step; the pieces here and in
+    * annIndexWrite compose without new machinery.)
+    */
+  def q91SimsearchPq(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8, kCodes: Int = 16,
+      dims: Int = 64, iters: Int = 2, candFactor: Int = 8): DataFrame = {
+    import spark.implicits._
+    val subDim = dims / m
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val cbOpt = pqCodebooks(emb, m, kCodes, subDim, iters)
+    if (cbOpt.isEmpty) return emptyAnnResult(emb)
+    val cb = cbOpt.get
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding", "nsq").collect()
+    if (qRows.isEmpty) return emptyAnnResult(emb)
+    // per-query ADC tables: table(mi·k + ki) = <q_sub(mi), c(mi,ki)>
+    val queries = qRows.toSeq.map { r =>
+      val q = r.getSeq[Float](1).toArray
+      val table = new Array[Float](m * cb.k)
+      for (mi <- 0 until m; ki <- 0 until cb.k) {
+        var s = 0.0
+        for (d <- 0 until subDim) s += q(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
+        table(mi * cb.k + ki) = s.toFloat
+      }
+      (r.getLong(0), q.toSeq, table.toSeq, r.getDouble(2))
+    }.toDF("query_id", "qe", "adc_table", "qnsq")
+    val codes = emb.select(col("vec_id"),
+      graft.functions.PqEncode.codes(col("embedding"), cb).as("codes"))
+    // deliberate bounded-broadcast product: nQueries rows × the code
+    // scan — the PQ scan shape (IVF cells would prune it further)
+    val approx = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos",
+        graft.functions.PqAdc.ip(col("codes"), col("adc_table"), m, cb.k) /
+          sqrt(col("qnsq") *
+            greatest(graft.functions.PqReconNormSq.normSq(col("codes"), cb),
+              lit(1e-12))))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("acos"), asc("vec_id"))))
+      .filter(col("arnk") <= candFactor * k)
+      .select(col("query_id"), col("qe"), col("qnsq"),
+        col("vec_id").as("neighbor_id"))
+    // exact rerank of the bounded candidate set
+    broadcast(approx)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nsq")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** #92 IVF-PQ composition — the two ANN halves working together,
+    * with zero new machinery: q49's coarse quantizer prunes the
+    * search to `nProbe` cells per query (an EQUI-join on cell id —
+    * at scale, partition pruning on a cell-partitioned index), and
+    * within the probed cells candidates are ranked by q91's ADC over
+    * packed-int codes (the scan reads 4-byte codes + a cell id, not
+    * vectors), then exactly reranked. Cell ranking for the bounded
+    * query set happens driver-side from the already-bounded centroid
+    * array. This is the standard billion-scale serving shape
+    * (IVF-ADC, Jégou et al. 2011 §V) minus residual encoding, which
+    * trades a recall point for needing no cross-term tables —
+    * declared as such.
+    */
+  def q92SimsearchIvfPq(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kCodes: Int = 16, dims: Int = 64,
+      kmeansIters: Int = 3, pqIters: Int = 2, candFactor: Int = 8): DataFrame = {
+    import spark.implicits._
+    val subDim = dims / m
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    if (cents.isEmpty) return emptyAnnResult(emb)
+    val cbOpt = pqCodebooks(emb, m, kCodes, subDim, pqIters)
+    if (cbOpt.isEmpty) return emptyAnnResult(emb)
+    val cb = cbOpt.get
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding", "nsq").collect()
+    if (qRows.isEmpty) return emptyAnnResult(emb)
+    val queries = qRows.toSeq.flatMap { r =>
+      val q = r.getSeq[Float](1).toArray
+      val qnsq = r.getDouble(2)
+      val table = new Array[Float](m * cb.k)
+      for (mi <- 0 until m; ki <- 0 until cb.k) {
+        var s = 0.0
+        for (d <- 0 until subDim) s += q(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
+        table(mi * cb.k + ki) = s.toFloat
+      }
+      // rank cells by query-centroid cosine, driver-side (bounded:
+      // nQueries × nCells), keep the nProbe best
+      val best = cents.map { case (cid, c) =>
+        var dot = 0.0; var nc = 0.0
+        for (d <- c.indices) { dot += q(d).toDouble * c(d); nc += c(d).toDouble * c(d) }
+        (cid, if (nc == 0 || qnsq == 0) -2.0 else dot / math.sqrt(nc * qnsq))
+      }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+      best.map(cell => (r.getLong(0), q.toSeq, table.toSeq, qnsq, cell))
+    }.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
+    val codes = emb
+      .withColumn("cell", bestCellOf(centroidScores(cents)))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqEncode.codes(col("embedding"), cb).as("codes"))
+    val approx = codes.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos",
+        graft.functions.PqAdc.ip(col("codes"), col("adc_table"), m, cb.k) /
+          sqrt(col("qnsq") *
+            greatest(graft.functions.PqReconNormSq.normSq(col("codes"), cb),
+              lit(1e-12))))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("acos"), asc("vec_id"))))
+      .filter(col("arnk") <= candFactor * k)
+      .select(col("query_id"), col("qe"), col("qnsq"),
+        col("vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    broadcast(approx)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nsq")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors — the
     * clustering counterpart to q43's hash-based LSH. Coarse quantizer:
     * `nCells` k-means centroids (first-N init + `kmeansIters` Lloyd

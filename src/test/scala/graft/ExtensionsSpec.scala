@@ -39,6 +39,17 @@ class ExtensionsSpec extends AnyFunSuite {
       val viaExtensions =
         s2.sql("SELECT simhash64(array(7L, 8L, 9L)) AS h").head().getLong(0)
       assert(viaExtensions === viaRegister)
+      // sign_lsh_bucket: SQL surface agrees with the Column API
+      val sqlBucket = s2.sql(
+        "SELECT sign_lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 0, 4, 2) AS b")
+        .head().getLong(0)
+      import org.apache.spark.sql.functions.{col, lit}
+      val apiBucket = s2.range(1)
+        .select(graft.functions.SignLshBucket.bucketOf(
+          org.apache.spark.sql.functions.array(
+            lit(0.5f), lit(-1.5f)), 0, 4, 2).as("b"))
+        .head().getLong(0)
+      assert(sqlBucket === apiBucket)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

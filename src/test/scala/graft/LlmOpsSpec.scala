@@ -66,6 +66,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ps === ps.sorted)
   }
 
+  test("q91 PQ: hand-computed encode fixture, ADC decomposition, recall + exact-cos overlap vs q38") {
+    // fixture: 2 subspaces × 2 centroids × 2 dims; vector picks
+    // centroid 1 in subspace 0 (closer to (1,1)) and 0 in subspace 1
+    val cb = new graft.functions.Pq.Codebooks(2, 2, 2,
+      Array(0f, 0f, 1f, 1f, /* m=0: c0=(0,0) c1=(1,1) */
+        5f, 5f, -5f, -5f /* m=1: c0=(5,5) c1=(-5,-5) */))
+    val vec = Seq(0.9f, 1.1f, 4f, 6f)
+    val df = Seq((1L, vec)).toDF("vec_id", "embedding")
+    val code = df.select(graft.functions.PqEncode.codes(col("embedding"), cb))
+      .as[Int].head()
+    assert(code === ((0 << 4) | 1)) // subspace0 -> centroid 1, subspace1 -> centroid 0
+    // ADC against a hand-built table equals the decomposed dot product
+    val table = Array(10f, 20f, 30f, 40f) // [m0k0, m0k1, m1k0, m1k1]
+    val adc = Seq((code, table.toSeq)).toDF("c", "t")
+      .select(graft.functions.PqAdc.ip(col("c"), col("t"), 2, 2)).as[Double].head()
+    assert(adc === (20.0 + 30.0))
+    // reconstruction norm² = |c(0,1)|² + |c(1,0)|² = 2 + 50
+    val n = Seq(code).toDF("c")
+      .select(graft.functions.PqReconNormSq.normSq(col("c"), cb)).as[Double].head()
+    assert(math.abs(n - 52.0) < 1e-9)
+
+    val pq = LlmOps.q91SimsearchPq(spark, sf).cache()
+    val brute = LlmOps.q38SimilarityTopk(spark, sf).cache()
+    val a = pq.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val b = brute.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val overlap = a.map(t => (t._1, t._2)).toSet.intersect(b.map(t => (t._1, t._2)).toSet)
+    // 16 centroids/subspace on synthetic 64-dim: conservative floor
+    assert(overlap.size * 10 >= b.length * 3,
+      s"PQ overlap ${overlap.size}/${b.length} below 30%")
+    // exact rerank ⇒ cosines identical on shared pairs
+    val bm = b.map(t => (t._1, t._2) -> t._3).toMap
+    a.foreach { case (q, nb, c) => bm.get((q, nb)).foreach(e => assert(c === e)) }
+    // determinism
+    assert(LlmOps.q91SimsearchPq(spark, sf).collect().map(_.toString).toSeq ===
+      pq.collect().map(_.toString).toSeq)
+  }
+
+  test("q92 IVF-PQ: cell-pruned ADC candidates, exact-cos overlap vs q38, bounded by q91's scan") {
+    val ivfpq = LlmOps.q92SimsearchIvfPq(spark, sf).cache()
+    val brute = LlmOps.q38SimilarityTopk(spark, sf).cache()
+    val a = ivfpq.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val b = brute.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    assert(a.nonEmpty)
+    val overlap = a.map(t => (t._1, t._2)).toSet.intersect(b.map(t => (t._1, t._2)).toSet)
+    // nProbe=4 of 16 cells on top of PQ: conservative floor 20%
+    assert(overlap.size * 10 >= b.length * 2,
+      s"IVF-PQ overlap ${overlap.size}/${b.length} below 20%")
+    // exact rerank ⇒ identical cosines on shared pairs
+    val bm = b.map(t => (t._1, t._2) -> t._3).toMap
+    a.foreach { case (q, nb, c) => bm.get((q, nb)).foreach(e => assert(c === e)) }
+    assert(LlmOps.q92SimsearchIvfPq(spark, sf).collect().map(_.toString).toSeq ===
+      ivfpq.collect().map(_.toString).toSeq)
+  }
+
   test("q89 Bloom-prefiltered decontamination is row-identical to exact q81") {
     val exact = LlmOps.q81Decontamination(spark, sf).collect().map(_.toString).toSeq
     val bloom = LlmOps.q89DecontaminationBloom(spark, sf).collect().map(_.toString).toSeq

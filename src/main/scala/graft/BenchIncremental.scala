@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object BenchIncremental {
   def main(args: Array[String]): Unit = {
+    Bench.quietLogs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nBatches = 4
@@ -70,9 +71,18 @@ object BenchIncremental {
     // near 1 demonstrates history-independent cost
     def ratio(xs: Seq[Double]) =
       "%.2f".formatLocal(java.util.Locale.ROOT, xs.last / xs.head)
+    // at-rest footprint of the PQ probe column vs the float vectors it
+    // stands in for (round-7 layout): the probe scans codes/, vectors/
+    // is only touched per-finalist — this ratio is the scan-byte cut
+    val fs = graft.ops.Sinks.fsFor(spark, annIdx)
+    def dirBytes(p: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    val codesBytes = dirBytes(s"$annIdx/codes")
+    val vectorBytes = dirBytes(s"$annIdx/vectors")
     val json = s"""{"metric":"incremental_batch_sec","batches":${nBatches - 1},""" +
       s""""dedup":${arr(dedupTimes)},"dedup_last_over_first":${ratio(dedupTimes)},""" +
-      s""""ann":${arr(annTimes)},"ann_last_over_first":${ratio(annTimes)},"sf":"$sfDir"}"""
+      s""""ann":${arr(annTimes)},"ann_last_over_first":${ratio(annTimes)},""" +
+      s""""ann_codes_bytes":$codesBytes,"ann_vectors_bytes":$vectorBytes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_incremental.json"), json + "\n")
     println(json)

@@ -210,7 +210,8 @@ object Pipeline {
     * north-star operators end to end over any (doc_id, text, ...)
     * corpus: exact dedup (content hash, min-id keeper) → optional
     * paragraph-level boilerplate strip (q86 semantics via
-    * `paraDedupTokens`; dropped-paragraph count lands in the report)
+    * `paraDedupTokens`; `paraDropped` in the report counts DOCUMENTS
+    * dropped because stripping emptied them — not paragraphs removed)
     * → transitive near-dup clustering (pair graph → connected
     * components, ONE canonical doc per cluster) → quality gate
     * (minimum length AND

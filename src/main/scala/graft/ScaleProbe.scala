@@ -96,6 +96,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    Bench.quietLogs()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt

@@ -117,7 +117,9 @@ object SparkEntry {
     "q89_decontamination_bloom" -> ((s: SparkSession, d: String) => LlmOps.q89DecontaminationBloom(s, d)),
     "q90_multimodal_transform" -> LlmOps.q90MultimodalTransform _,
     "q91_simsearch_pq" -> ((s: SparkSession, d: String) => LlmOps.q91SimsearchPq(s, d)),
-    "q92_simsearch_ivfpq" -> ((s: SparkSession, d: String) => LlmOps.q92SimsearchIvfPq(s, d))
+    "q92_simsearch_ivfpq" -> ((s: SparkSession, d: String) => LlmOps.q92SimsearchIvfPq(s, d)),
+    "q93_simsearch_ivfpq_residual" -> ((s: SparkSession, d: String) => LlmOps.q93SimsearchIvfPqResidual(s, d)),
+    "q94_dedup_paragraph_ingest" -> ((s: SparkSession, d: String) => LlmOps.q94DedupParagraphIngest(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -139,6 +141,18 @@ object SparkEntry {
       |CAST((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles AS INTEGER) AS overlap_milli,
       |CAST(((COALESCE(ov.n_overlap, 0) * 1000) // n_shingles) >= 100 AS INTEGER) AS contaminated
       |FROM n LEFT JOIN ov ON n.doc_id = ov.doc_id ORDER BY n.doc_id""".stripMargin
+
+  private val paragraphDedupOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+      |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
+      |FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i FROM toks) x),
+      |ranked AS (SELECT doc_id, para_idx, para,
+      |row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+      |CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+      |COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS clean_text
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q00_flagship_sessionize" ->
@@ -513,6 +527,15 @@ object SparkEntry {
     // exactness is structural (no false negatives; false positives
     // die in the exact join) — same oracle, deliberately shared
     "q89_decontamination_bloom" -> decontaminationOracle,
+    // q51 writes ALL event rows to JSON and ORC and re-reads both
+    // sides with explicit schemas — lossless for these column types
+    // (longs, string, double written by Spark's writers), so the
+    // per-type counts provably equal counts over the source table;
+    // the spec keeps the file-level roundtrip pin (round-7, the
+    // q52/q87 "oracle the output, keep the spec" pattern).
+    "q51_sources_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_json, CAST(count(*) AS BIGINT) AS n_orc
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q84_range_join" ->
       """WITH iv AS (SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS s_ms,
         |epoch_ms(l_shipdate) + ((l_suppkey % 20) + 1) * 86400000 AS e_ms
@@ -521,17 +544,14 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, o_orderkey, p_ms
         |FROM iv JOIN pt ON p_ms >= s_ms AND p_ms < e_ms
         |ORDER BY l_orderkey, l_linenumber, o_orderkey""".stripMargin,
-    "q86_dedup_paragraph" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
-        |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
-        |FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i FROM toks) x),
-        |ranked AS (SELECT doc_id, para_idx, para,
-        |row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
-        |CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
-        |COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS clean_text
-        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q86_dedup_paragraph" -> paragraphDedupOracle,
+    // q94 is q86's global first-occurrence rule evaluated as ordered
+    // batch ranges against a persisted paragraph index — provably the
+    // same output (LlmOps.q94DedupParagraphIngest scaladoc), so the
+    // oracle is deliberately shared; it hash-gates the whole ingest
+    // loop (index layout, Bloom prefilter, strict probe, replay-safe
+    // append), the q87 pattern at paragraph granularity.
+    "q94_dedup_paragraph_ingest" -> paragraphDedupOracle,
     // q87 at threshold 1.0: batch-sequential LSH ingest == global
     // first-occurrence dedup by identical shingle SET (an equivalence
     // relation; see LlmOps.q87DedupIngestBatch scaladoc). Docs with

@@ -5,17 +5,20 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
-/** `bloom_might_contain(s)` — membership probe of a string column
-  * against a pre-built [[org.apache.spark.util.sketch.BloomFilter]]
-  * (the public sketch `DataFrameStatFunctions.bloomFilter` builds via
-  * distributed treeAggregate). The filter rides to executors as a
-  * plan reference object, same as every broadcast-small-side pattern
-  * in this repo; the generated code is one call per row inside the
-  * scan's WholeStageCodegen span.
+/** `bloom_might_contain(s)` — membership probe of a string or long
+  * column against a pre-built
+  * [[org.apache.spark.util.sketch.BloomFilter]] (the public sketch
+  * `DataFrameStatFunctions.bloomFilter` builds via distributed
+  * treeAggregate — strings inserted as UTF-8 bytes, integral columns
+  * via putLong; the probe must use the matching call, which the
+  * expression picks from the CHILD'S type). The filter rides to
+  * executors as a plan reference object, same as every
+  * broadcast-small-side pattern in this repo; the generated code is
+  * one call per row inside the scan's WholeStageCodegen span.
   *
   * No false negatives (every inserted member answers true), bounded
   * false positives (the fpp chosen at build) — which is exactly the
@@ -31,19 +34,27 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | LongType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"bloom_might_contain expects string, got $t")
+      s"bloom_might_contain expects string or bigint, got $t")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    filter.mightContainString(input.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case LongType => filter.mightContainLong(input.asInstanceOf[Long])
+    case _ => filter.mightContainString(input.asInstanceOf[UTF8String].toString)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomFilter", filter,
       classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = $ref.mightContainString($s.toString());")
+    child.dataType match {
+      case LongType =>
+        nullSafeCodeGen(ctx, ev, v =>
+          s"${ev.value} = $ref.mightContainLong($v);")
+      case _ =>
+        nullSafeCodeGen(ctx, ev, s =>
+          s"${ev.value} = $ref.mightContainString($s.toString());")
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

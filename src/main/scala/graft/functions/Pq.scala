@@ -48,6 +48,13 @@ object Pq {
     * (strict < comparison) — deterministic.
     */
   def encode(arr: ArrayData, cb: Codebooks): Int = {
+    // Defensive: a malformed embedding (wrong length or null slot)
+    // encodes to code 0 instead of reading out-of-bounds/undefined
+    // data — the same convention as SignLshBucket (bucket 0).
+    val n = arr.numElements()
+    if (n != cb.m * cb.subDim) return 0
+    var chk = 0
+    while (chk < n) { if (arr.isNullAt(chk)) return 0; chk += 1 }
     var code = 0
     var mi = 0
     while (mi < cb.m) {

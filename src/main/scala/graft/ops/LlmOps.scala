@@ -247,8 +247,13 @@ object LlmOps {
     }
     // same arithmetic as the oracle: bSize = max(doc_id) DIV n + 1
     val bSize = math.max(1L, maxId / nBatches + 1)
+    // Keyed by data dir AND Spark application id: two sessions
+    // running q87 over the same dir get disjoint index paths, so one
+    // can't delete/rewrite the index the other is mid-probe on
+    // (within one session the ingest loop below is sequential by
+    // construction — batches are a driver-side fold over the index).
     val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q87_index_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + spark.sparkContext.applicationId
     // a fresh ingest run must not probe a previous run's index
     val fs = Sinks.fsFor(spark, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
@@ -291,28 +296,156 @@ object LlmOps {
     * pipeline stage share one semantics.
     */
   def dedupParagraphs(docs: DataFrame, paraTokens: Int = 20): DataFrame = {
+    val ranked = segmentParas(docs, paraTokens).withColumn("rn", row_number().over(
+      Window.partitionBy("para").orderBy("doc_id", "para_idx")))
+    reassembleParas(ranked, col("rn") === 1).orderBy("doc_id")
+  }
+
+  /** Fixed-width paragraph segmentation shared by [[dedupParagraphs]]
+    * and the incremental ingest ([[paraIngestBatch]]) — one
+    * segmentation rule, so batch and streaming cannot drift:
+    * (doc_id, para_idx, para), map-side transform + posexplode.
+    */
+  private def segmentParas(docs: DataFrame, paraTokens: Int): DataFrame = {
     val w = lit(paraTokens)
-    val paras = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), ceil(size(col("toks")) / w.cast("double")).cast("int") - 1),
           i => concat_ws(" ", slice(col("toks"), i * w + 1, w)))))
       .select(col("doc_id"), col("pos").as("para_idx"), col("col").as("para"))
-    val ranked = paras.withColumn("rn", row_number().over(
-      Window.partitionBy("para").orderBy("doc_id", "para_idx")))
-    ranked.groupBy("doc_id")
+  }
+
+  /** Reassemble cleaned documents from per-paragraph rows under a
+    * keep condition — the shared output shape of q86 and q94: every
+    * doc with its paragraph count, kept count and in-order cleaned
+    * text. collect_list skips the null structs of dropped paragraphs;
+    * struct sort orders by para_idx (unique within doc); per-doc
+    * group size is bounded by the document's own paragraph count.
+    */
+  private def reassembleParas(paras: DataFrame, keep: Column): DataFrame =
+    paras.groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        // collect_list skips the null structs of dropped paragraphs;
-        // struct sort orders by para_idx (unique within doc)
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("rn") === 1,
+            array_sort(collect_list(when(keep,
               struct(col("para_idx"), col("para"))))),
             x => x.getField("para")),
           " ").as("clean_text"))
-      .orderBy("doc_id")
+
+  /** One paragraph-dedup ingest step — the paragraph-granular member
+    * of the incremental-index family (the C4 boilerplate strip run
+    * CONTINUOUSLY), shared verbatim by the streaming pipeline
+    * ([[Streaming.paraDedupIngest]]) and its declared batch twin
+    * ([[q94DedupParagraphIngest]]). Per batch of (doc_id, text):
+    * segment (the q86 rule via [[segmentParas]]); drop every
+    * occurrence for which the persisted index holds a STRICTLY
+    * earlier (doc_id, para_idx) first occurrence; apply the in-batch
+    * min-(doc_id, para_idx) rule to the remainder; reassemble cleaned
+    * docs; append the newly admitted first occurrences stamped with
+    * `batchId` (dynamic overwrite — a replayed micro-batch rewrites
+    * exactly its own index directory). Replay-safe BECAUSE the index
+    * carries the admitting (doc_id, para_idx) and the probe compares
+    * STRICTLY: on replay a keeper meets its own index row (equal, not
+    * earlier) and is admitted again, bit-identically.
+    *
+    * Scale shape: segmentation is map-side; the probe scans the index
+    * behind a Bloom prefilter built from the batch's paragraph hashes
+    * (bounded — it is a micro-batch), so only the ~overlapping index
+    * fraction reaches the join shuffle (the q89 argument: no false
+    * negatives ⇒ exactness is untouched; false positives die in the
+    * exact join); the rank window is partitioned by paragraph
+    * (partition = the duplicate group). Index rows are one (hash,
+    * para, doc_id, para_idx) tuple per DISTINCT paragraph — admission
+    * writes only first occurrences, so the index is unique by
+    * construction and the probe join cannot fan out.
+    */
+  def paraIngestBatch(spark: SparkSession, batch: DataFrame,
+      indexPath: String, batchId: Long, paraTokens: Int = 20): DataFrame = {
+    val paras = segmentParas(batch.select("doc_id", "text"), paraTokens)
+      .withColumn("ph", xxhash64(col("para")))
+    val indexExists = {
+      val fs = Sinks.fsFor(spark, indexPath)
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/paras")
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.endsWith(".parquet")
+        found
+      }
+    }
+    val flagged =
+      if (!indexExists) paras.withColumn("seen", lit(false))
+      else {
+        val bloomOpt = {
+          val phs = paras.select("ph").distinct().localCheckpoint()
+          val n = phs.count()
+          if (n == 0) None
+          else Some(phs.stat.bloomFilter("ph", n, 0.01))
+        }
+        val idx = spark.read.parquet(s"$indexPath/paras")
+          .select(col("ph"), col("para"),
+            col("doc_id").as("__idoc"), col("para_idx").as("__ipos"))
+        val prefiltered = bloomOpt.fold(idx)(b =>
+          idx.filter(graft.functions.BloomMightContain.mightContain(col("ph"), b)))
+        paras.join(prefiltered, Seq("ph", "para"), "left")
+          .withColumn("seen", col("__idoc").isNotNull &&
+            (col("__idoc") < col("doc_id") ||
+              (col("__idoc") === col("doc_id") && col("__ipos") < col("para_idx"))))
+          .drop("__idoc", "__ipos")
+      }
+    // one window over the batch's paragraphs (partition = duplicate
+    // group); checkpoint once — the cleaned output and the index
+    // append both read it
+    val ranked = flagged.withColumn("rn", row_number().over(
+        Window.partitionBy("para").orderBy("doc_id", "para_idx")))
+      .withColumn("keep", !col("seen") && col("rn") === 1)
+      .localCheckpoint()
+    ranked.filter(col("keep"))
+      .select(col("ph"), col("para"), col("doc_id"), col("para_idx"))
+      .withColumn("__batch_id", lit(batchId))
+      .repartition(col("__batch_id"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(s"$indexPath/paras")
+    reassembleParas(ranked, col("keep"))
+  }
+
+  /** #94 Declared batch twin of the streaming paragraph-dedup ingest:
+    * run the corpus as `nBatches` ORDERED doc-id ranges through the
+    * exact [[paraIngestBatch]] machinery (fresh persisted
+    * paragraph-hash index, probe + admit + append per batch) and emit
+    * the cleaned documents. Batch-sequential admission over ordered
+    * id ranges provably equals q86's global min-(doc_id, para_idx)
+    * rule — "identical paragraph" is an equivalence relation and the
+    * strict-earlier probe plus in-batch rank IS the global first-
+    * occurrence rule evaluated range by range — so q94 SHARES q86's
+    * DuckDB oracle verbatim (the q89/q81 shared-oracle pattern), and
+    * that oracle hash-gates the whole ingest loop: index layout,
+    * Bloom prefilter, strict-comparison probe, replay-safe append.
+    */
+  def q94DedupParagraphIngest(spark: SparkSession, dir: String,
+      nBatches: Int = 4, paraTokens: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
+      case null => -1L
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+    val bSize = math.max(1L, maxId / nBatches + 1)
+    // per-invocation index path (dir + application id): two sessions
+    // on the same dir get disjoint ingest state (the q87 rule)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q94_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + spark.sparkContext.applicationId
+    val fs = Sinks.fsFor(spark, indexPath)
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    val cleaned = (0 until nBatches).map { b =>
+      val batch = docs.filter(expr(s"doc_id DIV $bSize") === b)
+      paraIngestBatch(spark, batch, indexPath, b.toLong, paraTokens)
+    }
+    cleaned.reduce(_.unionByName(_)).orderBy("doc_id")
   }
 
   /** Incremental near-dup: check a NEW batch against the persisted
@@ -813,21 +946,53 @@ object LlmOps {
       lit(1).cast("int").as("rnk"), col("vec_id").as("neighbor_id"),
       lit(0.0).as("cos"))
 
+  /** Deterministic bounded trainer input (round-7): quantizer
+    * TRAINING does not need the whole corpus — production ANN
+    * trainers fit on a sample and encode everything (the same
+    * bounded-trainer shape as [[graft.ops.Bpe.fit]]'s vocabCap).
+    * Gate: `xxhash64(vec_id) % stride == 0` with stride sized so the
+    * expected sample is ~`cap` rows — deterministic across runs,
+    * partitionings and retries (the q63 sampling rule), no collect.
+    * Below `cap` rows the corpus passes through UNCHANGED, so
+    * harness-scale results are bit-identical to the unsampled
+    * trainer; above it, per-iteration training cost is constant in
+    * corpus size (the 100 TB property the 10×/30× probes check).
+    */
+  private def trainerSample(emb: DataFrame, cap: Int): DataFrame = {
+    val n = emb.count()
+    val stride = n / math.max(1, cap)
+    if (stride <= 1) emb
+    else emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+  }
+
+  /** Default trainer-sample bound: above every harness SF's embedding
+    * count (≤2000 rows ⇒ sampling is a no-op at driver/spec scale and
+    * those results stay bit-identical to the unsampled trainer), low
+    * enough that the 10×/30× replication probes exercise the sampled
+    * path and show flat training cost.
+    */
+  private val TrainerSampleCap = 4096
+
   /** Lloyd-refined coarse-quantizer centroids. Init = first `nCells`
     * vectors, then `iters` rounds of: map-side best-cell assignment →
     * distributed per-(cell, dim) mean via posexplode + partial agg →
     * driver collect of the BOUNDED nCells×dims mean table (16×64 rows
     * here) re-entering the next round as literals. The corpus never
     * leaves the executors; per-iteration driver traffic is constant
-    * in N. Cells that lose all members keep their previous centroid.
-    * Cosine scoring is scale-invariant, so plain coordinate means
-    * need no re-normalization between rounds.
+    * in N — and per-iteration COMPUTE is too, because refinement runs
+    * over [[trainerSample]] (assignment of the full corpus happens
+    * once, map-side, at the call sites that need it, not per Lloyd
+    * round). Cells that lose all members keep their previous
+    * centroid. Cosine scoring is scale-invariant, so plain coordinate
+    * means need no re-normalization between rounds.
     */
-  def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): Array[(Int, Array[Float])] = {
+  def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int,
+      trainCap: Int = TrainerSampleCap): Array[(Int, Array[Float])] = {
+    val train = trainerSample(emb, trainCap)
     // seed from the nCells smallest vec_ids (deterministic, id-range
     // agnostic — `vec_id < nCells` would silently yield ZERO seeds on
     // a corpus whose ids don't start at 0), relabelled to dense cids
-    var cents = emb.select(col("vec_id"), col("embedding"))
+    var cents = train.select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(nCells).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
@@ -836,7 +1001,7 @@ object LlmOps {
     // centroid array cannot even be typed)
     if (cents.isEmpty) return cents
     for (_ <- 0 until iters) {
-      val assigned = emb.withColumn("cell", bestCellOf(centroidScores(cents)))
+      val assigned = train.withColumn("cell", bestCellOf(centroidScores(cents)))
       val means = assigned.select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -857,11 +1022,16 @@ object LlmOps {
     * Lloyd round (subvector rows keyed by subspace id), means
     * driver-collected as bounded data (m·k·subDim cells ≤ ~1 k rows).
     * Seeds are the first-k vectors' subvectors (deterministic, the
-    * kmeansCentroids convention). None for an empty corpus.
+    * kmeansCentroids convention). None for an empty corpus. Each
+    * Lloyd round (with its m-way subvector explosion) runs over
+    * [[trainerSample]], so training cost is constant in corpus size;
+    * ENCODING the corpus stays a full map-side pass at the call
+    * sites.
     */
   def pqCodebooks(emb: DataFrame, m: Int, kCodes: Int, subDim: Int,
-      iters: Int): Option[graft.functions.Pq.Codebooks] = {
-    val seeds = emb.select("vec_id", "embedding").orderBy("vec_id")
+      iters: Int, trainCap: Int = TrainerSampleCap): Option[graft.functions.Pq.Codebooks] = {
+    val train = trainerSample(emb, trainCap)
+    val seeds = train.select("vec_id", "embedding").orderBy("vec_id")
       .limit(kCodes).collect()
       .map(_.getSeq[Float](1).toArray)
     if (seeds.isEmpty) return None
@@ -874,7 +1044,7 @@ object LlmOps {
         array((0 until k).map(ki =>
           array((0 until subDim).map(d =>
             lit(flat((mi * k + ki) * subDim + d))): _*)): _*)): _*)
-      val sub = emb.select(col("vec_id"), posexplode(
+      val sub = train.select(col("vec_id"), posexplode(
           transform(sequence(lit(0), lit(m - 1)),
             i => slice(col("embedding"), i * subDim + 1, lit(subDim)))))
         .toDF("vec_id", "mi", "sub")
@@ -1050,6 +1220,125 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** #93 RESIDUAL-encoded IVF-PQ — q92 plus the standard recall
+    * recovery at the same code size (Jégou et al. 2011 §V.B: quantize
+    * x − c(x), the vector's offset from its cell centroid, instead of
+    * x; residuals are smaller and better centered, so the same m×k
+    * codebook budget spends its resolution where the data actually
+    * is). Same scan shape as q92 — cell equi-join prune, 4-byte code
+    * column, exact rerank — with the cross terms the residual
+    * decomposition needs carried as BOUNDED broadcast data:
+    *
+    *   x̂ = c + r̂,  r̂ = Σ_mi cbR(mi, code_mi)   (disjoint subspaces)
+    *   <q, x̂>  = <q, c>  +  Σ_mi <q_mi, cbR(mi, code_mi)>
+    *   |x̂|²    = |c|²    + 2·Σ_mi <c_mi, cbR(mi, code_mi)> + |r̂|²
+    *
+    * `<q, c>`/`|c|²` are per-(query, cell) scalars computed
+    * driver-side (nQueries × nProbe values); the per-cell table
+    * `<c_mi, cbR(mi, ki)>` is nCells × m·k floats riding the same
+    * broadcast; both ADC sums reuse [[graft.functions.PqAdc]]
+    * unchanged, and |r̂|² is [[graft.functions.PqReconNormSq]]. So
+    * residual encoding costs ZERO new executor-side machinery — just
+    * three extra lookups per candidate. Approximate ⇒ no oracle;
+    * the spec pins the reconstruction identities on a hand fixture
+    * and recall ≥ q92's at equal parameters.
+    */
+  def q93SimsearchIvfPqResidual(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kCodes: Int = 16, dims: Int = 64,
+      kmeansIters: Int = 3, pqIters: Int = 2, candFactor: Int = 8): DataFrame = {
+    import spark.implicits._
+    val subDim = dims / m
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    if (cents.isEmpty) return emptyAnnResult(emb)
+    // residual of each vector against its OWN cell centroid, map-side:
+    // the centroid array is a bounded literal indexed by the dense cid
+    val centLit = array(cents.sortBy(_._1).map { case (_, v) =>
+      array(v.toIndexedSeq.map(lit): _*)
+    }.toIndexedSeq: _*)
+    def residOf(e: Column, cell: Column): Column =
+      zip_with(e, element_at(centLit, cell + 1),
+        (a, b) => a.cast("float") - b)
+    val assigned = emb.withColumn("cell", bestCellOf(centroidScores(cents)))
+    val cbOpt = pqCodebooks(
+      assigned.select(col("vec_id"),
+        residOf(col("embedding"), col("cell")).as("embedding")),
+      m, kCodes, subDim, pqIters)
+    if (cbOpt.isEmpty) return emptyAnnResult(emb)
+    val cb = cbOpt.get
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding", "nsq").collect()
+    if (qRows.isEmpty) return emptyAnnResult(emb)
+    // per-cell cross-term table: cellDot(cell)(mi·k + ki) = <c_mi, cbR(mi,ki)>
+    val cellDot: Map[Int, Seq[Float]] = cents.map { case (cid, c) =>
+      val t = new Array[Float](m * cb.k)
+      for (mi <- 0 until m; ki <- 0 until cb.k) {
+        var s = 0.0
+        for (d <- 0 until subDim) s += c(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
+        t(mi * cb.k + ki) = s.toFloat
+      }
+      cid -> t.toSeq
+    }.toMap
+    val cellNormSq: Map[Int, Double] = cents.map { case (cid, c) =>
+      cid -> c.map(v => v.toDouble * v).sum
+    }.toMap
+    val queries = qRows.toSeq.flatMap { r =>
+      val q = r.getSeq[Float](1).toArray
+      val qnsq = r.getDouble(2)
+      val table = new Array[Float](m * cb.k)
+      for (mi <- 0 until m; ki <- 0 until cb.k) {
+        var s = 0.0
+        for (d <- 0 until subDim) s += q(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
+        table(mi * cb.k + ki) = s.toFloat
+      }
+      val ranked = cents.map { case (cid, c) =>
+        var dot = 0.0; var nc = 0.0
+        for (d <- c.indices) { dot += q(d).toDouble * c(d); nc += c(d).toDouble * c(d) }
+        (cid, if (nc == 0 || qnsq == 0) -2.0 else dot / math.sqrt(nc * qnsq), dot)
+      }.sortBy { case (cid, cos, _) => (-cos, cid) }.take(nProbe)
+      ranked.map { case (cell, _, qcDot) =>
+        (r.getLong(0), q.toSeq, table.toSeq, qnsq, cell, qcDot,
+          cellNormSq(cell), cellDot(cell))
+      }
+    }.toDF("query_id", "qe", "adc_table", "qnsq", "cell", "qc_dot",
+      "cell_nsq", "cell_dot_table")
+    val codes = assigned.select(col("vec_id"), col("cell"),
+      graft.functions.PqEncode.codes(
+        residOf(col("embedding"), col("cell")), cb).as("codes"))
+    val approx = codes.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ip_hat",
+        col("qc_dot") +
+          graft.functions.PqAdc.ip(col("codes"), col("adc_table"), m, cb.k))
+      .withColumn("nsq_hat",
+        col("cell_nsq") +
+          lit(2.0) * graft.functions.PqAdc.ip(col("codes"), col("cell_dot_table"), m, cb.k) +
+          graft.functions.PqReconNormSq.normSq(col("codes"), cb))
+      .withColumn("acos", col("ip_hat") /
+        sqrt(greatest(col("qnsq"), lit(1e-12)) *
+          greatest(col("nsq_hat"), lit(1e-12))))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("acos"), asc("vec_id"))))
+      .filter(col("arnk") <= candFactor * k)
+      .select(col("query_id"), col("qe"), col("qnsq"),
+        col("vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    broadcast(approx)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nsq")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors — the
     * clustering counterpart to q43's hash-based LSH. Coarse quantizer:
     * `nCells` k-means centroids (first-N init + `kmeansIters` Lloyd
@@ -1098,16 +1387,29 @@ object LlmOps {
   }
 
   /** Persist the IVF index: the k-means centroids (bounded — nCells
-    * rows) plus every vector assigned to its cell, PARTITIONED BY
-    * CELL so a probe touches only its nProbe cell directories. The
-    * index is the state that makes similarity search incremental:
-    * built once, extended per batch (`mode = "append"` keeps the
-    * existing centroids and assigns the new vectors to them),
-    * rebuilt only when drift degrades recall.
+    * rows), PQ codebooks, every vector's PACKED CODE, and the float
+    * vectors as a rerank side table — codes and vectors both
+    * PARTITIONED BY CELL so a probe touches only its nProbe cell
+    * directories. The index is the state that makes similarity search
+    * incremental: built once, extended per batch (`mode = "append"`
+    * keeps the existing centroids + codebooks and assigns/encodes the
+    * new vectors under them), rebuilt only when drift degrades
+    * recall.
+    *
+    * Round-7 layout — the at-rest/in-scan compression q91 argues for
+    * finally reaches disk: `codes/` holds (vec_id, code) where code
+    * is ONE packed int (m=8 × 4-bit centroid ids — 64× smaller than
+    * the 256-byte float vector), and the probe path scans ONLY that;
+    * `vectors/` is fetched per-finalist for the exact rerank.
+    * `writePq = false` preserves the float-only layout (the parity
+    * baseline the spec compares against; also what pre-round-7
+    * indexes look like — the probe falls back to the float scan when
+    * `pq/` is absent).
     */
   def annIndexWrite(spark: SparkSession, embeddings: DataFrame,
       indexPath: String, nCells: Int = 16, kmeansIters: Int = 3,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", m: Int = 8, kCodes: Int = 16,
+      pqIters: Int = 2, writePq: Boolean = true): Unit = {
     val emb = embeddings
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
@@ -1119,6 +1421,15 @@ object LlmOps {
       cents.toSeq.toDF("cid", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     }
+    val cbOpt =
+      if (!writePq) None
+      else if (mode == "append") readPqCodebooks(spark, indexPath)
+      else if (cents.isEmpty) None
+      else {
+        val dims = cents.head._2.length
+        pqCodebooks(emb, m, kCodes, dims / m, pqIters)
+      }
+    if (mode != "append") cbOpt.foreach(writePqCodebooks(spark, indexPath, _))
     // plain full-directory overwrite for a rebuild — DYNAMIC overwrite
     // would leave stale cell=N directories behind whenever the new
     // clustering assigns no vectors to a cell, and probes would then
@@ -1133,6 +1444,14 @@ object LlmOps {
       .repartition(col("cell"))
       .write.mode(mode)
       .partitionBy("cell").parquet(s"$indexPath/vectors")
+    cbOpt.foreach { cb =>
+      assigned
+        .select(col("vec_id"), col("cell"),
+          graft.functions.PqEncode.codes(col("embedding"), cb).as("code"))
+        .repartition(col("cell"))
+        .write.mode(mode)
+        .partitionBy("cell").parquet(s"$indexPath/codes")
+    }
   }
 
   private def readCentroids(spark: SparkSession,
@@ -1140,18 +1459,55 @@ object LlmOps {
     spark.read.parquet(s"$indexPath/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
 
+  /** Codebooks ride in the index as ONE parquet row (m·k·subDim
+    * floats ≈ KBs) next to the centroids they were trained with.
+    */
+  private def writePqCodebooks(spark: SparkSession, indexPath: String,
+      cb: graft.functions.Pq.Codebooks): Unit = {
+    import spark.implicits._
+    Seq((cb.m, cb.k, cb.subDim, cb.flat.toSeq))
+      .toDF("m", "k", "sub_dim", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq")
+  }
+
+  private def readPqCodebooks(spark: SparkSession,
+      indexPath: String): Option[graft.functions.Pq.Codebooks] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/pq")
+    if (!Sinks.fsFor(spark, s"$indexPath/pq").exists(p)) return None
+    spark.read.parquet(s"$indexPath/pq").collect().headOption.map { r =>
+      new graft.functions.Pq.Codebooks(r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Float](3).toArray)
+    }
+  }
+
   /** Probe query vectors against the persisted index: each query
     * ranks only the members of its nProbe best cells. The probe side
-    * broadcasts, so dynamic partition pruning restricts the vectors
-    * scan to the probed cell directories — cost scales with the query
-    * batch and cell sizes, never with the whole indexed corpus.
+    * broadcasts, so partition pruning restricts the scan to the
+    * probed cell directories — cost scales with the query batch and
+    * cell sizes, never with the whole indexed corpus.
+    *
+    * When the index carries PQ state (round-7 layout), the probe
+    * scans `codes/` — 4 bytes/vector instead of the 256-byte float
+    * column — ranks by ADC, and fetches float vectors ONLY for the
+    * `candFactor·k` finalists it exactly reranks (cosines emitted are
+    * exact). Per-query ADC tables are built driver-side from the
+    * collected query batch — bounded by the same contract that makes
+    * a probe batch broadcastable in the float path. A pq-less index
+    * (pre-round-7, or written with `writePq = false`) takes the
+    * original full-float scan path.
     */
   def annIncremental(spark: SparkSession, queries: DataFrame,
       indexPath: String, k: Int = 5, nProbe: Int = 4,
-      excludeQueryId: Boolean = true): DataFrame = {
+      excludeQueryId: Boolean = true, candFactor: Int = 16): DataFrame = {
     val cents = readCentroids(spark, indexPath)
     if (cents.isEmpty) // empty index: no cells to probe, no neighbors
       return emptyAnnResult(queries)
+    readPqCodebooks(spark, indexPath) match {
+      case Some(cb) =>
+        return annIncrementalPq(spark, queries, indexPath, cents, cb, k,
+          nProbe, excludeQueryId, candFactor)
+      case None => ()
+    }
     val scored = centroidScores(cents)
     // centroidScores reads the row's `nsq` prenorm — alias to qnsq in
     // the SAME select (resolution is against the child, as in q49)
@@ -1167,6 +1523,71 @@ object LlmOps {
       // vectors (the q38/q49 shape); disable it for an external query
       // table whose ids could collide with unrelated indexed ids
       .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** PQ probe path of [[annIncremental]]. Candidate generation scans
+    * the cell-pruned `codes/` directories (4-byte packed codes) and
+    * ranks by ADC cosine; only the surviving `candFactor·k` finalists
+    * per query touch `vectors/` (an equi-join on (cell, vec_id) —
+    * partition-pruned the same way) for the exact rerank. Setting
+    * `candFactor` ≥ the largest probed-cell population makes the
+    * prefilter lossless, which is exactly how the parity spec pins
+    * this path against the float scan.
+    */
+  private def annIncrementalPq(spark: SparkSession, queries: DataFrame,
+      indexPath: String, cents: Array[(Int, Array[Float])],
+      cb: graft.functions.Pq.Codebooks, k: Int, nProbe: Int,
+      excludeQueryId: Boolean, candFactor: Int): DataFrame = {
+    import spark.implicits._
+    val m = cb.m
+    val subDim = cb.subDim
+    val qRows = queries.select("vec_id", "embedding").collect()
+    if (qRows.isEmpty) return emptyAnnResult(queries)
+    // per query: prenorm, ADC table (m·k sub-dots), nProbe best cells
+    // by query-centroid cosine — all bounded driver work (the probe
+    // batch is broadcast-bounded by contract, cents is nCells rows)
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val q = r.getSeq[Float](1).toArray
+      var qnsq = 0.0
+      q.foreach(v => qnsq += v.toDouble * v)
+      val table = new Array[Float](m * cb.k)
+      for (mi <- 0 until m; ki <- 0 until cb.k) {
+        var s = 0.0
+        for (d <- 0 until subDim) s += q(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
+        table(mi * cb.k + ki) = s.toFloat
+      }
+      val best = cents.map { case (cid, c) =>
+        var dot = 0.0; var nc = 0.0
+        for (d <- c.indices) { dot += q(d).toDouble * c(d); nc += c(d).toDouble * c(d) }
+        (cid, if (nc == 0 || qnsq == 0) -2.0 else dot / math.sqrt(nc * qnsq))
+      }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+      best.map(cell => (r.getLong(0), q.toSeq, table.toSeq, qnsq, cell))
+    }.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
+    val finalists = spark.read.parquet(s"$indexPath/codes")
+      .join(broadcast(probeRows), Seq("cell"))
+      .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
+      .withColumn("acos",
+        graft.functions.PqAdc.ip(col("code"), col("adc_table"), m, cb.k) /
+          sqrt(greatest(col("qnsq"), lit(1e-12)) *
+            greatest(graft.functions.PqReconNormSq.normSq(col("code"), cb),
+              lit(1e-12))))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("acos"), asc("vec_id"))))
+      .filter(col("arnk") <= candFactor * k)
+      .select(col("query_id"), col("qe"), col("qnsq"), col("cell"), col("vec_id"))
+    broadcast(finalists)
+      .join(spark.read.parquet(s"$indexPath/vectors")
+        .select(col("cell"), col("vec_id"), col("embedding"), col("nsq")),
+        Seq("cell", "vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
           col("qnsq"), col("nsq")), 6).as("cos"))
@@ -1653,11 +2074,22 @@ object LlmOps {
               halved.width.toLong, halved.height.toLong, mediaChecksum(out))
           case "audio/wav" =>
             val w = Media.decodeWav(r.media)
-            // 2:1 decimation; keep at least one sample so the encoder
-            // always has a payload
-            val dec = new Array[Short](math.max(1, (w.samples.length + 1) / 2))
-            var i = 0
-            while (i < dec.length) { dec(i) = w.samples(i * 2); i += 1 }
+            // 2:1 decimation PER FRAME (frame = one sample per
+            // channel): keep even-indexed frames with all their
+            // channels, so multi-channel audio never interleaves
+            // channels and the output length always satisfies
+            // encodeWav's samples % channels == 0 contract. A
+            // zero-sample WAV passes through as zero samples instead
+            // of reading samples(0).
+            val ch = math.max(1, w.channels)
+            val keptFrames = (w.samples.length / ch + 1) / 2
+            val dec = new Array[Short](keptFrames * ch)
+            var f = 0
+            while (f < keptFrames) {
+              var c = 0
+              while (c < ch) { dec(f * ch + c) = w.samples(2 * f * ch + c); c += 1 }
+              f += 1
+            }
             val out = Media.encodeWav(math.max(1, w.sampleRate / 2), w.channels, dec)
             TransformRow(r.doc_id, r.mime, r.media.length, out.length,
               (w.sampleRate / 2).toLong, dec.length.toLong, mediaChecksum(out))

@@ -207,6 +207,37 @@ object Streaming {
       .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
       .start()
 
+  /** Streaming paragraph-dedup ingest — the C4-style boilerplate
+    * strip run incrementally: per micro-batch of (doc_id, text)
+    * documents, admit only paragraphs never seen before (against ALL
+    * history via the persisted paragraph-hash index AND within the
+    * batch, [[LlmOps.paraIngestBatch]] — the identical code path the
+    * declared q94 batch twin runs), write the cleaned documents to
+    * the sink. Both the index append and the sink write are
+    * batch-id-stamped dynamic overwrites, and the index probe
+    * compares STRICTLY against the admitting (doc_id, para_idx), so
+    * a replayed micro-batch re-admits exactly its own paragraphs and
+    * rewrites exactly its own directories — exactly-once state on
+    * at-least-once delivery. Per-batch cost scales with the batch
+    * plus its Bloom-prefiltered index overlap, never with history.
+    */
+  def paraDedupIngest(docs: DataFrame, indexPath: String, outPath: String,
+      paraTokens: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cleaned = LlmOps.paraIngestBatch(spark, batch.localCheckpoint(),
+          indexPath, batchId, paraTokens)
+        cleaned.withColumn("__batch_id", lit(batchId))
+          .repartition(col("__batch_id"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
+      .start()
+
   // -- streaming runners (used by ScalaTest equivalence specs) -------
 
   /** Read the events parquet as a bounded stream (AvailableNow ≈ batch

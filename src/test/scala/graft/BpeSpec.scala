@@ -88,6 +88,16 @@ class BpeSpec extends AnyFunSuite {
     assert(trained < vs, s"trained total $trained should be < char-encoding total $vs")
   }
 
+  test("fit-once: q85 + q88 on the same (dir, params) run exactly one distributed fit") {
+    // params unique to this test so earlier suites can't have warmed
+    // the cache entry; delta-counted so suite order doesn't matter
+    val before = Bpe.fitRuns.get()
+    Bpe.q85TokenCountBpeTrained(spark, SharedSpark.sfTiny, nMerges = 77).count()
+    Bpe.q88SequencePackingBpe(spark, SharedSpark.sfTiny, nMerges = 77).count()
+    assert(Bpe.fitRuns.get() - before === 1L,
+      "q88 must reuse the table q85 just fitted, not refit")
+  }
+
   test("q88 packing equals a local reference pack over q85's counts") {
     val counts = Bpe.q85TokenCountBpeTrained(spark, SharedSpark.sfTiny)
       .select("doc_id", "n_pieces_bpe").as[(Long, Long)].collect().toMap

@@ -120,6 +120,61 @@ class LlmOpsSpec extends AnyFunSuite {
       ivfpq.collect().map(_.toString).toSeq)
   }
 
+  test("q93 residual IVF-PQ: hand-fixture reconstruction identities; recall >= q92 at equal params") {
+    // fixture: q91's 2 subspaces × 2 centroids × 2 dims codebooks now
+    // hold RESIDUAL centroids; cell centroid c and query q are known,
+    // and the candidate's residual r̂ is EXACTLY cbR(0,1)+cbR(1,0), so
+    // the decomposed formulas must reproduce <q, c+r̂> and |c+r̂|²
+    val cb = new graft.functions.Pq.Codebooks(2, 2, 2,
+      Array(0f, 0f, 1f, 1f, 5f, 5f, -5f, -5f))
+    val c = Array(2f, 3f, 4f, 5f)
+    val q = Array(1f, 2f, 3f, 4f)
+    val code = (0 << 4) | 1 // subspace0 -> centroid 1, subspace1 -> centroid 0
+    val rhat = Array(1f, 1f, 5f, 5f)
+    val xhat = c.zip(rhat).map { case (a, b) => a + b }
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    // production-shaped tables: adc from q, cross-term table from c
+    def subTable(v: Array[Float]): Seq[Float] =
+      (for (mi <- 0 until 2; ki <- 0 until 2) yield {
+        (0 until 2).map(d => v(mi * 2 + d).toDouble * cb.centroid(mi, ki, d)).sum.toFloat
+      })
+    val ipHat = dot(q, c) + Seq((code, subTable(q))).toDF("c", "t")
+      .select(graft.functions.PqAdc.ip(col("c"), col("t"), 2, 2)).as[Double].head()
+    assert(math.abs(ipHat - dot(q, xhat)) < 1e-5, s"ip_hat $ipHat != ${dot(q, xhat)}")
+    val nsqHat = dot(c, c) +
+      2.0 * Seq((code, subTable(c))).toDF("c", "t")
+        .select(graft.functions.PqAdc.ip(col("c"), col("t"), 2, 2)).as[Double].head() +
+      Seq(code).toDF("c")
+        .select(graft.functions.PqReconNormSq.normSq(col("c"), cb)).as[Double].head()
+    assert(math.abs(nsqHat - dot(xhat, xhat)) < 1e-5, s"nsq_hat $nsqHat != ${dot(xhat, xhat)}")
+
+    // recall at equal params: residual encoding must not lose to q92
+    val brute = LlmOps.q38SimilarityTopk(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val resid = LlmOps.q93SimsearchIvfPqResidual(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val plain = LlmOps.q92SimsearchIvfPq(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(resid.nonEmpty)
+    val rr = resid.intersect(brute).size
+    val rp = plain.intersect(brute).size
+    assert(rr >= rp, s"residual recall $rr < plain recall $rp (of ${brute.size})")
+    // determinism
+    assert(LlmOps.q93SimsearchIvfPqResidual(spark, sf).collect().map(_.toString).toSeq ===
+      LlmOps.q93SimsearchIvfPqResidual(spark, sf).collect().map(_.toString).toSeq)
+  }
+
+  test("q94 batch paragraph ingest is row-identical to q86's global dedup") {
+    // the oracle-sharing argument, asserted directly: ordered-range
+    // batch admission against the persisted paragraph index must
+    // reproduce the global min-(doc_id, para_idx) rule exactly
+    val ingest = LlmOps.q94DedupParagraphIngest(spark, sf).collect().map(_.toString).toSeq
+    val global = LlmOps.q86DedupParagraph(spark, sf).collect().map(_.toString).toSeq
+    assert(ingest.nonEmpty)
+    assert(ingest === global)
+  }
+
   test("q89 Bloom-prefiltered decontamination is row-identical to exact q81") {
     val exact = LlmOps.q81Decontamination(spark, sf).collect().map(_.toString).toSeq
     val bloom = LlmOps.q89DecontaminationBloom(spark, sf).collect().map(_.toString).toSeq
@@ -353,6 +408,38 @@ class LlmOpsSpec extends AnyFunSuite {
       k = 1, nProbe = 4).collect()
     // a duplicate vector ranks as its own top neighbor (cos = 1)
     re.foreach { r => assert(r.getLong(2) === r.getLong(0) + 100000L, r.toString) }
+  }
+
+  test("PQ-coded index: ADC prefilter + exact rerank matches the float-scan path") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val pqIdx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    val flIdx = java.nio.file.Files.createTempDirectory("graft_ivffl_idx").toString
+    LlmOps.annIndexWrite(spark, emb, pqIdx)
+    LlmOps.annIndexWrite(spark, emb, flIdx, writePq = false)
+    // layout: the scan column is ONE int per vector, codebooks persisted
+    assert(new java.io.File(s"$pqIdx/codes").exists())
+    assert(new java.io.File(s"$pqIdx/pq").exists())
+    assert(!new java.io.File(s"$flIdx/pq").exists())
+    // candFactor ≥ any probed-cell population ⇒ the ADC prefilter is
+    // lossless and the exact rerank must reproduce the float path
+    // bit for bit (same rounding, same tie rule)
+    val big = emb.count().toInt
+    val pq = LlmOps.annIncremental(spark, queries, pqIdx, k = 5, nProbe = 4,
+      candFactor = big).collect().map(_.toString).toSeq
+    val fl = LlmOps.annIncremental(spark, queries, flIdx, k = 5, nProbe = 4)
+      .collect().map(_.toString).toSeq
+    assert(pq.nonEmpty)
+    assert(pq === fl)
+    // default candFactor: approximate prefilter, exact cosines, good recall
+    val approx = LlmOps.annIncremental(spark, queries, pqIdx, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val want = fl.size
+    val inter = LlmOps.annIncremental(spark, queries, flIdx, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .count { case (q, n) => approx.getOrElse(q, Set.empty).contains(n) }
+    assert(inter.toDouble / want >= 0.8, s"PQ-prefilter recall $inter/$want")
   }
 
   test("q73 fuzzy dedup finds seeded typo variants within its blocks") {

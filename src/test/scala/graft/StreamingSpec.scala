@@ -291,6 +291,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select("doc_id").distinct().count() === 5)
   }
 
+  test("streaming paragraph ingest: cross/within-batch paragraph dups stripped, == q86 global, replay-safe") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_para_ingest").toString
+    val idx = s"$base/index"
+    val out = s"$base/clean"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    // each tag is one exact 20-token paragraph under the q86 rule
+    def para(tag: String) = (0 until 20).map(i => s"${tag}_$i").mkString(" ")
+    def doc(tags: String*) = tags.map(para).mkString(" ")
+    val batches = Seq(
+      // batch 0: B repeats within the batch (d1 first)
+      Seq((1L, doc("A", "B")), (2L, doc("B", "C"))),
+      // batch 1: A duplicates history (d1)
+      Seq((3L, doc("A", "D"))),
+      // batch 2: D dups history; E repeats within the batch
+      Seq((4L, doc("D", "E")), (5L, doc("E"))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/stage_$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/b$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/b$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.ops.Streaming.paraDedupIngest(src, idx, out)
+      q.awaitTermination()
+    }
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val expect = Seq(
+      (1L, 2L, 2L, doc("A", "B")),
+      (2L, 2L, 1L, para("C")),
+      (3L, 2L, 1L, para("D")),
+      (4L, 2L, 1L, para("E")),
+      (5L, 1L, 0L, ""))
+    assert(got === expect)
+    // the incremental result IS the global q86 answer over the union
+    val global = graft.ops.LlmOps.dedupParagraphs(
+        batches.flatten.toDF("doc_id", "text"))
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === global)
+    // replay safety: re-running with no new files changes nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 5)
+    assert(spark.read.parquet(out).select("doc_id").distinct().count() === 5)
+    // a direct batch replay (same batch id) re-admits its own
+    // paragraphs bit-identically instead of self-colliding
+    val replay = graft.ops.LlmOps.paraIngestBatch(spark,
+        batches(2).toDF("doc_id", "text"), idx, 2L)
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(replay === expect.filter(r => r._1 == 4L || r._1 == 5L))
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

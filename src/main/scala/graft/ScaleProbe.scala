@@ -44,6 +44,9 @@ object ScaleProbe {
     "q75_dedup_clusters_lsh" -> Seq("documents"),
     "q43_simsearch_lsh_ann" -> Seq("embeddings"),
     "q49_simsearch_ivf" -> Seq("embeddings"),
+    "q91_simsearch_pq" -> Seq("embeddings"),
+    "q92_simsearch_ivfpq" -> Seq("embeddings"),
+    "q93_simsearch_ivfpq_residual" -> Seq("embeddings"),
     "q77_repetition_stats" -> Seq("documents"),
     "q80_sequence_packing" -> Seq("documents"),
     "q81_decontamination" -> Seq("documents"))
@@ -120,6 +123,8 @@ object ScaleProbe {
         "q11_agg_hash_groupby", "q08_join_shuffle_multiway",
         "q37_dedup_near_minhash", "q75_dedup_clusters_lsh",
         "q43_simsearch_lsh_ann", "q49_simsearch_ivf",
+        "q91_simsearch_pq", "q92_simsearch_ivfpq",
+        "q93_simsearch_ivfpq_residual",
         "q77_repetition_stats", "q80_sequence_packing", "q81_decontamination"))
     val needed = probes.flatMap(p => probeFacts.getOrElse(p, allFacts)).toSet
     if (!needed.forall(t =>

@@ -119,7 +119,11 @@ object SparkEntry {
     "q91_simsearch_pq" -> ((s: SparkSession, d: String) => LlmOps.q91SimsearchPq(s, d)),
     "q92_simsearch_ivfpq" -> ((s: SparkSession, d: String) => LlmOps.q92SimsearchIvfPq(s, d)),
     "q93_simsearch_ivfpq_residual" -> ((s: SparkSession, d: String) => LlmOps.q93SimsearchIvfPqResidual(s, d)),
-    "q94_dedup_paragraph_ingest" -> ((s: SparkSession, d: String) => LlmOps.q94DedupParagraphIngest(s, d))
+    "q94_dedup_paragraph_ingest" -> ((s: SparkSession, d: String) => LlmOps.q94DedupParagraphIngest(s, d)),
+    "q95_boilerplate_freq" -> ((s: SparkSession, d: String) => LlmOps.q95BoilerplateFreq(s, d)),
+    "q96_data_mixture" -> ((s: SparkSession, d: String) => LlmOps.q96DataMixture(s, d)),
+    "q97_dedup_semantic" -> ((s: SparkSession, d: String) => LlmOps.q97DedupSemantic(s, d)),
+    "q98_dedup_substring" -> ((s: SparkSession, d: String) => LlmOps.q98DedupSubstring(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -127,7 +131,8 @@ object SparkEntry {
     * q37/q41/q43 (xxhash64-seeded candidate generation — verified in
     * ScalaTest against exact twins q40/q47/q38), q48 (binary media),
     * q85/q88 (iterative trained-BPE encoding is not SQL-expressible —
-    * BpeSpec carries the semantics).
+    * BpeSpec carries the semantics), q97 (k-means-seeded cells — the
+    * q49 rule; LlmOpsSpec recomputes the screen brute-force).
     */
   private val decontaminationOracle: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM documents),
@@ -552,6 +557,51 @@ object SparkEntry {
     // loop (index layout, Bloom prefilter, strict probe, replay-safe
     // append), the q87 pattern at paragraph granularity.
     "q94_dedup_paragraph_ingest" -> paragraphDedupOracle,
+    // q95: same paragraph CTE as q86's oracle, but the keep rule is
+    // the frequency threshold (count of DISTINCT docs per paragraph
+    // <= 1), not first-occurrence rank
+    "q95_boilerplate_freq" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+        |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
+        |FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i FROM toks) x),
+        |f AS (SELECT para, COUNT(DISTINCT doc_id) AS nd FROM paras GROUP BY para)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |CAST(COALESCE(SUM(CASE WHEN f.nd <= 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |COALESCE(string_agg(CASE WHEN f.nd <= 1 THEN p.para END, ' ' ORDER BY p.para_idx), '') AS clean_text
+        |FROM paras p JOIN f USING (para) GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // q96: the oracle states the SEMANTICS directly — one greedy
+    // prefix-sum window per lang over (md5-gate, doc_id) order; the
+    // Spark side reaches the identical keep set through the bucketed
+    // two-phase plan (no per-domain global sort). Budget arithmetic
+    // is written in the same left-assoc double order on both sides.
+    "q96_data_mixture" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS gate FROM documents),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM d),
+        |w AS (SELECT doc_id, lang, n_tokens, gate,
+        |COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY gate, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM d)
+        |SELECT doc_id, lang, n_tokens, gate FROM w CROSS JOIN tot
+        |WHERE cumb < (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END) * 0.5 * t
+        |ORDER BY doc_id""".stripMargin,
+    // q98: duplicated 8-token windows (exact text count > 1 corpus-
+    // wide) cover token positions; covered positions are removed from
+    // every document. Same window/coverage arithmetic on both sides.
+    "q98_dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS gpos,
+        |array_to_string(t[(CAST(i AS INTEGER) + 1):(CAST(i AS INTEGER) + 8)], ' ') AS gram
+        |FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i FROM toks) x),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        |occ AS (SELECT g.doc_id, g.gpos FROM g JOIN d USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, gpos + j AS p FROM occ CROSS JOIN (SELECT unnest(range(0, 8)) AS j) u),
+        |tp AS (SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INTEGER) + 1] AS tok
+        |FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks) y)
+        |SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(COALESCE(SUM(CASE WHEN cov.p IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_dup_tokens,
+        |COALESCE(string_agg(CASE WHEN cov.p IS NULL THEN tp.tok END, ' ' ORDER BY tp.p), '') AS clean_text
+        |FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+        |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
     // q87 at threshold 1.0: batch-sequential LSH ingest == global
     // first-occurrence dedup by identical shingle SET (an equivalence
     // relation; see LlmOps.q87DedupIngestBatch scaladoc). Docs with

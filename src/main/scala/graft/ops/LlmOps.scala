@@ -2147,4 +2147,260 @@ object LlmOps {
       }
     }.toDF().orderBy("doc_id", "frame_idx")
   }
+
+  // -- corpus curation (round 7): boilerplate, mixing, semantic dedup
+
+  /** #95 Frequency-threshold boilerplate removal — the cross-document
+    * repetition rule of the large-corpus cleaning pipelines (Rae et
+    * al. 2021 §A.1.2 "repetition across documents"; C4's line-dedup
+    * is the same rule at line granularity): drop EVERY occurrence of
+    * any paragraph that appears in more than `maxDocs` DISTINCT
+    * documents. The complement of q86: first-occurrence dedup keeps
+    * one copy of a duplicated paragraph, while boilerplate (nav
+    * chrome, cookie banners, license headers) is noise in ALL its
+    * positions — a paragraph popular across documents carries no
+    * per-document signal. Repeats WITHIN one document are untouched
+    * (distinct-doc count 1): those are q77's repetition-stats
+    * territory, not cross-corpus boilerplate.
+    *
+    * Segmentation and reassembly are q86's own ([[segmentParas]] /
+    * [[reassembleParas]]) — one paragraph rule corpus-wide, so the
+    * keep-first and drop-everywhere cleaners cannot drift.
+    */
+  def q95BoilerplateFreq(spark: SparkSession, dir: String,
+      paraTokens: Int = 20, maxDocs: Int = 1): DataFrame =
+    stripBoilerplate(
+      Tables.documents(spark, dir).select("doc_id", "text"), paraTokens, maxDocs)
+
+  /** DataFrame core of [[q95BoilerplateFreq]] over any (doc_id, text)
+    * relation. The distinct-document count per paragraph is computed
+    * with two window functions over the SAME partition key — the
+    * paragraph — so Catalyst plans ONE exchange (dense_rank over
+    * doc_id numbers the distinct documents; max broadcasts the final
+    * count back to every occurrence within the partition). Partition
+    * size is bounded by one paragraph's repeat count; no
+    * groupBy-then-self-join round trip, no corpus-wide sort — the
+    * same single-shuffle shape as q86, keyed the same way.
+    */
+  def stripBoilerplate(docs: DataFrame, paraTokens: Int = 20,
+      maxDocs: Int = 1): DataFrame = {
+    val byPara = Window.partitionBy("para")
+    val counted = segmentParas(docs, paraTokens)
+      .withColumn("dr", dense_rank().over(byPara.orderBy("doc_id")))
+      .withColumn("n_docs", max(col("dr")).over(byPara))
+    reassembleParas(counted, col("n_docs") <= maxDocs).orderBy("doc_id")
+  }
+
+  /** #96 Token-budget mixture sampling — the data-mixing step that
+    * turns a raw corpus into a training mix with declared per-domain
+    * token shares (the mixture-weights knob of Gopher/DoReMi-style
+    * recipes, here keyed by `lang`): domain d gets a budget of
+    * `weight(d) × frac × totalTokens`, filled by a deterministic
+    * hash-ordered greedy prefix — a doc is kept iff the token sum of
+    * its domain's strictly-earlier docs (md5-gate order, doc_id
+    * tiebreak — the q63 sampling rule, so reruns/retries select the
+    * same docs) is still under budget. A domain whose budget exceeds
+    * its supply keeps everything (undersupplied domains saturate —
+    * the standard mixture behavior).
+    *
+    * Scale shape — NO per-domain global sort: the gate's first two
+    * hex chars bucket each domain into 256 deterministic ranges.
+    * One map-side-partial aggregation computes per-(domain, bucket)
+    * token sums (≤ domains×256 rows — bounded by construction, the
+    * only driver traffic); the driver walks each domain's bucket
+    * cumsum to find the single CUTOFF bucket and broadcasts (cutoff,
+    * prefix, budget) back. Docs in buckets below the cutoff are kept
+    * by a map-side filter (provably under budget: bucket order is a
+    * prefix of gate order); only the cutoff bucket — ~1/256 of one
+    * domain — pays a rank window, partitioned by (lang, bucket). The
+    * exact greedy-prefix semantics at a shuffle cost that is flat in
+    * corpus size.
+    */
+  def q96DataMixture(spark: SparkSession, dir: String, frac: Double = 0.5,
+      enWeight: Double = 0.4, otherWeight: Double = 0.15): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        substring(md5(col("doc_id").cast("string")), 1, 4).as("gate"))
+      .withColumn("bucket", substring(col("gate"), 1, 2))
+      .localCheckpoint() // replayed by the bucket agg AND the final filter
+    val bucketSums = d.groupBy("lang", "bucket")
+      .agg(sum("n_tokens").as("btok"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = bucketSums.map(_._3).sum.toDouble
+    // per domain: cutoff = first bucket whose inclusive cumsum crosses
+    // the budget ("zz" > every hex bucket = keep all); prefix = tokens
+    // strictly before it. Every doc below the cutoff has
+    // cum_before < prefix <= budget; every doc above has
+    // cum_before >= inclusive-cumsum(cutoff) > budget — only the
+    // cutoff bucket needs the exact per-doc rule.
+    val plans = bucketSums.groupBy(_._1).toSeq.map { case (lang, xs) =>
+      val budget = (if (lang == "en") enWeight else otherWeight) * frac * total
+      var cum = 0L
+      var cut = "zz"
+      var prefix = 0L
+      for ((_, b, t) <- xs.sortBy(_._2) if cut == "zz") {
+        if (cum + t > budget) { cut = b; prefix = cum }
+        cum += t
+      }
+      (lang, cut, prefix, budget)
+    }
+    val planDf = spark.createDataFrame(plans)
+      .toDF("lang", "cut", "prefix", "budget")
+    val joined = d.join(broadcast(planDf), Seq("lang"))
+    val below = joined.filter(col("bucket") < col("cut"))
+    val boundary = joined.filter(col("bucket") === col("cut"))
+      .withColumn("cumb", coalesce(
+        sum("n_tokens").over(Window.partitionBy("lang", "bucket")
+          .orderBy("gate", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prefix") + col("cumb") < col("budget"))
+    val cols = Seq("doc_id", "lang", "n_tokens", "gate").map(col)
+    below.select(cols: _*).unionByName(boundary.select(cols: _*))
+      .orderBy("doc_id")
+  }
+
+  /** #97 Semantic dedup — the SemDeDup screen (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space into cells, then
+    * WITHIN each cell drop every vector that is ≥ `threshold` cosine
+    * to a better-ranked cell-mate (rank = cosine-to-centroid desc,
+    * vec_id asc — most-central survives, deterministic tiebreak).
+    * One representative survives per within-cell near-duplicate
+    * neighborhood; cross-cell near-dups are out of scope BY DESIGN —
+    * that miss rate is the price of never comparing across cells,
+    * and the paper's (and this op's) scaling argument.
+    *
+    * Scale shape: cells come from [[kmeansCentroids]] (sampled
+    * trainer, bounded driver traffic); assignment is one map-side
+    * expression; the pairwise screen is a self-join EQUI-keyed on
+    * the cell — co-partitioned, never corpus×corpus, cost bounded by
+    * Σ cell² which `nCells` (scaled with the corpus like the paper's
+    * k ∝ √n) keeps linear-ish. The dominance rule needs no
+    * iteration: a single rank + one bounded join decides keep/drop.
+    *
+    * The default `threshold` is tuned to THIS corpus: the synthetic
+    * embeddings are near-isotropic (pairwise cosine mass tops out
+    * ~0.5, the q42 regime), so 0.35 is where semantic neighborhoods
+    * live here; on a real embedding model the paper's τ ≈ 0.9+ is
+    * the sane setting — it is a free parameter, not a constant.
+    */
+  def q97DedupSemantic(spark: SparkSession, dir: String, nCells: Int = 16,
+      kmeansIters: Int = 2, threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .localCheckpoint() // replayed by the Lloyd loop + both join sides
+    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    if (cents.isEmpty)
+      return emb.limit(0).select(col("vec_id"), lit(0).as("cell"),
+        lit(0.0).as("cscore"), lit(true).as("keep"))
+    val scored = centroidScores(cents)
+    val ranked = emb
+      .withColumn("cell", bestCellOf(scored))
+      // cosine to the OWN cell's centroid = -(best struct's neg)
+      .withColumn("cscore", -element_at(
+        transform(slice(array_sort(scored), 1, 1), x => x.getField("neg")), 1))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cell").orderBy(desc("cscore"), asc("vec_id"))))
+    // rename every right-side column: `earlier` shares lineage with
+    // `ranked`, and a same-exprId join key would be the classic
+    // ambiguous-self-join trap
+    val earlier = ranked.select(col("cell").as("ecell"), col("rn").as("ern"),
+      col("embedding").as("ee"), col("nsq").as("ensq"))
+    // x is dropped iff ANY better-ranked cell-mate is >= threshold
+    // close — the screen checks against all earlier rows (kept or
+    // not), which is exactly the paper's one-pass rule and what the
+    // spec's brute-force twin recomputes
+    val dropped = ranked.join(earlier,
+        col("ecell") === col("cell") && col("ern") < col("rn"))
+      .filter(cosinePrenorm(dotProduct(col("ee"), col("embedding")),
+        col("ensq"), col("nsq")) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    ranked.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cscore"),
+        coalesce(col("__dropped"), lit(false)).unary_!.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** #98 Exact duplicated-substring removal — the ExactSubstr rule of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 §4.1) at token n-gram
+    * granularity: every token position covered by some `gramTokens`-
+    * token window whose exact text occurs MORE THAN ONCE in the whole
+    * corpus (any document, including the same one) is removed from
+    * every document. Verbatim-repeated spans (quotes, templates,
+    * mirrored articles) vanish from ALL their positions — the
+    * substring-granular complement to q36 (whole doc), q86/q94
+    * (paragraph) and q95 (cross-doc paragraph frequency). The paper
+    * builds a corpus-wide suffix array on one machine; the rule
+    * itself only needs per-window equality, which shuffles.
+    *
+    * Scale shape — three bounded shuffles, no corpus-wide sort, no
+    * suffix array:
+    *   1. windows are map-side (`transform` over token indexes, one
+    *      row per position — the same linear explosion the suffix
+    *      array pays in memory);
+    *   2. duplicate DETECTION aggregates 8-byte xxhash64 keys, not
+    *      gram strings — map-side partial counts, shuffle carries
+    *      (hash, count) pairs only;
+    *   3. only windows whose HASH count exceeds one (the duplicated
+    *      fraction plus vanishing collisions — no false negatives,
+    *      the q89 prefilter argument) re-shuffle by full gram text
+    *      for the exact count, so hash collisions cannot mark a
+    *      unique gram as duplicated;
+    *   4. covered-interval merge is one window partitioned by doc
+    *      (partition = that doc's duplicate occurrences) via the
+    *      running-max islands rule, and reassembly is a map-side
+    *      indexed `filter` over the token array against the doc's
+    *      own merged-interval list.
+    */
+  def q98DedupSubstring(spark: SparkSession, dir: String,
+      gramTokens: Int = 8): DataFrame = {
+    val L = gramTokens
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint() // replayed by the gram scan AND final reassembly
+    // (doc_id, gpos, gram): all L-token windows, map-side. Docs
+    // shorter than L emit nothing (sequence() would count DOWNWARD on
+    // a negative span — guard, don't clamp).
+    val grams = docs
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) >= L,
+          transform(sequence(lit(0), size(col("toks")) - L),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(L)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos").as("gpos"), col("col").as("gram"),
+        xxhash64(col("col")).as("gh"))
+    val dupHashes = grams.groupBy("gh").count()
+      .filter(col("count") > 1).select("gh")
+    // candidate occurrences (hash-dup superset) -> exact per-gram
+    // count over ONE gram-keyed exchange of the duplicated fraction
+    val occ = grams.join(dupHashes, Seq("gh"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("cnt") > 1)
+      .select(col("doc_id"), col("gpos").cast("long").as("s"),
+        (col("gpos") + lit(L - 1)).cast("long").as("e"))
+    // merge covered intervals per doc: islands by running-max end
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val islands = occ
+      .withColumn("pmax", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L)).over(byDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    docs.join(islands, Seq("doc_id"), "left")
+      .withColumn("iv", coalesce(col("iv"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !exists(col("iv"), v => i >= v.getField("s") && i <= v.getField("e"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_dup_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

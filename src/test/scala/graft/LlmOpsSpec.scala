@@ -471,4 +471,154 @@ class LlmOpsSpec extends AnyFunSuite {
     val t = LlmOps.q46TokenCountBpe(spark, sf)
     assert(t.filter(col("n_pieces") < col("n_ws_tokens")).count() === 0)
   }
+
+  // -- round-7 corpus curation ops ----------------------------------
+
+  test("q95 boilerplate removal equals local recomputation of the frequency rule") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def paras(text: String): Seq[String] = {
+      val t = text.split(" ", -1).toSeq
+      (0 until math.ceil(t.size / 20.0).toInt)
+        .map(i => t.slice(i * 20, i * 20 + 20).mkString(" "))
+    }
+    val nd = docs.flatMap { case (id, tx) => paras(tx).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+    val expected = docs.map { case (id, tx) =>
+      val ps = paras(tx)
+      val kept = ps.filter(nd(_) <= 1)
+      (id, ps.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.sortBy(_._1).toSeq
+    val got = LlmOps.q95BoilerplateFreq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(expected.exists(e => e._2 != e._3), "fixture should contain cross-doc boilerplate")
+    assert(got === expected)
+  }
+
+  test("q95 leaves within-document repeats alone (distinct-doc count 1)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val rep = (1 to 20).map(i => s"r$i").mkString(" ") // doc 1 only, twice
+    val boil = (1 to 20).map(i => s"b$i").mkString(" ") // docs 2 AND 3
+    val u2 = (1 to 20).map(i => s"x$i").mkString(" ")
+    val u3 = (1 to 20).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, s"$rep $rep", "en", "s", 10L),
+      (2L, s"$boil $u2", "en", "s", 10L),
+      (3L, s"$boil $u3", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LlmOps.q95BoilerplateFreq(spark, tmp).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // rep repeats WITHIN doc 1 (distinct-doc count 1) -> both kept;
+    // boil spans docs 2+3 -> dropped everywhere, unique tails survive
+    assert(got(1L) === ((2L, 2L, s"$rep $rep")))
+    assert(got(2L) === ((2L, 1L, u2)))
+    assert(got(3L) === ((2L, 1L, u3)))
+  }
+
+  test("q96 bucketed mixture equals the single-window greedy prefix rule") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    def gate(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString
+    val total = docs.map(_._3).sum.toDouble
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
+      val budget = (if (lang == "en") 0.4 else 0.15) * 0.5 * total
+      var cum = 0L
+      xs.sortBy(x => (gate(x._1), x._1)).filter { x =>
+        val keep = cum < budget; cum += x._3; keep
+      }
+    }.map(_._1).toSet
+    val got = LlmOps.q96DataMixture(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length, "budget should bite")
+  }
+
+  test("q96 keeps per-domain token overshoot under one document") {
+    val out = LlmOps.q96DataMixture(spark, sf)
+      .groupBy("lang").agg(sum("n_tokens").as("kept"), max("n_tokens").as("mx"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val total = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0).toDouble
+    out.foreach { case (lang, (kept, mx)) =>
+      val budget = (if (lang == "en") 0.4 else 0.15) * 0.5 * total
+      assert(kept < budget + mx, s"$lang grossly over budget")
+    }
+  }
+
+  test("q97 SemDeDup screen equals brute-force recomputation within cells") {
+    val out = LlmOps.q97DedupSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    // index-ordered double accumulation — the DotProduct expression's
+    // exact arithmetic, so the screen's decisions reproduce bitwise
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = out.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      val order = xs.sortBy(x => (-x._3, x._1))
+      order.zipWithIndex.map { case (x, i) =>
+        x._1 -> !order.take(i).exists(y => cos(emb(y._1), emb(x._1)) >= 0.35)
+      }
+    }.toMap
+    assert(out.length === emb.size)
+    out.foreach { case (id, _, _, keep) =>
+      assert(keep === expected(id), s"vec $id keep mismatch")
+    }
+    assert(out.exists(!_._4), "fixture should contain semantic near-dups")
+  }
+
+  test("q98 substring dedup equals local recomputation of the ExactSubstr rule") {
+    val L = 8
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val gramCount = docs.flatMap { case (_, t) =>
+      if (t.size >= L) t.sliding(L).map(_.mkString(" ")).toSeq else Nil
+    }.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val expected = docs.map { case (id, t) =>
+      val covered = (0 to t.size - L)
+        .filter(i => gramCount(t.slice(i, i + L).mkString(" ")) > 1)
+        .flatMap(i => i until i + L).toSet
+      val kept = t.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      (id, t.size.toLong, covered.size.toLong, kept.mkString(" "))
+    }.sortBy(_._1).toSeq
+    val got = LlmOps.q98DedupSubstring(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(expected.exists(_._3 > 0), "fixture should contain duplicated substrings")
+    assert(expected.exists(e => e._3 > 0 && e._3 < e._2),
+      "fixture should contain a PARTIALLY-covered doc")
+    assert(got === expected)
+  }
+
+  test("q98 is idempotent: re-running on its own output removes nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    LlmOps.q98DedupSubstring(spark, sf)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        lit("en").as("lang"), lit("s").as("source"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val again = LlmOps.q98DedupSubstring(spark, tmp)
+    assert(again.filter(col("n_dup_tokens") > 0).count() === 0)
+  }
+
+  test("q97 keeps everything at an unreachable threshold and is deterministic") {
+    val all = LlmOps.q97DedupSemantic(spark, sf, threshold = 1.01)
+    assert(all.filter(!col("keep")).count() === 0)
+    val a = LlmOps.q97DedupSemantic(spark, sf).collect().map(_.toString).toSeq
+    val b = LlmOps.q97DedupSemantic(spark, sf).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
 }

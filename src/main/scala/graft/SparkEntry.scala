@@ -123,7 +123,8 @@ object SparkEntry {
     "q95_boilerplate_freq" -> ((s: SparkSession, d: String) => LlmOps.q95BoilerplateFreq(s, d)),
     "q96_data_mixture" -> ((s: SparkSession, d: String) => LlmOps.q96DataMixture(s, d)),
     "q97_dedup_semantic" -> ((s: SparkSession, d: String) => LlmOps.q97DedupSemantic(s, d)),
-    "q98_dedup_substring" -> ((s: SparkSession, d: String) => LlmOps.q98DedupSubstring(s, d))
+    "q98_dedup_substring" -> ((s: SparkSession, d: String) => LlmOps.q98DedupSubstring(s, d)),
+    "q99_dedup_resolve" -> ((s: SparkSession, d: String) => LlmOps.q99DedupResolve(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -132,7 +133,9 @@ object SparkEntry {
     * ScalaTest against exact twins q40/q47/q38), q48 (binary media),
     * q85/q88 (iterative trained-BPE encoding is not SQL-expressible —
     * BpeSpec carries the semantics), q97 (k-means-seeded cells — the
-    * q49 rule; LlmOpsSpec recomputes the screen brute-force).
+    * q49 rule; LlmOpsSpec recomputes the screen brute-force), q99
+    * (rides q37's hash-seeded clusters; LlmOpsSpec recomputes the
+    * keep rule from q75+q44's own outputs).
     */
   private val decontaminationOracle: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM documents),

@@ -2322,6 +2322,34 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** #99 Duplicate-cluster resolution — the KEEP step that follows
+    * near-dup detection in a real pipeline: q75's connected-component
+    * clusters say which documents are copies of each other; this op
+    * decides WHICH copy survives — the highest [[q44TextQuality]]
+    * score, doc_id ascending as the deterministic tiebreak (the
+    * "keep the best canonical copy" rule; random/first-seen keeps are
+    * the degenerate cases of the same shape). Detection (q37→q75) and
+    * resolution compose but stay separate ops, so either half swaps
+    * independently (e.g. paragraph clusters, or a recency rule).
+    *
+    * Scale shape: one broadcast-joinable score column riding on q75's
+    * own plan, then ONE window partitioned by cluster_id — partition
+    * size = the duplicate cluster, bounded by the corpus's actual
+    * duplication structure (singletons dominate by construction).
+    * No new shuffle beyond the cluster key.
+    */
+  def q99DedupResolve(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val clusters = q75DedupClustersLsh(spark, dir, threshold)
+    val scores = q44TextQuality(spark, dir).select("doc_id", "quality")
+    clusters.join(scores, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(desc("quality"), asc("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rn") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** #98 Exact duplicated-substring removal — the ExactSubstr rule of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language
     * Models Better", arXiv:2107.06499 §4.1) at token n-gram

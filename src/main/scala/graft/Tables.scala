@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Canonical table loaders over the harness parquet testdata
@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions._
   *    pruning and predicate pushdown happen automatically because every
   *    operator in this library stays declarative (no RDDs, no collect).
   *  - No `inferSchema`-style passes: parquet footers carry the schema.
-  *  - `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark
-  *    does not map to a native type; we read it as a long (ns) via
-  *    `spark.sql.legacy.parquet.nanosAsLong` and truncate to µs with
-  *    integer arithmetic (`DIV 1000`, never double division — ns epoch
-  *    values exceed 2^53). This matches DuckDB's ns→µs truncation, so
-  *    oracle comparisons agree bit-for-bit.
+  *  - `events.ts` has shipped in two on-disk shapes across harness
+  *    rounds: parquet TIMESTAMP(NANOS) (no native Spark type — read as
+  *    a long via `spark.sql.legacy.parquet.nanosAsLong` and truncated
+  *    to µs with integer `DIV 1000`, never double division: ns epoch
+  *    values exceed 2^53) and plain TIMESTAMP(MICROS) (isAdjustedToUTC
+  *    = false, which Spark 4 surfaces as TIMESTAMP_NTZ). `canonicalTs`
+  *    dispatches on the decoded dtype so both shapes land on the same
+  *    µs-precision TimestampType; the session timezone is pinned to
+  *    UTC by every entrypoint, making the NTZ→instant cast the
+  *    identity on the underlying µs value. Either way this matches
+  *    DuckDB's reading of the same file, so oracle comparisons agree
+  *    bit-for-bit.
   */
 object Tables {
 
@@ -33,13 +39,25 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Canonical µs TimestampType from whichever shape `ts` decoded to
+    * (see the header note): raw ns longs, TIMESTAMP_NTZ, or already a
+    * timestamp.
+    */
+  def canonicalTs(dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      timestamp_micros(expr("ts DIV 1000"))
+    case _ =>
+      col("ts").cast(org.apache.spark.sql.types.TimestampType)
+  }
+
   /** Events with canonical µs `ts` (TimestampType), plus `ts_ms` for
-    * window arithmetic. See note above on TIMESTAMP(NANOS).
+    * window arithmetic. See note above on the two on-disk ts shapes.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    raw
+      .withColumn("ts", canonicalTs(raw.schema("ts").dataType))
       .withColumn("ts_ms", unix_millis(col("ts")))
   }
 }

@@ -267,7 +267,7 @@ object Streaming {
         link, java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", Tables.canonicalTs(schema("ts").dataType))
       .withColumn("ts_ms", unix_millis(col("ts")))
   }
 

@@ -124,7 +124,9 @@ object SparkEntry {
     "q96_data_mixture" -> ((s: SparkSession, d: String) => LlmOps.q96DataMixture(s, d)),
     "q97_dedup_semantic" -> ((s: SparkSession, d: String) => LlmOps.q97DedupSemantic(s, d)),
     "q98_dedup_substring" -> ((s: SparkSession, d: String) => LlmOps.q98DedupSubstring(s, d)),
-    "q99_dedup_resolve" -> ((s: SparkSession, d: String) => LlmOps.q99DedupResolve(s, d))
+    "q99_dedup_resolve" -> ((s: SparkSession, d: String) => LlmOps.q99DedupResolve(s, d)),
+    "q100_perplexity_filter" -> ((s: SparkSession, d: String) => LlmOps.q100PerplexityFilter(s, d)),
+    "q101_importance_resample" -> ((s: SparkSession, d: String) => LlmOps.q101ImportanceResample(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -628,6 +630,45 @@ object SparkEntry {
           s"(((o_orderkey >> $i) & 1) << ${2 * i + 1})")
       }.mkString(" | ")
       s"SELECT o_orderkey, CAST($terms AS BIGINT) AS z FROM orders ORDER BY z, o_orderkey"
-    }
+    },
+    // q100: the same add-one unigram LM on both sides — vocab = top
+    // 4096 src0 tokens (count desc, tok asc), P=(c+1)/(N+V+1), bits
+    // micro-rounded PER TOKEN then integer-summed (order-independent);
+    // buckets compare bits < threshold×n_tokens in exact integers, so
+    // no division semantics are in play. Only log2 itself is engine
+    // float code; its ulp-level drift is ~1e-9 micro-units, far from
+    // the rounding boundary.
+    "q100_perplexity_filter" ->
+      """WITH ref AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+        |voc AS (SELECT tok, count(*) AS c FROM ref GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 4096),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+        |lm AS (SELECT tok, CAST(round(-log2((c + 1.0) / (n.n + v.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM voc, n, v),
+        |oov AS (SELECT CAST(round(-log2(1.0 / (n.n + v.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM n, v),
+        |tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(SUM(COALESCE(lm.bits, (SELECT bits FROM oov))) AS BIGINT) AS bits_micro
+        |FROM tk LEFT JOIN lm USING (tok) GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, bits_micro,
+        |CASE WHEN bits_micro < 4910000 * n_tokens THEN 'head'
+        |WHEN bits_micro < 4940000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // q101: md5-bucketed DSIR weights — 256-bucket hashed unigram
+    // models for target (src0) and raw (all docs); Δbits rounded once
+    // per BUCKET (the difference, not each log) then integer-summed;
+    // keep rule in exact integer arithmetic, mirroring the Spark side.
+    "q101_importance_resample" ->
+      """WITH tt AS (SELECT substring(md5(unnest(string_split(text, ' '))), 1, 2) AS b FROM documents WHERE source = 'src0'),
+        |rt AS (SELECT substring(md5(unnest(string_split(text, ' '))), 1, 2) AS b FROM documents),
+        |tm AS (SELECT b, count(*) AS c FROM tt GROUP BY b),
+        |rm AS (SELECT b, count(*) AS c FROM rt GROUP BY b),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tt),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rt),
+        |tk AS (SELECT doc_id, lang, substring(md5(unnest(string_split(text, ' '))), 1, 2) AS b FROM documents),
+        |w AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(SUM(CAST(round((log2((COALESCE(tm.c, 0) + 1.0) / (nt.n + 256)) - log2((COALESCE(rm.c, 0) + 1.0) / (nr.n + 256))) * 1000000.0) AS BIGINT)) AS BIGINT) AS logw_micro
+        |FROM tk LEFT JOIN tm USING (b) LEFT JOIN rm USING (b), nt, nr GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, logw_micro, logw_micro > -210000 * n_tokens AS kept
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 }

@@ -2431,4 +2431,158 @@ object LlmOps {
         concat_ws(" ", col("kept")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  // -- model-based quality filtering (round 7): LM perplexity, DSIR --
+
+  /** Micro-unit (1e-6) fixed-point of a double, half-away-from-zero —
+    * the rounding rule Spark's `round()` and DuckDB's `round()` share,
+    * so driver-side model tables agree bit-for-bit with the oracle's
+    * in-SQL recomputation. All model scores in q100/q101 are
+    * micro-rounded PER TERM and then integer-summed, which makes the
+    * per-document totals independent of summation order (float sums
+    * are not) — the same trick as q70's `sum_micro`.
+    */
+  private def micro(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** #100 LM-perplexity quality filter — the CCNet gate (Wenzek et al.
+    * 2020 §4.3): score every document's cross-entropy under a language
+    * model trained on a trusted reference corpus, then bucket into
+    * head/middle/tail by bits-per-token. Here the LM is an add-one-
+    * smoothed unigram model over whitespace tokens (CCNet uses a 5-gram
+    * KenLM — the MODEL is pluggable; the pipeline shape, training on a
+    * reference and map-side scoring of the corpus, is what this
+    * operator owns): vocab = top-`vocabCap` reference tokens by count
+    * (count desc, token asc — deterministic), P(t) = (c_t+1)/(N+V+1)
+    * with one reserved OOV mass unit, bits(t) = −log₂P(t) micro-rounded.
+    *
+    * Scale shape — trainer traffic bounded, scoring one shuffle: the
+    * reference passes once through a map-side-partial token count whose
+    * driver traffic is capped at `vocabCap` rows by TakeOrdered (the
+    * `Bpe.fit` bound); the corpus is scored by exploding tokens into a
+    * BROADCAST join against the ≤`vocabCap`-row bits table (hash
+    * lookup, no shuffle) and re-aggregating per doc — ONE exchange
+    * keyed by doc_id with map-side partial sums. Bucket thresholds
+    * compare `bits_micro < threshold × n_tokens` in exact integer
+    * arithmetic (never a division — floor-vs-truncate semantics can
+    * differ across engines). `headBits`/`midBits` are corpus-tuned
+    * free parameters (the q97 convention): ~terciles of this synthetic
+    * corpus's 4.84–5.38 bits/token range; CCNet tunes them per
+    * language from the reference's own score distribution.
+    */
+  def q100PerplexityFilter(spark: SparkSession, dir: String,
+      refSource: String = "src0", vocabCap: Int = 4096,
+      headBits: Long = 4910000L, midBits: Long = 4940000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    perplexityFilter(docs.select("doc_id", "lang", "text"),
+      docs.filter(col("source") === refSource).select("text"),
+      vocabCap, headBits, midBits)
+  }
+
+  /** DataFrame core of [[q100PerplexityFilter]]: score `docs` (doc_id,
+    * lang, text) under a unigram LM fit on `ref` (text). See the
+    * operator scaladoc for the model and the scale argument.
+    */
+  def perplexityFilter(docs: DataFrame, ref: DataFrame, vocabCap: Int,
+      headBits: Long, midBits: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val refToks = ref.select(explode(split(col("text"), " ")).as("tok"))
+    val n = refToks.count()
+    // TakeOrdered: full counts shuffle map-side-partial, only the top
+    // vocabCap rows ever reach the driver
+    val voc = refToks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc)
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val denom = (n + voc.length + 1).toDouble
+    val oovBits = micro(-log2(1.0 / denom))
+    val lm = spark.createDataFrame(
+      voc.toSeq.map { case (t, c) => (t, micro(-log2((c + 1).toDouble / denom))) })
+      .toDF("tok", "bits")
+    val scored = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(lm), Seq("tok"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("bits"), lit(oovBits))).as("bits_micro"))
+    scored
+      .withColumn("ppl_bucket",
+        when(col("bits_micro") < lit(headBits) * col("n_tokens"), "head")
+          .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** #101 Hashed-feature importance resampling — the DSIR selector
+    * (Xie et al. 2023, arXiv:2302.03169): estimate how target-like
+    * each raw document is via the log importance weight
+    * log p_target(x) − log p_raw(x) under bag-of-hashed-feature
+    * unigram models, and keep documents above a threshold. Features
+    * are md5-hashed tokens folded to 256 buckets (first two hex chars
+    * — the q96 gate convention, exactly reproducible in any engine);
+    * both models are add-one-smoothed bucket frequencies, so each
+    * model is AT MOST 256 rows no matter the corpus size — the whole
+    * point of hashed DSIR. Per-bucket Δbits are micro-rounded then
+    * integer-summed per doc (order-independent, see [[micro]]); the
+    * keep rule compares `logw_micro > threshold × n_tokens` in exact
+    * integer arithmetic. `thresholdMicro` is a corpus-tuned free
+    * parameter (the q97 convention; DSIR instead samples
+    * ∝ exp(logw), a nondeterminism this deterministic gate trades
+    * away): −0.21 bits/token sits at this corpus's median.
+    *
+    * Scale shape: two single-pass map-side-partial bucket counts
+    * (≤256 rows each to the driver), then map-side scoring — explode,
+    * broadcast join against the 256-row Δbits table, ONE doc_id-keyed
+    * partial-agg exchange. Training and scoring traffic are both
+    * constant in corpus size beyond the two linear scans.
+    */
+  def q101ImportanceResample(spark: SparkSession, dir: String,
+      refSource: String = "src0",
+      thresholdMicro: Long = -210000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    importanceResample(docs.select("doc_id", "lang", "text"),
+      docs.filter(col("source") === refSource).select("text"), thresholdMicro)
+  }
+
+  /** DataFrame core of [[q101ImportanceResample]]: log importance
+    * weights of `docs` (doc_id, lang, text) for target corpus
+    * `target` (text) against the raw distribution of `docs` itself.
+    */
+  def importanceResample(docs: DataFrame, target: DataFrame,
+      thresholdMicro: Long): DataFrame = {
+    val spark = docs.sparkSession
+    def bucketCounts(d: DataFrame): Map[String, Long] =
+      d.select(explode(split(col("text"), " ")).as("tok"))
+        .select(substring(md5(col("tok")), 1, 2).as("b"))
+        .groupBy("b").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(docs)
+    val tDenom = (tc.values.sum + 256).toDouble
+    val rDenom = (rc.values.sum + 256).toDouble
+    def dBits(b: String): Long =
+      micro(log2((tc.getOrElse(b, 0L) + 1).toDouble / tDenom) -
+        log2((rc.getOrElse(b, 0L) + 1).toDouble / rDenom))
+    // Δbits for every bucket observed in either model; a bucket seen
+    // in neither cannot occur in `docs` (raw counts cover it), but the
+    // smoothed fallback keeps the core total on foreign relations
+    val buckets = (tc.keySet ++ rc.keySet).toSeq.sorted
+    val fallback = micro(log2(1.0 / tDenom) - log2(1.0 / rDenom))
+    val lw = spark.createDataFrame(buckets.map(b => (b, dBits(b))))
+      .toDF("b", "dbits")
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"), substring(md5(col("tok")), 1, 2).as("b"))
+      .join(broadcast(lw), Seq("b"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("dbits"), lit(fallback))).as("logw_micro"))
+      .withColumn("kept",
+        col("logw_micro") > lit(thresholdMicro) * col("n_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -640,4 +640,75 @@ class LlmOpsSpec extends AnyFunSuite {
     val b = LlmOps.q97DedupSemantic(spark, sf).collect().map(_.toString).toSeq
     assert(a === b)
   }
+
+  // -- round-7 model-based quality filtering ------------------------
+
+  private def microL(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  private def lg2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  test("q100 perplexity filter equals local recomputation of the unigram LM") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val refToks = docs.filter(_._4 == "src0").flatMap(_._3.split(" ", -1))
+    val voc = refToks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(4096)
+    val denom = (refToks.length + voc.length + 1).toDouble
+    val bits = voc.map { case (t, c) => t -> microL(-lg2((c + 1) / denom)) }.toMap
+    val oov = microL(-lg2(1.0 / denom))
+    val expected = docs.map { case (id, lang, tx, _) =>
+      val tk = tx.split(" ", -1)
+      val bm = tk.map(t => bits.getOrElse(t, oov)).sum
+      val bucket =
+        if (bm < 4910000L * tk.length) "head"
+        else if (bm < 4940000L * tk.length) "middle" else "tail"
+      (id, lang, tk.length.toLong, bm, bucket)
+    }.sortBy(_._1).toSeq
+    val got = LlmOps.q100PerplexityFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(got === expected)
+    assert(expected.map(_._5).distinct.size === 3, "all three buckets should appear")
+  }
+
+  test("q101 importance weights equal local recomputation of the hashed models") {
+    def b2(tok: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val tToks = docs.filter(_._4 == "src0").flatMap(_._3.split(" ", -1))
+    val rToks = docs.flatMap(_._3.split(" ", -1))
+    val tm = tToks.groupBy(b2).view.mapValues(_.length.toLong).toMap
+    val rm = rToks.groupBy(b2).view.mapValues(_.length.toLong).toMap
+    val tD = (tToks.length + 256).toDouble
+    val rD = (rToks.length + 256).toDouble
+    def db(b: String): Long =
+      microL(lg2((tm.getOrElse(b, 0L) + 1) / tD) - lg2((rm.getOrElse(b, 0L) + 1) / rD))
+    val expected = docs.map { case (id, lang, tx, _) =>
+      val tk = tx.split(" ", -1)
+      val lw = tk.map(t => db(b2(t))).sum
+      (id, lang, tk.length.toLong, lw, lw > -210000L * tk.length)
+    }.sortBy(_._1).toSeq
+    val got = LlmOps.q101ImportanceResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got === expected)
+    assert(expected.exists(_._5) && expected.exists(!_._5), "threshold should split the corpus")
+  }
+
+  test("q100/q101 cores: reference-like text scores better than off-distribution text") {
+    import spark.implicits._
+    val ref = Seq.fill(30)("alpha beta gamma").toDF("text")
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha beta gamma"),
+      (2L, "en", "zz1 zz2 zz3 zz4 zz5 zz6")).toDF("doc_id", "lang", "text")
+    val ppl = LlmOps.perplexityFilter(docs, ref, 4096, 1L, 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3).toDouble / r.getLong(2)).toMap
+    assert(ppl(1L) < ppl(2L), s"in-vocab doc must have lower bits/token: $ppl")
+    val dsir = LlmOps.importanceResample(docs, ref, 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(dsir(1L)._1 > dsir(2L)._1, s"target-like doc must weigh more: $dsir")
+    assert(dsir(1L)._2 && !dsir(2L)._2, s"threshold 0 keeps only target-like: $dsir")
+  }
 }

@@ -204,7 +204,8 @@ object Pipeline {
     */
   case class CorpusReport(input: Long, afterExactDedup: Long,
       afterNearDedup: Long, afterQuality: Long, train: Long, holdout: Long,
-      decontaminated: Long = 0L, paraDropped: Long = 0L)
+      decontaminated: Long = 0L, paraDropped: Long = 0L,
+      pplDropped: Long = 0L, dsirDropped: Long = 0L)
 
   /** The LLM-training-data preparation chain, composing the
     * north-star operators end to end over any (doc_id, text, ...)
@@ -216,6 +217,11 @@ object Pipeline {
     * components, ONE canonical doc per cluster) → quality gate
     * (minimum length AND
     * the q77 repetition thresholds, both map-side) → optional
+    * model-based filters in the CCNet order (after dedup + heuristic
+    * cleanup): LM-perplexity gate (q100 — drop the `tail` bucket
+    * under a unigram LM fit on `perplexityRef`) and DSIR importance
+    * gate (q101 — drop docs below `dsirThresholdMicro` bits/token of
+    * log target/raw weight against `dsirTarget`) → optional
     * decontamination against an external eval corpus (q81's shingle
     * overlap — drop any doc that would leak eval content into
     * training) → reproducible hash-gate train/holdout split (~90/10,
@@ -228,7 +234,11 @@ object Pipeline {
     * Idempotent: re-running on its own output removes nothing (exact
     * keepers are unique; surviving canonicals are pairwise below the
     * near-dup threshold, else they would have shared a component;
-    * quality and contamination are per-doc deterministic).
+    * quality, perplexity and contamination are per-doc deterministic
+    * against external references). Exception: the DSIR gate fits its
+    * RAW model on the surviving corpus itself, so a re-run rescores
+    * under a shifted raw distribution and may drop more — monotone
+    * shrinkage toward the target distribution, not an error.
     */
   def prepareCorpus(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, nearThreshold: Double = 0.5,
@@ -236,7 +246,11 @@ object Pipeline {
       evalDocs: Option[DataFrame] = None,
       contaminationMilli: Int = 100,
       exactNearDedup: Boolean = false,
-      paraDedupTokens: Option[Int] = None): (DataFrame, CorpusReport) = {
+      paraDedupTokens: Option[Int] = None,
+      perplexityRef: Option[DataFrame] = None,
+      pplHeadBits: Long = 4910000L, pplMidBits: Long = 4940000L,
+      dsirTarget: Option[DataFrame] = None,
+      dsirThresholdMicro: Long = -210000L): (DataFrame, CorpusReport) = {
     val input = docs.count()
     // checkpoint each heavy stage once: every later stage AND its
     // count reads the materialization, not a re-run of the upstream
@@ -283,9 +297,39 @@ object Pipeline {
     val quality = near
       .filter(size(split(col("text"), " ")) >= minTokens)
       .filter(dupM <= dupMilliMax && topM <= topMilliMax)
+    // model-based gates: both score (doc_id, lang, text) projections
+    // of the current survivor set; a corpus without a lang column
+    // scores under one synthetic domain (the models are lang-blind —
+    // lang only rides along in the op outputs)
+    def langOf(d: DataFrame) =
+      if (d.columns.contains("lang")) col("lang") else lit("")
+    val (ppl, nPplDropped) = perplexityRef match {
+      case Some(ref) =>
+        val q = quality.localCheckpoint()
+        val tail = ops.LlmOps.perplexityFilter(
+            q.select(col("doc_id"), langOf(q).as("lang"), col("text")),
+            ref.select("text"), 4096, pplHeadBits, pplMidBits)
+          .filter(col("ppl_bucket") === "tail").select("doc_id")
+        val kept = q.join(tail, Seq("doc_id"), "left_anti")
+        val n = kept.count()
+        (kept, q.count() - n)
+      case None => (quality, 0L)
+    }
+    val (dsir, nDsirDropped) = dsirTarget match {
+      case Some(target) =>
+        val q = ppl.localCheckpoint()
+        val dropped = ops.LlmOps.importanceResample(
+            q.select(col("doc_id"), langOf(q).as("lang"), col("text")),
+            target.select("text"), dsirThresholdMicro)
+          .filter(!col("kept")).select("doc_id")
+        val kept = q.join(dropped, Seq("doc_id"), "left_anti")
+        val n = kept.count()
+        (kept, q.count() - n)
+      case None => (ppl, 0L)
+    }
     val (decon, nDropped) = evalDocs match {
       case Some(ev) =>
-        val q = quality.localCheckpoint()
+        val q = dsir.localCheckpoint()
         val flagged = ops.LlmOps.shingleOverlap(
             ops.LlmOps.shingles(q.select("doc_id", "text")),
             ops.LlmOps.shingles(ev.select("doc_id", "text"))
@@ -295,14 +339,15 @@ object Pipeline {
         val d = q.join(flagged, Seq("doc_id"), "left_anti")
         val n = d.count()
         (d, q.count() - n)
-      case None => (quality, 0L)
+      case None => (dsir, 0L)
     }
     val cleaned = decon.withColumn("is_train",
       substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
     val nQuality = cleaned.count()
     val nTrain = cleaned.filter(col("is_train")).count()
     (cleaned, CorpusReport(input, nExact, near.count(), nQuality,
-      nTrain, nQuality - nTrain, nDropped, nParaDropped))
+      nTrain, nQuality - nTrain, nDropped, nParaDropped,
+      nPplDropped, nDsirDropped))
   }
 
   /** Per-stage lineage export — the Catalyst answer to the

@@ -49,7 +49,9 @@ object ScaleProbe {
     "q93_simsearch_ivfpq_residual" -> Seq("embeddings"),
     "q77_repetition_stats" -> Seq("documents"),
     "q80_sequence_packing" -> Seq("documents"),
-    "q81_decontamination" -> Seq("documents"))
+    "q81_decontamination" -> Seq("documents"),
+    "q100_perplexity_filter" -> Seq("documents"),
+    "q101_importance_resample" -> Seq("documents"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")
@@ -125,7 +127,8 @@ object ScaleProbe {
         "q43_simsearch_lsh_ann", "q49_simsearch_ivf",
         "q91_simsearch_pq", "q92_simsearch_ivfpq",
         "q93_simsearch_ivfpq_residual",
-        "q77_repetition_stats", "q80_sequence_packing", "q81_decontamination"))
+        "q77_repetition_stats", "q80_sequence_packing", "q81_decontamination",
+        "q100_perplexity_filter", "q101_importance_resample"))
     val needed = probes.flatMap(p => probeFacts.getOrElse(p, allFacts)).toSet
     if (!needed.forall(t =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/$t.parquet")))) {
@@ -137,16 +140,33 @@ object ScaleProbe {
       SparkEntry.queries(name)(spark, dir).count()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // warmup pass at the small SF initializes codegen/readers; then
-    // measure small, then large
+    // Noise protocol (round 7): single-shot probes proved as
+    // stall-poisonable as single-shot benches (two consecutive runs
+    // read q37's x10 at 106 s and 48 s against a quiet-window 5.5 s —
+    // the measured multi-minute episodic VM stalls, BASELINE.md). Same
+    // cure as Bench: interleave whole (small, large) passes and keep
+    // each (query, scale) MIN across rounds — one stall episode can
+    // poison at most one round's sample — plus a fixed canary per
+    // round so any reader can discount a poisoned round wholesale.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "3").toInt
+    val canaries = scala.collection.mutable.ListBuffer[Double]()
+    def minMerge(a: Map[String, Double], b: Map[String, Double]) =
+      a.map { case (k, v) => k -> math.min(v, b(k)) }
+    // warmup pass at the small SF initializes codegen/readers
     timeAt(src)
-    val small = timeAt(src)
-    val large = timeAt(dst)
+    import org.apache.spark.sql.functions.{col => c, sum => sm}
+    val (small, large) = (1 to rounds).map { _ =>
+      val c0 = System.nanoTime()
+      spark.range(50000000L).agg(sm(c("id"))).collect()
+      canaries += (System.nanoTime() - c0) / 1e9
+      (timeAt(src), timeAt(dst))
+    }.reduce((a, b) => (minMerge(a._1, b._1), minMerge(a._2, b._2)))
     def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val per = probes.map { n =>
       s""""$n":{"sf01":${fmt(small(n))},"x$repl":${fmt(large(n))},"ratio":${fmt(large(n) / small(n))}}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"scale_probe","repl":$repl,"queries":$per}"""
+    val canaryJson = canaries.map(fmt).mkString("[", ",", "]")
+    val json = s"""{"metric":"scale_probe","repl":$repl,"rounds":$rounds,"canary":$canaryJson,"queries":$per}"""
     // default 10× run keeps the canonical artifact name; other
     // replication factors write alongside it instead of clobbering
     val outName = if (repl == 10) "scale_probe.json" else s"scale_probe_x$repl.json"

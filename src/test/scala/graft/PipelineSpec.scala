@@ -221,4 +221,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.decontaminated === 0L)
     assert(r2.afterQuality === rBase.afterQuality)
   }
+
+  test("prepareCorpus model gates: ppl tail and sub-threshold DSIR docs dropped, reported") {
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+    val ref = docs.filter(col("source") === "src0").select("text")
+    val (base, rBase) = Pipeline.prepareCorpus(spark, docs)
+    assert(rBase.pplDropped === 0L && rBase.dsirDropped === 0L)
+    // perplexity gate: exactly the q100-tail docs among the survivors
+    // disappear, and the report counts them
+    val (ppl, rP) = Pipeline.prepareCorpus(spark, docs, perplexityRef = Some(ref))
+    val survivors = base.select("doc_id", "lang", "text")
+    val expectTail = ops.LlmOps.perplexityFilter(survivors, ref, 4096, 4910000L, 4940000L)
+      .filter(col("ppl_bucket") === "tail").select("doc_id").as[Long].collect().toSet
+    assert(rP.pplDropped === expectTail.size.toLong)
+    assert(ppl.filter(col("doc_id").isin(expectTail.toSeq: _*)).count() === 0L)
+    assert(rP.afterQuality === rBase.afterQuality - rP.pplDropped)
+    // DSIR gate on its own: the q101 keep rule over the same survivors
+    val (dsir, rD) = Pipeline.prepareCorpus(spark, docs, dsirTarget = Some(ref),
+      dsirThresholdMicro = -210000L)
+    val expectDrop = ops.LlmOps.importanceResample(survivors, ref, -210000L)
+      .filter(!col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(rD.dsirDropped === expectDrop.size.toLong)
+    assert(dsir.filter(col("doc_id").isin(expectDrop.toSeq: _*)).count() === 0L)
+    assert(rD.pplDropped === 0L)
+    assert(expectTail.nonEmpty && expectDrop.nonEmpty, "gates should bite on this corpus")
+  }
 }

@@ -126,7 +126,8 @@ object SparkEntry {
     "q98_dedup_substring" -> ((s: SparkSession, d: String) => LlmOps.q98DedupSubstring(s, d)),
     "q99_dedup_resolve" -> ((s: SparkSession, d: String) => LlmOps.q99DedupResolve(s, d)),
     "q100_perplexity_filter" -> ((s: SparkSession, d: String) => LlmOps.q100PerplexityFilter(s, d)),
-    "q101_importance_resample" -> ((s: SparkSession, d: String) => LlmOps.q101ImportanceResample(s, d))
+    "q101_importance_resample" -> ((s: SparkSession, d: String) => LlmOps.q101ImportanceResample(s, d)),
+    "q102_training_shards" -> ((s: SparkSession, d: String) => graft.ops.Layout.q102TrainingShards(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -669,6 +670,16 @@ object SparkEntry {
         |CAST(SUM(CAST(round((log2((COALESCE(tm.c, 0) + 1.0) / (nt.n + 256)) - log2((COALESCE(rm.c, 0) + 1.0) / (nr.n + 256))) * 1000000.0) AS BIGINT)) AS BIGINT) AS logw_micro
         |FROM tk LEFT JOIN tm USING (b) LEFT JOIN rm USING (b), nt, nr GROUP BY doc_id, lang)
         |SELECT doc_id, lang, n_tokens, logw_micro, logw_micro > -210000 * n_tokens AS kept
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // q102: both sides read the gate's first two hex digits as one
+    // base-16 value (Spark conv == the strpos arithmetic here) and
+    // rank by (gate, doc_id) within the shard; the Spark side reaches
+    // the identical rank through bucketed prefix offsets (no
+    // per-shard global sort — see Layout.q102TrainingShards).
+    "q102_training_shards" ->
+      """WITH d AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS gate FROM documents),
+        |s AS (SELECT doc_id, gate, CAST(((strpos('0123456789abcdef', substring(gate, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(gate, 2, 1)) - 1)) % 8 AS INTEGER) AS shard FROM d)
+        |SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY gate, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

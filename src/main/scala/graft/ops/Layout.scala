@@ -89,4 +89,55 @@ object Layout {
       .write.mode("overwrite").parquet(path)
     ((xMin, xMax), (yMin, yMax))
   }
+
+  /** #102 Deterministic training-shard assignment — the final
+    * resharding step before an epoch run: every document gets a
+    * shard in [0, nShards) and a stable 0-based position within its
+    * shard, both pure functions of doc_id (md5-gate order — the
+    * q63/q96 sampling convention), so any engine reproduces the exact
+    * epoch order and a retried/reran job shuffles identically.
+    * Training wants this global shuffle because raw corpora arrive
+    * clustered (by crawl, domain, time); hash order decorrelates
+    * adjacent examples without a seed to lose.
+    *
+    * Scale shape — NO per-shard global sort: the gate's first two hex
+    * chars split each shard into 256 lexicographic ranges. One
+    * map-side-partial count per (shard, bucket) (≤ nShards×256 rows,
+    * the only driver traffic) turns into broadcast prefix offsets;
+    * each doc then needs only a rank WITHIN its (shard, bucket) —
+    * a window over ~1/256 of a shard — plus its bucket's offset.
+    * Equivalent to `row_number() OVER (PARTITION BY shard ORDER BY
+    * gate, doc_id)` (bucket order is a prefix of gate order), at a
+    * bounded-window cost that survives shards of any size. The same
+    * two-phase trick as q96's budget walk and q29/q30's
+    * globalRowNumber.
+    */
+  def q102TrainingShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 4).as("gate"))
+      .withColumn("bucket", substring(col("gate"), 1, 2))
+      // conv(hex,16,10) == the oracle's strpos arithmetic: both read
+      // the two hex digits as one base-16 value in [0, 255]
+      .withColumn("shard",
+        pmod(conv(col("bucket"), 16, 10).cast("int"), lit(nShards)))
+    val counts = d.groupBy("shard", "bucket").count()
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val offsets = counts.groupBy(_._1._1).toSeq.flatMap { case (shard, xs) =>
+      var acc = 0L
+      xs.sortBy(_._1._2).map { case ((_, b), n) =>
+        val o = (shard, b, acc); acc += n; o
+      }
+    }
+    val offDf = broadcast(
+      spark.createDataFrame(offsets).toDF("shard", "bucket", "offset"))
+    d.join(offDf, Seq("shard", "bucket"))
+      .withColumn("pos",
+        col("offset") - 1 + row_number().over(
+          Window.partitionBy("shard", "bucket").orderBy("gate", "doc_id")))
+      .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
 }

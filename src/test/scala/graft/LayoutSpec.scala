@@ -89,4 +89,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(zHit.toDouble / zTot <= 0.65, s"zorder hit $zHit/$zTot")
     assert(sHit.toDouble / sTot >= 0.9, s"striped hit $sHit/$sTot")
   }
+
+  test("q102 training shards equal the single-window rank rule; positions dense per shard") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val hex = "0123456789abcdef"
+    val expected = ids.map { id =>
+      val gate = md5hex(id.toString).take(4)
+      (id, gate, (hex.indexOf(gate(0)) * 16 + hex.indexOf(gate(1))) % 8)
+    }.groupBy(_._3).toSeq.flatMap { case (shard, xs) =>
+      xs.sortBy(x => (x._2, x._1)).zipWithIndex
+        .map { case ((id, _, _), i) => (id, shard, i.toLong) }
+    }.sortBy(_._1)
+    val got = Layout.q102TrainingShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // dense 0..n-1 positions within every shard, all shards populated
+    val byShard = got.groupBy(_._2)
+    assert(byShard.size === 8, s"expected all 8 shards, got ${byShard.keySet}")
+    byShard.foreach { case (s, xs) =>
+      assert(xs.map(_._3).sorted.toSeq === (0L until xs.size).toSeq, s"shard $s not dense")
+    }
+  }
 }

@@ -162,6 +162,19 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final HashAggregate in pivot, got $aggs:\n$p")
   }
 
+  test("q102: rank windows are (shard, bucket)-partitioned; offsets join is broadcast") {
+    // the shard numbering must never regress to a per-shard (or
+    // global) sort — the whole point of the bucketed prefix offsets
+    val df = graft.ops.Layout.q102TrainingShards(spark, sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.size < 2 => w
+    }
+    assert(bad.isEmpty, s"under-partitioned Window in q102 plan:\n$bad")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q56: interval join is an equi-join with residual range, not a nested loop") {
     val p = plan(graft.ops.Streaming.q56StreamIntervalJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -108,6 +108,27 @@ object Bpe {
     fitCache.computeIfAbsent((dir, nMerges, vocabCap),
       _ => fit(Tables.documents(spark, dir), nMerges, vocabCap))
 
+  /** Persist a fitted merge table as a tiny rank-ordered parquet
+    * artifact — the production tokenizer story: train ONCE, ship the
+    * artifact, every later job (any session, any cluster) loads it
+    * instead of refitting. [[fitCache]] is the within-JVM tier of the
+    * same contract; this is the cross-session tier. The artifact is
+    * KBs (nMerges rows of two short strings), so single-file.
+    */
+  def saveTable(spark: SparkSession, table: BpeTable, path: String): Unit =
+    spark.createDataFrame(
+        table.merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) })
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveTable]] artifact. Rank order restores merge
+    * priority exactly, so encode output is bit-identical to the
+    * fitting session's.
+    */
+  def loadTable(spark: SparkSession, path: String): BpeTable =
+    new BpeTable(spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
   /** Distributed fit: corpus → word frequencies (one shuffle, partial
     * aggregation) → bounded top-`vocabCap` collect → driver merge
     * learning. Returns the broadcast-ready table. Uncached — declared

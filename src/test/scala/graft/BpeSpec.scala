@@ -98,6 +98,23 @@ class BpeSpec extends AnyFunSuite {
       "q88 must reuse the table q85 just fitted, not refit")
   }
 
+  test("saveTable/loadTable round-trip: loaded table encodes bit-identically") {
+    val fitted = Bpe.fit(
+      Tables.documents(spark, SharedSpark.sfTiny), nMerges = 60)
+    assert(fitted.merges.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_art")
+      .resolve("merges.parquet").toString
+    Bpe.saveTable(spark, fitted, path)
+    val loaded = Bpe.loadTable(spark, path)
+    assert(loaded.merges === fitted.merges, "rank order must survive the artifact")
+    val words = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    words.foreach { w =>
+      assert(loaded.encode(w).toSeq === fitted.encode(w).toSeq, s"encode drift on '$w'")
+    }
+  }
+
   test("q88 packing equals a local reference pack over q85's counts") {
     val counts = Bpe.q85TokenCountBpeTrained(spark, SharedSpark.sfTiny)
       .select("doc_id", "n_pieces_bpe").as[(Long, Long)].collect().toMap

@@ -127,7 +127,8 @@ object SparkEntry {
     "q99_dedup_resolve" -> ((s: SparkSession, d: String) => LlmOps.q99DedupResolve(s, d)),
     "q100_perplexity_filter" -> ((s: SparkSession, d: String) => LlmOps.q100PerplexityFilter(s, d)),
     "q101_importance_resample" -> ((s: SparkSession, d: String) => LlmOps.q101ImportanceResample(s, d)),
-    "q102_training_shards" -> ((s: SparkSession, d: String) => graft.ops.Layout.q102TrainingShards(s, d))
+    "q102_training_shards" -> ((s: SparkSession, d: String) => graft.ops.Layout.q102TrainingShards(s, d)),
+    "q103_corpus_datacard" -> LlmOps.q103CorpusDatacard _
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -680,6 +681,21 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS gate FROM documents),
         |s AS (SELECT doc_id, gate, CAST(((strpos('0123456789abcdef', substring(gate, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(gate, 2, 1)) - 1)) % 8 AS INTEGER) AS shard FROM d)
         |SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY gate, doc_id) - 1 AS BIGINT) AS pos
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q103: per-doc quality milli-rounded FIRST then integer-summed
+    // (order-independent); dup flag = exact text multiplicity (the
+    // Spark side windows over sha2(text) — identical partition up to
+    // 256-bit collisions, the q36 assumption)
+    "q103_corpus_datacard" ->
+      """WITH t AS (SELECT doc_id, lang, source, text, length(text) AS n_chars, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |CAST(len(toks) AS INTEGER) AS n_tokens,
+        |CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to'], x))) AS INTEGER) AS n_stop,
+        |COUNT(*) OVER (PARTITION BY text) AS nd FROM t)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT) AS dup_docs,
+        |CAST(SUM(CAST(round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 1000.0) AS BIGINT)) AS BIGINT) AS quality_milli_sum
+        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }

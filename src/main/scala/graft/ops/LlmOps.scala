@@ -2585,4 +2585,43 @@ object LlmOps {
         col("logw_micro") > lit(thresholdMicro) * col("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** #103 Corpus datacard — the per-(lang, source) release statistics
+    * a dataset ships with (the "datasheets for datasets" practice,
+    * Gebru et al. 2021): document and token volumes, character mass,
+    * exact-duplicate counts, and the aggregate q44 quality mass, one
+    * row per domain. Every figure is integer-exact: per-doc quality
+    * is milli-rounded FIRST and summed as longs (the q70/q100
+    * order-independence rule), so the card is bit-reproducible on any
+    * engine — a release artifact, not a dashboard estimate.
+    *
+    * Scale shape: one map-side pass computes per-doc metrics; the
+    * duplicate flag costs ONE exchange keyed by sha2(text) (a window
+    * count over the 256-bit hash — same key as q36's exact dedup, so
+    * the shuffle carries narrow hashes, never full texts); the final
+    * rollup is a map-side-partial aggregate over ≤ langs×sources
+    * groups.
+    */
+  def q103CorpusDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), sha2(col("text"), 256).as("h"),
+        length(col("text")).cast("long").as("n_chars"),
+        split(col("text"), " ").as("toks"))
+      .select(col("lang"), col("source"), col("h"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), t => t.isin(stop: _*))).as("n_stop"))
+      .withColumn("q_milli",
+        round(least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          lit(1000.0)).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+    perDoc.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum("q_milli").as("quality_milli_sum"))
+      .orderBy("lang", "source")
+  }
 }

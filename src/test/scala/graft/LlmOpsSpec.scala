@@ -697,6 +697,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._5) && expected.exists(!_._5), "threshold should split the corpus")
   }
 
+  test("q103 datacard equals local recomputation; rows roll up to corpus totals") {
+    val stop = Set("the", "a", "of", "and", "in", "to")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val multiplicity = docs.groupBy(_._4).view.mapValues(_.length).toMap
+    val expected = docs.groupBy(d => (d._2, d._3)).toSeq.map { case ((lang, src), xs) =>
+      val qm = xs.map { case (_, _, _, tx) =>
+        val tk = tx.split(" ", -1)
+        val nStop = tk.count(stop)
+        math.round(math.min(tk.length / 50.0, 1.0) *
+          (1.0 - nStop.toDouble / tk.length) * 1000.0)
+      }.sum
+      (lang, src, xs.length.toLong,
+        xs.map(_._4.split(" ", -1).length.toLong).sum,
+        xs.map(_._4.length.toLong).sum,
+        xs.count(d => multiplicity(d._4) > 1).toLong, qm)
+    }.sortBy(t => (t._1, t._2))
+    val got = LlmOps.q103CorpusDatacard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    assert(got.map(_._3).sum === docs.length.toLong)
+    // the synthetic corpus has no exact text dups — pin the dup
+    // counter on a fixture that does (cross-source, counted per group)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_card").toString
+    Seq(
+      (1L, "same text here", "en", "s1", 1L),
+      (2L, "same text here", "en", "s2", 1L),
+      (3L, "unique text here", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val card = LlmOps.q103CorpusDatacard(spark, tmp).collect()
+      .map(r => (r.getString(1), (r.getLong(2), r.getLong(5)))).toMap
+    assert(card("s1") === ((2L, 1L)), "s1: two docs, one in a dup group")
+    assert(card("s2") === ((1L, 1L)), "s2: its doc duplicates s1's")
+  }
+
   test("q100/q101 cores: reference-like text scores better than off-distribution text") {
     import spark.implicits._
     val ref = Seq.fill(30)("alpha beta gamma").toDF("text")

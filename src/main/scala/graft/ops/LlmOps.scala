@@ -2481,13 +2481,15 @@ object LlmOps {
       vocabCap, headBits, midBits)
   }
 
-  /** DataFrame core of [[q100PerplexityFilter]]: score `docs` (doc_id,
-    * lang, text) under a unigram LM fit on `ref` (text). See the
-    * operator scaladoc for the model and the scale argument.
+  /** Fit the q100 unigram LM on `ref` (text): a ≤`vocabCap`-row
+    * (tok, bits) table plus the OOV bits constant. TakeOrdered bounds
+    * driver traffic at `vocabCap` rows regardless of corpus size (the
+    * `Bpe.fit` rule); persist the returned table with a plain parquet
+    * write for the cross-session artifact tier (the `Bpe.saveTable`
+    * story — it is already rank-free, so a bare write suffices).
     */
-  def perplexityFilter(docs: DataFrame, ref: DataFrame, vocabCap: Int,
-      headBits: Long, midBits: Long): DataFrame = {
-    val spark = docs.sparkSession
+  def fitUnigramLm(ref: DataFrame, vocabCap: Int): (DataFrame, Long) = {
+    val spark = ref.sparkSession
     val refToks = ref.select(explode(split(col("text"), " ")).as("tok"))
     val n = refToks.count()
     // TakeOrdered: full counts shuffle map-side-partial, only the top
@@ -2497,23 +2499,39 @@ object LlmOps {
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val denom = (n + voc.length + 1).toDouble
-    val oovBits = micro(-log2(1.0 / denom))
     val lm = spark.createDataFrame(
       voc.toSeq.map { case (t, c) => (t, micro(-log2((c + 1).toDouble / denom))) })
       .toDF("tok", "bits")
-    val scored = docs
+    (lm, micro(-log2(1.0 / denom)))
+  }
+
+  /** Score `docs` (doc_id, lang, text) under a [[fitUnigramLm]] model:
+    * broadcast-join the bits table, ONE doc_id-keyed partial-agg
+    * exchange, integer bucket thresholds. Pure transform — also the
+    * per-micro-batch body of [[Streaming.qualityGateIngest]].
+    */
+  def scoreWithLm(docs: DataFrame, lm: DataFrame, oovBits: Long,
+      headBits: Long, midBits: Long): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .join(broadcast(lm), Seq("tok"), "left")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("bits"), lit(oovBits))).as("bits_micro"))
-    scored
       .withColumn("ppl_bucket",
         when(col("bits_micro") < lit(headBits) * col("n_tokens"), "head")
           .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
           .otherwise("tail"))
-      .orderBy("doc_id")
+
+  /** DataFrame core of [[q100PerplexityFilter]]: score `docs` (doc_id,
+    * lang, text) under a unigram LM fit on `ref` (text). See the
+    * operator scaladoc for the model and the scale argument.
+    */
+  def perplexityFilter(docs: DataFrame, ref: DataFrame, vocabCap: Int,
+      headBits: Long, midBits: Long): DataFrame = {
+    val (lm, oovBits) = fitUnigramLm(ref, vocabCap)
+    scoreWithLm(docs, lm, oovBits, headBits, midBits).orderBy("doc_id")
   }
 
   /** #101 Hashed-feature importance resampling — the DSIR selector
@@ -2550,13 +2568,25 @@ object LlmOps {
   /** DataFrame core of [[q101ImportanceResample]]: log importance
     * weights of `docs` (doc_id, lang, text) for target corpus
     * `target` (text) against the raw distribution of `docs` itself.
+    *
+    * `prodHash = true` swaps the md5 bucket fold for
+    * `pmod(xxhash64(tok), 256)` — the production path: one 8-byte
+    * hash per token instead of a full MD5 digest (~an order of
+    * magnitude cheaper per token, the dominant cost of this op at
+    * scale — see the 30× probe note in BASELINE.md). Same 256-bucket
+    * models, same Δbits arithmetic, same plan; only the (declared)
+    * bucket partition changes, which is why the oracle pins the md5
+    * path and the spec pins the xxhash path's laws.
     */
   def importanceResample(docs: DataFrame, target: DataFrame,
-      thresholdMicro: Long): DataFrame = {
+      thresholdMicro: Long, prodHash: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
+    val bucketOf: Column => Column =
+      if (prodHash) t => pmod(xxhash64(t), lit(256)).cast("string")
+      else t => substring(md5(t), 1, 2)
     def bucketCounts(d: DataFrame): Map[String, Long] =
       d.select(explode(split(col("text"), " ")).as("tok"))
-        .select(substring(md5(col("tok")), 1, 2).as("b"))
+        .select(bucketOf(col("tok")).as("b"))
         .groupBy("b").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val tc = bucketCounts(target)
@@ -2576,7 +2606,7 @@ object LlmOps {
     docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), col("lang"), substring(md5(col("tok")), 1, 2).as("b"))
+      .select(col("doc_id"), col("lang"), bucketOf(col("tok")).as("b"))
       .join(broadcast(lw), Seq("b"), "left")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"),

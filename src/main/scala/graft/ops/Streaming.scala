@@ -207,6 +207,39 @@ object Streaming {
       .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
       .start()
 
+  /** Streaming LM-quality gate — q100's CCNet filter run as an ingest
+    * pipeline: score each micro-batch of (doc_id, lang, text)
+    * documents under a PRE-FIT unigram LM ([[LlmOps.fitUnigramLm]] —
+    * the artifact tier: fit once on the reference corpus, broadcast
+    * forever, the `Bpe.saveTable` lifecycle), keep everything below
+    * the `tail` bucket, and write survivors batch-id-stamped. The
+    * scoring is a stateless per-batch transform (stream-static
+    * broadcast join + a batch-local aggregation inside foreachBatch),
+    * so there is no watermark, no streaming state store, and a
+    * replayed batch deterministically rewrites exactly its own
+    * directories — exactly-once output on at-least-once delivery.
+    * Per-batch cost is the batch's own token scan; history costs
+    * nothing because the gate keeps NO history — the model is frozen
+    * by design (re-fit = a new model version, a deliberate release
+    * event, not drift).
+    */
+  def qualityGateIngest(docs: DataFrame, lm: DataFrame, oovBits: Long,
+      outPath: String, headBits: Long = 4910000L, midBits: Long = 4940000L):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        LlmOps.scoreWithLm(batch, lm, oovBits, headBits, midBits)
+          .filter(col("ppl_bucket") =!= "tail")
+          .withColumn("__batch_id", lit(batchId))
+          .repartition(col("__batch_id"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
+      .start()
+
   /** Streaming paragraph-dedup ingest — the C4-style boilerplate
     * strip run incrementally: per micro-batch of (doc_id, text)
     * documents, admit only paragraphs never seen before (against ALL

@@ -749,5 +749,14 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
     assert(dsir(1L)._1 > dsir(2L)._1, s"target-like doc must weigh more: $dsir")
     assert(dsir(1L)._2 && !dsir(2L)._2, s"threshold 0 keeps only target-like: $dsir")
+    // production hash path: same laws, same schema, deterministic —
+    // only the (declared) bucket partition differs from the md5 oracle
+    val prod = LlmOps.importanceResample(docs, ref, 0L, prodHash = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(prod(1L)._1 > prod(2L)._1, s"xxhash path must preserve the ordering: $prod")
+    assert(prod(1L)._2 && !prod(2L)._2)
+    val prod2 = LlmOps.importanceResample(docs, ref, 0L, prodHash = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(prod.view.mapValues(_._1).toMap === prod2, "xxhash path must be deterministic")
   }
 }

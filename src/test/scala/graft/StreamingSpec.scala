@@ -575,6 +575,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(st2.get.events.length === 3)
   }
 
+  test("streaming quality gate: pre-fit LM, tail docs dropped per batch, == batch twin, replay-safe") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_quality_gate").toString
+    val out = s"$base/clean"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    // reference distribution: docs of in-vocab tokens; "zz*" is OOV
+    val ref = Seq.fill(30)("alpha beta gamma delta").toDF("text")
+    val (lm, oov) = graft.ops.LlmOps.fitUnigramLm(ref, 4096)
+    // thresholds chosen so in-vocab docs land below them and all-OOV
+    // docs land in tail: oov bits/token is strictly larger
+    val inBits = lm.agg(max("bits")).head().getLong(0)
+    val (head, mid) = (inBits + 1, inBits + 2)
+    val batches = Seq(
+      Seq((1L, "en", "alpha beta gamma"), (2L, "en", "zz1 zz2 zz3")),
+      Seq((3L, "en", "delta alpha"), (4L, "en", "zz4 zz5")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/stage_$i"
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/b$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/b$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      graft.ops.Streaming.qualityGateIngest(src, lm, oov, out, head, mid)
+        .awaitTermination()
+    }
+    runOnce()
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 3L), "only in-vocab docs pass the gate")
+    // == the batch twin over the union of batches
+    val all = batches.flatten.toDF("doc_id", "lang", "text")
+    val want = graft.ops.LlmOps.scoreWithLm(all, lm, oov, head, mid)
+      .filter(col("ppl_bucket") =!= "tail")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+    // replay safety: re-running with no new files changes nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
   test("q35 streaming dedup within watermark drops re-sent event ids") {
     import org.apache.spark.sql.streaming.Trigger
     val src = Streaming.eventsStream(spark, sf)

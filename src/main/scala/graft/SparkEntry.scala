@@ -128,7 +128,11 @@ object SparkEntry {
     "q100_perplexity_filter" -> ((s: SparkSession, d: String) => LlmOps.q100PerplexityFilter(s, d)),
     "q101_importance_resample" -> ((s: SparkSession, d: String) => LlmOps.q101ImportanceResample(s, d)),
     "q102_training_shards" -> ((s: SparkSession, d: String) => graft.ops.Layout.q102TrainingShards(s, d)),
-    "q103_corpus_datacard" -> LlmOps.q103CorpusDatacard _
+    "q103_corpus_datacard" -> LlmOps.q103CorpusDatacard _,
+    "q104_bm25_topk" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q104Bm25TopK(s, d)),
+    "q105_source_quota" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q105SourceQuota(s, d)),
+    "q106_bm25_indexed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q106Bm25Indexed(s, d)),
+    "q107_dim_reduction" -> ((s: SparkSession, d: String) => graft.ops.Projection.q107DimReduction(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -696,6 +700,65 @@ object SparkEntry {
         |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
         |CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT) AS dup_docs,
         |CAST(SUM(CAST(round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 1000.0) AS BIGINT)) AS BIGINT) AS quality_milli_sum
-        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // q104: textbook BM25 with every per-(query, term, doc)
+    // contribution micro-rounded then integer-summed (the q100 rule);
+    // the float expression is written token-for-token as the Spark
+    // side builds it — same literals, same association — so only
+    // ln()'s libm ulp drift is engine code, ~1e-9 micro-units from
+    // any rounding boundary. Ranking and ties are pure integers.
+    "q104_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
+        |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
+        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
+        |m AS (SELECT qt.query_id, tf2.doc_id,
+        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
+        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
+        |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q105: per-source quota over the q103 quality integer — the
+    // two-phase salted window on the Spark side keeps only rows the
+    // exact per-source window would keep (phase 1 discards a row only
+    // when >= cap better rows exist in its own cell), so plain
+    // row_number semantics here ARE the operator's contract.
+    "q105_source_quota" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, source, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to'], x))) AS INTEGER) AS n_stop FROM t),
+        |q AS (SELECT doc_id, source, CAST(round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 1000.0) AS BIGINT) AS q_milli FROM m),
+        |r AS (SELECT doc_id, source, q_milli, CAST(row_number() OVER (PARTITION BY source ORDER BY q_milli DESC, doc_id) AS INTEGER) AS rank FROM q)
+        |SELECT doc_id, source, q_milli, rank FROM r WHERE rank <= 16 ORDER BY source, rank""".stripMargin,
+    // q106 shares q104's oracle text (the q89-shares-q81 structural-
+    // exactness argument): the inverted index is a materialization of
+    // the identical postings + arithmetic, so the indexed probe must
+    // reproduce q104 row-for-row — an oracle gate on the pruned path.
+    "q106_bm25_indexed" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
+        |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
+        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
+        |m AS (SELECT qt.query_id, tf2.doc_id,
+        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
+        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
+        |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q107: the Rademacher matrix is md5-derived on BOTH sides (the
+    // q101 digest trick) and 1/√16 is an exact power of two, so the
+    // single micro-round per term is the operator's only rounding —
+    // no libm anywhere, bit-exact across engines by construction.
+    "q107_dim_reduction" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS x FROM embeddings),
+        |c AS (SELECT vec_id, j, CAST(round(CAST(x AS DOUBLE) * (CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END) / 4.0 * 1000000.0) AS BIGINT) AS t
+        |FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j, CAST(SUM(t) AS BIGINT) AS v_micro FROM c GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin
   )
 }

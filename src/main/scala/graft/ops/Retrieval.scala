@@ -1,0 +1,284 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sparse lexical retrieval over the corpus — the BM25 ranking
+  * function (Robertson & Spärck Jones probabilistic relevance
+  * framework; the Okapi BM25 form with the standard k1/b length
+  * normalization) plus the per-domain quota curation step (the C4 /
+  * RefinedWeb practice of capping how many documents any one host may
+  * contribute to a training corpus).
+  *
+  * Retrieval earns its place in a training-data engine twice over:
+  * dedup-by-retrieval (drop documents whose top-scoring neighbor is
+  * above a threshold), and decontamination / attribution audits
+  * ("which training documents would this benchmark question retrieve?")
+  * are both BM25 queries over the corpus.
+  */
+object Retrieval {
+
+  /** #104 BM25 top-k retrieval — score a bounded query set against
+    * every document and keep the k best matches per query.
+    *
+    * The query set is carved deterministically from the corpus itself
+    * (documents with `doc_id % 97 == 0`, lowest `nQueries` ids; each
+    * query = the distinct first `qLen` whitespace tokens of that
+    * document), so the operator is self-contained and oracle-able with
+    * no side files. Scoring is textbook BM25:
+    *
+    *   score(q,d) = Σ_t ln((N − df + ½)/(df + ½) + 1) ·
+    *                tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with every per-(query, term, doc) contribution micro-rounded
+    * (1e-6 fixed point) and integer-summed — the q70/q100
+    * order-independence rule, which also makes top-k ties exact:
+    * ranking is (score_micro desc, doc_id asc), never a float compare.
+    *
+    * Scale shape (the inverted-index plan, with no index structure to
+    * maintain): ONE exchange keyed by (doc_id, tok) builds tf — and
+    * `dl` rides along in the grouping key so document length never
+    * needs a second join — then a map-side-partial count over `tok`
+    * yields df. The ≤ nQueries·qLen query terms join df and the
+    * resulting ≤32-row table BROADCASTS into the tf stream: the only
+    * rows that survive are postings of query terms (the inverted-index
+    * lookup, expressed as a hash-probe filter), so the scoring
+    * aggregate and the per-query top-k window touch the matched
+    * fraction only. Corpus stats (N, Σdl) are one 1-row aggregate.
+    * Nothing downstream of the tf build scales with corpus size except
+    * the postings of the queried terms — exactly an inverted index's
+    * cost model.
+    */
+  def q104Bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      qLen: Int = 4, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, qLen)).as("tok"))
+      .distinct()
+    bm25TopK(docs, queries, k, k1, b)
+  }
+
+  /** DataFrame core of [[q104Bm25TopK]]: rank `docs` (doc_id, toks)
+    * against `queries` (query_id, tok — one row per distinct query
+    * term; MUST be bounded/broadcastable, it is collected into a hash
+    * join build side). See the operator scaladoc for the plan shape.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    // 1-row corpus stats: N and avgdl (driver traffic bounded)
+    val st = docs.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("total")).head()
+    val nDocs = st.getLong(0)
+    if (nDocs == 0) return emptyResult(queries)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    // tf with dl riding in the grouping key: ONE (doc_id, tok) exchange
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    // df over all terms (map-side partial), then pruned to query terms
+    val dfTab = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val qdf = queries.join(dfTab, Seq("tok"))
+    // the float expression mirrors the oracle SQL token-for-token
+    // (same literals, same association) so both engines run the same
+    // IEEE ops; only ln() itself is engine libm code, and its
+    // ulp-level drift sits ~1e-9 micro-units from any rounding
+    // boundary (the q100 argument)
+    val contrib = round(
+      log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))) *
+        lit(1000000.0)).cast("long")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf.join(broadcast(qdf), Seq("tok"))
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  /** #105 Per-source quota — cap every source's contribution to the
+    * corpus at its `cap` best documents by the q103 quality score
+    * (C4's host-level curation step, Raffel et al. 2020 §2.2, applied
+    * as "keep the best N per domain" rather than a blocklist). Quality
+    * is the q44/q103 milli-rounded integer (length saturation ×
+    * non-stopword mass), so selection is integer-exact; ties break on
+    * doc_id. Returns the KEPT rows with their per-source rank.
+    *
+    * Scale shape — the naive plan (row_number over source) puts an
+    * entire host in one task, and host skew is the norm at 100 TB
+    * (one domain can be 1% of the web). Two-phase top-k instead:
+    * phase 1 ranks within (source, salt) — `salts`-way hash split of
+    * each source — and keeps ≤ cap rows per cell, so the phase-2
+    * exact window over source sees ≤ salts·cap rows per source, NOT
+    * the source's full population. Correct because phase 1 only
+    * discards rows that already have ≥ cap better rows in their own
+    * cell — such rows cannot be in the true per-source top cap. The
+    * quality computation itself is map-side; only narrow (doc_id,
+    * source, q_milli) rows ever shuffle.
+    */
+  def q105SourceQuota(spark: SparkSession, dir: String, cap: Int = 16,
+      salts: Int = 8): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), t => t.isin(stop: _*))).as("n_stop"))
+      .select(col("doc_id"), col("source"),
+        round(least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          lit(1000.0)).cast("long").as("q_milli"))
+    val order = Seq(col("q_milli").desc, col("doc_id").asc)
+    val pre = Window.partitionBy(col("source"),
+      pmod(xxhash64(col("doc_id")), lit(salts))).orderBy(order: _*)
+    val exact = Window.partitionBy("source").orderBy(order: _*)
+    q.withColumn("prank", row_number().over(pre))
+      .filter(col("prank") <= cap)
+      .withColumn("rank", row_number().over(exact))
+      .filter(col("rank") <= cap)
+      .select("doc_id", "source", "q_milli", "rank")
+      .orderBy("source", "rank")
+  }
+
+  /** Zero-row (query_id, doc_id, rank, score_micro) relation — the
+    * empty-corpus result (an empty day/partition is routine input;
+    * the EmptyInputSpec contract).
+    */
+  private def emptyResult(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), lit(0L).as("doc_id"),
+      lit(0).as("rank"), lit(0L).as("score_micro")).limit(0)
+
+  // ----- persisted inverted index (the q49/q87 index-at-rest story
+  // ----- applied to lexical retrieval) -----
+
+  /** Build (or extend) a persisted inverted index under `indexPath`:
+    *
+    *   postings/tb=<bucket>/  (tok, doc_id, tf, dl) — every posting
+    *     of a term lives in the ONE parquet partition its
+    *     `pmod(xxhash64(tok), nBuckets)` bucket names, so a probe
+    *     prunes the scan to the buckets of its query terms and never
+    *     touches the rest of the corpus (the q49 cell-pruning rule,
+    *     term-hash instead of k-means cell).
+    *   stats/  one (n_docs, total_tokens) row PER WRITE — appends add
+    *     a row instead of rewriting; readers SUM, so `append` never
+    *     has to read-modify-write shared state (the q87 batch rule).
+    *
+    * df is deliberately NOT materialized: a term's document frequency
+    * is the row count of its own postings, recomputed inside the
+    * pruned buckets at probe time — which keeps `append` trivially
+    * correct (new docs only add postings; no df merge step, no stale
+    * df reads) at the cost of counting rows the probe already scans.
+    * Caller contract for `append`: batches must be disjoint doc sets
+    * (same as [[graft.ops.LlmOps.dedupIndexAppendBatch]]).
+    */
+  def invIndexWrite(docs: DataFrame, indexPath: String,
+      nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("tok")), lit(nBuckets)))
+    postings.repartition(col("tb"))
+      .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
+    val st = docs.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("total")).head()
+    Seq((st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1)))
+      .toDF("n_docs", "total_tokens")
+      .coalesce(1).write
+      .mode(if (mode == "append") "append" else "overwrite")
+      .parquet(s"$indexPath/stats")
+  }
+
+  /** Probe the [[invIndexWrite]] index with `queries` (query_id, tok —
+    * bounded/broadcastable): identical scoring arithmetic to
+    * [[bm25TopK]], but the posting scan is PRUNED to the partitions
+    * of the query terms' buckets — cost scales with those terms'
+    * posting lists, never the indexed corpus. Corpus stats are the
+    * SUM of the stats rows (one per write), so an appended index
+    * scores with its true N and avgdl.
+    */
+  def bm25Indexed(spark: SparkSession, queries: DataFrame,
+      indexPath: String, nBuckets: Int = 64, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = spark.read.parquet(s"$indexPath/stats")
+      .agg(sum("n_docs"), sum("total_tokens")).head()
+    val nDocs = st.getLong(0)
+    // empty index: the postings dir holds no parquet files (an empty
+    // partitioned write emits none), so don't even try to read it
+    if (nDocs == 0) return emptyResult(queries)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val buckets = queries
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets)).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val pruned = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("tb").isin(buckets: _*))
+    // exact-term postings; df = posting row count per term (rows are
+    // unique per (tok, doc) by the disjoint-batch write contract)
+    val matched = pruned
+      .join(broadcast(queries.select("tok").distinct()), Seq("tok"))
+    val dfTab = matched.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val contrib = round(
+      log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))) *
+        lit(1000000.0)).cast("long")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    matched
+      .join(broadcast(dfTab), Seq("tok"))
+      .join(broadcast(queries), Seq("tok"))
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  /** #106 Indexed BM25 — [[q104Bm25TopK]]'s exact semantics served
+    * from the persisted inverted index: build (overwrite) under an
+    * app-scoped tmp path, then probe with the same deterministic
+    * query set. Identical arithmetic over identical postings means
+    * the result EQUALS q104 row-for-row — which is why this query
+    * shares q104's oracle (the q89-shares-q81 structural-exactness
+    * argument): the index is a materialization, not a semantic
+    * change; what the oracle gate adds here is proof that the
+    * partition-pruned probe path loses nothing.
+    */
+  def q106Bm25Indexed(spark: SparkSession, dir: String, nQueries: Int = 8,
+      qLen: Int = 4, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // app-scoped path: two sessions on the same dir can't clobber
+    // each other's index mid-probe (the q87 rule)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q106_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    invIndexWrite(docs, indexPath)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, qLen)).as("tok"))
+      .distinct()
+    bm25Indexed(spark, queries, indexPath, k = k)
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import graft.ops.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Local BM25 recomputation (plain Scala loops over the collected
+    * tiny corpus) with the same micro-round-then-integer-sum rule.
+    */
+  private def bruteBm25(texts: Map[Long, Array[String]],
+      queries: Map[Long, Set[String]], k1: Double, b: Double,
+      k: Int): Map[Long, Seq[(Long, Long)]] = {
+    val n = texts.size.toLong
+    val avgdl = texts.values.map(_.length.toLong).sum.toDouble / n
+    val df = texts.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    def micro(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    queries.map { case (qid, terms) =>
+      val scores = texts.toSeq.flatMap { case (docId, toks) =>
+        val dl = toks.length.toLong
+        val contribs = terms.toSeq.flatMap { t =>
+          val tf = toks.count(_ == t).toLong
+          if (tf == 0) None
+          else {
+            val idf = math.log((n.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            Some(micro(idf * (tf * (k1 + 1.0)) /
+              (tf + k1 * ((1.0 - b) + (b * dl) / avgdl)) * 1000000.0))
+          }
+        }
+        if (contribs.isEmpty) None else Some(docId -> contribs.sum)
+      }
+      qid -> scores.sortBy { case (d, s) => (-s, d) }.take(k)
+    }
+  }
+
+  test("q104 BM25 == brute-force recomputation on the tiny corpus") {
+    val texts = Tables.documents(spark, SharedSpark.sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ") }.toMap
+    val queries = texts.toSeq.filter(_._1 % 97 == 0).sortBy(_._1).take(8)
+      .map { case (id, toks) => id -> toks.take(4).toSet }.toMap
+    val expected = bruteBm25(texts, queries, k1 = 1.2, b = 0.75, k = 10)
+    val got = Retrieval.q104Bm25TopK(spark, SharedSpark.sfTiny)
+      .select("query_id", "doc_id", "rank", "score_micro")
+      .as[(Long, Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).toSeq).toMap
+    assert(got.keySet === expected.keySet)
+    for ((qid, exp) <- expected) {
+      val g = got(qid)
+      assert(g.map(r => (r._2, r._4)) === exp,
+        s"query $qid top-k mismatch")
+      assert(g.map(_._3) === (1 to g.size), s"query $qid ranks not dense")
+    }
+  }
+
+  test("q104 returned docs each contain at least one query term; scores positive") {
+    val texts = Tables.documents(spark, SharedSpark.sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val queries = texts.toSeq.filter(_._1 % 97 == 0).sortBy(_._1).take(8)
+      .map { case (id, _) => id ->
+        Tables.documents(spark, SharedSpark.sfTiny)
+          .filter(col("doc_id") === id).select("text")
+          .as[String].head().split(" ").take(4).toSet }.toMap
+    val rows = Retrieval.q104Bm25TopK(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, docId, _, score) =>
+      assert(score > 0, s"nonpositive score for ($qid, $docId)")
+      assert(texts(docId).intersect(queries(qid)).nonEmpty,
+        s"doc $docId shares no term with query $qid")
+    }
+  }
+
+  test("q105 source quota == exact unsalted per-source top-cap") {
+    val got = Retrieval.q105SourceQuota(spark, SharedSpark.sfTiny)
+      .as[(Long, String, Long, Int)].collect().toSeq
+    // exact recomputation: same quality integer, plain sort per source
+    val stop = Set("the", "a", "of", "and", "in", "to")
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val expected = docs.map { case (id, src, text) =>
+      val toks = text.split(" ")
+      val nStop = toks.count(stop)
+      val q = BigDecimal(
+        math.min(toks.length.toDouble / 50.0, 1.0) *
+          (1.0 - nStop.toDouble / toks.length) * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (id, src, q)
+    }.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (id, _, q) => (-q, id) }.take(16)
+        .zipWithIndex.map { case ((id, s, q), i) => (id, s, q, i + 1) }
+    }.sortBy(r => (r._2, r._4))
+    assert(got === expected)
+    // the salted two-phase plan is an identity over the salt count
+    val oneSalt = Retrieval.q105SourceQuota(spark, SharedSpark.sfTiny, salts = 1)
+      .as[(Long, String, Long, Int)].collect().toSeq
+    assert(got === oneSalt)
+  }
+
+  test("q106 indexed BM25 == q104; append-built index == single-build index") {
+    val direct = Retrieval.q104Bm25TopK(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val indexed = Retrieval.q106Bm25Indexed(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(indexed === direct)
+    // incremental build: two disjoint batches through append must
+    // serve the identical ranking (df/stats are reconstructed, not
+    // merged, so there is no merge step to get wrong)
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_inv_append").toString
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") % 2 === 0), idx)
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") % 2 === 1), idx,
+      mode = "append")
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(8)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok"))
+      .distinct()
+    val appended = Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(appended === direct)
+  }
+
+  test("q106 probe scans only the query terms' bucket partitions") {
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_inv_prune").toString
+    Retrieval.invIndexWrite(docs, idx)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(8)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok"))
+      .distinct()
+    val buckets = queries
+      .select(pmod(xxhash64(col("tok")), lit(64)).as("tb"))
+      .distinct().as[Long].collect().toSet
+    assert(buckets.size < 64, "fixture degenerate: queries cover every bucket")
+    val pruned = spark.read.parquet(s"$idx/postings")
+      .filter(col("tb").isin(buckets.toSeq: _*))
+    pruned.collect()
+    // the post-execution scan metric counts files actually read —
+    // must equal the files under the selected bucket dirs and be a
+    // strict subset of the index
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap {
+        case d if d.isDirectory => parquetFiles(d)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Seq.empty
+      }
+    val allFiles = parquetFiles(new java.io.File(s"$idx/postings")).size
+    val selectedFiles = buckets.toSeq
+      .map(b => parquetFiles(new java.io.File(s"$idx/postings/tb=$b")).size).sum
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val read = scan.metrics("numFiles").value
+    assert(read === selectedFiles.toLong,
+      s"scan read $read files, selected buckets hold $selectedFiles")
+    assert(selectedFiles < allFiles,
+      s"fixture degenerate: every file is in a probed bucket")
+  }
+}

@@ -132,7 +132,8 @@ object SparkEntry {
     "q104_bm25_topk" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q104Bm25TopK(s, d)),
     "q105_source_quota" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q105SourceQuota(s, d)),
     "q106_bm25_indexed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q106Bm25Indexed(s, d)),
-    "q107_dim_reduction" -> ((s: SparkSession, d: String) => graft.ops.Projection.q107DimReduction(s, d))
+    "q107_dim_reduction" -> ((s: SparkSession, d: String) => graft.ops.Projection.q107DimReduction(s, d)),
+    "q108_hybrid_rrf" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrf(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -759,6 +760,36 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS x FROM embeddings),
         |c AS (SELECT vec_id, j, CAST(round(CAST(x AS DOUBLE) * (CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END) / 4.0 * 1000000.0) AS BIGINT) AS t
         |FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js)
-        |SELECT vec_id, CAST(j AS INTEGER) AS j, CAST(SUM(t) AS BIGINT) AS v_micro FROM c GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin
+        |SELECT vec_id, CAST(j AS INTEGER) AS j, CAST(SUM(t) AS BIGINT) AS v_micro FROM c GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+    // q108: RRF fusion of the q104 lexical CTEs and a q38-style dense
+    // cosine leg. Per-system terms round(1e6/(60+rank)) are integers
+    // (both engines round the same IEEE quotient), so the fused score
+    // and its ties are exact; the dense leg reuses q38's proven
+    // fixed-order list_sum cosine rounded to 6 dp before ranking.
+    "q108_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
+        |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
+        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
+        |m AS (SELECT qt.query_id, tf2.doc_id,
+        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
+        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
+        |lex AS (SELECT query_id, doc_id, lrank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS lrank FROM sc) t WHERE lrank <= 10),
+        |qe AS (SELECT qd.query_id, e.embedding AS qv FROM qd JOIN embeddings e ON e.vec_id = qd.query_id),
+        |dc AS (SELECT qe.query_id, e.vec_id AS doc_id,
+        |round(list_sum(list_transform(range(1, 65), i -> CAST(qe.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |(sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe.qv[i] AS DOUBLE) * CAST(qe.qv[i] AS DOUBLE)))) *
+        |sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
+        |FROM embeddings e CROSS JOIN qe),
+        |den AS (SELECT query_id, doc_id, drank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS drank FROM dc) t WHERE drank <= 10),
+        |u AS (SELECT COALESCE(lex.query_id, den.query_id) AS query_id, COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+        |COALESCE(CAST(round(1000000.0 / (60 + lex.lrank)) AS BIGINT), 0) + COALESCE(CAST(round(1000000.0 / (60 + den.drank)) AS BIGINT), 0) AS rrf_micro
+        |FROM lex FULL OUTER JOIN den ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
+        |f AS (SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank FROM u)
+        |SELECT query_id, doc_id, rrf_micro, rank FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }

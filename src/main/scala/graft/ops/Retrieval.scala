@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,5 +280,70 @@ object Retrieval {
         explode(slice(col("toks"), 1, qLen)).as("tok"))
       .distinct()
     bm25Indexed(spark, queries, indexPath, k = k)
+  }
+
+  /** #108 Hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke
+    * & Büttcher 2009) of the lexical BM25 ranking (q104) and a dense
+    * cosine ranking over the documents' embeddings, the standard
+    * two-tower + lexical serving shape. Each system contributes its
+    * top-`kEach` list; fused score = Σ round(1e6 / (rrfK + rank))
+    * over the systems that ranked the item (integer per-system terms,
+    * integer sum — exact ties, engine-independent). The harness
+    * fixture's `embeddings.vec_id` is declared to identify
+    * `documents.doc_id` (same id space; at sf0.1 embeddings cover the
+    * first 2000 docs — ids outside it simply have no dense list, and
+    * RRF's union semantics handle one-sided items by construction).
+    *
+    * Scale shape: the lexical leg is q104's plan; the dense leg is
+    * the q38 shape — a ≤ nQueries-row broadcast against one codegen
+    * scan of the embedding table (the deliberate bounded crossJoin,
+    * q91's convention) with a per-query top-k window; the fusion is a
+    * full-outer join of two ≤ nQueries·kEach-row lists — negligible.
+    * Swap the dense leg for q43/q49/q92's index probes at corpus
+    * scale; fusion semantics are rank-only, so the legs are pluggable.
+    */
+  def q108HybridRrf(spark: SparkSession, dir: String, nQueries: Int = 8,
+      qLen: Int = 4, kEach: Int = 10, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    import graft.ops.LlmOps.{cosinePrenorm, dotProduct}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val qdocs = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(nQueries)
+    val qterms = qdocs
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, qLen)).as("tok"))
+      .distinct()
+    val lex = bm25TopK(docs, qterms, kEach, k1 = 1.2, b = 0.75)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+    val qemb = emb.join(
+        broadcast(qdocs.select(col("doc_id").as("query_id"))),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("embedding").as("qe"), col("nsq").as("qnsq"))
+    // deliberate bounded crossJoin: the broadcast side is ≤ nQueries
+    // rows (q38/q91 convention); self-pairs stay in (cos = 1, rank 1
+    // — mirroring BM25, where the query's own doc ranks itself)
+    val dense = emb.crossJoin(broadcast(qemb))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+          col("qnsq"), col("nsq")), 6).as("cos"))
+      .withColumn("drank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("doc_id").asc)))
+      .filter(col("drank") <= kEach)
+      .select("query_id", "doc_id", "drank")
+    def term(rank: Column): Column =
+      round(lit(1000000.0) / (lit(rrfK) + rank)).cast("long")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(term(col("lrank")), lit(0L)) +
+          coalesce(term(col("drank")), lit(0L))).as("rrf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf_micro", "rank")
+      .orderBy("query_id", "rank")
   }
 }

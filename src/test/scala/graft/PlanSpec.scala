@@ -211,4 +211,31 @@ class PlanSpec extends AnyFunSuite {
     assert(hints === 1, s"expected exactly the n_docs broadcast hint:\n$analyzed")
     assert(!plan(df).contains("CartesianProduct"))
   }
+
+  test("q104: query terms broadcast into the postings stream; no cartesian") {
+    val p = plan(graft.ops.Retrieval.q104Bm25TopK(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q105: every window in the quota plan is key-partitioned") {
+    val df = graft.ops.Retrieval.q105SourceQuota(spark, sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned Window in q105 plan:\n$bad")
+  }
+
+  test("q108: the only nested-loop join is the bounded dense-leg broadcast") {
+    val p = plan(graft.ops.Retrieval.q108HybridRrf(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the dense leg's crossJoin(broadcast(qemb)) is the declared
+    // ≤ nQueries-row bounded broadcast (q38/q91 convention) — allow
+    // exactly that one nested loop, nothing else
+    // formatted explain prints each node in the tree AND a detail
+    // header "(N) BroadcastNestedLoopJoin" — count the headers
+    val loops = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(loops <= 1, s"unexpected nested-loop joins:\n$p")
+  }
 }

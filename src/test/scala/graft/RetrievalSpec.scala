@@ -129,6 +129,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(appended === direct)
   }
 
+  test("q108 hybrid RRF == local fusion of brute BM25 and brute cosine lists") {
+    val texts = Tables.documents(spark, SharedSpark.sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ") }.toMap
+    val vecs = Tables.embeddings(spark, SharedSpark.sfTiny)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val qids = texts.keys.filter(_ % 97 == 0).toSeq.sorted.take(8)
+    val queries = qids.map(id => id -> texts(id).take(4).toSet).toMap
+    val lex = bruteBm25(texts, queries, 1.2, 0.75, 10)
+      .view.mapValues(_.map(_._1).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      val r = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val den = qids.filter(vecs.contains).map { q =>
+      q -> vecs.toSeq.map { case (id, v) => id -> cos(vecs(q), v) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+    }.toMap
+    def term(rank: Int): Long =
+      BigDecimal(1000000.0 / (60 + rank))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = qids.flatMap { q =>
+      val l = lex.getOrElse(q, Map.empty[Long, Int])
+      val dn = den.getOrElse(q, Map.empty[Long, Int])
+      (l.keySet ++ dn.keySet).toSeq.map { d =>
+        (q, d, l.get(d).map(term).getOrElse(0L) + dn.get(d).map(term).getOrElse(0L))
+      }.sortBy { case (_, d, s) => (-s, d) }.take(10)
+        .zipWithIndex.map { case ((qq, d, s), i) => (qq, d, s, i + 1) }
+    }.sortBy(r => (r._1, r._4))
+    val got = Retrieval.q108HybridRrf(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got === expected)
+    // both legs must actually contribute: some fused row carries two
+    // terms (a doc ranked by both systems), some exactly one
+    assert(got.exists(_._3 > term(1)), "no doc was ranked by both systems")
+    assert(got.exists(r => r._3 <= term(1)), "no one-sided doc survived fusion")
+  }
+
   test("q106 probe scans only the query terms' bucket partitions") {
     val docs = Tables.documents(spark, SharedSpark.sfTiny)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -51,7 +51,12 @@ object ScaleProbe {
     "q80_sequence_packing" -> Seq("documents"),
     "q81_decontamination" -> Seq("documents"),
     "q100_perplexity_filter" -> Seq("documents"),
-    "q101_importance_resample" -> Seq("documents"))
+    "q101_importance_resample" -> Seq("documents"),
+    "q104_bm25_topk" -> Seq("documents"),
+    "q105_source_quota" -> Seq("documents"),
+    "q106_bm25_indexed" -> Seq("documents"),
+    "q107_dim_reduction" -> Seq("embeddings"),
+    "q108_hybrid_rrf" -> Seq("documents", "embeddings"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")
@@ -128,7 +133,9 @@ object ScaleProbe {
         "q91_simsearch_pq", "q92_simsearch_ivfpq",
         "q93_simsearch_ivfpq_residual",
         "q77_repetition_stats", "q80_sequence_packing", "q81_decontamination",
-        "q100_perplexity_filter", "q101_importance_resample"))
+        "q100_perplexity_filter", "q101_importance_resample",
+        "q104_bm25_topk", "q105_source_quota", "q106_bm25_indexed",
+        "q107_dim_reduction", "q108_hybrid_rrf"))
     val needed = probes.flatMap(p => probeFacts.getOrElse(p, allFacts)).toSet
     if (!needed.forall(t =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/$t.parquet")))) {

@@ -133,7 +133,8 @@ object SparkEntry {
     "q105_source_quota" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q105SourceQuota(s, d)),
     "q106_bm25_indexed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q106Bm25Indexed(s, d)),
     "q107_dim_reduction" -> ((s: SparkSession, d: String) => graft.ops.Projection.q107DimReduction(s, d)),
-    "q108_hybrid_rrf" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrf(s, d))
+    "q108_hybrid_rrf" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrf(s, d)),
+    "q109_bm25_ingest_batch" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q109Bm25IngestBatch(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -790,6 +791,27 @@ object SparkEntry {
         |COALESCE(CAST(round(1000000.0 / (60 + lex.lrank)) AS BIGINT), 0) + COALESCE(CAST(round(1000000.0 / (60 + den.drank)) AS BIGINT), 0) AS rrf_micro
         |FROM lex FULL OUTER JOIN den ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
         |f AS (SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank FROM u)
-        |SELECT query_id, doc_id, rrf_micro, rank FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |SELECT query_id, doc_id, rrf_micro, rank FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q109 shares q104's oracle (the q87/q94 ingest-twin argument):
+    // appending disjoint doc batches is a pure postings partition of
+    // the corpus — df and stats reconstruct at probe time, so the
+    // batch-built index must serve q104's exact answer; the driver
+    // hash thereby gates the whole ingest loop (stamped layout,
+    // dynamic-overwrite replay safety, stats summation, cross-batch
+    // df reconstruction, bucket pruning).
+    "q109_bm25_ingest_batch" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
+        |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
+        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
+        |m AS (SELECT qt.query_id, tf2.doc_id,
+        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
+        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
+        |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -282,6 +282,86 @@ object Retrieval {
     bm25Indexed(spark, queries, indexPath, k = k)
   }
 
+  /** Batch-stamped incremental append to the inverted index — the
+    * per-micro-batch core of [[graft.ops.Streaming.bm25IndexIngest]]
+    * and the declared q109 batch twin. Unlike the plain
+    * `mode("append")` path, every write here lands in
+    * `postings/tb=<bucket>/__batch_id=<b>/` and
+    * `stats/__batch_id=<b>/` via DYNAMIC partition overwrite, so a
+    * REPLAYED micro-batch (at-least-once delivery) rewrites exactly
+    * its own directories instead of duplicating postings — the
+    * q87/q94 exactly-once-state rule. Appending a batch is a pure
+    * function of the batch (no probe, no read-modify-write of shared
+    * state: df and corpus stats are reconstructed at query time), so
+    * batches may even be written CONCURRENTLY. Probes prune on `tb`
+    * exactly as before — the batch subdirectories are invisible to
+    * the bucket filter. NOTE: one index must be built either all
+    * batch-stamped or all flat ([[invIndexWrite]]) — parquet
+    * partition discovery requires a consistent directory depth.
+    */
+  def invIndexAppendBatch(docs: DataFrame, indexPath: String,
+      batchId: Long, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("tok")), lit(nBuckets)))
+      .withColumn("__batch_id", lit(batchId))
+      .repartition(col("tb"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tb", "__batch_id").parquet(s"$indexPath/postings")
+    val st = docs.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("total")).head()
+    Seq((st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1), batchId))
+      .toDF("n_docs", "total_tokens", "__batch_id")
+      .coalesce(1).write
+      .mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(s"$indexPath/stats")
+  }
+
+  /** #109 Batch twin of the streaming inverted-index ingest: split
+    * the corpus into `nBatches` ordered doc-id ranges (the q87
+    * arithmetic), push each through [[invIndexAppendBatch]] — the
+    * IDENTICAL code path the streaming wrapper runs per micro-batch —
+    * then serve the q104 query set from the accumulated index.
+    * Because an append is a pure function of its batch and df/stats
+    * are reconstructed at probe time, the batch-built index holds
+    * exactly the full corpus' postings — so the result EQUALS q104
+    * row-for-row and shares its oracle (the q87/q94 argument): the
+    * driver's hash gates the whole ingest loop — stamped layout,
+    * bucket pruning, stats summation, cross-batch df reconstruction.
+    */
+  def q109Bm25IngestBatch(spark: SparkSession, dir: String,
+      nBatches: Int = 4, nQueries: Int = 8, qLen: Int = 4,
+      k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
+      case null => -1L
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+    val bSize = math.max(1L, maxId / nBatches + 1)
+    // app-scoped path + fresh build per run (the q87/q106 rule)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q109_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    val fs = Sinks.fsFor(spark, indexPath)
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    (0 until nBatches).foreach { b =>
+      invIndexAppendBatch(docs.filter(expr(s"doc_id DIV $bSize") === b),
+        indexPath, b.toLong)
+    }
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, qLen)).as("tok"))
+      .distinct()
+    bm25Indexed(spark, queries, indexPath, k = k)
+  }
+
   /** #108 Hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke
     * & Büttcher 2009) of the lexical BM25 ranking (q104) and a dense
     * cosine ranking over the documents' embeddings, the standard

@@ -271,6 +271,34 @@ object Streaming {
       .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
       .start()
 
+  /** Streaming inverted-index ingest — maintain the q106 BM25 index
+    * incrementally: each micro-batch of (doc_id, text) documents
+    * appends its postings batch-id-stamped
+    * ([[graft.ops.Retrieval.invIndexAppendBatch]] — the identical
+    * code path the declared q109 batch twin runs). The append is a
+    * pure function of the batch (no probe, no shared-state
+    * read-modify-write: df and corpus stats are reconstructed at
+    * query time), and the dynamic-overwrite stamped layout makes a
+    * replayed micro-batch rewrite exactly its own directories —
+    * exactly-once index state on at-least-once delivery, with no
+    * streaming state store. Per-batch cost is the batch's own token
+    * scan; history costs nothing at ingest (it costs at PROBE time,
+    * where bucket pruning bounds it to the query terms' postings).
+    */
+  def bm25IndexIngest(docs: DataFrame, indexPath: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Retrieval.invIndexAppendBatch(
+          batch.select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .localCheckpoint(),
+          indexPath, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", indexPath.stripSuffix("/") + "__checkpoint")
+      .start()
+
   // -- streaming runners (used by ScalaTest equivalence specs) -------
 
   /** Read the events parquet as a bounded stream (AvailableNow ≈ batch

@@ -129,6 +129,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(appended === direct)
   }
 
+  test("q109 ingest-built index == q104; batch replay is idempotent") {
+    val direct = Retrieval.q104Bm25TopK(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val ingested = Retrieval.q109Bm25IngestBatch(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(ingested === direct)
+    // replay: re-appending an already-written batch (at-least-once
+    // delivery) must rewrite its own stamped partitions, not
+    // duplicate postings — probe answer unchanged
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_inv_replay").toString
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") < 250), idx, 0L)
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") >= 250), idx, 1L)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(8)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok"))
+      .distinct()
+    val before = Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") < 250), idx, 0L)
+    val after = Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(after === before)
+    assert(before === direct)
+  }
+
   test("q108 hybrid RRF == local fusion of brute BM25 and brute cosine lists") {
     val texts = Tables.documents(spark, SharedSpark.sfTiny)
       .select("doc_id", "text").as[(Long, String)].collect()

@@ -354,6 +354,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay === expect.filter(r => r._1 == 4L || r._1 == 5L))
   }
 
+  test("streaming inverted-index ingest: stream-built index serves q104's exact answer, replay-safe") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_inv_ingest").toString
+    val idx = s"$base/index"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    // feed the real tiny corpus in 3 files → 3 micro-batches
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    val groups = docs.grouped((docs.size + 2) / 3).toSeq
+    groups.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/stage_$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/b$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/b$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      Streaming.bm25IndexIngest(src, idx).awaitTermination()
+    }
+    runOnce()
+    val toks = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val queries = toks.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(8)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok"))
+      .distinct()
+    val direct = graft.ops.Retrieval.q104Bm25TopK(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val streamed = graft.ops.Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(streamed === direct)
+    // replay safety: re-running the stream with no new files (and a
+    // direct same-batch re-append) leaves the probe answer unchanged
+    runOnce()
+    graft.ops.Retrieval.invIndexAppendBatch(
+      toks.filter(col("doc_id") <= groups(0).last._1), idx, 0L)
+    val replayed = graft.ops.Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(replayed === direct)
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

@@ -205,7 +205,8 @@ object Pipeline {
   case class CorpusReport(input: Long, afterExactDedup: Long,
       afterNearDedup: Long, afterQuality: Long, train: Long, holdout: Long,
       decontaminated: Long = 0L, paraDropped: Long = 0L,
-      pplDropped: Long = 0L, dsirDropped: Long = 0L)
+      pplDropped: Long = 0L, dsirDropped: Long = 0L,
+      quotaDropped: Long = 0L)
 
   /** The LLM-training-data preparation chain, composing the
     * north-star operators end to end over any (doc_id, text, ...)
@@ -224,7 +225,11 @@ object Pipeline {
     * log target/raw weight against `dsirTarget`) → optional
     * decontamination against an external eval corpus (q81's shingle
     * overlap — drop any doc that would leak eval content into
-    * training) → reproducible hash-gate train/holdout split (~90/10,
+    * training) → optional per-source quota (q105 — corpus balancing:
+    * cap each source at its `sourceQuotaCap` best docs by the q103
+    * quality integer; a corpus without a `source` column is one
+    * synthetic domain, making the stage a global quality top-N)
+    * → reproducible hash-gate train/holdout split (~90/10,
     * stable across runs, partitionings and retries — the q63 rule).
     * Returns the cleaned corpus (with `is_train`) plus per-stage
     * counts. Runs actions by design — the report IS the product;
@@ -250,7 +255,8 @@ object Pipeline {
       perplexityRef: Option[DataFrame] = None,
       pplHeadBits: Long = 4910000L, pplMidBits: Long = 4940000L,
       dsirTarget: Option[DataFrame] = None,
-      dsirThresholdMicro: Long = -210000L): (DataFrame, CorpusReport) = {
+      dsirThresholdMicro: Long = -210000L,
+      sourceQuotaCap: Option[Int] = None): (DataFrame, CorpusReport) = {
     val input = docs.count()
     // checkpoint each heavy stage once: every later stage AND its
     // count reads the materialization, not a re-run of the upstream
@@ -341,13 +347,25 @@ object Pipeline {
         (d, q.count() - n)
       case None => (dsir, 0L)
     }
-    val cleaned = decon.withColumn("is_train",
+    val (quota, nQuotaDropped) = sourceQuotaCap match {
+      case Some(cap) =>
+        val q = decon.localCheckpoint()
+        val srcOf = if (q.columns.contains("source")) col("source") else lit("")
+        val kept = q.join(
+          ops.Retrieval.sourceQuotaOf(
+              q.select(col("doc_id"), srcOf.as("source"), col("text")), cap)
+            .select("doc_id"), "doc_id")
+        val n = kept.count()
+        (kept, q.count() - n)
+      case None => (decon, 0L)
+    }
+    val cleaned = quota.withColumn("is_train",
       substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
     val nQuality = cleaned.count()
     val nTrain = cleaned.filter(col("is_train")).count()
     (cleaned, CorpusReport(input, nExact, near.count(), nQuality,
       nTrain, nQuality - nTrain, nDropped, nParaDropped,
-      nPplDropped, nDsirDropped))
+      nPplDropped, nDsirDropped, nQuotaDropped))
   }
 
   /** Per-stage lineage export — the Catalyst answer to the

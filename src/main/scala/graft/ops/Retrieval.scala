@@ -131,9 +131,18 @@ object Retrieval {
     * source, q_milli) rows ever shuffle.
     */
   def q105SourceQuota(spark: SparkSession, dir: String, cap: Int = 16,
-      salts: Int = 8): DataFrame = {
+      salts: Int = 8): DataFrame =
+    sourceQuotaOf(Tables.documents(spark, dir), cap, salts)
+
+  /** DataFrame core of [[q105SourceQuota]]: the kept (doc_id, source,
+    * q_milli, rank) rows of `docs` (doc_id, source, text) — also the
+    * optional corpus-balancing stage of
+    * [[graft.Pipeline.prepareCorpus]]. See the operator scaladoc for
+    * the salted two-phase plan.
+    */
+  def sourceQuotaOf(docs: DataFrame, cap: Int, salts: Int = 8): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "in", "to")
-    val q = Tables.documents(spark, dir)
+    val q = docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("source"),
         size(col("toks")).as("n_tokens"),

@@ -201,6 +201,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptB.select("doc_id").as[Long].collect().toSeq === Seq(0L))
   }
 
+  test("prepareCorpus source quota: per-source survivors capped at the q105 keep set") {
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+    val (base, rBase) = Pipeline.prepareCorpus(spark, docs)
+    assert(rBase.quotaDropped === 0L)
+    val cap = 3
+    val (kept, r) = Pipeline.prepareCorpus(spark, docs,
+      sourceQuotaCap = Some(cap))
+    // no source exceeds the cap, and the kept set is exactly the
+    // q105 rule applied to the pre-quota survivor set
+    val perSource = kept.groupBy("source").count()
+      .as[(String, Long)].collect()
+    assert(perSource.nonEmpty && perSource.forall(_._2 <= cap))
+    val expect = ops.Retrieval.sourceQuotaOf(
+        base.drop("is_train").select("doc_id", "source", "text"), cap)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === expect)
+    assert(r.quotaDropped === rBase.afterQuality - expect.size)
+    // a corpus with NO source column degrades to one synthetic
+    // domain: a global quality top-cap
+    val plain = docs.select("doc_id", "text")
+    val (keptP, rP) = Pipeline.prepareCorpus(spark, plain,
+      sourceQuotaCap = Some(cap))
+    assert(keptP.count() === cap.toLong)
+    assert(rP.quotaDropped === rBase.afterQuality - cap)
+  }
+
   test("prepareCorpus decontamination: eval-overlapping docs are dropped") {
     val docs = Tables.documents(spark, SharedSpark.sfTiny)
     val (base, rBase) = Pipeline.prepareCorpus(spark, docs)

@@ -134,7 +134,8 @@ object SparkEntry {
     "q106_bm25_indexed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q106Bm25Indexed(s, d)),
     "q107_dim_reduction" -> ((s: SparkSession, d: String) => graft.ops.Projection.q107DimReduction(s, d)),
     "q108_hybrid_rrf" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrf(s, d)),
-    "q109_bm25_ingest_batch" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q109Bm25IngestBatch(s, d))
+    "q109_bm25_ingest_batch" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q109Bm25IngestBatch(s, d)),
+    "q110_negative_sampling" -> ((s: SparkSession, d: String) => Features.q110NegativeSampling(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -812,6 +813,22 @@ object SparkEntry {
         |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
         |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
         |r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
-        |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q110: the negative draw is md5(event_id || '_' || j) read as a
+    // 4-hex-digit base-16 value mod the item universe (Spark
+    // conv(hex,16,10) == the strpos arithmetic here — the q102
+    // pairing); positive-collision steps to the next id. The sample
+    // is a pure function of the data — identical on any engine.
+    "q110_negative_sampling" ->
+      """WITH it AS (SELECT CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) + 1 AS n FROM events),
+        |p AS (SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS pos_item FROM events WHERE event_type = 'purchase'),
+        |x AS (SELECT p.*, CAST(j AS INTEGER) AS neg_idx FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+        |h AS (SELECT *, substring(md5(CAST(event_id AS VARCHAR) || '_' || CAST(neg_idx AS VARCHAR)), 1, 4) AS hx FROM x),
+        |d AS (SELECT event_id, user_id, pos_item, neg_idx,
+        |CAST(((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % it.n AS BIGINT) AS draw
+        |FROM h, it)
+        |SELECT event_id, user_id, pos_item, neg_idx,
+        |CAST(CASE WHEN draw = pos_item THEN (draw + 1) % it.n ELSE draw END AS INTEGER) AS neg_item
+        |FROM d, it ORDER BY event_id, neg_idx""".stripMargin
   )
 }

@@ -338,6 +338,54 @@ object Features {
     * `Aggregator` — proves the custom-aggregate path without putting a
     * non-codegen expression on any declared hot path.
     */
+  /** #110 Deterministic negative sampling — the contrastive /
+    * sampled-softmax training-pair prep every recsys (and retrieval
+    * two-tower) trainer needs over exactly this kind of event log
+    * (the reference trains an LSTM recommender on session item
+    * sequences; its positives are the interactions, negatives are
+    * drawn at training time — here the draw is made reproducible and
+    * engine-exact instead of RNG-seeded): for every purchase event,
+    * emit the positive item plus `k` negatives drawn uniformly from
+    * the item universe by hashing (event_id, draw_index) — the q63/
+    * q102 md5-gate rule, so the sample is a pure function of the data
+    * (stable across runs, engines, partitionings and retries; no seed
+    * to lose, no RNG state to checkpoint). A draw that collides with
+    * the positive steps to the next item id (deterministic rejection,
+    * one step suffices for a uniform universe).
+    *
+    * Scale shape: everything is map-side in-row arithmetic (JSON
+    * extract, md5, base-16 fold, modulo) after one bounded 1-row agg
+    * for the item universe; the k-way expansion is an in-row
+    * posexplode; the only exchange is the declared output sort.
+    * `conv(hex,16,10) == the oracle's strpos arithmetic` (the q102
+    * pairing).
+    */
+  def q110NegativeSampling(spark: SparkSession, dir: String,
+      k: Int = 4): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val itemOf = get_json_object(col("props"), "$.k").cast("int")
+    val maxRow = ev.agg(max(itemOf)).head()
+    val pos = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), itemOf.as("pos_item"))
+    if (maxRow.isNullAt(0)) // empty corpus: no items to draw from
+      return pos.withColumn("neg_idx", lit(0))
+        .withColumn("neg_item", lit(0)).limit(0)
+        .select("event_id", "user_id", "pos_item", "neg_idx", "neg_item")
+    val n = maxRow.getInt(0).toLong + 1L
+    val draw = pmod(conv(substring(md5(concat(
+        col("event_id").cast("string"), lit("_"),
+        col("neg_idx").cast("string"))), 1, 4), 16, 10).cast("long"), lit(n))
+    pos
+      .select(col("event_id"), col("user_id"), col("pos_item"),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_idx"))
+      .withColumn("draw", draw)
+      .withColumn("neg_item",
+        when(col("draw") === col("pos_item"),
+          pmod(col("draw") + 1, lit(n))).otherwise(col("draw")).cast("int"))
+      .select("event_id", "user_id", "pos_item", "neg_idx", "neg_item")
+      .orderBy("event_id", "neg_idx")
+  }
+
   class HitRateAtK(k: Int) extends Aggregator[(Seq[Int], Int), (Long, Long), Double] {
     def zero: (Long, Long) = (0L, 0L)
     def reduce(b: (Long, Long), a: (Seq[Int], Int)): (Long, Long) =

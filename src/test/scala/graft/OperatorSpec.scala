@@ -393,4 +393,33 @@ class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(math.abs(rate - expect) < 0.12, s"$st: $rate vs $expect")
     }
   }
+
+  test("q110 negative sampling == md5 recomputation; negatives valid and collision-free") {
+    import spark.implicits._
+    val rows = Features.q110NegativeSampling(spark, sf)
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .as[(Long, Long, String, Int)].collect()
+    val n = ev.map(_._4).max.toLong + 1
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = ev.filter(_._3 == "purchase").sortBy(_._1).flatMap {
+      case (eid, uid, _, pos) => (0 until 4).map { j =>
+        val draw = java.lang.Long.parseLong(md5hex(s"${eid}_$j").take(4), 16) % n
+        val neg = if (draw == pos) (draw + 1) % n else draw
+        (eid, uid, pos, j, neg.toInt)
+      }
+    }.toSeq
+    assert(rows === expected)
+    // laws: a negative never equals its positive; draws land in the
+    // item universe; every purchase contributes exactly k rows
+    rows.foreach { case (_, _, pos, _, neg) =>
+      assert(neg != pos && neg >= 0 && neg < n)
+    }
+    assert(rows.groupBy(_._1).values.forall(_.size == 4))
+  }
 }

@@ -1017,6 +1017,39 @@ object LlmOps {
     cents
   }
 
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), Array[(Int, Array[Float])]]()
+
+  /** [[kmeansCentroids]] memoized per (corpus dir, params) — the
+    * `Bpe.fitCached` tier applied to the ANN trainers: the trainer is
+    * a deterministic pure function of the corpus (hash-gated sample,
+    * id-ordered seeds, fixed Lloyd rounds), so q49/q92/q93 share ONE
+    * coarse-quantizer fit per JVM instead of re-fitting identical
+    * centroids per operator. Results are bit-identical to the
+    * uncached path by construction; only cost changes. Same contract
+    * as the BPE cache: the corpus at `dir` is immutable within the
+    * JVM's lifetime (a re-materialized corpus is a new dir/version).
+    */
+  def kmeansCentroidsCached(emb: DataFrame, dir: String, nCells: Int,
+      iters: Int, trainCap: Int = TrainerSampleCap): Array[(Int, Array[Float])] =
+    centroidCache.computeIfAbsent((dir, nCells, iters, trainCap),
+      _ => kmeansCentroids(emb, nCells, iters, trainCap))
+
+  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Int, Int), Option[graft.functions.Pq.Codebooks]]()
+
+  /** [[pqCodebooks]] memoized per (corpus dir, params) — q91 and q92
+    * train the identical codebooks; one fit per JVM serves both (the
+    * [[kmeansCentroidsCached]] contract). q93's residual-space
+    * codebooks take the direct path: their trainer input is derived,
+    * not the corpus itself.
+    */
+  def pqCodebooksCached(emb: DataFrame, dir: String, m: Int, kCodes: Int,
+      subDim: Int, iters: Int,
+      trainCap: Int = TrainerSampleCap): Option[graft.functions.Pq.Codebooks] =
+    pqCbCache.computeIfAbsent((dir, m, kCodes, subDim, iters, trainCap),
+      _ => pqCodebooks(emb, m, kCodes, subDim, iters, trainCap))
+
   /** Train product-quantization codebooks: k-means in each of `m`
     * disjoint subspaces, all subspaces in ONE distributed job per
     * Lloyd round (subvector rows keyed by subspace id), means
@@ -1095,7 +1128,7 @@ object LlmOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
-    val cbOpt = pqCodebooks(emb, m, kCodes, subDim, iters)
+    val cbOpt = pqCodebooksCached(emb, dir, m, kCodes, subDim, iters)
     if (cbOpt.isEmpty) return emptyAnnResult(emb)
     val cb = cbOpt.get
     val qRows = emb.filter(col("vec_id") < nQueries)
@@ -1164,9 +1197,9 @@ object LlmOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
-    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    val cents = kmeansCentroidsCached(emb, dir, nCells, kmeansIters)
     if (cents.isEmpty) return emptyAnnResult(emb)
-    val cbOpt = pqCodebooks(emb, m, kCodes, subDim, pqIters)
+    val cbOpt = pqCodebooksCached(emb, dir, m, kCodes, subDim, pqIters)
     if (cbOpt.isEmpty) return emptyAnnResult(emb)
     val cb = cbOpt.get
     val qRows = emb.filter(col("vec_id") < nQueries)
@@ -1252,7 +1285,7 @@ object LlmOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
-    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    val cents = kmeansCentroidsCached(emb, dir, nCells, kmeansIters)
     if (cents.isEmpty) return emptyAnnResult(emb)
     // residual of each vector against its OWN cell centroid, map-side:
     // the centroid array is a bounded literal indexed by the dense cid
@@ -1361,7 +1394,7 @@ object LlmOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
-    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    val cents = kmeansCentroidsCached(emb, dir, nCells, kmeansIters)
     // empty corpus => zero centroids => the centroid-score array has
     // no element type and every downstream getField fails analysis;
     // the well-defined result is simply no neighbors
@@ -2289,7 +2322,7 @@ object LlmOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint() // replayed by the Lloyd loop + both join sides
-    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    val cents = kmeansCentroidsCached(emb, dir, nCells, kmeansIters)
     if (cents.isEmpty)
       return emb.limit(0).select(col("vec_id"), lit(0).as("cell"),
         lit(0.0).as("cscore"), lit(true).as("keep"))

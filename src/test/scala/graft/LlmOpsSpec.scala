@@ -759,4 +759,27 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(prod.view.mapValues(_._1).toMap === prod2, "xxhash path must be deterministic")
   }
+
+  test("ANN trainers are fit once per (corpus, params): cached calls return the stored fit") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, SharedSpark.sfTiny)
+      .withColumn("nsq",
+        LlmOps.dotProduct(col("embedding"), col("embedding")))
+    // reference equality proves the memo hit — the second call must
+    // return the STORED object, not a re-run of the Lloyd loop
+    val c1 = LlmOps.kmeansCentroidsCached(emb, SharedSpark.sfTiny, 16, 3)
+    val c2 = LlmOps.kmeansCentroidsCached(emb, SharedSpark.sfTiny, 16, 3)
+    assert(c1 eq c2)
+    val p1 = LlmOps.pqCodebooksCached(emb, SharedSpark.sfTiny, 8, 16, 8, 2)
+    val p2 = LlmOps.pqCodebooksCached(emb, SharedSpark.sfTiny, 8, 16, 8, 2)
+    assert(p1 eq p2)
+    // and the cached fit is the direct fit (bit-identical params in,
+    // deterministic trainer out)
+    val direct = LlmOps.kmeansCentroids(emb, 16, 3)
+    assert(c1.map(_._1).toSeq === direct.map(_._1).toSeq)
+    assert(c1.map(_._2.toSeq).toSeq === direct.map(_._2.toSeq).toSeq)
+    // different params miss the cache
+    val other = LlmOps.kmeansCentroidsCached(emb, SharedSpark.sfTiny, 16, 2)
+    assert(!(other eq c1))
+  }
 }

@@ -391,4 +391,66 @@ object Pipeline {
       name -> df.queryExecution.optimizedPlan.treeString
     }
   }
+
+  /** End-to-end corpus RELEASE — the capstone composition a training
+    * run actually ships: [[prepareCorpus]] (with whatever gates the
+    * caller enables) → deterministic hash-sharded train split written
+    * as `train_shards/__shard=K/` directories in decorrelated
+    * md5-gate order (the q102 epoch-shuffle rationale; one file per
+    * shard dir via [[ops.Sinks.exportShards]]'s explicit-partition
+    * write) → `holdout/` parquet → `datacard/` (the q103 per-domain
+    * release statistics over the released corpus — integer-exact,
+    * bit-reproducible) → `manifest/` (ONE row: every CorpusReport
+    * stage count + shard/row totals — the audit record next to the
+    * data). Everything written is a pure function of the input corpus
+    * and the options: re-running the release reproduces every file's
+    * contents (the q63/q102 determinism contract), so a retried
+    * release job is idempotent by construction.
+    *
+    * A corpus without `lang`/`source` columns is released under one
+    * synthetic domain (the [[prepareCorpus]] `langOf` rule).
+    */
+  def releaseCorpus(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, outPath: String, nShards: Int = 8,
+      nearThreshold: Double = 0.5, minTokens: Int = 5,
+      dupMilliMax: Int = 300, topMilliMax: Int = 200,
+      evalDocs: Option[DataFrame] = None,
+      perplexityRef: Option[DataFrame] = None,
+      dsirTarget: Option[DataFrame] = None,
+      paraDedupTokens: Option[Int] = None,
+      sourceQuotaCap: Option[Int] = None): (CorpusReport, DataFrame) = {
+    import spark.implicits._
+    val (cleaned0, report) = prepareCorpus(spark, docs,
+      nearThreshold = nearThreshold, minTokens = minTokens,
+      dupMilliMax = dupMilliMax, topMilliMax = topMilliMax,
+      evalDocs = evalDocs, perplexityRef = perplexityRef,
+      dsirTarget = dsirTarget, paraDedupTokens = paraDedupTokens,
+      sourceQuotaCap = sourceQuotaCap)
+    val cleaned = cleaned0.localCheckpoint()
+    def colOr(name: String) =
+      (if (cleaned.columns.contains(name)) col(name) else lit("")).as(name)
+    val train = cleaned.filter(col("is_train"))
+      // decorrelated within-shard order: the md5 gate IS the epoch
+      // shuffle (q102) — adjacent rows in a shard file come from
+      // unrelated corpus positions, no RNG seed to lose
+      .withColumn("__gate", md5(col("doc_id").cast("string")))
+    ops.Sinks.exportShards(train, "doc_id", Seq("__gate", "doc_id"),
+      nShards, s"$outPath/train_shards")
+    cleaned.filter(!col("is_train"))
+      .write.mode("overwrite").parquet(s"$outPath/holdout")
+    val card = ops.LlmOps.datacardOf(
+      cleaned.select(col("doc_id"), colOr("lang"), colOr("source"),
+        col("text")))
+    card.write.mode("overwrite").parquet(s"$outPath/datacard")
+    Seq((report.input, report.afterExactDedup, report.afterNearDedup,
+        report.afterQuality, report.train, report.holdout,
+        report.decontaminated, report.paraDropped, report.pplDropped,
+        report.dsirDropped, report.quotaDropped, nShards))
+      .toDF("input", "after_exact_dedup", "after_near_dedup",
+        "after_quality", "train", "holdout", "decontaminated",
+        "para_dropped", "ppl_dropped", "dsir_dropped", "quota_dropped",
+        "n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/manifest")
+    (report, card)
+  }
 }

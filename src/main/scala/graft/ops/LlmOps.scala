@@ -2665,9 +2665,16 @@ object LlmOps {
     * rollup is a map-side-partial aggregate over ≤ langs×sources
     * groups.
     */
-  def q103CorpusDatacard(spark: SparkSession, dir: String): DataFrame = {
+  def q103CorpusDatacard(spark: SparkSession, dir: String): DataFrame =
+    datacardOf(Tables.documents(spark, dir))
+
+  /** DataFrame core of [[q103CorpusDatacard]]: the release datacard
+    * of `docs` (doc_id, lang, source, text) — also what
+    * [[graft.Pipeline.releaseCorpus]] ships next to its shards.
+    */
+  def datacardOf(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "in", "to")
-    val perDoc = Tables.documents(spark, dir)
+    val perDoc = docs
       .select(col("lang"), col("source"), sha2(col("text"), 256).as("h"),
         length(col("text")).cast("long").as("n_chars"),
         split(col("text"), " ").as("toks"))

@@ -201,6 +201,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptB.select("doc_id").as[Long].collect().toSeq === Seq(0L))
   }
 
+  test("releaseCorpus: shards + holdout + datacard + manifest consistent and reproducible") {
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+    val out = java.nio.file.Files.createTempDirectory("graft_release").toString
+    val (report, card) = Pipeline.releaseCorpus(spark, docs, out, nShards = 4)
+    // shards hold exactly the train split, no row lost or duplicated
+    val shards = spark.read.parquet(s"$out/train_shards")
+    assert(shards.count() === report.train)
+    assert(shards.select("__shard").distinct().count() === 4L)
+    val holdout = spark.read.parquet(s"$out/holdout")
+    assert(holdout.count() === report.holdout)
+    assert(shards.select("doc_id").intersect(holdout.select("doc_id")).count() === 0L)
+    // datacard totals equal the released corpus
+    val written = spark.read.parquet(s"$out/datacard")
+    assert(written.agg(sum("n_docs")).head().getLong(0) ===
+      report.train + report.holdout)
+    assert(written.collect().toSeq === card.collect().toSeq)
+    // manifest mirrors the report
+    val m = spark.read.parquet(s"$out/manifest").head()
+    assert(m.getAs[Long]("input") === report.input)
+    assert(m.getAs[Long]("train") === report.train)
+    assert(m.getAs[Int]("n_shards") === 4)
+    // a re-release reproduces every shard file's CONTENT bit-for-bit
+    val before = shards.orderBy("__shard", "__gate", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    val out2 = java.nio.file.Files.createTempDirectory("graft_release2").toString
+    Pipeline.releaseCorpus(spark, docs, out2, nShards = 4)
+    val after = spark.read.parquet(s"$out2/train_shards")
+      .orderBy("__shard", "__gate", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(after === before)
+  }
+
   test("prepareCorpus source quota: per-source survivors capped at the q105 keep set") {
     val docs = Tables.documents(spark, SharedSpark.sfTiny)
     val (base, rBase) = Pipeline.prepareCorpus(spark, docs)

@@ -173,6 +173,30 @@ object SparkEntry {
       |COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS clean_text
       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared BM25 CTE chain (corpus stats, tf-with-dl, df, the
+    * deterministic query set, micro-rounded contributions, per-pair
+    * score) — ONE definition, so the q104 oracle and the queries that
+    * share it by structural exactness (q106's pruned-index probe,
+    * q109's batch-ingest-built index, q108's lexical leg) can never
+    * drift apart. The full q104 text below adds only the rank window.
+    */
+  private val bm25OracleCtes: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
+      |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
+      |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+      |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
+      |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
+      |m AS (SELECT qt.query_id, tf2.doc_id,
+      |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
+      |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
+      |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id)""".stripMargin
+
+  private val bm25Oracle: String = bm25OracleCtes + ",\n" +
+    """r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
+      |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q00_flagship_sessionize" ->
       """WITH f AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS tms FROM events WHERE event_type IN ('click','view','purchase')),
@@ -710,20 +734,7 @@ object SparkEntry {
     // side builds it — same literals, same association — so only
     // ln()'s libm ulp drift is engine code, ~1e-9 micro-units from
     // any rounding boundary. Ranking and ties are pure integers.
-    "q104_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
-        |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
-        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
-        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
-        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
-        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
-        |m AS (SELECT qt.query_id, tf2.doc_id,
-        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
-        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
-        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
-        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
-        |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q104_bm25_topk" -> bm25Oracle,
     // q105: per-source quota over the q103 quality integer — the
     // two-phase salted window on the Spark side keeps only rows the
     // exact per-source window would keep (phase 1 discards a row only
@@ -736,24 +747,11 @@ object SparkEntry {
         |q AS (SELECT doc_id, source, CAST(round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 1000.0) AS BIGINT) AS q_milli FROM m),
         |r AS (SELECT doc_id, source, q_milli, CAST(row_number() OVER (PARTITION BY source ORDER BY q_milli DESC, doc_id) AS INTEGER) AS rank FROM q)
         |SELECT doc_id, source, q_milli, rank FROM r WHERE rank <= 16 ORDER BY source, rank""".stripMargin,
-    // q106 shares q104's oracle text (the q89-shares-q81 structural-
+    // q106 shares q104's oracle (the q89-shares-q81 structural-
     // exactness argument): the inverted index is a materialization of
     // the identical postings + arithmetic, so the indexed probe must
     // reproduce q104 row-for-row — an oracle gate on the pruned path.
-    "q106_bm25_indexed" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
-        |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
-        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
-        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
-        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
-        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
-        |m AS (SELECT qt.query_id, tf2.doc_id,
-        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
-        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
-        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
-        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
-        |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q106_bm25_indexed" -> bm25Oracle,
     // q107: the Rademacher matrix is md5-derived on BOTH sides (the
     // q101 digest trick) and 1/√16 is an exact power of two, so the
     // single micro-round per term is the operator's only rounding —
@@ -768,19 +766,8 @@ object SparkEntry {
     // (both engines round the same IEEE quotient), so the fused score
     // and its ties are exact; the dense leg reuses q38's proven
     // fixed-order list_sum cosine rounded to 6 dp before ranking.
-    "q108_hybrid_rrf" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
-        |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
-        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
-        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
-        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
-        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
-        |m AS (SELECT qt.query_id, tf2.doc_id,
-        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
-        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
-        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
-        |lex AS (SELECT query_id, doc_id, lrank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS lrank FROM sc) t WHERE lrank <= 10),
+    "q108_hybrid_rrf" -> (bm25OracleCtes + ",\n" +
+      """lex AS (SELECT query_id, doc_id, lrank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS lrank FROM sc) t WHERE lrank <= 10),
         |qe AS (SELECT qd.query_id, e.embedding AS qv FROM qd JOIN embeddings e ON e.vec_id = qd.query_id),
         |dc AS (SELECT qe.query_id, e.vec_id AS doc_id,
         |round(list_sum(list_transform(range(1, 65), i -> CAST(qe.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
@@ -792,7 +779,7 @@ object SparkEntry {
         |COALESCE(CAST(round(1000000.0 / (60 + lex.lrank)) AS BIGINT), 0) + COALESCE(CAST(round(1000000.0 / (60 + den.drank)) AS BIGINT), 0) AS rrf_micro
         |FROM lex FULL OUTER JOIN den ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
         |f AS (SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank FROM u)
-        |SELECT query_id, doc_id, rrf_micro, rank FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |SELECT query_id, doc_id, rrf_micro, rank FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     // q109 shares q104's oracle (the q87/q94 ingest-twin argument):
     // appending disjoint doc batches is a pure postings partition of
     // the corpus — df and stats reconstruct at probe time, so the
@@ -800,25 +787,15 @@ object SparkEntry {
     // hash thereby gates the whole ingest loop (stamped layout,
     // dynamic-overwrite replay safety, stats summation, cross-batch
     // df reconstruction, bucket pruning).
-    "q109_bm25_ingest_batch" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM d),
-        |tf2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
-        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM d) x GROUP BY doc_id, dl, tok),
-        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
-        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 8),
-        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
-        |m AS (SELECT qt.query_id, tf2.doc_id,
-        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
-        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
-        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
-        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
-        |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q109_bm25_ingest_batch" -> bm25Oracle,
     // q110: the negative draw is md5(event_id || '_' || j) read as a
     // 4-hex-digit base-16 value mod the item universe (Spark
     // conv(hex,16,10) == the strpos arithmetic here — the q102
     // pairing); positive-collision steps to the next id. The sample
-    // is a pure function of the data — identical on any engine.
+    // is a pure function of the data — identical on any engine. The
+    // final `it.n IS NOT NULL` mirrors the Spark side's empty-universe
+    // guard: with purchases but no item anywhere, there is nothing to
+    // sample from and BOTH sides emit zero rows.
     "q110_negative_sampling" ->
       """WITH it AS (SELECT CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) + 1 AS n FROM events),
         |p AS (SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS pos_item FROM events WHERE event_type = 'purchase'),
@@ -829,6 +806,6 @@ object SparkEntry {
         |FROM h, it)
         |SELECT event_id, user_id, pos_item, neg_idx,
         |CAST(CASE WHEN draw = pos_item THEN (draw + 1) % it.n ELSE draw END AS INTEGER) AS neg_item
-        |FROM d, it ORDER BY event_id, neg_idx""".stripMargin
+        |FROM d, it WHERE it.n IS NOT NULL ORDER BY event_id, neg_idx""".stripMargin
   )
 }

@@ -334,10 +334,6 @@ object Features {
       .orderBy("event_type", "next_type")
   }
 
-  /** UDAF exemplar (SURVEY §2.12 policy step 2): HR@k as a typed
-    * `Aggregator` — proves the custom-aggregate path without putting a
-    * non-codegen expression on any declared hot path.
-    */
   /** #110 Deterministic negative sampling — the contrastive /
     * sampled-softmax training-pair prep every recsys (and retrieval
     * two-tower) trainer needs over exactly this kind of event log
@@ -386,6 +382,10 @@ object Features {
       .orderBy("event_id", "neg_idx")
   }
 
+  /** UDAF exemplar (SURVEY §2.12 policy step 2): HR@k as a typed
+    * `Aggregator` — proves the custom-aggregate path without putting a
+    * non-codegen expression on any declared hot path.
+    */
   class HitRateAtK(k: Int) extends Aggregator[(Seq[Int], Int), (Long, Long), Double] {
     def zero: (Long, Long) = (0L, 0L)
     def reduce(b: (Long, Long), a: (Seq[Int], Int)): (Long, Long) =

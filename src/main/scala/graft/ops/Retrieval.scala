@@ -41,29 +41,40 @@ object Retrieval {
     * Scale shape (the inverted-index plan, with no index structure to
     * maintain): ONE exchange keyed by (doc_id, tok) builds tf — and
     * `dl` rides along in the grouping key so document length never
-    * needs a second join — then a map-side-partial count over `tok`
-    * yields df. The ≤ nQueries·qLen query terms join df and the
-    * resulting ≤32-row table BROADCASTS into the tf stream: the only
-    * rows that survive are postings of query terms (the inverted-index
-    * lookup, expressed as a hash-probe filter), so the scoring
-    * aggregate and the per-query top-k window touch the matched
-    * fraction only. Corpus stats (N, Σdl) are one 1-row aggregate.
-    * Nothing downstream of the tf build scales with corpus size except
-    * the postings of the queried terms — exactly an inverted index's
-    * cost model.
+    * needs a second join. The ≤ nQueries·qLen query terms BROADCAST
+    * into the tf stream first (the inverted-index lookup, expressed
+    * as a hash-probe filter), and df — each term's posting row count
+    * — aggregates over those matched postings only, never the corpus
+    * vocabulary; the scoring aggregate and the per-query top-k window
+    * touch the same matched fraction. Corpus stats (N, Σdl) are one
+    * 1-row aggregate. Nothing downstream of the tf build scales with
+    * corpus size except the postings of the queried terms — exactly
+    * an inverted index's cost model.
     */
   def q104Bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       qLen: Int = 4, k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = tokenizedDocs(spark, dir)
+    bm25TopK(docs, querySetOf(docs, nQueries, qLen), k, k1, b)
+  }
+
+  /** (doc_id, toks) projection every retrieval operator starts from. */
+  private def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val queries = docs.filter(col("doc_id") % 97 === 0)
+
+  /** The deterministic corpus-derived query set (query_id, tok) that
+    * q104/q106/q108/q109 all carve identically — ONE definition, so
+    * their row-for-row equality (and the shared oracle it justifies)
+    * is structural, not a convention four copies must uphold.
+    */
+  private def querySetOf(docs: DataFrame, nQueries: Int,
+      qLen: Int): DataFrame =
+    docs.filter(col("doc_id") % 97 === 0)
       .orderBy("doc_id").limit(nQueries)
       .select(col("doc_id").as("query_id"),
         explode(slice(col("toks"), 1, qLen)).as("tok"))
       .distinct()
-    bm25TopK(docs, queries, k, k1, b)
-  }
 
   /** DataFrame core of [[q104Bm25TopK]]: rank `docs` (doc_id, toks)
     * against `queries` (query_id, tok — one row per distinct query
@@ -83,14 +94,27 @@ object Retrieval {
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("tok"))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    // df over all terms (map-side partial), then pruned to query terms
-    val dfTab = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
-    val qdf = queries.join(dfTab, Seq("tok"))
-    // the float expression mirrors the oracle SQL token-for-token
-    // (same literals, same association) so both engines run the same
-    // IEEE ops; only ln() itself is engine libm code, and its
-    // ulp-level drift sits ~1e-9 micro-units from any rounding
-    // boundary (the q100 argument)
+    // prune to query-term postings FIRST (broadcast hash-probe), so
+    // df — the per-term posting row count — aggregates only those
+    // postings, never the corpus vocabulary (the bm25Indexed shape)
+    scoreMatched(
+      tf.join(broadcast(queries.select("tok").distinct()), Seq("tok")),
+      queries, nDocs, avgdl, k, k1, b)
+  }
+
+  /** Shared scoring tail of [[bm25TopK]] and [[bm25Indexed]]:
+    * `matched` holds (tok, doc_id, dl, tf) postings already pruned to
+    * the query terms; df per term is its posting row count (rows are
+    * unique per (tok, doc) on both paths). The float expression
+    * mirrors the oracle SQL token-for-token (same literals, same
+    * association) so both engines run the same IEEE ops; only ln()
+    * itself is engine libm code, and its ulp-level drift sits ~1e-9
+    * micro-units from any rounding boundary (the q100 argument).
+    */
+  private def scoreMatched(matched: DataFrame, queries: DataFrame,
+      nDocs: Long, avgdl: Double, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    val dfTab = matched.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
     val contrib = round(
       log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)) *
@@ -100,7 +124,9 @@ object Retrieval {
         lit(1000000.0)).cast("long")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_micro").desc, col("doc_id").asc)
-    tf.join(broadcast(qdf), Seq("tok"))
+    matched
+      .join(broadcast(dfTab), Seq("tok"))
+      .join(broadcast(queries), Seq("tok"))
       .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
       .groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_micro"))
@@ -194,20 +220,32 @@ object Retrieval {
     * Caller contract for `append`: batches must be disjoint doc sets
     * (same as [[graft.ops.LlmOps.dedupIndexAppendBatch]]).
     */
-  def invIndexWrite(docs: DataFrame, indexPath: String,
-      nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val postings = docs
+  /** The (doc_id, dl, tok, tf, tb) posting rows of `docs` — the ONE
+    * definition both index layouts write, so the flat and
+    * batch-stamped paths can never desynchronize their tokenization
+    * or bucketing.
+    */
+  private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("tok"))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(xxhash64(col("tok")), lit(nBuckets)))
-    postings.repartition(col("tb"))
-      .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
+
+  /** (n_docs, total_tokens) of `docs` as one driver-side row. */
+  private def statsOf(docs: DataFrame): (Long, Long) = {
     val st = docs.agg(count(lit(1)).as("n"),
       sum(size(col("toks")).cast("long")).as("total")).head()
-    Seq((st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1)))
+    (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+  }
+
+  def invIndexWrite(docs: DataFrame, indexPath: String,
+      nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    postingsOf(docs, nBuckets).repartition(col("tb"))
+      .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
+    Seq(statsOf(docs))
       .toDF("n_docs", "total_tokens")
       .coalesce(1).write
       .mode(if (mode == "append") "append" else "overwrite")
@@ -239,28 +277,9 @@ object Retrieval {
       .filter(col("tb").isin(buckets: _*))
     // exact-term postings; df = posting row count per term (rows are
     // unique per (tok, doc) by the disjoint-batch write contract)
-    val matched = pruned
-      .join(broadcast(queries.select("tok").distinct()), Seq("tok"))
-    val dfTab = matched.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
-    val contrib = round(
-      log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)) *
-        (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) *
-          (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))) *
-        lit(1000000.0)).cast("long")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-    matched
-      .join(broadcast(dfTab), Seq("tok"))
-      .join(broadcast(queries), Seq("tok"))
-      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("contrib").as("score_micro"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "doc_id", "rank", "score_micro")
-      .orderBy("query_id", "rank")
+    scoreMatched(
+      pruned.join(broadcast(queries.select("tok").distinct()), Seq("tok")),
+      queries, nDocs, avgdl, k, k1, b)
   }
 
   /** #106 Indexed BM25 — [[q104Bm25TopK]]'s exact semantics served
@@ -275,20 +294,35 @@ object Retrieval {
     */
   def q106Bm25Indexed(spark: SparkSession, dir: String, nQueries: Int = 8,
       qLen: Int = 4, k: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val docs = tokenizedDocs(spark, dir)
     // app-scoped path: two sessions on the same dir can't clobber
     // each other's index mid-probe (the q87 rule)
     val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q106_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     invIndexWrite(docs, indexPath)
-    val queries = docs.filter(col("doc_id") % 97 === 0)
-      .orderBy("doc_id").limit(nQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(col("toks"), 1, qLen)).as("tok"))
-      .distinct()
-    bm25Indexed(spark, queries, indexPath, k = k)
+    probeAndClean(spark,
+      bm25Indexed(spark, querySetOf(docs, nQueries, qLen), indexPath, k = k),
+      indexPath)
+  }
+
+  /** Materialize a BOUNDED probe result (≤ nQueries·k rows by
+    * construction), then delete the demonstration index it read —
+    * the declared q106/q109 queries build a throwaway index per run,
+    * and without this a long-lived host accumulates one index-sized
+    * tmp directory per application (library users calling
+    * [[invIndexWrite]]/[[bm25Indexed]] directly manage their own
+    * index lifecycle and are untouched). Localizing the rows first is
+    * what makes the delete safe: the returned frame no longer reads
+    * the files.
+    */
+  private def probeAndClean(spark: SparkSession, result: DataFrame,
+      indexPath: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = result.collect().toSeq
+    Sinks.fsFor(spark, indexPath)
+      .delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    spark.createDataFrame(rows.asJava, result.schema)
   }
 
   /** Batch-stamped incremental append to the inverted index — the
@@ -312,18 +346,13 @@ object Retrieval {
       batchId: Long, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(xxhash64(col("tok")), lit(nBuckets)))
+    postingsOf(docs, nBuckets)
       .withColumn("__batch_id", lit(batchId))
       .repartition(col("tb"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "__batch_id").parquet(s"$indexPath/postings")
-    val st = docs.agg(count(lit(1)).as("n"),
-      sum(size(col("toks")).cast("long")).as("total")).head()
-    Seq((st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1), batchId))
+    val (n, total) = statsOf(docs)
+    Seq((n, total, batchId))
       .toDF("n_docs", "total_tokens", "__batch_id")
       .coalesce(1).write
       .mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -345,8 +374,7 @@ object Retrieval {
   def q109Bm25IngestBatch(spark: SparkSession, dir: String,
       nBatches: Int = 4, nQueries: Int = 8, qLen: Int = 4,
       k: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val docs = tokenizedDocs(spark, dir)
     val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
       case null => -1L
       case l: Long => l
@@ -363,12 +391,9 @@ object Retrieval {
       invIndexAppendBatch(docs.filter(expr(s"doc_id DIV $bSize") === b),
         indexPath, b.toLong)
     }
-    val queries = docs.filter(col("doc_id") % 97 === 0)
-      .orderBy("doc_id").limit(nQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(col("toks"), 1, qLen)).as("tok"))
-      .distinct()
-    bm25Indexed(spark, queries, indexPath, k = k)
+    probeAndClean(spark,
+      bm25Indexed(spark, querySetOf(docs, nQueries, qLen), indexPath, k = k),
+      indexPath)
   }
 
   /** #108 Hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke
@@ -395,14 +420,10 @@ object Retrieval {
       qLen: Int = 4, kEach: Int = 10, k: Int = 10,
       rrfK: Int = 60): DataFrame = {
     import graft.ops.LlmOps.{cosinePrenorm, dotProduct}
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val docs = tokenizedDocs(spark, dir)
     val qdocs = docs.filter(col("doc_id") % 97 === 0)
       .orderBy("doc_id").limit(nQueries)
-    val qterms = qdocs
-      .select(col("doc_id").as("query_id"),
-        explode(slice(col("toks"), 1, qLen)).as("tok"))
-      .distinct()
+    val qterms = querySetOf(docs, nQueries, qLen)
     val lex = bm25TopK(docs, qterms, kEach, k1 = 1.2, b = 0.75)
       .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
     val emb = Tables.embeddings(spark, dir)

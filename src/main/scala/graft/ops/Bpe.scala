@@ -108,6 +108,14 @@ object Bpe {
     fitCache.computeIfAbsent((dir, nMerges, vocabCap),
       _ => fit(Tables.documents(spark, dir), nMerges, vocabCap))
 
+  /** Drop every memoized fit. The cache assumes a corpus dir is
+    * immutable for the JVM's lifetime (a re-materialized corpus is a
+    * new dir/version); a caller that DOES rewrite a dir in place
+    * calls this first, or the next encode would silently use merges
+    * trained on the old contents.
+    */
+  def invalidateFitCache(): Unit = fitCache.clear()
+
   /** Persist a fitted merge table as a tiny rank-ordered parquet
     * artifact — the production tokenizer story: train ONCE, ship the
     * artifact, every later job (any session, any cluster) loads it

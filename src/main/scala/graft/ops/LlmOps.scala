@@ -266,7 +266,14 @@ object LlmOps {
       dedupIngestBatch(spark, batch, indexPath, b.toLong, threshold)
         .select(col("doc_id"), lit(b.toLong).as("batch_id"))
     }
-    admitted.reduce(_.unionByName(_)).orderBy("doc_id")
+    // materialize before deleting the throwaway index the plan reads
+    // (the q106 rule — without this every application leaks an
+    // index-sized tmp directory, since the app-id-suffixed path means
+    // the pre-run delete never targets a previous run's state)
+    val out = admitted.reduce(_.unionByName(_)).orderBy("doc_id")
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    out
   }
 
   /** #86 Paragraph-level exact dedup (the C4/RefinedWeb boilerplate
@@ -341,15 +348,20 @@ object LlmOps {
     * ([[Streaming.paraDedupIngest]]) and its declared batch twin
     * ([[q94DedupParagraphIngest]]). Per batch of (doc_id, text):
     * segment (the q86 rule via [[segmentParas]]); drop every
-    * occurrence for which the persisted index holds a STRICTLY
-    * earlier (doc_id, para_idx) first occurrence; apply the in-batch
+    * occurrence the persisted index already holds under ANY OTHER
+    * (doc_id, para_idx) identity; apply the in-batch
     * min-(doc_id, para_idx) rule to the remainder; reassemble cleaned
     * docs; append the newly admitted first occurrences stamped with
     * `batchId` (dynamic overwrite — a replayed micro-batch rewrites
     * exactly its own index directory). Replay-safe BECAUSE the index
-    * carries the admitting (doc_id, para_idx) and the probe compares
-    * STRICTLY: on replay a keeper meets its own index row (equal, not
-    * earlier) and is admitted again, bit-identically.
+    * carries the admitting (doc_id, para_idx) and the probe excludes
+    * only that own identity: on replay a keeper meets its own index
+    * row (identical) and is admitted again, bit-identically — while
+    * any other indexed occurrence blocks, so even OUT-OF-ORDER
+    * delivery (a lower doc_id arriving after a higher one already
+    * indexed the paragraph) cannot admit a paragraph twice: admission
+    * is arrival-first, and for ordered batches arrival-first IS the
+    * global min-id rule (the q94/q86 equivalence).
     *
     * Scale shape: segmentation is map-side; the probe scans the index
     * behind a Bloom prefilter built from the batch's paragraph hashes
@@ -391,10 +403,19 @@ object LlmOps {
             col("doc_id").as("__idoc"), col("para_idx").as("__ipos"))
         val prefiltered = bloomOpt.fold(idx)(b =>
           idx.filter(graft.functions.BloomMightContain.mightContain(col("ph"), b)))
+        // seen = an index row for this paragraph exists that is NOT
+        // this row's own identity. Excluding only the identical
+        // (doc_id, para_idx) keeps a REPLAYED batch re-admitting
+        // exactly its own paragraphs (idempotent), while any OTHER
+        // indexed occurrence blocks — including a higher-id doc that
+        // arrived in an earlier batch, so out-of-order delivery
+        // cannot admit a paragraph twice (admission is arrival-first;
+        // for ordered batches arrival-first == the global min-id
+        // rule, which is the q94/q86 shared-oracle argument).
         paras.join(prefiltered, Seq("ph", "para"), "left")
           .withColumn("seen", col("__idoc").isNotNull &&
-            (col("__idoc") < col("doc_id") ||
-              (col("__idoc") === col("doc_id") && col("__ipos") < col("para_idx"))))
+            !(col("__idoc") === col("doc_id") &&
+              col("__ipos") === col("para_idx")))
           .drop("__idoc", "__ipos")
       }
     // one window over the batch's paragraphs (partition = duplicate
@@ -420,11 +441,13 @@ object LlmOps {
     * the cleaned documents. Batch-sequential admission over ordered
     * id ranges provably equals q86's global min-(doc_id, para_idx)
     * rule — "identical paragraph" is an equivalence relation and the
-    * strict-earlier probe plus in-batch rank IS the global first-
+    * any-other-identity probe plus in-batch rank IS the global first-
     * occurrence rule evaluated range by range — so q94 SHARES q86's
     * DuckDB oracle verbatim (the q89/q81 shared-oracle pattern), and
     * that oracle hash-gates the whole ingest loop: index layout,
-    * Bloom prefilter, strict-comparison probe, replay-safe append.
+    * Bloom prefilter, own-identity-excluding probe, replay-safe
+    * append. The built index is deleted once the result is
+    * materialized (the q106 rule — no tmp leak per application).
     */
   def q94DedupParagraphIngest(spark: SparkSession, dir: String,
       nBatches: Int = 4, paraTokens: Int = 20): DataFrame = {
@@ -445,7 +468,11 @@ object LlmOps {
       val batch = docs.filter(expr(s"doc_id DIV $bSize") === b)
       paraIngestBatch(spark, batch, indexPath, b.toLong, paraTokens)
     }
-    cleaned.reduce(_.unionByName(_)).orderBy("doc_id")
+    // materialize before deleting the throwaway index the plan reads
+    val out = cleaned.reduce(_.unionByName(_)).orderBy("doc_id")
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    out
   }
 
   /** Incremental near-dup: check a NEW batch against the persisted
@@ -1017,6 +1044,39 @@ object LlmOps {
     cents
   }
 
+  /** Per-query ADC lookup table: table(mi·k + ki) = <q_sub(mi),
+    * c(mi, ki)> — bounded driver work (m·k sub-dots), the ONE
+    * definition every PQ probe path (q91/q92/q93/annIncremental)
+    * builds its tables with, so the lookup arithmetic cannot diverge
+    * between them.
+    */
+  private def adcTableOf(q: Array[Float],
+      cb: graft.functions.Pq.Codebooks): Array[Float] = {
+    val table = new Array[Float](cb.m * cb.k)
+    for (mi <- 0 until cb.m; ki <- 0 until cb.k) {
+      var s = 0.0
+      for (d <- 0 until cb.subDim)
+        s += q(mi * cb.subDim + d).toDouble * cb.centroid(mi, ki, d)
+      table(mi * cb.k + ki) = s.toFloat
+    }
+    table
+  }
+
+  /** The `nProbe` best cells for a query by query-centroid cosine
+    * ((-cos, cid) order; degenerate norms rank last), each paired
+    * with the query-centroid dot it was scored with (q93's residual
+    * cross-terms reuse it) — the shared cell-ranking rule of every
+    * IVF probe path.
+    */
+  private def rankCells(q: Array[Float], qnsq: Double,
+      cents: Array[(Int, Array[Float])], nProbe: Int): Seq[(Int, Double)] =
+    cents.map { case (cid, c) =>
+      var dot = 0.0; var nc = 0.0
+      for (d <- c.indices) { dot += q(d).toDouble * c(d); nc += c(d).toDouble * c(d) }
+      (cid, if (nc == 0 || qnsq == 0) -2.0 else dot / math.sqrt(nc * qnsq), dot)
+    }.sortBy { case (cid, cos, _) => (-cos, cid) }.take(nProbe)
+      .map { case (cid, _, dot) => (cid, dot) }.toSeq
+
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int, Int), Array[(Int, Array[Float])]]()
 
@@ -1049,6 +1109,17 @@ object LlmOps {
       trainCap: Int = TrainerSampleCap): Option[graft.functions.Pq.Codebooks] =
     pqCbCache.computeIfAbsent((dir, m, kCodes, subDim, iters, trainCap),
       _ => pqCodebooks(emb, m, kCodes, subDim, iters, trainCap))
+
+  /** Drop every memoized trainer fit. The caches assume a corpus dir
+    * is immutable for the JVM's lifetime (a re-materialized corpus is
+    * a new dir/version — the `Bpe.fitCached` contract); a caller that
+    * DOES rewrite a dir in place calls this first, or the next fit
+    * would silently describe the old contents.
+    */
+  def invalidateTrainerCaches(): Unit = {
+    centroidCache.clear()
+    pqCbCache.clear()
+  }
 
   /** Train product-quantization codebooks: k-means in each of `m`
     * disjoint subspaces, all subspaces in ONE distributed job per
@@ -1134,16 +1205,10 @@ object LlmOps {
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding", "nsq").collect()
     if (qRows.isEmpty) return emptyAnnResult(emb)
-    // per-query ADC tables: table(mi·k + ki) = <q_sub(mi), c(mi,ki)>
+    // per-query ADC tables ([[adcTableOf]] — bounded driver work)
     val queries = qRows.toSeq.map { r =>
       val q = r.getSeq[Float](1).toArray
-      val table = new Array[Float](m * cb.k)
-      for (mi <- 0 until m; ki <- 0 until cb.k) {
-        var s = 0.0
-        for (d <- 0 until subDim) s += q(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
-        table(mi * cb.k + ki) = s.toFloat
-      }
-      (r.getLong(0), q.toSeq, table.toSeq, r.getDouble(2))
+      (r.getLong(0), q.toSeq, adcTableOf(q, cb).toSeq, r.getDouble(2))
     }.toDF("query_id", "qe", "adc_table", "qnsq")
     val codes = emb.select(col("vec_id"),
       graft.functions.PqEncode.codes(col("embedding"), cb).as("codes"))
@@ -1208,20 +1273,12 @@ object LlmOps {
     val queries = qRows.toSeq.flatMap { r =>
       val q = r.getSeq[Float](1).toArray
       val qnsq = r.getDouble(2)
-      val table = new Array[Float](m * cb.k)
-      for (mi <- 0 until m; ki <- 0 until cb.k) {
-        var s = 0.0
-        for (d <- 0 until subDim) s += q(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
-        table(mi * cb.k + ki) = s.toFloat
-      }
+      val table = adcTableOf(q, cb).toSeq
       // rank cells by query-centroid cosine, driver-side (bounded:
-      // nQueries × nCells), keep the nProbe best
-      val best = cents.map { case (cid, c) =>
-        var dot = 0.0; var nc = 0.0
-        for (d <- c.indices) { dot += q(d).toDouble * c(d); nc += c(d).toDouble * c(d) }
-        (cid, if (nc == 0 || qnsq == 0) -2.0 else dot / math.sqrt(nc * qnsq))
-      }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
-      best.map(cell => (r.getLong(0), q.toSeq, table.toSeq, qnsq, cell))
+      // nQueries × nCells), keep the nProbe best ([[rankCells]])
+      rankCells(q, qnsq, cents, nProbe).map { case (cell, _) =>
+        (r.getLong(0), q.toSeq, table, qnsq, cell)
+      }
     }.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
     val codes = emb
       .withColumn("cell", bestCellOf(centroidScores(cents)))
@@ -1296,10 +1353,14 @@ object LlmOps {
       zip_with(e, element_at(centLit, cell + 1),
         (a, b) => a.cast("float") - b)
     val assigned = emb.withColumn("cell", bestCellOf(centroidScores(cents)))
-    val cbOpt = pqCodebooks(
-      assigned.select(col("vec_id"),
-        residOf(col("embedding"), col("cell")).as("embedding")),
-      m, kCodes, subDim, pqIters)
+    // pin the residual projection once: the trainer replays it
+    // (sizing count + seed scan + per-Lloyd-round passes), and
+    // without the checkpoint every replay recomputes full-corpus
+    // cell assignment + residuals from the parquet scan
+    val residuals = assigned.select(col("vec_id"),
+      residOf(col("embedding"), col("cell")).as("embedding"))
+      .localCheckpoint()
+    val cbOpt = pqCodebooks(residuals, m, kCodes, subDim, pqIters)
     if (cbOpt.isEmpty) return emptyAnnResult(emb)
     val cb = cbOpt.get
     val qRows = emb.filter(col("vec_id") < nQueries)
@@ -1321,19 +1382,9 @@ object LlmOps {
     val queries = qRows.toSeq.flatMap { r =>
       val q = r.getSeq[Float](1).toArray
       val qnsq = r.getDouble(2)
-      val table = new Array[Float](m * cb.k)
-      for (mi <- 0 until m; ki <- 0 until cb.k) {
-        var s = 0.0
-        for (d <- 0 until subDim) s += q(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
-        table(mi * cb.k + ki) = s.toFloat
-      }
-      val ranked = cents.map { case (cid, c) =>
-        var dot = 0.0; var nc = 0.0
-        for (d <- c.indices) { dot += q(d).toDouble * c(d); nc += c(d).toDouble * c(d) }
-        (cid, if (nc == 0 || qnsq == 0) -2.0 else dot / math.sqrt(nc * qnsq), dot)
-      }.sortBy { case (cid, cos, _) => (-cos, cid) }.take(nProbe)
-      ranked.map { case (cell, _, qcDot) =>
-        (r.getLong(0), q.toSeq, table.toSeq, qnsq, cell, qcDot,
+      val table = adcTableOf(q, cb).toSeq
+      rankCells(q, qnsq, cents, nProbe).map { case (cell, qcDot) =>
+        (r.getLong(0), q.toSeq, table, qnsq, cell, qcDot,
           cellNormSq(cell), cellDot(cell))
       }
     }.toDF("query_id", "qe", "adc_table", "qnsq", "cell", "qc_dot",
@@ -1462,7 +1513,21 @@ object LlmOps {
         val dims = cents.head._2.length
         pqCodebooks(emb, m, kCodes, dims / m, pqIters)
       }
-    if (mode != "append") cbOpt.foreach(writePqCodebooks(spark, indexPath, _))
+    if (mode != "append") {
+      cbOpt match {
+        case Some(cb) => writePqCodebooks(spark, indexPath, cb)
+        case None =>
+          // a REBUILD that writes no PQ state (writePq = false, or an
+          // empty corpus) must also REMOVE any previous build's pq/ +
+          // codes/ — otherwise annIncremental finds the stale pq/
+          // marker, takes the ADC path, and scans codes that describe
+          // vectors no longer in the index (wrong/empty neighbors
+          // with no error). Overwrite means the whole layout.
+          val fs = Sinks.fsFor(spark, indexPath)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/pq"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/codes"), true)
+      }
+    }
     // plain full-directory overwrite for a rebuild — DYNAMIC overwrite
     // would leave stale cell=N directories behind whenever the new
     // clustering assigns no vectors to a cell, and probes would then
@@ -1592,18 +1657,10 @@ object LlmOps {
       val q = r.getSeq[Float](1).toArray
       var qnsq = 0.0
       q.foreach(v => qnsq += v.toDouble * v)
-      val table = new Array[Float](m * cb.k)
-      for (mi <- 0 until m; ki <- 0 until cb.k) {
-        var s = 0.0
-        for (d <- 0 until subDim) s += q(mi * subDim + d).toDouble * cb.centroid(mi, ki, d)
-        table(mi * cb.k + ki) = s.toFloat
+      val table = adcTableOf(q, cb).toSeq
+      rankCells(q, qnsq, cents, nProbe).map { case (cell, _) =>
+        (r.getLong(0), q.toSeq, table, qnsq, cell)
       }
-      val best = cents.map { case (cid, c) =>
-        var dot = 0.0; var nc = 0.0
-        for (d <- c.indices) { dot += q(d).toDouble * c(d); nc += c(d).toDouble * c(d) }
-        (cid, if (nc == 0 || qnsq == 0) -2.0 else dot / math.sqrt(nc * qnsq))
-      }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
-      best.map(cell => (r.getLong(0), q.toSeq, table.toSeq, qnsq, cell))
     }.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
     val finalists = spark.read.parquet(s"$indexPath/codes")
       .join(broadcast(probeRows), Seq("cell"))

@@ -248,11 +248,14 @@ object Streaming {
     * declared q94 batch twin runs), write the cleaned documents to
     * the sink. Both the index append and the sink write are
     * batch-id-stamped dynamic overwrites, and the index probe
-    * compares STRICTLY against the admitting (doc_id, para_idx), so
-    * a replayed micro-batch re-admits exactly its own paragraphs and
-    * rewrites exactly its own directories — exactly-once state on
-    * at-least-once delivery. Per-batch cost scales with the batch
-    * plus its Bloom-prefiltered index overlap, never with history.
+    * excludes only the admitting row's own (doc_id, para_idx)
+    * identity, so a replayed micro-batch re-admits exactly its own
+    * paragraphs and rewrites exactly its own directories —
+    * exactly-once state on at-least-once delivery — while
+    * out-of-order id arrival can never admit a paragraph twice
+    * (admission is arrival-first). Per-batch cost scales with the
+    * batch plus its Bloom-prefiltered index overlap, never with
+    * history.
     */
   def paraDedupIngest(docs: DataFrame, indexPath: String, outPath: String,
       paraTokens: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =

@@ -760,6 +760,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(prod.view.mapValues(_._1).toMap === prod2, "xxhash path must be deterministic")
   }
 
+  test("annIndexWrite overwrite removes stale PQ state when the rebuild writes none") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_stale").toString
+    val emb = Tables.embeddings(spark, SharedSpark.sfTiny)
+    LlmOps.annIndexWrite(spark, emb, idx)
+    def exists(sub: String) =
+      new java.io.File(s"$idx/$sub").exists()
+    assert(exists("pq") && exists("codes"))
+    // a float-only REBUILD of the same path must not leave the old
+    // PQ state behind — a probe would otherwise ADC-scan codes that
+    // describe a different build
+    LlmOps.annIndexWrite(spark, emb, idx, writePq = false)
+    assert(!exists("pq") && !exists("codes"))
+    // and the probe now takes the float path, matching a fresh
+    // float-only index on a disjoint dir
+    val queries = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding")
+    val got = LlmOps.annIncremental(spark, queries, idx)
+      .collect().map(_.toSeq).toSeq
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ann_stale2").toString
+    LlmOps.annIndexWrite(spark, emb, idx2, writePq = false)
+    val want = LlmOps.annIncremental(spark, queries, idx2)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("paraIngestBatch: out-of-order doc ids cannot admit a paragraph twice; replay stays idempotent") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_para_ooo").toString
+    def para(tag: String) = (0 until 20).map(i => s"${tag}_$i").mkString(" ")
+    // batch 0 delivers the HIGHER doc id first
+    val b0 = Seq((10L, para("P"))).toDF("doc_id", "text")
+    LlmOps.paraIngestBatch(spark, b0, idx, 0L)
+    // batch 1 delivers a lower id with the same paragraph + a new one
+    val b1 = Seq((5L, para("P") + " " + para("Q"))).toDF("doc_id", "text")
+    val out1 = LlmOps.paraIngestBatch(spark, b1, idx, 1L)
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // arrival-first: doc 5's P is already indexed (by doc 10) and
+    // must be stripped; Q is new and admitted
+    assert(out1 === Seq((5L, 2L, 1L, para("Q"))))
+    // the index stays unique per paragraph — no second row for P
+    val pRows = spark.read.parquet(s"$idx/paras")
+      .filter(col("para") === para("P")).collect()
+    assert(pRows.length === 1 && pRows.head.getAs[Long]("doc_id") === 10L)
+    // replaying batch 1 re-admits exactly its own rows, bit-identically
+    val replay = LlmOps.paraIngestBatch(spark, b1, idx, 1L)
+      .select("doc_id", "n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(replay === out1)
+    assert(spark.read.parquet(s"$idx/paras")
+      .filter(col("para") === para("P")).count() === 1L)
+  }
+
   test("ANN trainers are fit once per (corpus, params): cached calls return the stored fit") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, SharedSpark.sfTiny)

@@ -31,15 +31,20 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(path)
 
-  /** Training-shard export: write exactly `nShards` files, rows
-    * assigned to shards by a DETERMINISTIC key hash (stable across
-    * runs, partitionings and task retries — the same rule as every
-    * shuffle key in this library) and sorted within each shard by
-    * `orderCols`. This is the hand-off a sequential training consumer
-    * wants: reproducible shard membership for resumable epochs, local
-    * ordering for curriculum/session contiguity, bounded shard count
-    * for the data-loader fan-in. One range-free shuffle + in-partition
-    * sort — no global ordering is paid for.
+  /** Training-shard export: write AT MOST `nShards` shard=K parquet
+    * directories, rows assigned by a DETERMINISTIC key hash (stable
+    * across runs, partitionings and task retries — the same rule as
+    * every shuffle key in this library) and sorted within each shard
+    * by `orderCols`. This is the hand-off a sequential training
+    * consumer wants: reproducible shard membership for resumable
+    * epochs, local ordering for curriculum/session contiguity,
+    * bounded shard count for the data-loader fan-in. One range-free
+    * shuffle + in-partition sort — no global ordering is paid for.
+    * Contract note: a shard value no row hashes to produces NO
+    * directory (parquet writes nothing for empty partitions) — a
+    * realistic concern only when nShards approaches the row count,
+    * but a fan-in reader must iterate the directories it FINDS, not
+    * assume ids 0..nShards-1 all exist.
     */
   def exportShards(df: DataFrame, shardKey: String,
       orderCols: Seq[String], nShards: Int, path: String): Unit =
@@ -67,15 +72,15 @@ object Sinks {
       targetRowsPerFile: Long = 1000000L): Unit = {
     val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    val (counts, _) = rewriteBudgeted(df, partCol, targetRowsPerFile, tmp)
+    // rewriteBudgeted already reduced its pinned counts to the total
+    // — reuse it rather than re-running the aggregate
+    val expected = rewriteBudgeted(df, partCol, targetRowsPerFile, tmp)
     // Validate BEFORE the swap: the rewrite must carry every row (the
-    // counts aggregate is the independent expectation). A bad rewrite
+    // counts total is the independent expectation). A bad rewrite
     // aborts here with the live directory untouched — the swap below
     // only ever installs a verified dataset.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    // coalesce: sum over zero partitions is NULL (empty dataset)
-    val expected = counts.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
     val actual = spark.read.parquet(tmp).count()
     if (actual != expected) {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -102,8 +107,8 @@ object Sinks {
   /** Shared rewrite core for [[compact]]/[[compactVersioned]]: write
     * `df` to `dest` with per-partition file budgets (ceil(cnt /
     * target) files each, skewed hot partitions get more, sparse ones
-    * get one). Returns the pinned counts (the validation expectation)
-    * and the budget source. The bucket MUST be a deterministic
+    * get one). Returns the total row count from the pinned counts —
+    * the validation expectation. The bucket MUST be a deterministic
     * function of row content (never monotonically_increasing_id): a
     * partial map-stage retry re-evaluates it, and a value that
     * changes across attempts duplicates/drops rows in the rewrite.
@@ -111,7 +116,7 @@ object Sinks {
     * Spark 3 — same guard as Skew.rowSalt).
     */
   private def rewriteBudgeted(df: DataFrame, partCol: String,
-      targetRowsPerFile: Long, dest: String): (DataFrame, Long) = {
+      targetRowsPerFile: Long, dest: String): Long = {
     // localCheckpoint: the counts feed the broadcast join side AND the
     // pre-commit validation — pin them so the source is scanned once
     // for counts, not once per consumer (an extra pass at lake scale)
@@ -133,8 +138,8 @@ object Sinks {
       .repartition(col(partCol), col("__bucket"))
       .drop("cnt", "__files", "__bucket")
       .write.mode("overwrite").partitionBy(partCol).parquet(dest)
-    val expected = counts.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
-    (counts, expected)
+    // coalesce: sum over zero partitions is NULL (empty dataset)
+    counts.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
   }
 
   // -- versioned table (object-store-safe commit) -------------------
@@ -223,10 +228,15 @@ object Sinks {
       partCol: Option[String] = None): Long = {
     val v = nextVersion(spark, root)
     val dir = versionDir(root, v)
-    val expected = df.count()
+    // pin the plan ONCE: count and write must see the same rows for
+    // the validation to mean anything (a live source or a
+    // nondeterministic plan evaluated twice could drift between
+    // them), and it saves the second full scan
+    val pinned = df.localCheckpoint()
+    val expected = pinned.count()
     partCol match {
-      case Some(p) => df.repartition(col(p)).write.partitionBy(p).parquet(dir)
-      case None => df.write.parquet(dir)
+      case Some(p) => pinned.repartition(col(p)).write.partitionBy(p).parquet(dir)
+      case None => pinned.write.parquet(dir)
     }
     val actual = spark.read.parquet(dir).count()
     if (actual != expected) {
@@ -251,7 +261,7 @@ object Sinks {
     val v = nextVersion(spark, root)
     val dir = versionDir(root, v)
     val df = spark.read.parquet(versionDir(root, live))
-    val (_, expected) = rewriteBudgeted(df, partCol, targetRowsPerFile, dir)
+    val expected = rewriteBudgeted(df, partCol, targetRowsPerFile, dir)
     val actual = spark.read.parquet(dir).count()
     if (actual != expected) {
       fsFor(spark, root).delete(new org.apache.hadoop.fs.Path(dir), true)

@@ -86,24 +86,6 @@ object Skew {
       .select(col("key"),
         transform(array_sort(col("parts")), x => x.getField("v")).as("values"))
 
-  /** Salted shuffle join for one hot key pinning a task when the
-    * small side is too big to broadcast and AQE skew-splitting isn't
-    * available (or the partitioning must be explicit): the skewed big
-    * side gets a salt, the other side is replicated `salts` times,
-    * and the join key becomes (key, salt) — the hot key's rows spread
-    * over `salts` tasks. Row-for-row equal to the unsalted join;
-    * replication multiplies the small side by `salts`, so pick
-    * salts ≈ (hot-key rows / average-key rows), not "big".
-    *
-    * The salt is a deterministic hash of the big side's FULL row
-    * content — a shuffle key must re-evaluate identically on a
-    * partial map-stage retry, or reducers that already fetched the
-    * first attempt's output see duplicated/missing rows
-    * (monotonically_increasing_id is exactly that hazard). Hot-key
-    * rows that are full duplicates share a salt and do not spread;
-    * at that point dedup first — spreading identical rows is
-    * aggregation's job (saltedCountSum), not a join's.
-    */
   /** Declared q57: the salted two-phase aggregation as a driver-
     * verified query — per-user event count and exact cents sum over
     * the event log, computed through the salt spread. The salt is
@@ -122,6 +104,24 @@ object Skew {
       .select(col("key").as("user_id"), col("n"), col("s").as("sum_cents"))
       .orderBy("user_id")
 
+  /** Salted shuffle join for one hot key pinning a task when the
+    * small side is too big to broadcast and AQE skew-splitting isn't
+    * available (or the partitioning must be explicit): the skewed big
+    * side gets a salt, the other side is replicated `salts` times,
+    * and the join key becomes (key, salt) — the hot key's rows spread
+    * over `salts` tasks. Row-for-row equal to the unsalted join;
+    * replication multiplies the small side by `salts`, so pick
+    * salts ≈ (hot-key rows / average-key rows), not "big".
+    *
+    * The salt is a deterministic hash of the big side's FULL row
+    * content — a shuffle key must re-evaluate identically on a
+    * partial map-stage retry, or reducers that already fetched the
+    * first attempt's output see duplicated/missing rows
+    * (monotonically_increasing_id is exactly that hazard). Hot-key
+    * rows that are full duplicates share a salt and do not spread;
+    * at that point dedup first — spreading identical rows is
+    * aggregation's job (saltedCountSum), not a join's.
+    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     val salted = big.withColumn("__salt", rowSalt(big, salts))

@@ -41,16 +41,32 @@ object StatefulSessionize {
     var out = List.empty[Sess]
     it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
       st match {
-        case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+        case Some(s) if e.ts_ms >= s.startMs - gapMs &&
+            e.ts_ms - s.lastMs <= gapMs =>
           // min/max, not overwrite: a late-but-within-watermark event
           // from an earlier micro-batch must never regress lastMs
           // (that would split the next on-time event into a bogus new
-          // session and set the close timeout too early)
+          // session and set the close timeout too early). The LOWER
+          // bound matters symmetrically: a late event more than one
+          // gap BEFORE the open session's start does not belong to it
+          // — without the bound `e.ts_ms - s.lastMs <= gapMs` is
+          // trivially true for ANY past event and would drag startMs
+          // arbitrarily backward.
           st = Some(State(math.min(s.startMs, e.ts_ms),
             math.max(s.lastMs, e.ts_ms), (e.ts_ms, e.event_id) :: s.events))
-        case Some(s) =>
+        case Some(s) if e.ts_ms > s.lastMs =>
+          // forward gap exceeded: close the session, open the next
           out ::= emit(user, s)
           st = Some(State(e.ts_ms, e.ts_ms, List((e.ts_ms, e.event_id))))
+        case Some(_) =>
+          // late event beyond the open session's backward reach: its
+          // own session under batch semantics, which here closed
+          // before the open one started — emit it immediately as a
+          // (best-effort) late singleton rather than corrupting the
+          // open session. Unreachable at the 0-seconds default
+          // watermark (late events are filtered pre-transition); only
+          // a caller opting into a real lateness window sees it.
+          out ::= emit(user, State(e.ts_ms, e.ts_ms, List((e.ts_ms, e.event_id))))
         case None =>
           st = Some(State(e.ts_ms, e.ts_ms, List((e.ts_ms, e.event_id))))
       }
@@ -86,13 +102,22 @@ object StatefulSessionize {
         transition(gapMs, flushTrailing = true))
   }
 
-  /** Streaming form over a watermarked event stream (needs `ts`
-    * TimestampType for the watermark plus `ts_ms`).
+  /** Streaming form over an event stream (needs `ts` TimestampType
+    * for the watermark plus `ts_ms`). `watermarkDelay` is the
+    * admitted lateness window: the "0 seconds" default DROPS every
+    * cross-batch out-of-order event (watermark = max seen ts), which
+    * is what makes the AvailableNow equivalence specs exact and
+    * trailing sessions flush at stream end; a real deployment with
+    * late data passes e.g. "30 minutes" — late events inside the
+    * window then reach [[transition]] (whose bounded-merge rule
+    * handles them), at the cost of session finalization lagging the
+    * watermark by the same window.
     */
-  def sessionizeStream(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[Sess] = {
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "0 seconds"): Dataset[Sess] = {
     import spark.implicits._
-    events.withWatermark("ts", "0 seconds")
-      .select(col("user_id"), col("event_id"), col("ts_ms"), col("ts")).as[Ev]
+    toEvents(events.withWatermark("ts", watermarkDelay))(spark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         transition(gapMs, flushTrailing = false))
@@ -161,9 +186,12 @@ object StatefulSessionize {
     * sku STRING, ts TIMESTAMP for the watermark).
     */
   def sessionEventsStream(spark: SparkSession, exploded: DataFrame,
-      closeAfterMs: Long = 30 * 60 * 1000L): Dataset[SessionRow] = {
+      closeAfterMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionRow] = {
     import spark.implicits._
-    exploded.withWatermark("ts", "0 seconds").as[SkuEv]
+    // the lateness trade is [[sessionizeStream]]'s; merging itself is
+    // order-free here (sessions are keyed by explicit session_id)
+    exploded.withWatermark("ts", watermarkDelay).as[SkuEv]
       .groupByKey(_.session_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         sessionEventsTransition(closeAfterMs, flushTrailing = false))

@@ -129,9 +129,14 @@ object StatefulTopK {
   /** Streaming form over a watermarked event stream: days emit on
     * event-time timeout, exactly once each.
     */
-  def topkStream(spark: SparkSession, events: DataFrame, k: Int = 2): Dataset[TopRow] = {
+  def topkStream(spark: SparkSession, events: DataFrame, k: Int = 2,
+      watermarkDelay: String = "0 seconds"): Dataset[TopRow] = {
     import spark.implicits._
-    toDayEvents(events)(spark)
+    // watermark applied HERE, matching StatefulSessionize's contract
+    // (EventTimeTimeout requires one; callers pass a delay instead of
+    // remembering to pre-watermark). See sessionizeStream for the
+    // lateness/finalization trade the default makes.
+    toDayEvents(events.withWatermark("ts", watermarkDelay))(spark)
       .groupByKey(_.day)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         transition(k, flushTrailing = false))
@@ -151,9 +156,10 @@ object StatefulTopK {
     * open day, days emit on event-time timeout exactly once each.
     */
   def topkSketchedStream(spark: SparkSession, events: DataFrame,
-      k: Int = 2, capacity: Int = 64): Dataset[TopRow] = {
+      k: Int = 2, capacity: Int = 64,
+      watermarkDelay: String = "0 seconds"): Dataset[TopRow] = {
     import spark.implicits._
-    toDayEvents(events)(spark)
+    toDayEvents(events.withWatermark("ts", watermarkDelay))(spark)
       .groupByKey(_.day)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         transitionSketched(k, capacity, flushTrailing = false))

@@ -67,7 +67,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.ops.StatefulTopK.topkBatch(spark, Tables.events(spark, sf)).toDF()
     val stream = Streaming.runAvailableNow(spark, sf,
       df => graft.ops.StatefulTopK.topkStream(spark, df).toDF(), "t_topk",
-      watermark = Some("ts" -> "0 seconds"), outputMode = "append")
+      watermark = None, outputMode = "append")
     // the final watermark equals the max event time, which never
     // passes the LAST day's boundary — that day stays open (correct
     // streaming semantics); compare the closed days
@@ -102,8 +102,7 @@ class StreamingSpec extends AnyFunSuite {
         .schema("event_type STRING, ts TIMESTAMP, ts_ms LONG")
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
-      val q = graft.ops.StatefulTopK.topkStream(spark,
-          src.withWatermark("ts", "0 seconds")).toDF()
+      val q = graft.ops.StatefulTopK.topkStream(spark, src).toDF()
         .writeStream.outputMode("append")
         .format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
@@ -206,8 +205,8 @@ class StreamingSpec extends AnyFunSuite {
         .schema("event_type STRING, ts TIMESTAMP, ts_ms LONG")
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
-      val q = graft.ops.StatefulTopK.topkSketchedStream(spark,
-          src.withWatermark("ts", "0 seconds"), k = 2, capacity = 8).toDF()
+      val q = graft.ops.StatefulTopK.topkSketchedStream(spark, src,
+          k = 2, capacity = 8).toDF()
         .writeStream.outputMode("append")
         .format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
@@ -447,6 +446,33 @@ class StreamingSpec extends AnyFunSuite {
     // This pins the oracle semantics (q34 uses strict > at µs): the
     // event at exactly last_ts+gap still belongs to the session.
     assert(sessions === Seq(1L, 2L))
+  }
+
+  test("stateful sessionize: late event beyond the open session's reach becomes its own session") {
+    import graft.ops.StatefulSessionize.{Ev, State, transition}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def ev(ts: Long, id: Long) = Ev(1L, id, ts, new java.sql.Timestamp(ts))
+    val gap = 30L
+    // open session [200, 200]; a watermark window admits ts=150 —
+    // 150 < 200 − gap, so it must NOT merge (the unbounded
+    // `e.ts − last <= gap` rule would have dragged startMs to 150)
+    val st = TestGroupState.create[State](
+      org.apache.spark.api.java.Optional.of(State(200L, 200L, List((200L, 9L)))),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(120L), hasTimedOut = false)
+    val out = transition(gap, flushTrailing = false)(1L, Iterator(ev(150L, 2L)), st).toSeq
+    assert(out.map(s => (s.session_start_ms, s.interactions)) === Seq((150L, Seq(2L))))
+    assert(st.get === State(200L, 200L, List((200L, 9L))))
+    // a late event INSIDE the session's backward reach merges and
+    // extends startMs (correct gap semantics, not corruption)
+    val st2 = TestGroupState.create[State](
+      org.apache.spark.api.java.Optional.of(State(200L, 210L, List((200L, 9L), (210L, 10L)))),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(120L), hasTimedOut = false)
+    val out2 = transition(gap, flushTrailing = false)(1L, Iterator(ev(180L, 3L)), st2).toSeq
+    assert(out2.isEmpty)
+    assert(st2.get.startMs === 180L && st2.get.lastMs === 210L)
+    assert(st2.get.events.map(_._2).toSet === Set(9L, 10L, 3L))
   }
 
   test("stateful sessionize (flatMapGroupsWithState): batch == declarative flagship") {

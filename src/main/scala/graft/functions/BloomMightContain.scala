@@ -41,7 +41,10 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
 
   override def nullSafeEval(input: Any): Any = child.dataType match {
     case LongType => filter.mightContainLong(input.asInstanceOf[Long])
-    case _ => filter.mightContainString(input.asInstanceOf[UTF8String].toString)
+    // mightContainBinary over the UTF8String's own bytes —
+    // mightContainString is defined as the UTF-8 binary probe, so
+    // this skips the decode-to-java-String + re-encode round trip
+    case _ => filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -52,8 +55,11 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
         nullSafeCodeGen(ctx, ev, v =>
           s"${ev.value} = $ref.mightContainLong($v);")
       case _ =>
+        // getBytes, not toString: same probe (mightContainString IS
+        // the UTF-8 binary probe) minus a per-row String allocation
+        // inside the WholeStageCodegen span
         nullSafeCodeGen(ctx, ev, s =>
-          s"${ev.value} = $ref.mightContainString($s.toString());")
+          s"${ev.value} = $ref.mightContainBinary($s.getBytes());")
     }
   }
 

@@ -27,18 +27,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
 
-  /** pair a+SEP+b → merge rank (SEP = NUL, can't appear in a symbol) (lower = earlier = higher priority). */
+  /** pair key → merge rank (lower = earlier = higher priority). The
+    * key is LENGTH-PREFIXED (`"${a.length}:${a}${b}"`), which is
+    * collision-free for ANY symbol content: two pairs collide only if
+    * their left lengths match, which forces a==a' and then b==b'. A
+    * bare separator character is not safe here — fitted symbols come
+    * from space-split corpus text and can legally contain any other
+    * character, including NUL.
+    */
   private val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       // first occurrence wins if a pair was somehow recorded twice
-      m.putIfAbsent(a + BpeTable.Sep + b, Integer.valueOf(i))
+      m.putIfAbsent(BpeTable.pairKey(a, b), Integer.valueOf(i))
     }
     m
   }
 
   private def rankOf(a: String, b: String): Int = {
-    val r = ranks.get(a + BpeTable.Sep + b)
+    val r = ranks.get(BpeTable.pairKey(a, b))
     if (r == null) Int.MaxValue else r.intValue()
   }
 
@@ -178,13 +185,15 @@ case class BpePieces(child: Expression, table: BpeTable)
 }
 
 object BpeTable {
-  /** Rank-map key separator between the two symbols of a pair. NUL
-    * cannot appear inside a fitted symbol (fitMerges tokenizes on
-    * whitespace-split text), so `a+Sep+b` is collision-free. Kept as
-    * a unicode escape — a raw NUL byte in the source file makes git
-    * treat the .scala file as binary (no diff/blame/grep).
+  /** Collision-free rank-map key for a merge pair: the left symbol's
+    * length prefix pins the split point, so NO separator character is
+    * needed — fitted symbols come from space-split corpus text and
+    * may contain anything else (a former NUL-separator scheme was
+    * ambiguous for symbols that themselves contained NUL).
     */
-  val Sep: String = "\u0000"
+  private[functions] def pairKey(a: String, b: String): String =
+    new java.lang.StringBuilder(a.length + b.length + 8)
+      .append(a.length).append(':').append(a).append(b).toString
 }
 
 object BpePieces {

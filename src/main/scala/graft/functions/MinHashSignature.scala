@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * interpreted `array_min(transform(...))` passes (SURVEY §2.12 step
   * 3; profiling showed q37's time in signature evaluation).
   *
-  * Deterministic (no RNG state); NULL input → NULL; empty set →
-  * Long.MaxValue per seed (callers filter empty docs anyway).
+  * Deterministic (no RNG state); NULL input → NULL; NULL elements are
+  * SKIPPED (a null shingle hash is an absent shingle, not token 0 —
+  * the type check admits containsNull arrays from the SQL surface);
+  * empty set → Long.MaxValue per seed (callers filter empty docs
+  * anyway).
   */
 case class MinHashSignature(child: Expression, nSeeds: Int)
     extends UnaryExpression {
@@ -35,12 +38,14 @@ case class MinHashSignature(child: Expression, nSeeds: Int)
     val mins = Array.fill(nSeeds)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < nSeeds) {
-        val v = XXH64.hashLong(h, i.toLong)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < nSeeds) {
+          val v = XXH64.hashLong(h, i.toLong)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -60,6 +65,7 @@ case class MinHashSignature(child: Expression, nSeeds: Int)
          |long[] $mins = new long[$nSeeds];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($hs.isNullAt($j)) continue;
          |  long $h = $hs.getLong($j);
          |  for (int $i = 0; $i < $nSeeds; $i++) {
          |    long $v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $i);

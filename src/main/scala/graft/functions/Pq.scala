@@ -78,8 +78,15 @@ object Pq {
     code
   }
 
-  /** ADC inner product: Σ_m table[m·k + code_m]. */
+  /** ADC inner product: Σ_m table[m·k + code_m]. Defensive like
+    * [[encode]]: a malformed lookup table (wrong length or null
+    * slots) scores 0 instead of reading out-of-bounds/undefined
+    * array memory (UnsafeArrayData.getFloat has no bounds check).
+    */
   def adc(code: Int, table: ArrayData, m: Int, k: Int): Double = {
+    if (table.numElements() != m * k) return 0.0
+    var chk = 0
+    while (chk < m * k) { if (table.isNullAt(chk)) return 0.0; chk += 1 }
     var s = 0.0
     var mi = 0
     while (mi < m) {

@@ -26,6 +26,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 case class SignLshBucket(child: Expression, table: Int, planes: Int, dims: Int)
     extends UnaryExpression {
+  // the bucket is ONE packed long, one bit per plane: planes > 64
+  // would shift-wrap (1L << p aliases p mod 64) and silently XOR
+  // unrelated planes into the low bits. Enforced at construction on
+  // BOTH surfaces (Column API here, SQL literal bounds in
+  // GraftFunctions.intLit).
+  require(planes >= 1 && planes <= 64,
+    s"sign_lsh_bucket: planes must be in [1, 64], got $planes")
+  require(dims >= 1, s"sign_lsh_bucket: dims must be positive, got $dims")
+  require(table >= 0, s"sign_lsh_bucket: table must be >= 0, got $table")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable

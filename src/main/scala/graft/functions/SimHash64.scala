@@ -13,7 +13,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Frequency weighting falls out of passing token hashes WITH
   * multiplicity. One generated loop per row — replaces the explode +
   * groupBy(doc,token) + 64-conditional-sum shuffle formulation with a
-  * pure map-side expression (SURVEY §2.12 step 3).
+  * pure map-side expression (SURVEY §2.12 step 3). NULL elements are
+  * SKIPPED (an absent token, not a vote for hash 0 — the type check
+  * admits containsNull arrays from the SQL surface).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -30,11 +32,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }
@@ -59,6 +63,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $hs.numElements();
          |int[] $counts = new int[64];
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($hs.isNullAt($j)) continue;
          |  long $h = $hs.getLong($j);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;

@@ -68,4 +68,36 @@ class DotProductSpec extends AnyFunSuite {
     assert(spark.sql("SELECT minhash_signature(array(1L), 8L) AS s")
       .collect()(0).getSeq[Long](0).length === 8)
   }
+
+  test("SQL surface hardening: null elements skipped; bad config args fail at analysis") {
+    graft.functions.GraftFunctions.register(spark)
+    // null slots are ABSENT tokens: signature/fingerprint equal the
+    // null-free input, never a silent vote for hash 0
+    val a = spark.sql("SELECT minhash_signature(array(1L, CAST(NULL AS BIGINT), 3L), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    val b = spark.sql("SELECT minhash_signature(array(1L, 3L), 8) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(a === b)
+    val f1 = spark.sql("SELECT simhash64(array(5L, CAST(NULL AS BIGINT))) AS f")
+      .collect()(0).getLong(0)
+    val f2 = spark.sql("SELECT simhash64(array(5L)) AS f").collect()(0).getLong(0)
+    assert(f1 === f2)
+    // config-literal bounds are clear construction-time errors, not
+    // silent truncation (4294967296L.toInt == 0) or a runtime
+    // NegativeArraySizeException from generated code
+    def fails(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage != null)
+    }
+    fails("SELECT minhash_signature(array(1L), 4294967296)")
+    fails("SELECT minhash_signature(array(1L), -1)")
+    fails("SELECT minhash_signature(array(1L), 0)")
+    fails("SELECT sign_lsh_bucket(array(CAST(1.0 AS FLOAT)), 0, 70, 1)")
+    fails("SELECT dot_product(array(CAST(1.0 AS FLOAT)))")
+    // the Column API enforces the same plane cap
+    intercept[IllegalArgumentException] {
+      graft.functions.SignLshBucket(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), 0, 70, 8)
+    }
+  }
 }

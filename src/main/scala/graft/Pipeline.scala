@@ -64,9 +64,8 @@ object Pipeline {
       .filter(col("event_type") === "event_product" &&
         col("product_action").isin("detail", "add", "purchase"))
       .groupBy("session_id", "api_key", "session_date")
-      .agg(transform(
-        array_sort(collect_list(struct(col("event_epoch_timestamp"), col("sku")))),
-        x => x.getField("sku")).as("interactions"))
+      .agg(ops.Scalars.orderedCollect(
+        col("event_epoch_timestamp"), col("sku"), "sku").as("interactions"))
       .orderBy("session_date", "session_id")
 
   /** Stage 3 → 4: the parameterized extraction query
@@ -109,8 +108,7 @@ object Pipeline {
       .select(col("sku"), col("id").cast("int").as("id"))
     val enc = toks.join(broadcast(vocab), "sku")
       .groupBy("session_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
-        x => x.getField("id")).as("ids"))
+      .agg(ops.Scalars.orderedCollect(col("pos"), col("id"), "id").as("ids"))
     enc.select(
       col("session_id"),
       ops.Scalars.padTo(slice(col("ids"), lit(1), size(col("ids")) - 1), maxLen, lit(0)).as("x"),
@@ -177,8 +175,7 @@ object Pipeline {
       .withColumnRenamed("col", "sku")
     val enc = encode(toks, vocab, "sku")
       .groupBy("session_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
-        x => x.getField("id")).as("ids"))
+      .agg(ops.Scalars.orderedCollect(col("pos"), col("id"), "id").as("ids"))
     enc.select(
       col("session_id"),
       ops.Scalars.padTo(slice(col("ids"), lit(1), size(col("ids")) - 1), maxLen, lit(0)).as("x"),

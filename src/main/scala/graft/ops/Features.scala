@@ -43,9 +43,8 @@ object Features {
       .groupBy("user_id", "session_idx")
       .agg(
         min(col("ts")).as("session_start"),
-        transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id")))),
-          x => x.getField("event_id")).as("interactions"))
+        Scalars.orderedCollect(col("ts"), col("event_id"), "event_id")
+          .as("interactions"))
       .filter(size(col("interactions")) > minSize)
       .orderBy("user_id", "session_idx")
   }
@@ -191,8 +190,8 @@ object Features {
     toks.join(broadcast(vocab), "token")
       .groupBy("doc_id")
       .agg(concat_ws("|", transform(
-        array_sort(collect_list(struct(col("pos"), col("id")))),
-        x => x.getField("id").cast("string"))).as("ids"))
+        Scalars.orderedCollect(col("pos"), col("id"), "id"),
+        v => v.cast("string"))).as("ids"))
       .orderBy("doc_id")
   }
 
@@ -219,8 +218,8 @@ object Features {
     graft.Pipeline.encode(toks, vocab)
       .groupBy("doc_id", "is_train")
       .agg(concat_ws("|", transform(
-        array_sort(collect_list(struct(col("pos"), col("id")))),
-        x => x.getField("id").cast("string"))).as("ids"))
+        Scalars.orderedCollect(col("pos"), col("id"), "id"),
+        v => v.cast("string"))).as("ids"))
       .select("doc_id", "is_train", "ids")
       .orderBy("doc_id")
   }
@@ -257,9 +256,8 @@ object Features {
         col("ts_ms"),
         concat(lit("sku_"), (col("event_id") % 100).cast("string")).as("sku"))
       .groupBy("session_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("ts_ms"), col("sku")))),
-        x => x.getField("sku")).as("interactions"))
+      .agg(Scalars.orderedCollect(col("ts_ms"), col("sku"), "sku")
+        .as("interactions"))
       .filter(size(col("interactions")) > 2)
     graft.Pipeline.features(sessions, maxLen = 20)
       .select(col("session_id"),

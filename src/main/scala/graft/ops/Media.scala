@@ -91,10 +91,18 @@ object Media {
     require(bpp == 24, s"decodeBmp: only 24-bit supported, got $bpp")
     require(compression == 0, s"decodeBmp: only BI_RGB supported, got $compression")
     require(width > 0 && rawHeight != 0, s"decodeBmp: bad dims ${width}x$rawHeight")
+    // ALL size arithmetic in Long: a hostile header (offset or dims
+    // near Int.MaxValue) must fail THESE requires, never wrap an int
+    // and pass them only to crash (or silently mis-read) in the copy
+    // loop below. offset must also sit past the headers — offset 0
+    // would "decode" the header bytes as pixels with no error.
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
+    require(offset >= 54, s"decodeBmp: pixel offset $offset inside header")
+    require(width.toLong * height * 3L <= Int.MaxValue.toLong,
+      s"decodeBmp: implausible dims ${width}x$height")
     val stride = rowStride(width)
-    require(bytes.length >= offset + stride * height,
+    require(bytes.length.toLong >= offset.toLong + stride.toLong * height,
       s"decodeBmp: truncated pixel array (${bytes.length} bytes)")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
@@ -175,9 +183,13 @@ object Media {
     while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
       val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val len = i32(bytes, pos + 4)
-      require(len >= 0 && pos + 8 + len <= bytes.length,
+      // Long arithmetic: a declared length near Int.MaxValue must
+      // fail THIS require, not int-wrap past it and drive pos
+      // negative on the next iteration
+      require(len >= 0 && pos.toLong + 8L + len <= bytes.length,
         s"decodeWav: chunk '$id' overruns container")
       if (id == "fmt ") {
+        require(len >= 16, s"decodeWav: fmt chunk too short ($len bytes)")
         val fmt = u16(bytes, pos + 8)
         require(fmt == 1, s"decodeWav: only PCM supported, got format tag $fmt")
         channels = u16(bytes, pos + 10)

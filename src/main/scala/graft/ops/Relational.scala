@@ -151,7 +151,7 @@ object Relational {
   def q07JoinBroadcastTop1(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
     val latest = ev.select(col("event_date").as("max_date"))
-      .orderBy(desc("max_date")).limit(1).distinct()
+      .orderBy(desc("max_date")).limit(1)
     ev.join(broadcast(latest), col("event_date") === col("max_date"))
       .select("event_id", "user_id", "event_type", "event_date")
       .orderBy("event_id")
@@ -230,8 +230,13 @@ object Relational {
     */
   def q52BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     // dir-keyed name: a shared session running multiple scale factors
-    // must never silently reuse another dir's bucketed layout
+    // must never silently reuse another dir's bucketed layout.
+    // Lowercased explicitly: SessionCatalog lowercases managed-table
+    // names for the warehouse location, so a mixed-case dir would
+    // make the stale-location probe below look at a path saveAsTable
+    // never writes
     val tbl = s"graft_lineitem_bucketed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      .toLowerCase(java.util.Locale.ROOT)
     if (!spark.catalog.tableExists(tbl)) {
       // the in-memory catalog forgets tables across sessions but the
       // warehouse directory persists — clear a stale location first,
@@ -289,8 +294,8 @@ object Relational {
       .groupBy("user_id", "event_date")
       .agg(
         concat_ws("|", transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id")))),
-          x => x.getField("event_id").cast("string"))).as("interactions"),
+          Scalars.orderedCollect(col("ts"), col("event_id"), "event_id"),
+          v => v.cast("string"))).as("interactions"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id", "event_date")
 

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar function surface (SURVEY.md §2.8, #23–#28): string / json /
@@ -29,7 +29,10 @@ object Scalars {
   def q24JsonExtractCast(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id"),
-      get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+      // try_cast, not cast: Spark 4 defaults to ANSI mode, where a
+      // plain cast THROWS on a non-numeric extracted value — the
+      // documented Snowflake ::INT contract is NULL on junk
+      get_json_object(col("props"), "$.k").try_cast("int").as("k_val"),
       get_json_object(col("props"), "$.missing").as("missing_val"))
       .orderBy("event_id")
 
@@ -57,6 +60,18 @@ object Scalars {
       array_repeat(padVal, greatest(lit(0), lit(n) - size(a))),
       slice(a, greatest(lit(1), size(a) - lit(n) + lit(1)), lit(n)))
 
+  /** Ordered collect — the values of `value` per group, sorted by
+    * (sort, value): THE determinism-critical idiom behind every
+    * ordered ARRAY_AGG in this library (struct array_sort is
+    * field-order lexicographic, so the pair sort pins the
+    * cross-engine tie order). ONE definition; a copy that drifted its
+    * tie-break would silently break oracle ordering parity for just
+    * its query.
+    */
+  def orderedCollect(sort: Column, value: Column, valueName: String): Column =
+    transform(array_sort(collect_list(struct(sort, value))),
+      x => x.getField(valueName))
+
   /** #26 Array functions over per-group ordered collections: size,
     * all-but-last slice, last element, fixed-length left pad
     * (my_dbt_flow.py:243,272-275,335-340).
@@ -65,9 +80,7 @@ object Scalars {
     Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
       .groupBy("user_id", "event_date")
-      .agg(transform(
-        array_sort(collect_list(struct(col("ts"), col("event_id")))),
-        x => x.getField("event_id")).as("a"))
+      .agg(orderedCollect(col("ts"), col("event_id"), "event_id").as("a"))
       .select(
         col("user_id"), col("event_date"),
         size(col("a")).as("n"),

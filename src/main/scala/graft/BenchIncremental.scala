@@ -21,15 +21,7 @@ object BenchIncremental {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nBatches = 4
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .getOrCreate()
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -86,6 +78,11 @@ object BenchIncremental {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_incremental.json"), json + "\n")
     println(json)
+    // the work dir holds a full LSH + IVF/PQ index per run — delete
+    // it once the record is written (the probeAndClean rule; repeated
+    // bench passes would otherwise accumulate unbounded /tmp state)
+    graft.ops.Sinks.fsFor(spark, work)
+      .delete(new org.apache.hadoop.fs.Path(work), true)
     spark.stop()
   }
 }

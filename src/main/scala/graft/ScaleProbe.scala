@@ -87,9 +87,13 @@ object ScaleProbe {
         if (i == 0) col("embedding")
         else {
           val n = size(col("embedding"))
+          // rotation amount mod the dimension: repl >= dim would
+          // otherwise drive the first slice's length negative and
+          // crash the build mid-replica
+          val r = pmod(lit(i), n)
           val rot = concat(
-            slice(col("embedding"), lit(i + 1), n - lit(i)),
-            slice(col("embedding"), lit(1), lit(i)))
+            slice(col("embedding"), r + 1, n - r),
+            slice(col("embedding"), lit(1), r))
           transform(rot, (x, j) =>
             when(pmod(j + lit(i), lit(2)) === 0, x).otherwise(-x))
         }))
@@ -111,15 +115,7 @@ object ScaleProbe {
     val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .getOrCreate()
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_PROBES narrows the probe set (comma-separated query
     // names) — used by the 30× run to chase only the steepest curves
@@ -137,15 +133,35 @@ object ScaleProbe {
         "q104_bm25_topk", "q105_source_quota", "q106_bm25_indexed",
         "q107_dim_reduction", "q108_hybrid_rrf"))
     val needed = probes.flatMap(p => probeFacts.getOrElse(p, allFacts)).toSet
-    if (!needed.forall(t =>
+    // reuse is keyed on the REPLICATION FACTOR too (marker written
+    // after a complete build): a run with a new SPARK_GRAFT_REPL must
+    // rebuild, not silently time stale data and mislabel the curve —
+    // and a build killed mid-write (no marker) is never trusted
+    val marker = java.nio.file.Paths.get(s"$dst/__repl_$repl")
+    if (!java.nio.file.Files.exists(marker) || !needed.forall(t =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/$t.parquet")))) {
       System.err.println(s"[scaleprobe] building ${repl}x replica at $dst (${needed.mkString(",")})")
       buildReplica(spark, src, dst, repl, needed)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dst)).forEach { f =>
+        if (f.getFileName.toString.startsWith("__repl_") && f != marker)
+          java.nio.file.Files.delete(f)
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+      java.nio.file.Files.writeString(marker, s"$repl\n")
+      ()
     }
-    def timeAt(dir: String): Map[String, Double] = probes.map { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      name -> (System.nanoTime() - t0) / 1e9
+    // a query that errors (OOM at high repl, typo'd SPARK_GRAFT_PROBES
+    // name) is skipped with a stderr note, never aborts the run (the
+    // Bench rule); its row is simply absent from the record
+    def timeAt(dir: String): Map[String, Double] = probes.flatMap { name =>
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaleprobe] $name failed at $dir: ${e.getMessage}")
+        None
+      }
     }.toMap
     // Noise protocol (round 7): single-shot probes proved as
     // stall-poisonable as single-shot benches (two consecutive runs
@@ -158,28 +174,43 @@ object ScaleProbe {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "3").toInt
     val canaries = scala.collection.mutable.ListBuffer[Double]()
     def minMerge(a: Map[String, Double], b: Map[String, Double]) =
-      a.map { case (k, v) => k -> math.min(v, b(k)) }
+      (a.keySet ++ b.keySet).map { k =>
+        k -> math.min(a.getOrElse(k, Double.MaxValue), b.getOrElse(k, Double.MaxValue))
+      }.toMap
     // warmup pass at the small SF initializes codegen/readers
     timeAt(src)
     import org.apache.spark.sql.functions.{col => c, sum => sm}
-    val (small, large) = (1 to rounds).map { _ =>
-      val c0 = System.nanoTime()
-      spark.range(50000000L).agg(sm(c("id"))).collect()
-      canaries += (System.nanoTime() - c0) / 1e9
-      (timeAt(src), timeAt(dst))
-    }.reduce((a, b) => (minMerge(a._1, b._1), minMerge(a._2, b._2)))
     def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val per = probes.map { n =>
-      s""""$n":{"sf01":${fmt(small(n))},"x$repl":${fmt(large(n))},"ratio":${fmt(large(n) / small(n))}}"""
-    }.mkString("{", ",", "}")
-    val canaryJson = canaries.map(fmt).mkString("[", ",", "]")
-    val json = s"""{"metric":"scale_probe","repl":$repl,"rounds":$rounds,"canary":$canaryJson,"queries":$per}"""
     // default 10× run keeps the canonical artifact name; other
     // replication factors write alongside it instead of clobbering
     val outName = if (repl == 10) "scale_probe.json" else s"scale_probe_x$repl.json"
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outName), json + "\n")
-    println(json)
+    // cumulative emission after every round (the kill-survivable
+    // Bench rule): an external timeout mid-round leaves the newest
+    // complete record instead of nothing after an hour of timing
+    def emit(small: Map[String, Double], large: Map[String, Double],
+        roundsDone: Int): String = {
+      val per = probes.filter(n => small.contains(n) && large.contains(n)).map { n =>
+        s""""$n":{"sf01":${fmt(small(n))},"x$repl":${fmt(large(n))},"ratio":${fmt(large(n) / small(n))}}"""
+      }.mkString("{", ",", "}")
+      val canaryJson = canaries.map(fmt).mkString("[", ",", "]")
+      val json = s"""{"metric":"scale_probe","repl":$repl,"rounds":$roundsDone,"canary":$canaryJson,"queries":$per}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outName), json + "\n")
+      println(json)
+      json
+    }
+    // warmup pass at the small SF initializes codegen/readers
+    timeAt(src)
+    var small = Map.empty[String, Double]
+    var large = Map.empty[String, Double]
+    for (r <- 1 to rounds) {
+      val c0 = System.nanoTime()
+      spark.range(50000000L).agg(sm(c("id"))).collect()
+      canaries += (System.nanoTime() - c0) / 1e9
+      small = minMerge(small, timeAt(src))
+      large = minMerge(large, timeAt(dst))
+      emit(small, large, r)
+      ()
+    }
     spark.stop()
   }
 }

@@ -197,10 +197,19 @@ object Streaming {
         // probe + admit + index-append is the shared core — the
         // declared q87 batch twin runs the IDENTICAL code path
         val admitted = LlmOps.dedupIngestBatch(spark, b, indexPath, batchId, threshold)
-        admitted.withColumn("__batch_id", lit(batchId))
-          .repartition(col("__batch_id"))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id").parquet(outPath)
+          .localCheckpoint()
+        // (doc_id, nFiles)-repartition, NOT repartition(__batch_id):
+        // the batch id is CONSTANT within a batch, so hashing it alone
+        // funnels the whole batch through ONE task — zero write
+        // parallelism for an ingest whose scaladoc argues a 100 TB/day
+        // shape. The partition DIRECTORY still comes from the
+        // __batch_id column value; this only spreads the rows of that
+        // one directory over bounded parallel files.
+        if (!admitted.isEmpty)
+          admitted.withColumn("__batch_id", lit(batchId))
+            .repartition(8, col("doc_id"))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id").parquet(outPath)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -228,12 +237,17 @@ object Streaming {
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        LlmOps.scoreWithLm(batch, lm, oovBits, headBits, midBits)
+        val kept = LlmOps.scoreWithLm(batch, lm, oovBits, headBits, midBits)
           .filter(col("ppl_bucket") =!= "tail")
-          .withColumn("__batch_id", lit(batchId))
-          .repartition(col("__batch_id"))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id").parquet(outPath)
+          .localCheckpoint()
+        // parallel bounded-file write (see dedupIngest's sink note);
+        // an all-tail batch writes NOTHING — a _SUCCESS-only dir would
+        // otherwise break schema inference on the first read
+        if (!kept.isEmpty)
+          kept.withColumn("__batch_id", lit(batchId))
+            .repartition(8, col("doc_id"))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id").parquet(outPath)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -263,11 +277,13 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val cleaned = LlmOps.paraIngestBatch(spark, batch.localCheckpoint(),
-          indexPath, batchId, paraTokens)
-        cleaned.withColumn("__batch_id", lit(batchId))
-          .repartition(col("__batch_id"))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id").parquet(outPath)
+          indexPath, batchId, paraTokens).localCheckpoint()
+        // parallel bounded-file write (see dedupIngest's sink note)
+        if (!cleaned.isEmpty)
+          cleaned.withColumn("__batch_id", lit(batchId))
+            .repartition(8, col("doc_id"))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id").parquet(outPath)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -313,9 +329,13 @@ object Streaming {
     val schema = Tables.table(spark, dir, "events").schema
     // The file streaming source wants a DIRECTORY; the harness ships a
     // single file — expose it through a symlinked temp dir.
+    // suffix the SANITIZED name with a hash of the RAW path: the
+    // sanitizer is lossy (sf0.1 and sf0_1 both map to sf0_1), and a
+    // collision would silently stream the OTHER corpus through a
+    // still-live symlink
+    val dirTag = f"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${dir.hashCode & 0xffffff}%06x"
     val streamDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_$dirTag")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
     // NOFOLLOW: a dangling symlink (testdata recreated) makes the

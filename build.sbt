@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults to sbt's logger, which prefixes every
+// stdout line with "[info] " — that prefix is what kept the Bench
+// JSON record machine-unparseable for three rounds. StdoutOutput
+// passes the child's stdout through verbatim, and showSuccess=false
+// drops the trailing "[success] Total time" banner, so the bare JSON
+// emitted by graft.Bench is the process's final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

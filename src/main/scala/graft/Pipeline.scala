@@ -432,7 +432,7 @@ object Pipeline {
       // unrelated corpus positions, no RNG seed to lose
       .withColumn("__gate", md5(col("doc_id").cast("string")))
     ops.Sinks.exportShards(train, "doc_id", Seq("__gate", "doc_id"),
-      nShards, s"$outPath/train_shards")
+      nShards, s"$outPath/train_shards", dropCols = Seq("__gate"))
     cleaned.filter(!col("is_train"))
       .write.mode("overwrite").parquet(s"$outPath/holdout")
     val card = ops.LlmOps.datacardOf(

@@ -198,8 +198,6 @@ object ScaleProbe {
       println(json)
       json
     }
-    // warmup pass at the small SF initializes codegen/readers
-    timeAt(src)
     var small = Map.empty[String, Double]
     var large = Map.empty[String, Double]
     for (r <- 1 to rounds) {

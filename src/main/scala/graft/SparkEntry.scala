@@ -797,8 +797,8 @@ object SparkEntry {
     // guard: with purchases but no item anywhere, there is nothing to
     // sample from and BOTH sides emit zero rows.
     "q110_negative_sampling" ->
-      """WITH it AS (SELECT CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) + 1 AS n FROM events),
-        |p AS (SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS pos_item FROM events WHERE event_type = 'purchase'),
+      """WITH it AS (SELECT CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) + 1 AS n FROM events),
+        |p AS (SELECT event_id, user_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS pos_item FROM events WHERE event_type = 'purchase'),
         |x AS (SELECT p.*, CAST(j AS INTEGER) AS neg_idx FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
         |h AS (SELECT *, substring(md5(CAST(event_id AS VARCHAR) || '_' || CAST(neg_idx AS VARCHAR)), 1, 4) AS hx FROM x),
         |d AS (SELECT event_id, user_id, pos_item, neg_idx,

@@ -80,17 +80,21 @@ object Pq {
 
   /** ADC inner product: Σ_m table[m·k + code_m]. Defensive like
     * [[encode]]: a malformed lookup table (wrong length or null
-    * slots) scores 0 instead of reading out-of-bounds/undefined
+    * slot) scores 0 instead of reading out-of-bounds/undefined
     * array memory (UnsafeArrayData.getFloat has no bounds check).
+    * Null checks cover exactly the `m` slots the sum reads — the
+    * other m·(k-1) slots are never dereferenced, so scanning them
+    * per row (as this once did) bought no safety and cost ~k× the
+    * entire scoring loop on the finalist-scan hot path.
     */
   def adc(code: Int, table: ArrayData, m: Int, k: Int): Double = {
     if (table.numElements() != m * k) return 0.0
-    var chk = 0
-    while (chk < m * k) { if (table.isNullAt(chk)) return 0.0; chk += 1 }
     var s = 0.0
     var mi = 0
     while (mi < m) {
-      s += table.getFloat(mi * k + ((code >>> (4 * mi)) & 0xF))
+      val idx = mi * k + ((code >>> (4 * mi)) & 0xF)
+      if (table.isNullAt(idx)) return 0.0
+      s += table.getFloat(idx)
       mi += 1
     }
     s

@@ -357,7 +357,10 @@ object Features {
   def q110NegativeSampling(spark: SparkSession, dir: String,
       k: Int = 4): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val itemOf = get_json_object(col("props"), "$.k").cast("int")
+    // try_cast, not cast: under ANSI mode a non-numeric $.k would
+    // abort the whole query; junk JSON must read as NULL (the q24
+    // rule; oracle mirrors with TRY_CAST)
+    val itemOf = get_json_object(col("props"), "$.k").try_cast("int")
     val maxRow = ev.agg(max(itemOf)).head()
     val pos = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), itemOf.as("pos_item"))

@@ -1493,13 +1493,19 @@ object LlmOps {
   def annIndexWrite(spark: SparkSession, embeddings: DataFrame,
       indexPath: String, nCells: Int = 16, kmeansIters: Int = 3,
       mode: String = "overwrite", m: Int = 8, kCodes: Int = 16,
-      pqIters: Int = 2, writePq: Boolean = true): Unit = {
+      pqIters: Int = 2, writePq: Boolean = true,
+      centsPre: Option[Array[(Int, Array[Float])]] = None,
+      cbPre: Option[graft.functions.Pq.Codebooks] = None): Unit = {
     val emb = embeddings
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
+    // centsPre/cbPre let a caller hand in already-fitted quantizers
+    // (e.g. the memoized kmeansCentroidsCached/pqCodebooksCached fits
+    // q49/q91/q92/q93 share) instead of re-training per build —
+    // results are identical by the trainers' determinism contract.
     val cents =
       if (mode == "append") readCentroids(spark, indexPath)
-      else kmeansCentroids(emb, nCells, kmeansIters)
+      else centsPre.getOrElse(kmeansCentroids(emb, nCells, kmeansIters))
     if (mode != "append") {
       import spark.implicits._
       cents.toSeq.toDF("cid", "centroid")
@@ -1509,7 +1515,7 @@ object LlmOps {
       if (!writePq) None
       else if (mode == "append") readPqCodebooks(spark, indexPath)
       else if (cents.isEmpty) None
-      else {
+      else cbPre.orElse {
         val dims = cents.head._2.length
         pqCodebooks(emb, m, kCodes, dims / m, pqIters)
       }
@@ -1687,6 +1693,62 @@ object LlmOps {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "cos")
       .orderBy("query_id", "rnk")
+  }
+
+  /** #111 Persisted-index similarity search — the serving-side probe
+    * of the incremental ANN story, finally on the driver's oracle
+    * gate: build the PQ-coded IVF index ([[annIndexWrite]], round-7
+    * layout — packed codes partitioned by cell, codebooks + centroids
+    * as bounded parquet), then answer the q38/q49 query set from the
+    * index READ path ([[annIncremental]]'s ADC probe + exact rerank).
+    * Reference shape: the serving-side top-k lookup of
+    * src/model/lstm_model.py:38-40 (predict → rank k nearest), here
+    * as an index probe instead of an in-memory model.
+    *
+    * The DECLARED query runs exhaustively — nProbe = nCells and a
+    * candFactor sized so candFactor·k ≥ corpus size: the cells
+    * partition the corpus, every (query, vector) pair is scored, and
+    * the ADC prefilter keeps everything, so the exact rerank emits
+    * PRECISELY q38's rows (same cosine expression, same rounding,
+    * same ordering) and the query SHARES q38's oracle — the
+    * q106-shares-q104 structural-exactness argument. What the gate
+    * proves is that nothing is lost between write and read: centroid
+    * and codebook round-trip through parquet, cell partitioning,
+    * packed-code encode/ADC arithmetic, and the finalist rerank join.
+    * Production serving uses nProbe < nCells and a small candFactor —
+    * the approximate path LlmOpsSpec pins for recall (≥ the in-memory
+    * q92 composition at equal params, since both run the same
+    * quantizers). Quantizer fits ride the memoized
+    * [[kmeansCentroidsCached]]/[[pqCodebooksCached]] trainers — one
+    * fit per JVM serves q49/q91/q92/q93 and this build.
+    */
+  def q111SimsearchIndexed(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
+      kmeansIters: Int = 3, m: Int = 8, kCodes: Int = 16,
+      dims: Int = 64, pqIters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    if (n == 0) return emptyAnnResult(emb.select(col("vec_id"), col("embedding")))
+    // app-scoped throwaway index per run (the q87/q106 rule)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q111_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    annIndexWrite(spark, emb, indexPath, nCells, kmeansIters,
+      centsPre = Some(kmeansCentroidsCached(emb, dir, nCells, kmeansIters)),
+      cbPre = pqCodebooksCached(emb, dir, m, kCodes, dims / m, pqIters))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding")
+    // exhaustive probe (see scaladoc): all cells, lossless prefilter
+    val candFactor = (((n + k - 1) / k).toInt).max(1)
+    val res = annIncremental(spark, queries, indexPath, k = k,
+      nProbe = nCells, excludeQueryId = true, candFactor = candFactor)
+    // localize the bounded result (≤ nQueries·k rows), then delete
+    // the demonstration index — the Retrieval.probeAndClean rule
+    import scala.jdk.CollectionConverters._
+    val rows = res.collect().toSeq
+    Sinks.fsFor(spark, indexPath)
+      .delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    spark.createDataFrame(rows.asJava, res.schema)
   }
 
   // -- text analysis ------------------------------------------------

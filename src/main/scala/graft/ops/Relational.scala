@@ -39,7 +39,10 @@ object Relational {
     * Smoke-only sink: no oracle.
     */
   def q02BulkLoadCsv(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // app-scoped path (the q87 rule): concurrent JVMs — a test run
+    // next to a Verify next to a Bench — must not overwrite each
+    // other's staging directories mid-read
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${spark.sparkContext.applicationId}"
     val src = Tables.events(spark, dir)
       .select("event_id", "ts_ms", "user_id", "event_type", "value", "props")
     src.write.mode("overwrite")
@@ -58,7 +61,8 @@ object Relational {
     * Smoke-only sink: no oracle.
     */
   def q03SinkParquetPartitioned(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // app-scoped path (the q87 rule), as in q02
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${spark.sparkContext.applicationId}"
     val staged = Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
     staged
@@ -82,7 +86,8 @@ object Relational {
     * schemas, returns their join (row counts must agree).
     */
   def q51SourcesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // app-scoped path (the q87 rule), as in q02
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${spark.sparkContext.applicationId}"
     val src = Tables.events(spark, dir)
       .select("event_id", "ts_ms", "user_id", "event_type", "value")
     src.write.mode("overwrite").json(s"$base/json")

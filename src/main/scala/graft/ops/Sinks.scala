@@ -47,17 +47,25 @@ object Sinks {
     * assume ids 0..nShards-1 all exist.
     */
   def exportShards(df: DataFrame, shardKey: String,
-      orderCols: Seq[String], nShards: Int, path: String): Unit =
+      orderCols: Seq[String], nShards: Int, path: String,
+      dropCols: Seq[String] = Nil): Unit = {
     // shard id is an EXPLICIT partition value (shard=K directories),
     // not a task index: a plain repartition(n, expr) re-hashes the
     // expression so shard→task is opaque and empty tasks silently
     // drop shards. The directory layout also gives readers shard
     // pruning. Sort keys start with the shard so a task holding
     // several shards still writes each directory's file in order.
-    df.withColumn("__shard", pmod(xxhash64(col(shardKey)), lit(nShards.toLong)))
+    // dropCols lets a caller sort by a helper column (e.g. a shuffle
+    // gate) without shipping it in the released files: the projection
+    // sits above the sort with no exchange, so within-partition order
+    // is preserved while the written schema stays clean.
+    val sorted = df
+      .withColumn("__shard", pmod(xxhash64(col(shardKey)), lit(nShards.toLong)))
       .repartition(col("__shard"))
       .sortWithinPartitions(("__shard" +: orderCols).map(col): _*)
+    dropCols.foldLeft(sorted)(_ drop _)
       .write.mode("overwrite").partitionBy("__shard").parquet(path)
+  }
 
   /** Small-file compaction: rewrite a partitioned dataset so each
     * partition directory holds ~`targetRowsPerFile` rows per file

@@ -222,13 +222,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.getAs[Long]("input") === report.input)
     assert(m.getAs[Long]("train") === report.train)
     assert(m.getAs[Int]("n_shards") === 4)
+    // the released schema is clean: the internal md5 shuffle gate is
+    // sort-only and must NOT ship in the training shards
+    assert(!shards.columns.contains("__gate"))
     // a re-release reproduces every shard file's CONTENT bit-for-bit
-    val before = shards.orderBy("__shard", "__gate", "doc_id")
+    val before = shards.orderBy("__shard", "doc_id")
       .select("doc_id").as[Long].collect().toSeq
     val out2 = java.nio.file.Files.createTempDirectory("graft_release2").toString
     Pipeline.releaseCorpus(spark, docs, out2, nShards = 4)
     val after = spark.read.parquet(s"$out2/train_shards")
-      .orderBy("__shard", "__gate", "doc_id")
+      .orderBy("__shard", "doc_id")
       .select("doc_id").as[Long].collect().toSeq
     assert(after === before)
   }

@@ -135,7 +135,9 @@ object SparkEntry {
     "q107_dim_reduction" -> ((s: SparkSession, d: String) => graft.ops.Projection.q107DimReduction(s, d)),
     "q108_hybrid_rrf" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrf(s, d)),
     "q109_bm25_ingest_batch" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q109Bm25IngestBatch(s, d)),
-    "q110_negative_sampling" -> ((s: SparkSession, d: String) => Features.q110NegativeSampling(s, d))
+    "q110_negative_sampling" -> ((s: SparkSession, d: String) => Features.q110NegativeSampling(s, d)),
+    "q111_simsearch_indexed" -> ((s: SparkSession, d: String) => LlmOps.q111SimsearchIndexed(s, d)),
+    "q112_json_schema_projection" -> ((s: SparkSession, d: String) => Scalars.q112JsonSchemaProjection(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -148,6 +150,22 @@ object SparkEntry {
     * (rides q37's hash-seeded clusters; LlmOpsSpec recomputes the
     * keep rule from q75+q44's own outputs).
     */
+  /** Exact top-k cosine over the embeddings table — q38's oracle,
+    * SHARED by q111 (persisted-index probe): declared exhaustive
+    * (nProbe = nCells, lossless prefilter), the index path's rerank
+    * emits exactly these rows — the q106-shares-q104 argument; the
+    * gate proves the write→read round-trip loses nothing.
+    */
+  private val simsearchOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+      |(sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+      |sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
+      |FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rnk FROM s)
+      |SELECT query_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   private val decontaminationOracle: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM documents),
       |sh AS (SELECT DISTINCT doc_id, is_train, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
@@ -316,15 +334,7 @@ object SparkEntry {
         |FROM events GROUP BY user_id, ts_ms ORDER BY user_id, ts_ms""".stripMargin,
     "q36_dedup_exact" ->
       "SELECT sha256(text) AS content_sha, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY content_sha ORDER BY content_sha",
-    "q38_similarity_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
-        |round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
-        |(sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
-        |sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
-        |FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rnk FROM s)
-        |SELECT query_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q38_similarity_topk" -> simsearchOracle,
     "q39_text_analysis" ->
       """SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY lang, token ORDER BY lang, token""".stripMargin,
@@ -579,6 +589,23 @@ object SparkEntry {
     "q51_sources_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_json, CAST(count(*) AS BIGINT) AS n_orc
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q82: int8 quantization is deterministic integer arithmetic —
+    // codes are bit-identical cross-engine (float max exact, /127 in
+    // double on both sides, float32 round-trip, away-from-zero
+    // rounding), and every downstream value is a function of exact
+    // integers. Mirrors quantize -> integer cosine -> top-k.
+    "q82_simsearch_quantized" ->
+      """WITH s AS (SELECT vec_id,
+        |CAST(CAST(greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12) AS DOUBLE) / 127.0 AS FLOAT) AS scale,
+        |embedding FROM embeddings),
+        |qv AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE))) AS qf FROM s),
+        |n AS (SELECT vec_id, qf, list_sum(list_transform(qf, x -> x * x)) AS nsq FROM qv),
+        |qq AS (SELECT vec_id AS query_id, qf AS pe, nsq AS qnsq FROM n WHERE vec_id < 10),
+        |sc AS (SELECT query_id, n.vec_id AS neighbor_id,
+        |round(list_sum(list_transform(range(1, 65), i -> pe[i] * qf[i])) / (sqrt(qnsq) * sqrt(nsq)), 6) AS cos
+        |FROM n JOIN qq ON n.vec_id <> qq.query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rnk FROM sc)
+        |SELECT query_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q84_range_join" ->
       """WITH iv AS (SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS s_ms,
         |epoch_ms(l_shipdate) + ((l_suppkey % 20) + 1) * 86400000 AS e_ms
@@ -806,6 +833,21 @@ object SparkEntry {
         |FROM h, it)
         |SELECT event_id, user_id, pos_item, neg_idx,
         |CAST(CASE WHEN draw = pos_item THEN (draw + 1) % it.n ELSE draw END AS INTEGER) AS neg_item
-        |FROM d, it WHERE it.n IS NOT NULL ORDER BY event_id, neg_idx""".stripMargin
+        |FROM d, it WHERE it.n IS NOT NULL ORDER BY event_id, neg_idx""".stripMargin,
+    // q111: the persisted PQ-coded IVF index probed exhaustively ==
+    // exact q38 (see simsearchOracle scaladoc)
+    "q111_simsearch_indexed" -> simsearchOracle,
+    // q112: schema-full PERMISSIVE from_json projection. Fields
+    // absent from a payload are NULL -> sentinel-coalesced on both
+    // sides; the corrupt-record column mirrors as "props where NOT
+    // json_valid". k is extracted with TRY_CAST (the q24/q110 rule).
+    "q112_json_schema_projection" ->
+      """SELECT event_id,
+        |COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k_val,
+        |COALESCE(json_extract_string(props, '$.session_id'), '') AS session_id,
+        |COALESCE(json_extract_string(props, '$.product_action'), '') AS product_action,
+        |COALESCE(TRY_CAST(json_extract_string(props, '$.server_timestamp_epoch_ms') AS BIGINT), -1) AS payload_ts_ms,
+        |CASE WHEN json_valid(props) THEN '' ELSE COALESCE(props, '') END AS corrupt_rec
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

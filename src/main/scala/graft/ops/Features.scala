@@ -113,11 +113,37 @@ object Features {
       StructType(Seq(keyField, StructField("gr_offset", LongType, nullable = false))))
   }
 
+  /** Global fractional-rank split ordered by (timeCol, tieCol). Two
+    * plans, same output:
+    *
+    *   - per-key path (≤ `maxDistinctKeys` distinct time values —
+    *     the per-DATE use case): collect bounded per-key counts,
+    *     broadcast prefix offsets, rank within key. The collect is
+    *     GUARDED: `limit(maxDistinctKeys + 1)` bounds the driver
+    *     transfer by construction, so a surprise high-cardinality
+    *     time column (a raw timestamp instead of a date) can no
+    *     longer OOM the driver — it falls through instead.
+    *   - range-bucket path (everything else): [[globalRowNumber]]'s
+    *     repartitionByRange form — per-PARTITION counts (bounded by
+    *     #buckets however many distinct keys exist) + the same
+    *     prefix-offset arithmetic. Identical output because both
+    *     compute the same total order (timeCol, tieCol).
+    */
   def twoPhaseTimeSplit(df: DataFrame, timeCol: String, tieCol: String,
-      frac: Double = 0.9): DataFrame = {
+      frac: Double = 0.9, maxDistinctKeys: Int = 100000): DataFrame = {
     val spark = df.sparkSession
-    val perKey = df.groupBy(timeCol).agg(count(lit(1)).as("cnt")).collect()
+    val perKey = df.groupBy(timeCol).agg(count(lit(1)).as("cnt"))
+      .limit(maxDistinctKeys + 1).collect()
       .map(r => (r.get(0), r.getLong(1)))
+    if (perKey.length > maxDistinctKeys) {
+      val n = df.count()
+      val pr =
+        if (n > 1) (col("__gr_rn") - lit(1)).cast("double") / lit((n - 1).toDouble)
+        else lit(0.0)
+      return globalRowNumber(df, "__gr_rn", 32, col(timeCol).asc, col(tieCol).asc)
+        .withColumn("split", when(pr < frac, "train").otherwise("test"))
+        .drop("__gr_rn")
+    }
     val n = perKey.map(_._2).sum
     val offsetsDf = prefixOffsets(spark, df.schema(timeCol), perKey)
     val rn = col("gr_offset") +

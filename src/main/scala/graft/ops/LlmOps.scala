@@ -845,8 +845,12 @@ object LlmOps {
     * brute-force shape on vectors a quarter the size. Scales cancel
     * in cosine, so the only approximation is the rounding itself;
     * LlmOpsSpec pins recall vs exact q38 and the per-pair cosine
-    * error. Spec-verified (no oracle: float-scale rounding has no
-    * cross-engine bit contract, the q43/q49 rule).
+    * error. ORACLED since round 8: every step after the scale is
+    * integer-exact (int8 codes, integer dots/norms, IEEE sqrt of
+    * exact integers), and the scale itself is bit-stable cross-engine
+    * — float max is exact, the /127 division runs in DOUBLE on both
+    * engines (Spark promotes float division to double) and is rounded
+    * back to float32 on both, so round(x/scale) sees identical bits.
     */
   def q82SimsearchQuantized(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -1726,14 +1730,18 @@ object LlmOps {
       nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
       kmeansIters: Int = 3, m: Int = 8, kCodes: Int = 16,
       dims: Int = 64, pqIters: Int = 2): DataFrame = {
+    // nsq prenorm before the trainers — the q49/q92 convention (the
+    // Lloyd loop's assignment expression reads it)
     val emb = Tables.embeddings(spark, dir)
+      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+      .localCheckpoint()
     val n = emb.count()
     if (n == 0) return emptyAnnResult(emb.select(col("vec_id"), col("embedding")))
     // app-scoped throwaway index per run (the q87/q106 rule)
     val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q111_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
-    annIndexWrite(spark, emb, indexPath, nCells, kmeansIters,
+    annIndexWrite(spark, emb.drop("nsq"), indexPath, nCells, kmeansIters,
       centsPre = Some(kmeansCentroidsCached(emb, dir, nCells, kmeansIters)),
       cbPre = pqCodebooksCached(emb, dir, m, kCodes, dims / m, pqIters))
     val queries = emb.filter(col("vec_id") < nQueries)

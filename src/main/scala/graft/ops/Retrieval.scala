@@ -443,6 +443,19 @@ object Retrieval {
         .orderBy(col("cos").desc, col("doc_id").asc)))
       .filter(col("drank") <= kEach)
       .select("query_id", "doc_id", "drank")
+    rrfFuse(lex, dense, k, rrfK)
+  }
+
+  /** Rank-only RRF fusion of a lexical list (`query_id, doc_id,
+    * lrank`) and a dense list (`query_id, doc_id, drank`) — the
+    * fusion stage of [[q108HybridRrf]], factored out because its
+    * semantics see ONLY ranks: any dense ranker with the same
+    * rank lists fuses to the same result, which is what makes the
+    * dense leg pluggable (brute scan here, a persisted-index probe in
+    * [[q108HybridRrfIndexed]], q43/q92-shaped probes at corpus scale).
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+      rrfK: Int): DataFrame = {
     def term(rank: Column): Column =
       round(lit(1000000.0) / (lit(rrfK) + rank)).cast("long")
     val w = Window.partitionBy("query_id")
@@ -455,5 +468,54 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "rrf_micro", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** [[q108HybridRrf]] with the dense leg served from a PERSISTED
+    * PQ-coded IVF index ([[graft.ops.LlmOps.annIndexWrite]] →
+    * [[graft.ops.LlmOps.annIncremental]]) instead of the brute
+    * embedding scan — the corpus-scale serving shape the q108
+    * scaladoc promises is pluggable, demonstrated: at an exhaustive
+    * probe (nProbe = nCells, lossless candFactor — the q111
+    * argument) the probe's rank lists EQUAL the brute leg's, so the
+    * fused output is row-identical to [[q108HybridRrf]]
+    * (RetrievalSpec pins this); production uses nProbe < nCells and
+    * accepts the recall trade. Self-pairs stay in
+    * (excludeQueryId = false), mirroring the brute leg.
+    */
+  def q108HybridRrfIndexed(spark: SparkSession, dir: String,
+      nQueries: Int = 8, qLen: Int = 4, kEach: Int = 10, k: Int = 10,
+      rrfK: Int = 60, nCells: Int = 16, nProbe: Int = 0,
+      candFactor: Int = 0): DataFrame = {
+    val docs = tokenizedDocs(spark, dir)
+    val qdocs = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(nQueries)
+    val qterms = querySetOf(docs, nQueries, qLen)
+    val lex = bm25TopK(docs, qterms, kEach, k1 = 1.2, b = 0.75)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    if (n == 0) // no embeddings: the dense leg is empty, fusion is lex-only
+      return rrfFuse(lex,
+        lex.limit(0).select(col("query_id"), col("doc_id"),
+          col("lrank").as("drank")), k, rrfK)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q108_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    LlmOps.annIndexWrite(spark, emb, indexPath, nCells)
+    val queries = emb.join(
+        broadcast(qdocs.select(col("doc_id").as("query_id"))),
+        col("vec_id") === col("query_id"))
+      .select("vec_id", "embedding")
+    val effProbe = if (nProbe > 0) nProbe else nCells
+    val effCand =
+      if (candFactor > 0) candFactor
+      else (((n + kEach - 1) / kEach).toInt).max(1)
+    val dense = probeAndClean(spark,
+      LlmOps.annIncremental(spark, queries, indexPath, k = kEach,
+        nProbe = effProbe, excludeQueryId = false, candFactor = effCand),
+      indexPath)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("drank"))
+    rrfFuse(lex, dense, k, rrfK)
   }
 }

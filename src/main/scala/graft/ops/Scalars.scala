@@ -36,6 +36,41 @@ object Scalars {
       get_json_object(col("props"), "$.missing").as("missing_val"))
       .orderBy("event_id")
 
+  /** #112 Schema-full VARIANT projection (SURVEY §1.3) — the typed
+    * counterpart of q24's per-path extraction: ONE `from_json` in
+    * PERMISSIVE mode parses the payload against the reference's full
+    * declared event-payload schema (upload_to_snowflake.py:141-148:
+    * event_type/hashed_url/product_action/product_sku/
+    * server_timestamp_epoch_ms/session_id — here the harness
+    * fixture's `k` plus those envelope fields), then struct-field
+    * projection fans the fields out. Fields absent from a given
+    * payload read as NULL (coalesced into the declared sentinel
+    * values — the oracle-parity rule); a payload that is not valid
+    * JSON lands verbatim in the corrupt-record column instead of
+    * failing the query — the schema-on-read contract that matters at
+    * 100 TB, where some fraction of an append-only log is ALWAYS
+    * malformed and a throwing parser would kill the whole scan.
+    * Parse-once-project-many beats q24's one-call-per-path shape when
+    * many fields are read: the JSON text is tokenized once per row.
+    */
+  def q112JsonSchemaProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k INT, session_id STRING, product_action STRING, " +
+              "product_sku STRING, server_timestamp_epoch_ms BIGINT, " +
+              "_corrupt STRING"),
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("p"))
+      .select(col("event_id"),
+        coalesce(col("p.k"), lit(-1)).as("k_val"),
+        coalesce(col("p.session_id"), lit("")).as("session_id"),
+        coalesce(col("p.product_action"), lit("")).as("product_action"),
+        coalesce(col("p.server_timestamp_epoch_ms"), lit(-1L)).as("payload_ts_ms"),
+        coalesce(col("p._corrupt"), lit("")).as("corrupt_rec"))
+      .orderBy("event_id")
+
   /** #25 Epoch-ms ↔ date/timestamp conversions + formatted string +
     * date comparison (upload_to_snowflake.py:168-169,
     * my_dbt_flow.py:116-118).

@@ -442,6 +442,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(inter.toDouble / want >= 0.8, s"PQ-prefilter recall $inter/$want")
   }
 
+  test("q111 indexed simsearch: declared query == exact q38; realistic-params probe recall >= q92") {
+    // declared query: exhaustive probe (nProbe = nCells, lossless
+    // candFactor) of the persisted PQ index must reproduce exact q38
+    // row for row — the structural-exactness argument its shared
+    // oracle rests on
+    val declared = LlmOps.q111SimsearchIndexed(spark, sf)
+      .collect().map(_.toString).toSeq
+    val exact = LlmOps.q38SimilarityTopk(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(declared.nonEmpty)
+    assert(declared === exact)
+    // realistic serving params (nProbe < nCells, small candFactor):
+    // the persisted-index probe must not lose recall vs the
+    // in-memory q92 composition — both run the same deterministic
+    // quantizer fits, and the index probe's candFactor (16) is no
+    // tighter than q92's (8)
+    val emb = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_q111_idx").toString
+    LlmOps.annIndexWrite(spark, emb, idx)
+    val probe = LlmOps.annIncremental(spark,
+        emb.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+        idx, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = LlmOps.q38SimilarityTopk(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val viaIndex = probe.intersect(brute).size
+    val viaQ92 = LlmOps.q92SimsearchIvfPq(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      .intersect(brute).size
+    assert(viaIndex >= viaQ92,
+      s"indexed-probe recall $viaIndex < q92 recall $viaQ92 (of ${brute.size})")
+  }
+
   test("q73 fuzzy dedup finds seeded typo variants within its blocks") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString

@@ -174,6 +174,55 @@ class OperatorSpec extends AnyFunSuite {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(rows.map(_._3).sum === expected)
   }
+
+  test("twoPhaseTimeSplit: over-bound key cardinality takes the range-bucket path, identical output") {
+    val ord = Tables.orders(spark, sf)
+    val direct = Features.twoPhaseTimeSplit(ord, "o_orderdate", "o_orderkey")
+      .select("o_orderkey", "split").orderBy("o_orderkey")
+      .collect().map(_.toString).toSeq
+    // bound of 2 distinct dates forces the guarded collect to bail
+    // into the globalRowNumber range-bucket form — same total order,
+    // so the split must be row-identical
+    val bucketed = Features.twoPhaseTimeSplit(ord, "o_orderdate", "o_orderkey",
+        maxDistinctKeys = 2)
+      .select("o_orderkey", "split").orderBy("o_orderkey")
+      .collect().map(_.toString).toSeq
+    assert(direct.nonEmpty)
+    assert(bucketed === direct)
+  }
+
+  test("q112 PERMISSIVE from_json: typed fields, sentinels for absent keys, corrupt rows survive") {
+    import spark.implicits._
+    // harness data: every payload is valid {"k": N} — k lands typed,
+    // envelope fields sentinel, corrupt column empty
+    val got = Scalars.q112JsonSchemaProjection(spark, sf)
+    assert(got.filter(col("k_val") < 0).count() === 0)
+    assert(got.filter(col("session_id") =!= "").count() === 0)
+    assert(got.filter(col("corrupt_rec") =!= "").count() === 0)
+    // the corrupt-record contract on a frame with junk: the scan does
+    // NOT throw, the malformed text lands verbatim in corrupt_rec,
+    // typed fields of that row read as sentinels
+    val junk = Seq[(Long, String)](
+      (1L, """{"k": 7, "session_id": "s1"}"""),
+      (2L, "not json at all"),
+      (3L, null)).toDF("event_id", "props")
+    val parsed = junk.select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k INT, session_id STRING, _corrupt STRING"),
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("p"))
+      .select(col("event_id"),
+        coalesce(col("p.k"), lit(-1)).as("k_val"),
+        coalesce(col("p.session_id"), lit("")).as("session_id"),
+        coalesce(col("p._corrupt"), lit("")).as("corrupt_rec"))
+      .orderBy("event_id")
+      .as[(Long, Int, String, String)].collect().toSeq
+    assert(parsed === Seq(
+      (1L, 7, "s1", ""),
+      (2L, -1, "", "not json at all"),
+      (3L, -1, "", "")))
+  }
 }
 
 /** Salted two-phase aggregation == direct aggregation (Skew.scala). */

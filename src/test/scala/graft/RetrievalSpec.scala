@@ -199,6 +199,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.exists(r => r._3 <= term(1)), "no one-sided doc survived fusion")
   }
 
+  test("q108 indexed dense leg: fused output row-identical to the brute-force leg") {
+    // exhaustive probe of the persisted PQ index (nProbe = nCells,
+    // lossless candFactor — the q111 argument): the dense rank lists
+    // equal the brute scan's, so fusion, being rank-only, must emit
+    // exactly q108HybridRrf's rows
+    val brute = Retrieval.q108HybridRrf(spark, SharedSpark.sfTiny)
+      .collect().map(_.toString).toSeq
+    val indexed = Retrieval.q108HybridRrfIndexed(spark, SharedSpark.sfTiny)
+      .collect().map(_.toString).toSeq
+    assert(indexed.nonEmpty)
+    assert(indexed === brute)
+  }
+
   test("q106 probe scans only the query terms' bucket partitions") {
     val docs = Tables.documents(spark, SharedSpark.sfTiny)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

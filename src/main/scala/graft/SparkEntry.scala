@@ -146,9 +146,14 @@ object SparkEntry {
     * ScalaTest against exact twins q40/q47/q38), q48 (binary media),
     * q85/q88 (iterative trained-BPE encoding is not SQL-expressible —
     * BpeSpec carries the semantics), q97 (k-means-seeded cells — the
-    * q49 rule; LlmOpsSpec recomputes the screen brute-force), q99
-    * (rides q37's hash-seeded clusters; LlmOpsSpec recomputes the
-    * keep rule from q75+q44's own outputs).
+    * q49 rule; LlmOpsSpec recomputes the screen brute-force).
+    * Round 8 moved q82 (integer-exact quantization), q99 (now rides
+    * q61's exact closure), q02/q03 (the sink READ-BACK result is
+    * exact — the oracle gates the round-trip, the q109 argument),
+    * q111 and q112 ONTO the gate. q41 was evaluated and correctly
+    * stays off: its hamming-0 pairs are REAL near-dups with different
+    * token multisets (measured: 4/4 at sf0.01), so no multiset-based
+    * SQL mirror exists — the hash-seeded omission stands.
     */
   /** Exact top-k cosine over the embeddings table — q38's oracle,
     * SHARED by q111 (persisted-index probe): declared exhaustive
@@ -224,6 +229,19 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_idx HAVING count(*) > 2 ORDER BY user_id, session_idx""".stripMargin,
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // q02: the CSV round-trip must reproduce the source table exactly
+    // (header+quoteAll write, explicit-schema read). Longs/strings are
+    // textual round-trips by construction; doubles round-trip because
+    // the writer emits shortest-uniquely-parsing decimal.
+    "q02_bulk_load_csv" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q03: the partitioned-sink read-back per-date counts equal the
+    // source's — gates that the repartition+partitionBy write and the
+    // schema-pinned read lose no rows (the q109 sink-gate argument).
+    "q03_sink_parquet_partitioned" ->
+      """SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
     "q04_filter_eq_in" ->
       "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey",
     "q05_filter_range_param" ->
@@ -698,6 +716,26 @@ object SparkEntry {
     // no division semantics are in play. Only log2 itself is engine
     // float code; its ulp-level drift is ~1e-9 micro-units, far from
     // the rounding boundary.
+    // q99: dedupResolve over q61's exact clusters — the recursive-CTE
+    // closure (q61's oracle verbatim) joined to q44's quality, one
+    // keep window. Rounded quality compares exactly cross-engine.
+    "q99_dedup_resolve" ->
+      """WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, sp[p] || ' ' || sp[p+1] || ' ' || sp[p+2] AS shingle
+        |FROM (SELECT doc_id, sp, unnest(range(1, len(sp) - 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 5000) t0 WHERE len(sp) >= 3) t1),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.5),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
+        |reach(n, r) AS (SELECT doc_id, doc_id FROM documents WHERE doc_id < 5000
+        |UNION SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+        |cl AS (SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY n),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to'], x))) AS INTEGER) AS n_stop FROM t),
+        |q AS (SELECT doc_id, round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality FROM c),
+        |r AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+        |row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id ASC) AS rn FROM cl JOIN q ON cl.doc_id = q.doc_id)
+        |SELECT doc_id, cluster_id, quality, (rn = 1) AS keep FROM r ORDER BY doc_id""".stripMargin,
     "q100_perplexity_filter" ->
       """WITH ref AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),

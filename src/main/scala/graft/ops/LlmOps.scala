@@ -582,7 +582,11 @@ object LlmOps {
     * (hamming ≤ 3 ⇒ at least one chunk equal), verified with exact
     * bit_count(xor). Order-insensitive by construction — catches
     * token-shuffle near-dups that shingle methods key on order for.
-    * No oracle (xxhash64); ScalaTest asserts shuffled dups collide.
+    * No oracle (xxhash64) — and measurably none possible even at
+    * hamming 0: on this corpus all hamming-0 pairs are near-dups
+    * with DIFFERENT token multisets (SimHash robustness working as
+    * designed), so no multiset-based SQL mirror exists. ScalaTest
+    * asserts shuffled dups collide.
     */
   def q41DedupSimhash(spark: SparkSession, dir: String,
       maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {
@@ -2482,33 +2486,52 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
-  /** #99 Duplicate-cluster resolution — the KEEP step that follows
-    * near-dup detection in a real pipeline: q75's connected-component
+  /** Duplicate-cluster RESOLUTION rule — the KEEP step that follows
+    * near-dup detection in a real pipeline: connected-component
     * clusters say which documents are copies of each other; this op
     * decides WHICH copy survives — the highest [[q44TextQuality]]
     * score, doc_id ascending as the deterministic tiebreak (the
     * "keep the best canonical copy" rule; random/first-seen keeps are
-    * the degenerate cases of the same shape). Detection (q37→q75) and
-    * resolution compose but stay separate ops, so either half swaps
+    * the degenerate cases of the same shape). Detection and
+    * resolution compose but stay separate, so either half swaps
     * independently (e.g. paragraph clusters, or a recency rule).
     *
-    * Scale shape: one broadcast-joinable score column riding on q75's
-    * own plan, then ONE window partitioned by cluster_id — partition
-    * size = the duplicate cluster, bounded by the corpus's actual
-    * duplication structure (singletons dominate by construction).
-    * No new shuffle beyond the cluster key.
+    * Scale shape: one broadcast-joinable score column riding on the
+    * cluster plan, then ONE window partitioned by cluster_id —
+    * partition size = the duplicate cluster, bounded by the corpus's
+    * actual duplication structure (singletons dominate by
+    * construction). No new shuffle beyond the cluster key.
     */
-  def q99DedupResolve(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val clusters = q75DedupClustersLsh(spark, dir, threshold)
-    val scores = q44TextQuality(spark, dir).select("doc_id", "quality")
+  def dedupResolve(clusters: DataFrame, scores: DataFrame): DataFrame =
     clusters.join(scores, Seq("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("cluster_id").orderBy(desc("quality"), asc("doc_id"))))
       .select(col("doc_id"), col("cluster_id"), col("quality"),
         (col("rn") === 1).as("keep"))
       .orderBy("doc_id")
-  }
+
+  /** #99 Declared resolution query — [[dedupResolve]] over q61's
+    * EXACT n-gram-Jaccard clusters (round-8 change; previously rode
+    * q75's hash-seeded LSH clusters and thus inherited their
+    * no-oracle status). Riding the exact detector puts the whole
+    * composition on the driver's oracle gate: the recursive-CTE
+    * closure + quality join + keep window are all mirrorable. The
+    * corpus-scale composition over LSH clusters is
+    * [[q99DedupResolveLsh]] — same resolution rule by construction
+    * (one function), spec-pinned against a q75+q44 recomputation.
+    */
+  def q99DedupResolve(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    dedupResolve(q61DedupClusters(spark, dir, threshold),
+      q44TextQuality(spark, dir).select("doc_id", "quality"))
+
+  /** The 100 TB composition: [[dedupResolve]] over q75's MinHash-LSH
+    * clusters (linear candidate generation, no n² shingle join). The
+    * pre-round-8 declared q99. */
+  def q99DedupResolveLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    dedupResolve(q75DedupClustersLsh(spark, dir, threshold),
+      q44TextQuality(spark, dir).select("doc_id", "quality"))
 
   /** #98 Exact duplicated-substring removal — the ExactSubstr rule of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language

@@ -36,7 +36,10 @@ object Relational {
     * upload/upload_to_snowflake.py:89-114): write events (incl. the
     * quoted JSON payload column) to CSV with header, read back with an
     * explicit schema (schema-on-read, never inferSchema at scale).
-    * Smoke-only sink: no oracle.
+    * ORACLED since round 8: the read-back must equal the source table
+    * row-for-row (longs/strings are textual round-trips; doubles
+    * round-trip via shortest-uniquely-parsing decimal), so the
+    * driver's gate proves the CSV write+read loses nothing.
     */
   def q02BulkLoadCsv(spark: SparkSession, dir: String): DataFrame = {
     // app-scoped path (the q87 rule): concurrent JVMs — a test run
@@ -58,7 +61,9 @@ object Relational {
   /** #3 Partitioned parquet sink. Layout is chosen for partition
     * pruning on the append-only log's natural predicate (event_date) —
     * at 100 TB a date filter then touches only matching directories.
-    * Smoke-only sink: no oracle.
+    * ORACLED since round 8: read-back per-date counts must equal the
+    * source's — the gate proves the partitioned write+pinned-schema
+    * read loses no rows (the q109 sink-gate argument).
     */
   def q03SinkParquetPartitioned(spark: SparkSession, dir: String): DataFrame = {
     // app-scoped path (the q87 rule), as in q02

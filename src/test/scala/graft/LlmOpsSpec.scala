@@ -647,23 +647,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.filter(col("n_dup_tokens") > 0).count() === 0)
   }
 
-  test("q99 resolution keeps exactly the best-quality doc per q75 cluster") {
-    val clusters = LlmOps.q75DedupClustersLsh(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+  test("q99 resolution keeps exactly the best-quality doc per cluster (both detectors)") {
     val quality = LlmOps.q44TextQuality(spark, sf).select("doc_id", "quality")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
-    val expectedKeep = clusters.groupBy(_._2).values.flatMap { xs =>
-      val winner = xs.keys.minBy(id => (-quality(id), id))
-      xs.keys.map(id => id -> (id == winner))
-    }.toMap
-    val got = LlmOps.q99DedupResolve(spark, sf).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3))))
-    assert(got.length === clusters.size)
-    got.foreach { case (id, (cl, keep)) =>
-      assert(cl === clusters(id), s"doc $id cluster mismatch")
-      assert(keep === expectedKeep(id), s"doc $id keep mismatch")
+    def check(clusters: Map[Long, Long],
+        got: Array[(Long, (Long, Boolean))]): Unit = {
+      val expectedKeep = clusters.groupBy(_._2).values.flatMap { xs =>
+        val winner = xs.keys.minBy(id => (-quality(id), id))
+        xs.keys.map(id => id -> (id == winner))
+      }.toMap
+      assert(got.length === clusters.size)
+      got.foreach { case (id, (cl, keep)) =>
+        assert(cl === clusters(id), s"doc $id cluster mismatch")
+        assert(keep === expectedKeep(id), s"doc $id keep mismatch")
+      }
+      assert(got.exists(!_._2._2), "fixture should contain multi-doc clusters")
     }
-    assert(got.exists(!_._2._2), "fixture should contain multi-doc clusters")
+    // corpus-scale composition: resolution over q75's LSH clusters
+    val lshClusters = LlmOps.q75DedupClustersLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    check(lshClusters, LlmOps.q99DedupResolveLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3)))))
+    // declared (oracled) query: same rule over q61's exact clusters
+    val exactClusters = LlmOps.q61DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    check(exactClusters, LlmOps.q99DedupResolve(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3)))))
   }
 
   test("q97 keeps everything at an unreachable threshold and is deterministic") {

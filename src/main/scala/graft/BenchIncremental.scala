@@ -26,7 +26,17 @@ object BenchIncremental {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Noise canaries (the Bench rule): identical fixed work timed
+    // before and after the measured section — a reader can discount a
+    // record whose canaries are inflated (episodic multi-minute host
+    // stalls are a measured phenomenon on this VM, BASELINE.md).
+    def canary(): Double =
+      timed(spark.range(50000000L).agg(sum(col("id"))).collect())
     val work = java.nio.file.Files.createTempDirectory("graft_bench_incr").toString
+    // untimed warmup first: the very first job pays codegen/classload
+    // (~3 s measured) and would read as a false stall in canaryBefore
+    canary()
+    val canaryBefore = canary()
 
     // -- LSH dedup index: batch = doc_id mod nBatches ----------------
     val docs = Tables.documents(spark, sfDir)
@@ -71,10 +81,13 @@ object BenchIncremental {
       fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
     val codesBytes = dirBytes(s"$annIdx/codes")
     val vectorBytes = dirBytes(s"$annIdx/vectors")
+    val canaryAfter = canary()
+    def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val json = s"""{"metric":"incremental_batch_sec","batches":${nBatches - 1},""" +
       s""""dedup":${arr(dedupTimes)},"dedup_last_over_first":${ratio(dedupTimes)},""" +
       s""""ann":${arr(annTimes)},"ann_last_over_first":${ratio(annTimes)},""" +
-      s""""ann_codes_bytes":$codesBytes,"ann_vectors_bytes":$vectorBytes,"sf":"$sfDir"}"""
+      s""""ann_codes_bytes":$codesBytes,"ann_vectors_bytes":$vectorBytes,""" +
+      s""""canary":[${fmt(canaryBefore)},${fmt(canaryAfter)}],"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_incremental.json"), json + "\n")
     println(json)

@@ -137,7 +137,8 @@ object SparkEntry {
     "q109_bm25_ingest_batch" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q109Bm25IngestBatch(s, d)),
     "q110_negative_sampling" -> ((s: SparkSession, d: String) => Features.q110NegativeSampling(s, d)),
     "q111_simsearch_indexed" -> ((s: SparkSession, d: String) => LlmOps.q111SimsearchIndexed(s, d)),
-    "q112_json_schema_projection" -> ((s: SparkSession, d: String) => Scalars.q112JsonSchemaProjection(s, d))
+    "q112_json_schema_projection" -> ((s: SparkSession, d: String) => Scalars.q112JsonSchemaProjection(s, d)),
+    "q113_simsearch_ingest_batch" -> ((s: SparkSession, d: String) => LlmOps.q113SimsearchIngestBatch(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -875,6 +876,10 @@ object SparkEntry {
     // q111: the persisted PQ-coded IVF index probed exhaustively ==
     // exact q38 (see simsearchOracle scaladoc)
     "q111_simsearch_indexed" -> simsearchOracle,
+    // q113: the batch-ingest-built index probed exhaustively == exact
+    // q38 — the oracle hash-gates the whole ANN ingest loop (the
+    // q109-shares-q104 argument applied to vector search)
+    "q113_simsearch_ingest_batch" -> simsearchOracle,
     // q112: schema-full PERMISSIVE from_json projection. Fields
     // absent from a payload are NULL -> sentinel-coalesced on both
     // sides; the corrupt-record column mirrors as "props where NOT

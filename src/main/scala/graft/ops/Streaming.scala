@@ -304,6 +304,28 @@ object Streaming {
     * scan; history costs nothing at ingest (it costs at PROBE time,
     * where bucket pruning bounds it to the query terms' postings).
     */
+  /** Streaming ANN-index ingest: every micro-batch of embeddings
+    * flows through [[graft.ops.LlmOps.annIndexAppendBatch]] — the
+    * IDENTICAL per-batch core as the declared batch twin
+    * (`q113_simsearch_ingest_batch`), so the two cannot drift. Batch
+    * 0 seeds the quantizers from itself (deterministic trainers ⇒ a
+    * replayed seed rewrites identical state); every append is
+    * batch-stamped with dynamic partition overwrite, so at-least-once
+    * delivery cannot duplicate vectors. Probe the growing index any
+    * time with [[graft.ops.LlmOps.annIncremental]].
+    */
+  def annIndexIngest(embeddings: DataFrame, indexPath: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.LlmOps.annIndexAppendBatch(
+          batch.sparkSession, batch, indexPath, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", indexPath.stripSuffix("/") + "__checkpoint")
+      .start()
+
   def bm25IndexIngest(docs: DataFrame, indexPath: String):
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream

@@ -475,6 +475,34 @@ class LlmOpsSpec extends AnyFunSuite {
       s"indexed-probe recall $viaIndex < q92 recall $viaQ92 (of ${brute.size})")
   }
 
+  test("q113 ANN ingest twin: batch-built index == exact q38; seed replay is idempotent") {
+    // the declared query: corpus through annIndexAppendBatch in 4
+    // ordered ranges, exhaustive probe — must equal exact q38 (the
+    // shared-oracle argument)
+    val declared = LlmOps.q113SimsearchIngestBatch(spark, sf)
+      .collect().map(_.toString).toSeq
+    val exact = LlmOps.q38SimilarityTopk(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(declared.nonEmpty)
+    assert(declared === exact)
+    // replay safety: re-appending the SEED batch (which also retrains
+    // and rewrites quantizer state) leaves the probe answer unchanged
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val bSize = math.max(1L, maxId / 2 + 1)
+    def batch(b: Int) = emb.filter(expr(s"vec_id DIV $bSize") === b)
+    val idx = java.nio.file.Files.createTempDirectory("graft_q113_idx").toString
+    (0 until 2).foreach(b => LlmOps.annIndexAppendBatch(spark, batch(b), idx, b.toLong))
+    val queries = emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val before = LlmOps.annIncremental(spark, queries, idx, k = 5, nProbe = 4)
+      .collect().map(_.toString).toSeq
+    assert(before.nonEmpty)
+    LlmOps.annIndexAppendBatch(spark, batch(0), idx, 0L)
+    val after = LlmOps.annIncremental(spark, queries, idx, k = 5, nProbe = 4)
+      .collect().map(_.toString).toSeq
+    assert(after === before)
+  }
+
   test("q73 fuzzy dedup finds seeded typo variants within its blocks") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString

@@ -227,6 +227,21 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unpartitioned Window in q105 plan:\n$bad")
   }
 
+  test("q112: schema-full JSON projection reads only (event_id, props); one from_json per row") {
+    val p = plan(graft.ops.Scalars.q112JsonSchemaProjection(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("event_id") && readSchema.contains("props"),
+      readSchema)
+    // the scan must NOT drag the unused wide columns along
+    assert(!readSchema.contains("user_id") && !readSchema.contains("value"),
+      readSchema)
+    // parse-once-project-many: the payload is tokenized by ONE
+    // from_json whose struct fields fan out — a per-path
+    // get_json_object regression would print several extractors
+    assert("from_json".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("get_json_object"), p)
+  }
+
   test("q108: the only nested-loop join is the bounded dense-leg broadcast") {
     val p = plan(graft.ops.Retrieval.q108HybridRrf(spark, sf))
     assert(!p.contains("CartesianProduct"), p)

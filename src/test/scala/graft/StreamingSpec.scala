@@ -402,6 +402,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed === direct)
   }
 
+  test("streaming ANN-index ingest: stream-built index == batch-twin index, replay-safe") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_ann_ingest").toString
+    val idx = s"$base/index"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    // feed the embeddings in 3 vec_id-ordered files → 3 micro-batches
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val bSize = math.max(1L, maxId / 3 + 1)
+    def batch(b: Int) = emb.filter(expr(s"vec_id DIV $bSize") === b)
+    (0 until 3).foreach { b =>
+      val tmp = s"$base/stage_$b"
+      batch(b).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/b$b.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/b$b.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + b * 2000))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      Streaming.annIndexIngest(src, idx).awaitTermination()
+    }
+    runOnce()
+    // twin index built directly through the identical per-batch core
+    val twinIdx = s"$base/twin"
+    (0 until 3).foreach(b =>
+      graft.ops.LlmOps.annIndexAppendBatch(spark, batch(b), twinIdx, b.toLong))
+    val queries = emb.filter(col("vec_id") < 8)
+    val streamed = graft.ops.LlmOps.annIncremental(spark, queries, idx,
+      k = 5, nProbe = 4).collect().map(_.toString).toSeq
+    val twin = graft.ops.LlmOps.annIncremental(spark, queries, twinIdx,
+      k = 5, nProbe = 4).collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === twin)
+    // replay safety: re-running the stream with no new files AND a
+    // direct seed-batch re-append both leave the answer unchanged
+    runOnce()
+    graft.ops.LlmOps.annIndexAppendBatch(spark, batch(0), idx, 0L)
+    val replayed = graft.ops.LlmOps.annIncremental(spark, queries, idx,
+      k = 5, nProbe = 4).collect().map(_.toString).toSeq
+    assert(replayed === streamed)
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

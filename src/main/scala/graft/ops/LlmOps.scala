@@ -1496,7 +1496,11 @@ object LlmOps {
     * `writePq = false` preserves the float-only layout (the parity
     * baseline the spec compares against; also what pre-round-7
     * indexes look like — the probe falls back to the float scan when
-    * `pq/` is absent).
+    * `pq/` is absent). Streaming/at-least-once ingest should use
+    * [[annIndexAppendBatch]] (batch-stamped, replay-safe) from the
+    * FIRST batch instead — the flat layout written here and the
+    * stamped layout don't mix in one index (parquet partition
+    * discovery requires one directory depth).
     */
   def annIndexWrite(spark: SparkSession, embeddings: DataFrame,
       indexPath: String, nCells: Int = 16, kmeansIters: Int = 3,
@@ -1671,6 +1675,28 @@ object LlmOps {
     probeIndexAndClean(spark,
       annIncremental(spark, queries, indexPath, k = k, nProbe = nCells,
         excludeQueryId = true, candFactor = candFactor), indexPath)
+  }
+
+  /** Seal a streaming-ingested ([[annIndexAppendBatch]]) ANN index
+    * into [[annIndexWrite]]'s flat layout — run when ingest is
+    * quiesced and its checkpoint retired: probes are unchanged
+    * (the stamp column was invisible to them), the per-batch
+    * directory fan-out disappears, and the index re-enters the flat
+    * append world (`annIndexWrite(mode = "append")`). See
+    * [[Sinks.sealBatchStamped]] for the swap discipline.
+    */
+  def annIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+    Sinks.sealBatchStamped(spark, s"$indexPath/vectors", Some("cell"))
+    Sinks.sealBatchStamped(spark, s"$indexPath/codes", Some("cell"))
+  }
+
+  /** Seal a streaming-ingested ([[dedupIndexAppendBatch]]) LSH dedup
+    * index into [[dedupIndexWrite]]'s flat layout (the
+    * [[annIndexSeal]] contract).
+    */
+  def dedupIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+    Sinks.sealBatchStamped(spark, s"$indexPath/buckets", Some("band"))
+    Sinks.sealBatchStamped(spark, s"$indexPath/hs", None)
   }
 
   /** Localize a BOUNDED probe result, then delete the demonstration

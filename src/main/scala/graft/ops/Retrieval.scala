@@ -359,6 +359,18 @@ object Retrieval {
       .partitionBy("__batch_id").parquet(s"$indexPath/stats")
   }
 
+  /** Seal a streaming-ingested ([[invIndexAppendBatch]]) inverted
+    * index into [[invIndexWrite]]'s flat layout — the
+    * [[graft.ops.LlmOps.annIndexSeal]] contract: run at quiesce,
+    * probes unchanged (postings keep their `tb` pruning dirs; the
+    * per-batch stats rows keep summing at read), per-batch directory
+    * fan-out gone, flat appends from here on.
+    */
+  def invIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+    Sinks.sealBatchStamped(spark, s"$indexPath/postings", Some("tb"))
+    Sinks.sealBatchStamped(spark, s"$indexPath/stats", None)
+  }
+
   /** #109 Batch twin of the streaming inverted-index ingest: split
     * the corpus into `nBatches` ordered doc-id ranges (the q87
     * arithmetic), push each through [[invIndexAppendBatch]] — the

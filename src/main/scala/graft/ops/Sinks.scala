@@ -169,6 +169,60 @@ object Sinks {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
 
+  /** Collapse a batch-stamped relation (`.../__batch_id=<b>/`
+    * subdirectories, the replay-safe streaming-append layout) into
+    * its flat form: drop the stamp column, rewrite partitioned by the
+    * leading pruning column only, validate row count, then swap with
+    * the [[compact]] park-rename discipline (the live directory is
+    * never in a half-written state). This is the QUIESCE-time
+    * compaction for streaming-ingested indexes — per-micro-batch
+    * directories are the right write-side layout (replays rewrite
+    * exactly their own dirs) but accumulate one directory per batch
+    * per partition, which at 100 TB is NameNode/listing pressure with
+    * no read-side benefit once ingest stops. Sealing RETIRES the
+    * streaming checkpoint: a sealed relation must only be extended
+    * with flat appends (or a new stamped index), never by replaying
+    * old batch ids — the stamped and flat layouts don't mix.
+    *
+    * Returns false (no-op) when the path doesn't exist or is already
+    * flat, so callers can seal unconditionally.
+    */
+  def sealBatchStamped(spark: SparkSession, path: String,
+      leadingPart: Option[String] = None): Boolean = {
+    val fs = fsFor(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dst)) return false
+    val df = spark.read.parquet(path)
+    if (!df.columns.contains("__batch_id")) return false
+    // pin once: the rewrite and the pre-swap validation both consume
+    // this relation, and the source is about to be renamed away
+    val flat = df.drop("__batch_id").localCheckpoint()
+    val expected = flat.count()
+    val tmp = path.stripSuffix("/") + "__seal_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    leadingPart match {
+      case Some(c) => flat.repartition(col(c))
+        .write.mode("overwrite").partitionBy(c).parquet(tmp)
+      case None => flat.write.mode("overwrite").parquet(tmp)
+    }
+    val actual = spark.read.parquet(tmp).count()
+    if (actual != expected) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new java.io.IOException(
+        s"seal: rewrite has $actual rows, expected $expected; aborted with $path untouched")
+    }
+    val trash = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__seal_old")
+    fs.delete(trash, true)
+    if (!fs.rename(dst, trash))
+      throw new java.io.IOException(s"seal: could not park $dst")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(trash, dst) // restore
+      throw new java.io.IOException(s"seal: rename $tmp -> $dst failed; original restored")
+    }
+    fs.delete(trash, true)
+    true
+  }
+
   private def manifest(root: String) =
     new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "/MANIFEST")
 

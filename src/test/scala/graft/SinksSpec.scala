@@ -147,4 +147,34 @@ class SinksSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(membership(s"$out/a") === membership(s"$out/b"))
   }
+
+  test("sealBatchStamped: collapses batch dirs, keeps rows + pruning layout, no-op when flat") {
+    val base = tmpDir("seal") + "/rel"
+    (0 until 3).foreach { b =>
+      Seq((b.toLong * 10, "x"), (b.toLong * 10 + 1, "y")).toDF("id", "v")
+        .withColumn("part", pmod(col("id"), lit(2)))
+        .withColumn("__batch_id", lit(b.toLong))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part", "__batch_id").parquet(base)
+    }
+    val before = spark.read.parquet(base)
+      .select("id", "v", "part").orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(Sinks.sealBatchStamped(spark, base, Some("part")))
+    val flatRead = spark.read.parquet(base)
+    // stamp gone from schema AND from the directory tree; pruning
+    // dirs (part=K) survive
+    assert(!flatRead.columns.contains("__batch_id"))
+    val partDirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("part="))
+    assert(partDirs.length === 2)
+    assert(!partDirs.exists(_.listFiles().exists(_.getName.startsWith("__batch_id="))))
+    assert(flatRead.select("id", "v", "part").orderBy("id")
+      .collect().map(_.toString).toSeq === before)
+    // idempotent entry point: an already-flat relation is a no-op
+    assert(!Sinks.sealBatchStamped(spark, base, Some("part")))
+    // missing path is a no-op too
+    assert(!Sinks.sealBatchStamped(spark, base + "_nope", None))
+  }
+
 }

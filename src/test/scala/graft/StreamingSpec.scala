@@ -400,6 +400,17 @@ class StreamingSpec extends AnyFunSuite {
     val replayed = graft.ops.Retrieval.bm25Indexed(spark, queries, idx)
       .as[(Long, Long, Int, Long)].collect().toSeq
     assert(replayed === direct)
+    // quiesce-time seal: batch dirs collapse, the probe answer and
+    // the summed-at-read corpus stats are unchanged
+    graft.ops.Retrieval.invIndexSeal(spark, idx)
+    val tbDirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("tb="))
+    assert(tbDirs.nonEmpty)
+    assert(!tbDirs.exists(_.listFiles().exists(
+      _.getName.startsWith("__batch_id="))), "postings still stamped")
+    val sealedProbe = graft.ops.Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(sealedProbe === direct)
   }
 
   test("streaming ANN-index ingest: stream-built index == batch-twin index, replay-safe") {
@@ -447,6 +458,19 @@ class StreamingSpec extends AnyFunSuite {
     val replayed = graft.ops.LlmOps.annIncremental(spark, queries, idx,
       k = 5, nProbe = 4).collect().map(_.toString).toSeq
     assert(replayed === streamed)
+    // quiesce-time seal: per-batch directories collapse into the flat
+    // layout, the probe answer is unchanged
+    graft.ops.LlmOps.annIndexSeal(spark, idx)
+    Seq("vectors", "codes").foreach { sub =>
+      val cellDirs = new java.io.File(s"$idx/$sub").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty, sub)
+      assert(!cellDirs.exists(_.listFiles().exists(
+        _.getName.startsWith("__batch_id="))), s"$sub still stamped")
+    }
+    val sealedProbe = graft.ops.LlmOps.annIncremental(spark, queries, idx,
+      k = 5, nProbe = 4).collect().map(_.toString).toSeq
+    assert(sealedProbe === streamed)
   }
 
   test("q56 interval join: stream-stream == batch") {

@@ -125,6 +125,62 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: encode picks the true nearest subspace centroids; ADC == exact reconstruction dot (pure)") {
+    // random codebooks + vectors: the packed code must agree with a
+    // brute-force nearest-centroid search per subspace, and the ADC
+    // table-lookup sum must reproduce <q, reconstruction> exactly
+    // (subspaces are disjoint coordinates — no approximation beyond
+    // the quantization itself)
+    val m = 4; val k = 8; val subDim = 4; val dims = m * subDim
+    val floats = Gen.chooseNum(-1000, 1000).map(_ / 250.0f)
+    val cbGen = Gen.listOfN(m * k * subDim, floats).map(_.toArray)
+    val vecGen = Gen.listOfN(dims, floats).map(_.toArray)
+    samples(Gen.zip(cbGen, vecGen, vecGen), 40).foreach { case (flat, x, q) =>
+      val cb = new graft.functions.Pq.Codebooks(m, k, subDim, flat)
+      val code = {
+        val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(x)
+        graft.functions.Pq.encode(arr, cb)
+      }
+      // brute-force nearest centroid per subspace (ties: lowest id)
+      var expected = 0
+      for (mi <- 0 until m) {
+        val best = (0 until k).minBy { ki =>
+          val d = (0 until subDim).map { di =>
+            val diff = x(mi * subDim + di).toDouble - cb.centroid(mi, ki, di)
+            diff * diff
+          }.sum
+          (d, ki)
+        }
+        expected |= best << (4 * mi)
+      }
+      assert(code === expected)
+      // ADC identity: table built from q, summed over the code's slots
+      val table = new Array[Float](m * k)
+      for (mi <- 0 until m; ki <- 0 until k) {
+        var s = 0.0
+        for (di <- 0 until subDim)
+          s += q(mi * subDim + di).toDouble * cb.centroid(mi, ki, di)
+        table(mi * k + ki) = s.toFloat
+      }
+      val adc = graft.functions.Pq.adc(code,
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(table), m, k)
+      val recon = (0 until m).flatMap { mi =>
+        val ki = (code >>> (4 * mi)) & 0xF
+        (0 until subDim).map(di => cb.centroid(mi, ki, di))
+      }.toArray
+      val exact = (0 until m).map { mi =>
+        val ki = (code >>> (4 * mi)) & 0xF
+        (0 until subDim).map(di =>
+          q(mi * subDim + di).toDouble * cb.centroid(mi, ki, di)).sum.toFloat.toDouble
+      }.sum
+      assert(math.abs(adc - exact) < 1e-9, s"adc $adc != $exact")
+      // reconstruction norm identity
+      val nsq = graft.functions.Pq.reconNormSq(code, cb)
+      val directNsq = recon.map(v => v.toDouble * v).sum
+      assert(math.abs(nsq - directNsq) < 1e-6 * math.max(1.0, directNsq))
+    }
+  }
+
   test("MisraGries: retention guarantee holds on random skewed corpora (pure)") {
     val corpusGen = for {
       nDistinct <- Gen.chooseNum(5, 60)

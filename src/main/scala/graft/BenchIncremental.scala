@@ -66,6 +66,17 @@ object BenchIncremental {
       }
     }
 
+    // -- quiesce-time seal cost: a batch-STAMPED twin of the ANN
+    // index (the streaming-ingest layout) collapsed to flat — the
+    // one-off compaction a quiesced stream pays, measured so the
+    // small-file answer has a number attached
+    val stampedIdx = s"$work/ann_idx_stamped"
+    (0 until nBatches).foreach { b =>
+      LlmOps.annIndexAppendBatch(spark,
+        emb.filter(col("__b") === b).drop("__b"), stampedIdx, b.toLong)
+    }
+    val sealSec = timed(LlmOps.annIndexSeal(spark, stampedIdx))
+
     def arr(xs: Seq[Double]) =
       xs.map("%.3f".formatLocal(java.util.Locale.ROOT, _)).mkString("[", ",", "]")
     // flatness ratio: last batch vs first — the index behind the last
@@ -87,6 +98,7 @@ object BenchIncremental {
       s""""dedup":${arr(dedupTimes)},"dedup_last_over_first":${ratio(dedupTimes)},""" +
       s""""ann":${arr(annTimes)},"ann_last_over_first":${ratio(annTimes)},""" +
       s""""ann_codes_bytes":$codesBytes,"ann_vectors_bytes":$vectorBytes,""" +
+      s""""ann_seal_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sealSec)},""" +
       s""""canary":[${fmt(canaryBefore)},${fmt(canaryAfter)}],"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_incremental.json"), json + "\n")

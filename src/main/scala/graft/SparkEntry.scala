@@ -884,6 +884,13 @@ object SparkEntry {
     // absent from a payload are NULL -> sentinel-coalesced on both
     // sides; the corrupt-record column mirrors as "props where NOT
     // json_valid". k is extracted with TRY_CAST (the q24/q110 rule).
+    // SCOPE of the corrupt mirror: Spark additionally routes
+    // valid-JSON-but-mismatched payloads (a non-object, a declared
+    // field with the wrong type) to the corrupt column, which
+    // json_valid cannot see; the fixture's payloads are uniformly
+    // valid {"k": int} objects, so the two notions coincide here —
+    // OperatorSpec pins the Spark-side behavior on a junk fixture
+    // the oracle never reads.
     "q112_json_schema_projection" ->
       """SELECT event_id,
         |COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k_val,

@@ -136,11 +136,12 @@ object Features {
       .limit(maxDistinctKeys + 1).collect()
       .map(r => (r.get(0), r.getLong(1)))
     if (perKey.length > maxDistinctKeys) {
-      val n = df.count()
+      val (ranked, n) = globalRowNumberWithTotal(df, "__gr_rn", 32,
+        col(timeCol).asc, col(tieCol).asc)
       val pr =
         if (n > 1) (col("__gr_rn") - lit(1)).cast("double") / lit((n - 1).toDouble)
         else lit(0.0)
-      return globalRowNumber(df, "__gr_rn", 32, col(timeCol).asc, col(tieCol).asc)
+      return ranked
         .withColumn("split", when(pr < frac, "train").otherwise("test"))
         .drop("__gr_rn")
     }
@@ -180,7 +181,17 @@ object Features {
     * reliable checkpoint so bucket contents survive executor loss.
     */
   def globalRowNumber(df: DataFrame, idCol: String, nBuckets: Int,
-      sortExprs: Column*): DataFrame = {
+      sortExprs: Column*): DataFrame =
+    globalRowNumberWithTotal(df, idCol, nBuckets, sortExprs: _*)._1
+
+  /** [[globalRowNumber]] plus the TOTAL row count, which the
+    * per-bucket counts already hold — callers that need both (the
+    * [[twoPhaseTimeSplit]] fallback's fractional rank) read it here
+    * instead of paying one more full scan for a number this pass
+    * computed anyway.
+    */
+  def globalRowNumberWithTotal(df: DataFrame, idCol: String, nBuckets: Int,
+      sortExprs: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
     val ranged = df.repartitionByRange(nBuckets, sortExprs: _*)
       .withColumn("gr_pid", spark_partition_id())
@@ -190,10 +201,11 @@ object Features {
     val offDf = prefixOffsets(spark,
       org.apache.spark.sql.types.StructField("gr_pid",
         org.apache.spark.sql.types.IntegerType, nullable = false), counts)
-    ranged.join(broadcast(offDf), "gr_pid")
+    val ranked = ranged.join(broadcast(offDf), "gr_pid")
       .withColumn(idCol, col("gr_offset") +
         row_number().over(Window.partitionBy("gr_pid").orderBy(sortExprs: _*)))
       .drop("gr_pid", "gr_offset")
+    (ranked, counts.map(_._2).sum)
   }
 
   /** #30 Vocabulary build + sequence encode (Keras Tokenizer

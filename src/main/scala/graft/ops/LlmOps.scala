@@ -1581,14 +1581,20 @@ object LlmOps {
     * subdirectories are invisible to the cell filter.
     *
     * Quantizer state (centroids + PQ codebooks) is GLOBAL, not
-    * per-batch, so batch 0 is the SEED: it trains both quantizers on
-    * itself and overwrites `centroids/` + `pq/` — deterministic
-    * trainers (hash-gated sample, id-ordered seeds, fixed Lloyd
-    * rounds) make a replayed seed rewrite identical state. Later
-    * batches assign/encode under the index's persisted quantizers
-    * (the [[annIndexWrite]] `append` contract). As with the inverted
-    * index, one index must be built either all batch-stamped or all
-    * flat — parquet partition discovery requires one directory depth.
+    * per-batch, so the first NON-EMPTY batch is the SEED: it trains
+    * both quantizers on itself and writes `centroids/` + `pq/`. An
+    * empty leading batch (a stream started before its source has
+    * data, or an id range with no rows) simply leaves the index
+    * unseeded for the next batch — it must NOT brick the index, and
+    * must not overwrite a live seed on replay. Replays are safe both
+    * ways: a replayed seed batch finds the quantizers already
+    * persisted and only rewrites its own stamped directories; a
+    * replayed pre-seed empty batch trains nothing and touches
+    * nothing. Later batches assign/encode under the index's
+    * persisted quantizers (the [[annIndexWrite]] `append` contract).
+    * As with the inverted index, one index must be built either all
+    * batch-stamped or all flat — parquet partition discovery
+    * requires one directory depth.
     */
   def annIndexAppendBatch(spark: SparkSession, embeddings: DataFrame,
       indexPath: String, batchId: Long, nCells: Int = 16,
@@ -1597,24 +1603,32 @@ object LlmOps {
     val emb = embeddings
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
+    val seeded = Sinks.fsFor(spark, indexPath)
+      .exists(new org.apache.hadoop.fs.Path(s"$indexPath/centroids"))
+    val existing =
+      if (seeded) readCentroids(spark, indexPath)
+      else Array.empty[(Int, Array[Float])]
     val cents =
-      if (batchId == 0L) {
+      if (existing.nonEmpty) existing
+      else {
         val c = kmeansCentroids(emb, nCells, kmeansIters)
-        import spark.implicits._
-        c.toSeq.toDF("cid", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+        if (c.nonEmpty) {
+          import spark.implicits._
+          c.toSeq.toDF("cid", "centroid")
+            .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+        }
         c
-      } else readCentroids(spark, indexPath)
-    // an empty SEED batch leaves an empty index (probes return no
-    // neighbors); later batches cannot be assigned without quantizers
+      }
+    // no quantizers and an empty batch: nothing to seed or assign yet
     if (cents.isEmpty) return
     val cbOpt =
-      if (batchId == 0L) {
+      if (existing.nonEmpty) readPqCodebooks(spark, indexPath)
+      else {
         val dims = cents.head._2.length
         val cb = pqCodebooks(emb, m, kCodes, dims / m, pqIters)
         cb.foreach(writePqCodebooks(spark, indexPath, _))
         cb
-      } else readPqCodebooks(spark, indexPath)
+      }
     val assigned = emb
       .withColumn("cell", bestCellOf(centroidScores(cents)))
       .withColumn("__batch_id", lit(batchId))
@@ -1701,19 +1715,14 @@ object LlmOps {
   }
 
   /** Localize a BOUNDED probe result, then delete the demonstration
-    * index it read — the Retrieval.probeAndClean rule for the
-    * declared q111/q113 queries (library callers of
+    * index it read — [[Sinks.localizeAndDelete]] for the declared
+    * q111/q113 queries (library callers of
     * [[annIndexWrite]]/[[annIncremental]] manage their own index
     * lifecycle and are untouched).
     */
   private def probeIndexAndClean(spark: SparkSession, result: DataFrame,
-      indexPath: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = result.collect().toSeq
-    Sinks.fsFor(spark, indexPath)
-      .delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    spark.createDataFrame(rows.asJava, result.schema)
-  }
+      indexPath: String): DataFrame =
+    Sinks.localizeAndDelete(spark, result, indexPath)
 
   private def readCentroids(spark: SparkSession,
       indexPath: String): Array[(Int, Array[Float])] =
@@ -1760,6 +1769,12 @@ object LlmOps {
   def annIncremental(spark: SparkSession, queries: DataFrame,
       indexPath: String, k: Int = 5, nProbe: Int = 4,
       excludeQueryId: Boolean = true, candFactor: Int = 16): DataFrame = {
+    // a never-seeded index (stream started with only empty batches so
+    // far) has no centroids DIRECTORY yet — same answer as an empty
+    // index: no cells to probe, no neighbors
+    if (!Sinks.fsFor(spark, indexPath)
+        .exists(new org.apache.hadoop.fs.Path(s"$indexPath/centroids")))
+      return emptyAnnResult(queries)
     val cents = readCentroids(spark, indexPath)
     if (cents.isEmpty) // empty index: no cells to probe, no neighbors
       return emptyAnnResult(queries)
@@ -1825,6 +1840,13 @@ object LlmOps {
         (r.getLong(0), q.toSeq, table, qnsq, cell)
       }
     }.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
+    // finalists carry ONLY narrow keys (query_id, cell, vec_id): the
+    // broadcast is ≤ nQueries·candFactor·k rows × ~20 bytes — the
+    // query vector + prenorm re-enter at the rerank via a SECOND
+    // bounded broadcast keyed by query_id (≤ nQueries rows), instead
+    // of riding a 64-float array on every finalist row (which at a
+    // lossless candFactor — the q111/q113 exhaustive probe — would
+    // have made the broadcast corpus-sized × 300 B/row)
     val finalists = spark.read.parquet(s"$indexPath/codes")
       .join(broadcast(probeRows), Seq("cell"))
       .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
@@ -1836,11 +1858,14 @@ object LlmOps {
       .withColumn("arnk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("acos"), asc("vec_id"))))
       .filter(col("arnk") <= candFactor * k)
-      .select(col("query_id"), col("qe"), col("qnsq"), col("cell"), col("vec_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"))
+    val queryVecs = probeRows
+      .select(col("query_id"), col("qe"), col("qnsq")).distinct()
     broadcast(finalists)
       .join(spark.read.parquet(s"$indexPath/vectors")
         .select(col("cell"), col("vec_id"), col("embedding"), col("nsq")),
         Seq("cell", "vec_id"))
+      .join(broadcast(queryVecs), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
           col("qnsq"), col("nsq")), 6).as("cos"))

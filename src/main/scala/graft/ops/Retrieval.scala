@@ -317,13 +317,8 @@ object Retrieval {
     * the files.
     */
   private def probeAndClean(spark: SparkSession, result: DataFrame,
-      indexPath: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = result.collect().toSeq
-    Sinks.fsFor(spark, indexPath)
-      .delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    spark.createDataFrame(rows.asJava, result.schema)
-  }
+      indexPath: String): DataFrame =
+    Sinks.localizeAndDelete(spark, result, indexPath)
 
   /** Batch-stamped incremental append to the inverted index — the
     * per-micro-batch core of [[graft.ops.Streaming.bm25IndexIngest]]

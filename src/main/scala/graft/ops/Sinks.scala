@@ -169,6 +169,22 @@ object Sinks {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
 
+  /** Materialize a BOUNDED result, then delete the directory it
+    * read — the shared localize-then-delete discipline of the
+    * declared throwaway-index queries (q106/q109's probeAndClean,
+    * q111/q113's ANN twin): localizing the rows first is what makes
+    * the delete safe, since the returned frame no longer reads the
+    * files. One definition so the cleanup discipline cannot diverge
+    * between the lexical and vector index families.
+    */
+  private[graft] def localizeAndDelete(spark: SparkSession,
+      result: DataFrame, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = result.collect().toSeq
+    fsFor(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    spark.createDataFrame(rows.asJava, result.schema)
+  }
+
   /** Collapse a batch-stamped relation (`.../__batch_id=<b>/`
     * subdirectories, the replay-safe streaming-append layout) into
     * its flat form: drop the stamp column, rewrite partitioned by the
@@ -191,6 +207,24 @@ object Sinks {
       leadingPart: Option[String] = None): Boolean = {
     val fs = fsFor(spark, path)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val staleTrash = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__seal_old")
+    val staleTmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__seal_tmp")
+    // Crash recovery at entry — the documented "call unconditionally"
+    // contract must also CLEAN UP after an interrupted earlier seal:
+    //  - killed between park and install: dst is gone, the live data
+    //    sits in __seal_old — restore it and fall through to re-seal;
+    //  - killed after install but before the trash delete: dst is the
+    //    sealed relation, __seal_old is a full pre-seal copy — without
+    //    this delete the early already-flat return below would leave
+    //    that copy (exactly the storage the seal exists to remove)
+    //    parked forever.
+    if (!fs.exists(dst) && fs.exists(staleTrash)) {
+      if (!fs.rename(staleTrash, dst))
+        throw new java.io.IOException(
+          s"seal: could not restore interrupted seal from $staleTrash")
+    }
+    fs.delete(staleTrash, true)
+    fs.delete(staleTmp, true)
     if (!fs.exists(dst)) return false
     val df = spark.read.parquet(path)
     if (!df.columns.contains("__batch_id")) return false

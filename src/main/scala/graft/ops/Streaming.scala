@@ -304,12 +304,28 @@ object Streaming {
     * scan; history costs nothing at ingest (it costs at PROBE time,
     * where bucket pruning bounds it to the query terms' postings).
     */
+  def bm25IndexIngest(docs: DataFrame, indexPath: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Retrieval.invIndexAppendBatch(
+          batch.select(col("doc_id"), split(col("text"), " ").as("toks"))
+            .localCheckpoint(),
+          indexPath, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", indexPath.stripSuffix("/") + "__checkpoint")
+      .start()
+
   /** Streaming ANN-index ingest: every micro-batch of embeddings
     * flows through [[graft.ops.LlmOps.annIndexAppendBatch]] — the
     * IDENTICAL per-batch core as the declared batch twin
-    * (`q113_simsearch_ingest_batch`), so the two cannot drift. Batch
-    * 0 seeds the quantizers from itself (deterministic trainers ⇒ a
-    * replayed seed rewrites identical state); every append is
+    * (`q113_simsearch_ingest_batch`), so the two cannot drift. The
+    * first NON-EMPTY batch seeds the quantizers from itself (a
+    * replayed seed finds them persisted and touches only its own
+    * stamped directories; a pre-seed empty batch is a no-op); every
+    * append is
     * batch-stamped with dynamic partition overwrite, so at-least-once
     * delivery cannot duplicate vectors. Probe the growing index any
     * time with [[graft.ops.LlmOps.annIncremental]].
@@ -320,20 +336,6 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.LlmOps.annIndexAppendBatch(
           batch.sparkSession, batch, indexPath, batchId)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", indexPath.stripSuffix("/") + "__checkpoint")
-      .start()
-
-  def bm25IndexIngest(docs: DataFrame, indexPath: String):
-      org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Retrieval.invIndexAppendBatch(
-          batch.select(col("doc_id"), split(col("text"), " ").as("toks"))
-            .localCheckpoint(),
-          indexPath, batchId)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -503,6 +503,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("ANN ingest: an empty leading batch defers the seed instead of bricking the index") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_seed").toString
+    // batch 0 is EMPTY (stream started before the source had data):
+    // must not freeze an unseeded quantizer state
+    LlmOps.annIndexAppendBatch(spark, emb.limit(0), idx, 0L)
+    // an unseeded index probes to zero neighbors, not an error
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    assert(LlmOps.annIncremental(spark, queries, idx).count() === 0L)
+    // the first NON-empty batch seeds and its vectors become findable
+    LlmOps.annIndexAppendBatch(spark, emb, idx, 1L)
+    val got = LlmOps.annIncremental(spark, queries, idx, k = 3, nProbe = 4)
+    assert(got.count() > 0L)
+    // a replayed pre-seed empty batch is a no-op on the live index
+    LlmOps.annIndexAppendBatch(spark, emb.limit(0), idx, 0L)
+    assert(LlmOps.annIncremental(spark, queries, idx, k = 3, nProbe = 4)
+      .collect().map(_.toString).toSeq ===
+      got.collect().map(_.toString).toSeq)
+  }
+
   test("q73 fuzzy dedup finds seeded typo variants within its blocks") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString

@@ -205,7 +205,9 @@ class OperatorSpec extends AnyFunSuite {
     val junk = Seq[(Long, String)](
       (1L, """{"k": 7, "session_id": "s1"}"""),
       (2L, "not json at all"),
-      (3L, null)).toDF("event_id", "props")
+      (3L, null),
+      (4L, """{"k": "abc"}"""),
+      (5L, """[1, 2]""")).toDF("event_id", "props")
     val parsed = junk.select(col("event_id"),
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL(
@@ -218,10 +220,17 @@ class OperatorSpec extends AnyFunSuite {
         coalesce(col("p._corrupt"), lit("")).as("corrupt_rec"))
       .orderBy("event_id")
       .as[(Long, Int, String, String)].collect().toSeq
-    assert(parsed === Seq(
+    // rows 4/5 pin the PERMISSIVE semantics the q112 oracle comment
+    // scopes out: VALID JSON that fails struct conversion (wrong
+    // field type, non-object) also lands in the corrupt column —
+    // a class json_valid cannot mirror, absent from the fixture
+    assert(parsed.take(3) === Seq(
       (1L, 7, "s1", ""),
       (2L, -1, "", "not json at all"),
       (3L, -1, "", "")))
+    assert(parsed(3)._2 === -1)
+    assert(parsed(3)._4 === """{"k": "abc"}""")
+    assert(parsed(4)._4 === """[1, 2]""")
   }
 }
 

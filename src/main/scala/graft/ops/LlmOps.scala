@@ -1831,7 +1831,7 @@ object LlmOps {
     // per query: prenorm, ADC table (m·k sub-dots), nProbe best cells
     // by query-centroid cosine — all bounded driver work (the probe
     // batch is broadcast-bounded by contract, cents is nCells rows)
-    val probeRows = qRows.toSeq.flatMap { r =>
+    val probeSeq = qRows.toSeq.flatMap { r =>
       val q = r.getSeq[Float](1).toArray
       var qnsq = 0.0
       q.foreach(v => qnsq += v.toDouble * v)
@@ -1839,7 +1839,16 @@ object LlmOps {
       rankCells(q, qnsq, cents, nProbe).map { case (cell, _) =>
         (r.getLong(0), q.toSeq, table, qnsq, cell)
       }
-    }.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
+    }
+    val probeRows = probeSeq.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
+    // the probed cells are DRIVER-KNOWN (rankCells ran on local
+    // data), so the partition prune is STATIC — an isin over the
+    // union of probed cells lands in the scans' partitionFilters,
+    // guaranteed at plan time rather than left to runtime dynamic
+    // pruning heuristics. Both the code scan and the per-finalist
+    // vector fetch read only probed cell=<c>/ directories
+    // (LlmOpsSpec pins this with the q106 scan-metric technique).
+    val probedCells = probeSeq.map(_._5).distinct
     // finalists carry ONLY narrow keys (query_id, cell, vec_id): the
     // broadcast is ≤ nQueries·candFactor·k rows × ~20 bytes — the
     // query vector + prenorm re-enter at the rerank via a SECOND
@@ -1848,6 +1857,7 @@ object LlmOps {
     // lossless candFactor — the q111/q113 exhaustive probe — would
     // have made the broadcast corpus-sized × 300 B/row)
     val finalists = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probeRows), Seq("cell"))
       .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("acos",
@@ -1863,6 +1873,7 @@ object LlmOps {
       .select(col("query_id"), col("qe"), col("qnsq")).distinct()
     broadcast(finalists)
       .join(spark.read.parquet(s"$indexPath/vectors")
+        .filter(col("cell").isin(probedCells: _*))
         .select(col("cell"), col("vec_id"), col("embedding"), col("nsq")),
         Seq("cell", "vec_id"))
       .join(broadcast(queryVecs), Seq("query_id"))

@@ -503,6 +503,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("ANN probe scans only the probed cell partitions (static prune, q106 technique)") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_prune").toString
+    LlmOps.annIndexWrite(spark, emb, idx)
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap {
+        case d if d.isDirectory => parquetFiles(d)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Seq.empty
+      }
+    val allCodeFiles = parquetFiles(new java.io.File(s"$idx/codes")).size
+    assert(allCodeFiles >= 8, s"fixture degenerate: only $allCodeFiles code files")
+    // 2 queries × nProbe=1: the probed-cell union is ≤ 2 cells, and
+    // the probed cells are driver-known, so the cell filter is a
+    // STATIC partition prune — the executed code scan must touch at
+    // most the probed cells' files, never the whole index
+    val res = LlmOps.annIncremental(spark,
+      emb.filter(col("vec_id") < 2).select("vec_id", "embedding"),
+      idx, k = 3, nProbe = 1)
+    res.collect()
+    // AQE wraps the plan: recurse through adaptive roots and leaf
+    // query stages to reach the actual file scans
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+      }.flatten
+    val scans = scansOf(res.queryExecution.executedPlan)
+    val codeScan = scans.find(_.schema.fieldNames.contains("code")).get
+    val read = codeScan.metrics("numFiles").value
+    assert(read <= 2L, s"code scan read $read files for 2 probed cells")
+    assert(read < allCodeFiles.toLong, "no pruning: scan read the whole index")
+  }
+
   test("ANN ingest: an empty leading batch defers the seed instead of bricking the index") {
     val emb = Tables.embeddings(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_seed").toString

@@ -976,6 +976,16 @@ object LlmOps {
     * neighbor_id, cos) schema — the well-defined answer for an empty
     * corpus or empty centroid set.
     */
+  /** Fixture id columns have shipped as both INT32 and INT64 (the
+    * q109 defense); read either width as Long.
+    */
+  private def longOf(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case null => -1L
+    case other => other.toString.toLong
+  }
+
   private def emptyAnnResult(emb: DataFrame): DataFrame =
     emb.limit(0).select(col("vec_id").as("query_id"),
       lit(1).cast("int").as("rnk"), col("vec_id").as("neighbor_id"),
@@ -1610,23 +1620,26 @@ object LlmOps {
       else Array.empty[(Int, Array[Float])]
     val cents =
       if (existing.nonEmpty) existing
-      else {
-        val c = kmeansCentroids(emb, nCells, kmeansIters)
-        if (c.nonEmpty) {
-          import spark.implicits._
-          c.toSeq.toDF("cid", "centroid")
-            .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-        }
-        c
-      }
+      else kmeansCentroids(emb, nCells, kmeansIters)
     // no quantizers and an empty batch: nothing to seed or assign yet
     if (cents.isEmpty) return
     val cbOpt =
       if (existing.nonEmpty) readPqCodebooks(spark, indexPath)
       else {
+        // SEED COMMIT ORDER: codebooks first, centroids LAST — the
+        // centroids directory is the seed-commit marker the guards
+        // key on, so a crash between the two quantizer writes leaves
+        // the index formally UNSEEDED and the next (or replayed)
+        // batch re-trains and rewrites both. Writing centroids first
+        // would let a mid-seed crash freeze a centroids-only state in
+        // which no batch ever trains PQ again — every append would
+        // silently fall back to the float layout forever.
         val dims = cents.head._2.length
         val cb = pqCodebooks(emb, m, kCodes, dims / m, pqIters)
         cb.foreach(writePqCodebooks(spark, indexPath, _))
+        import spark.implicits._
+        cents.toSeq.toDF("cid", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
         cb
       }
     val assigned = emb
@@ -1671,7 +1684,7 @@ object LlmOps {
     val maxRow = emb.agg(max("vec_id")).head()
     if (maxRow.isNullAt(0))
       return emptyAnnResult(emb.select(col("vec_id"), col("embedding")))
-    val bSize = math.max(1L, maxRow.getLong(0) / nBatches + 1)
+    val bSize = math.max(1L, longOf(maxRow.get(0)) / nBatches + 1)
     // app-scoped path + fresh build per run (the q87/q106 rule)
     val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q113_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
@@ -1769,31 +1782,51 @@ object LlmOps {
   def annIncremental(spark: SparkSession, queries: DataFrame,
       indexPath: String, k: Int = 5, nProbe: Int = 4,
       excludeQueryId: Boolean = true, candFactor: Int = 16): DataFrame = {
-    // a never-seeded index (stream started with only empty batches so
-    // far) has no centroids DIRECTORY yet — same answer as an empty
-    // index: no cells to probe, no neighbors
-    if (!Sinks.fsFor(spark, indexPath)
-        .exists(new org.apache.hadoop.fs.Path(s"$indexPath/centroids")))
-      return emptyAnnResult(queries)
+    // Layout tolerance — "probe the growing index any time" includes
+    // the windows BETWEEN a seed's commits (quantizers written,
+    // vectors/codes not yet) and a never-seeded index (stream started
+    // with only empty batches). Missing directories mean "nothing
+    // indexed under this layout yet": no centroids ⇒ no cells, empty
+    // result; codebooks without codes/ ⇒ take the float path; no
+    // vectors/ ⇒ empty result. A replayed/next append repairs the
+    // layout; the probe must degrade, never throw PATH_NOT_FOUND.
+    val fs = Sinks.fsFor(spark, indexPath)
+    def dirExists(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$sub"))
+    if (!dirExists("centroids")) return emptyAnnResult(queries)
     val cents = readCentroids(spark, indexPath)
     if (cents.isEmpty) // empty index: no cells to probe, no neighbors
       return emptyAnnResult(queries)
     readPqCodebooks(spark, indexPath) match {
-      case Some(cb) =>
+      case Some(cb) if dirExists("codes") =>
         return annIncrementalPq(spark, queries, indexPath, cents, cb, k,
           nProbe, excludeQueryId, candFactor)
-      case None => ()
+      case _ => ()
     }
-    val scored = centroidScores(cents)
-    // centroidScores reads the row's `nsq` prenorm — alias to qnsq in
-    // the SAME select (resolution is against the child, as in q49)
-    val probes = queries
-      .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nsq").as("qnsq"),
-        explode(transform(slice(array_sort(scored), 1, nProbe),
-          x => x.getField("cid"))).as("cell"))
+    if (!dirExists("vectors")) return emptyAnnResult(queries)
+    // Driver-side probe construction, mirroring the PQ path: the
+    // probe batch is broadcast-bounded by contract, so collecting it
+    // costs what the broadcast already pays — and makes the probed
+    // cells DRIVER-KNOWN, so the cell filter below is a STATIC
+    // partition prune (plan-time partitionFilters) instead of a bet
+    // on runtime dynamic-pruning heuristics. rankCells orders by
+    // (-cos, cid) — exactly centroidScores' array_sort order, so the
+    // probed cells are the ones the previous in-plan form chose.
+    import spark.implicits._
+    val qRows = queries.select("vec_id", "embedding").collect()
+    if (qRows.isEmpty) return emptyAnnResult(queries)
+    val probeSeq = qRows.toSeq.flatMap { r =>
+      val q = r.getSeq[Float](1).toArray
+      var qnsq = 0.0
+      q.foreach(v => qnsq += v.toDouble * v)
+      rankCells(q, qnsq, cents, nProbe).map { case (cell, _) =>
+        (longOf(r.get(0)), q.toSeq, qnsq, cell)
+      }
+    }
+    val probes = probeSeq.toDF("query_id", "qe", "qnsq", "cell")
+    val probedCells = probeSeq.map(_._4).distinct
     spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), Seq("cell"))
       // self-exclusion only makes sense when queries ARE indexed
       // vectors (the q38/q49 shape); disable it for an external query
@@ -1837,7 +1870,7 @@ object LlmOps {
       q.foreach(v => qnsq += v.toDouble * v)
       val table = adcTableOf(q, cb).toSeq
       rankCells(q, qnsq, cents, nProbe).map { case (cell, _) =>
-        (r.getLong(0), q.toSeq, table, qnsq, cell)
+        (longOf(r.get(0)), q.toSeq, table, qnsq, cell)
       }
     }
     val probeRows = probeSeq.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
@@ -1918,7 +1951,7 @@ object LlmOps {
   def q111SimsearchIndexed(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nCells: Int = 16,
       kmeansIters: Int = 3, m: Int = 8, kCodes: Int = 16,
-      dims: Int = 64, pqIters: Int = 2): DataFrame = {
+      pqIters: Int = 2): DataFrame = {
     // nsq prenorm before the trainers — the q49/q92 convention (the
     // Lloyd loop's assignment expression reads it)
     val emb = Tables.embeddings(spark, dir)
@@ -1930,9 +1963,15 @@ object LlmOps {
     val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q111_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
+    // dims come from the fitted centroids, never a hardcoded width —
+    // a corpus with non-64-d embeddings must train matching-width
+    // codebooks or PqEncode's length guard would zero every code
+    val cents = kmeansCentroidsCached(emb, dir, nCells, kmeansIters)
+    val cbPre =
+      if (cents.isEmpty) None
+      else pqCodebooksCached(emb, dir, m, kCodes, cents.head._2.length / m, pqIters)
     annIndexWrite(spark, emb.drop("nsq"), indexPath, nCells, kmeansIters,
-      centsPre = Some(kmeansCentroidsCached(emb, dir, nCells, kmeansIters)),
-      cbPre = pqCodebooksCached(emb, dir, m, kCodes, dims / m, pqIters))
+      centsPre = Some(cents), cbPre = cbPre)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding")
     // exhaustive probe (see scaladoc): all cells, lossless prefilter

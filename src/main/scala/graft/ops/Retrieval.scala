@@ -508,7 +508,17 @@ object Retrieval {
     val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q108_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
-    LlmOps.annIndexWrite(spark, emb, indexPath, nCells)
+    // one fit per JVM (the q111 rule): reuse the memoized trainers
+    // instead of re-running Lloyd + PQ per invocation
+    val embNsq = emb
+      .withColumn("nsq", LlmOps.dotProduct(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    val cents = LlmOps.kmeansCentroidsCached(embNsq, dir, nCells, 3)
+    val cbPre =
+      if (cents.isEmpty) None
+      else LlmOps.pqCodebooksCached(embNsq, dir, 8, 16, cents.head._2.length / 8, 2)
+    LlmOps.annIndexWrite(spark, emb, indexPath, nCells,
+      centsPre = Some(cents), cbPre = cbPre)
     val queries = emb.join(
         broadcast(qdocs.select(col("doc_id").as("query_id"))),
         col("vec_id") === col("query_id"))

@@ -232,8 +232,7 @@ object Sinks {
     // this relation, and the source is about to be renamed away
     val flat = df.drop("__batch_id").localCheckpoint()
     val expected = flat.count()
-    val tmp = path.stripSuffix("/") + "__seal_tmp"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val tmp = staleTmp.toString
     leadingPart match {
       case Some(c) => flat.repartition(col(c))
         .write.mode("overwrite").partitionBy(c).parquet(tmp)
@@ -245,8 +244,7 @@ object Sinks {
       throw new java.io.IOException(
         s"seal: rewrite has $actual rows, expected $expected; aborted with $path untouched")
     }
-    val trash = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__seal_old")
-    fs.delete(trash, true)
+    val trash = staleTrash
     if (!fs.rename(dst, trash))
       throw new java.io.IOException(s"seal: could not park $dst")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {

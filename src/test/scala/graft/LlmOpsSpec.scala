@@ -541,6 +541,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(read < allCodeFiles.toLong, "no pruning: scan read the whole index")
   }
 
+  test("ANN seed crash windows: partial quantizer state re-seeds; partial layout degrades, never throws") {
+    import org.apache.commons.io.FileUtils
+    def rm(p: String): Unit =
+      FileUtils.deleteDirectory(new java.io.File(p))
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
+    // window 1 — killed between the pq and centroids commits: the
+    // centroids dir is the seed-commit marker, so the index reads as
+    // UNSEEDED (empty probe, no throw) and the next batch re-trains
+    // both quantizers and becomes findable
+    val idx1 = java.nio.file.Files.createTempDirectory("graft_crash1").toString
+    LlmOps.annIndexAppendBatch(spark, emb, idx1, 0L)
+    rm(s"$idx1/centroids"); rm(s"$idx1/vectors"); rm(s"$idx1/codes")
+    assert(LlmOps.annIncremental(spark, queries, idx1).count() === 0L)
+    LlmOps.annIndexAppendBatch(spark, emb, idx1, 1L)
+    assert(LlmOps.annIncremental(spark, queries, idx1).count() > 0L)
+    assert(new java.io.File(s"$idx1/pq").exists(), "re-seed must restore PQ state")
+    // window 2 — killed after both quantizer commits but before the
+    // vectors/codes writes: the probe must DEGRADE to empty, not die
+    // with PATH_NOT_FOUND; a replayed seed repairs the layout
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_crash2").toString
+    LlmOps.annIndexAppendBatch(spark, emb, idx2, 0L)
+    rm(s"$idx2/vectors"); rm(s"$idx2/codes")
+    assert(LlmOps.annIncremental(spark, queries, idx2).count() === 0L)
+    LlmOps.annIndexAppendBatch(spark, emb, idx2, 0L)
+    assert(LlmOps.annIncremental(spark, queries, idx2).count() > 0L)
+  }
+
   test("ANN ingest: an empty leading batch defers the seed instead of bricking the index") {
     val emb = Tables.embeddings(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_seed").toString

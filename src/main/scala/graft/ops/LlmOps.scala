@@ -977,13 +977,15 @@ object LlmOps {
     * corpus or empty centroid set.
     */
   /** Fixture id columns have shipped as both INT32 and INT64 (the
-    * q109 defense); read either width as Long.
+    * q109 defense); read either width as Long. Callers handle null
+    * BEFORE this (isNullAt guards) — fabricating a sentinel here
+    * would let a null id collide with a real one.
     */
   private def longOf(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
-    case null => -1L
-    case other => other.toString.toLong
+    case other => throw new IllegalArgumentException(
+      s"expected an integer id, got $other")
   }
 
   private def emptyAnnResult(emb: DataFrame): DataFrame =
@@ -1108,8 +1110,11 @@ object LlmOps {
     * as the BPE cache: the corpus at `dir` is immutable within the
     * JVM's lifetime (a re-materialized corpus is a new dir/version).
     */
-  def kmeansCentroidsCached(emb: DataFrame, dir: String, nCells: Int,
+  def kmeansCentroidsCached(emb: => DataFrame, dir: String, nCells: Int,
       iters: Int, trainCap: Int = TrainerSampleCap): Array[(Int, Array[Float])] =
+    // emb is BY-NAME: a warm cache never evaluates it, so callers can
+    // hand in an unmaterialized (checkpoint-bearing) frame and pay
+    // zero jobs on a hit
     centroidCache.computeIfAbsent((dir, nCells, iters, trainCap),
       _ => kmeansCentroids(emb, nCells, iters, trainCap))
 
@@ -1122,11 +1127,32 @@ object LlmOps {
     * codebooks take the direct path: their trainer input is derived,
     * not the corpus itself.
     */
-  def pqCodebooksCached(emb: DataFrame, dir: String, m: Int, kCodes: Int,
+  def pqCodebooksCached(emb: => DataFrame, dir: String, m: Int, kCodes: Int,
       subDim: Int, iters: Int,
       trainCap: Int = TrainerSampleCap): Option[graft.functions.Pq.Codebooks] =
     pqCbCache.computeIfAbsent((dir, m, kCodes, subDim, iters, trainCap),
       _ => pqCodebooks(emb, m, kCodes, subDim, iters, trainCap))
+
+  /** One-stop cached quantizer fits for a corpus dir: the coarse
+    * k-means centroids plus PQ codebooks whose width is derived from
+    * the FITTED centroids (never a hardcoded dim). `embNsq` is
+    * by-name — on a warm cache no frame is built and no job runs;
+    * on a miss it must carry the `nsq` prenorm column (the q49/q92
+    * convention). One definition serves q111 and the q108 indexed
+    * dense leg, so the fit parameters cannot drift between them.
+    */
+  def cachedIndexFits(dir: String, embNsq: => DataFrame,
+      nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
+      kCodes: Int = 16, pqIters: Int = 2)
+      : (Array[(Int, Array[Float])], Option[graft.functions.Pq.Codebooks]) = {
+    lazy val frame = embNsq
+    val cents = kmeansCentroidsCached(frame, dir, nCells, kmeansIters)
+    val cb =
+      if (cents.isEmpty) None
+      else pqCodebooksCached(frame, dir, m, kCodes,
+        cents.head._2.length / m, pqIters)
+    (cents, cb)
+  }
 
   /** Drop every memoized trainer fit. The caches assume a corpus dir
     * is immutable for the JVM's lifetime (a re-materialized corpus is
@@ -1223,11 +1249,12 @@ object LlmOps {
     val cb = cbOpt.get
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding", "nsq").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     if (qRows.isEmpty) return emptyAnnResult(emb)
     // per-query ADC tables ([[adcTableOf]] — bounded driver work)
     val queries = qRows.toSeq.map { r =>
       val q = r.getSeq[Float](1).toArray
-      (r.getLong(0), q.toSeq, adcTableOf(q, cb).toSeq, r.getDouble(2))
+      (longOf(r.get(0)), q.toSeq, adcTableOf(q, cb).toSeq, r.getDouble(2))
     }.toDF("query_id", "qe", "adc_table", "qnsq")
     val codes = emb.select(col("vec_id"),
       graft.functions.PqEncode.codes(col("embedding"), cb).as("codes"))
@@ -1288,6 +1315,7 @@ object LlmOps {
     val cb = cbOpt.get
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding", "nsq").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     if (qRows.isEmpty) return emptyAnnResult(emb)
     val queries = qRows.toSeq.flatMap { r =>
       val q = r.getSeq[Float](1).toArray
@@ -1296,7 +1324,7 @@ object LlmOps {
       // rank cells by query-centroid cosine, driver-side (bounded:
       // nQueries × nCells), keep the nProbe best ([[rankCells]])
       rankCells(q, qnsq, cents, nProbe).map { case (cell, _) =>
-        (r.getLong(0), q.toSeq, table, qnsq, cell)
+        (longOf(r.get(0)), q.toSeq, table, qnsq, cell)
       }
     }.toDF("query_id", "qe", "adc_table", "qnsq", "cell")
     val codes = emb
@@ -1384,6 +1412,7 @@ object LlmOps {
     val cb = cbOpt.get
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding", "nsq").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     if (qRows.isEmpty) return emptyAnnResult(emb)
     // per-cell cross-term table: cellDot(cell)(mi·k + ki) = <c_mi, cbR(mi,ki)>
     val cellDot: Map[Int, Seq[Float]] = cents.map { case (cid, c) =>
@@ -1403,7 +1432,7 @@ object LlmOps {
       val qnsq = r.getDouble(2)
       val table = adcTableOf(q, cb).toSeq
       rankCells(q, qnsq, cents, nProbe).map { case (cell, qcDot) =>
-        (r.getLong(0), q.toSeq, table, qnsq, cell, qcDot,
+        (longOf(r.get(0)), q.toSeq, table, qnsq, cell, qcDot,
           cellNormSq(cell), cellDot(cell))
       }
     }.toDF("query_id", "qe", "adc_table", "qnsq", "cell", "qc_dot",
@@ -1798,7 +1827,10 @@ object LlmOps {
     if (cents.isEmpty) // empty index: no cells to probe, no neighbors
       return emptyAnnResult(queries)
     readPqCodebooks(spark, indexPath) match {
-      case Some(cb) if dirExists("codes") =>
+      // the PQ rerank reads vectors/ too — a seal/crash window can
+      // leave codes/ without vectors/, which must fall through to the
+      // (empty-tolerant) float path, not throw at the rerank join
+      case Some(cb) if dirExists("codes") && dirExists("vectors") =>
         return annIncrementalPq(spark, queries, indexPath, cents, cb, k,
           nProbe, excludeQueryId, candFactor)
       case _ => ()
@@ -1813,7 +1845,11 @@ object LlmOps {
     // (-cos, cid) — exactly centroidScores' array_sort order, so the
     // probed cells are the ones the previous in-plan form chose.
     import spark.implicits._
+    // null id / null embedding rows fell out of the old in-plan form
+    // via null propagation — skip them here the same way instead of
+    // NPE-ing the whole probe on one bad input row
     val qRows = queries.select("vec_id", "embedding").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     if (qRows.isEmpty) return emptyAnnResult(queries)
     val probeSeq = qRows.toSeq.flatMap { r =>
       val q = r.getSeq[Float](1).toArray
@@ -1860,6 +1896,7 @@ object LlmOps {
     val m = cb.m
     val subDim = cb.subDim
     val qRows = queries.select("vec_id", "embedding").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // the float-path rule
     if (qRows.isEmpty) return emptyAnnResult(queries)
     // per query: prenorm, ADC table (m·k sub-dots), nProbe best cells
     // by query-centroid cosine — all bounded driver work (the probe
@@ -1963,13 +2000,8 @@ object LlmOps {
     val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q111_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
-    // dims come from the fitted centroids, never a hardcoded width —
-    // a corpus with non-64-d embeddings must train matching-width
-    // codebooks or PqEncode's length guard would zero every code
-    val cents = kmeansCentroidsCached(emb, dir, nCells, kmeansIters)
-    val cbPre =
-      if (cents.isEmpty) None
-      else pqCodebooksCached(emb, dir, m, kCodes, cents.head._2.length / m, pqIters)
+    val (cents, cbPre) = cachedIndexFits(dir, emb, nCells, kmeansIters,
+      m, kCodes, pqIters)
     annIndexWrite(spark, emb.drop("nsq"), indexPath, nCells, kmeansIters,
       centsPre = Some(cents), cbPre = cbPre)
     val queries = emb.filter(col("vec_id") < nQueries)

@@ -508,15 +508,13 @@ object Retrieval {
     val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q108_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
-    // one fit per JVM (the q111 rule): reuse the memoized trainers
-    // instead of re-running Lloyd + PQ per invocation
-    val embNsq = emb
-      .withColumn("nsq", LlmOps.dotProduct(col("embedding"), col("embedding")))
-      .localCheckpoint()
-    val cents = LlmOps.kmeansCentroidsCached(embNsq, dir, nCells, 3)
-    val cbPre =
-      if (cents.isEmpty) None
-      else LlmOps.pqCodebooksCached(embNsq, dir, 8, 16, cents.head._2.length / 8, 2)
+    // one fit per JVM (the q111 rule): cachedIndexFits reuses the
+    // memoized trainers, and its by-name frame means a warm cache
+    // builds no checkpoint and runs no job at all here
+    val (cents, cbPre) = LlmOps.cachedIndexFits(dir,
+      emb.withColumn("nsq",
+        LlmOps.dotProduct(col("embedding"), col("embedding")))
+        .localCheckpoint(), nCells)
     LlmOps.annIndexWrite(spark, emb, indexPath, nCells,
       centsPre = Some(cents), cbPre = cbPre)
     val queries = emb.join(

@@ -56,6 +56,9 @@ class EmptyInputSpec extends AnyFunSuite {
         "q108_hybrid_rrf", "q109_bm25_ingest_batch", "q110_negative_sampling",
         "q111_simsearch_indexed", "q113_simsearch_ingest_batch").contains(name)
     }
+    // self-checking coverage: a renamed/typo'd registry key must fail
+    // here, not silently drop a query from the sweep
+    assert(mixed.size === 18, s"mixed-table set drifted: ${mixed.keys.toSeq.sorted}")
     val noEmb = java.nio.file.Files.createTempDirectory("graft_noemb").toString
     materialize(noEmb, emptied = Set("embeddings"))
     val f1 = sweep(noEmb, mixed)

@@ -567,6 +567,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(LlmOps.annIncremental(spark, queries, idx2).count() === 0L)
     LlmOps.annIndexAppendBatch(spark, emb, idx2, 0L)
     assert(LlmOps.annIncremental(spark, queries, idx2).count() > 0L)
+    // window 3 — codes/ present but vectors/ gone (a seal killed
+    // between the per-subdirectory swaps): the PQ path's rerank
+    // cannot run, so the probe must fall through and degrade to
+    // empty, never PATH_NOT_FOUND at the rerank join
+    val idx3 = java.nio.file.Files.createTempDirectory("graft_crash3").toString
+    LlmOps.annIndexAppendBatch(spark, emb, idx3, 0L)
+    rm(s"$idx3/vectors")
+    assert(LlmOps.annIncremental(spark, queries, idx3).count() === 0L)
+    LlmOps.annIndexAppendBatch(spark, emb, idx3, 0L)
+    assert(LlmOps.annIncremental(spark, queries, idx3).count() > 0L)
   }
 
   test("ANN ingest: an empty leading batch defers the seed instead of bricking the index") {

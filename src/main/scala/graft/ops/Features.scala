@@ -128,22 +128,34 @@ object Features {
     *     #buckets however many distinct keys exist) + the same
     *     prefix-offset arithmetic. Identical output because both
     *     compute the same total order (timeCol, tieCol).
+    *
+    * Null `timeCol` rows are DROPPED on both paths (a null time has
+    * no place in a time-ordered split — filter or impute upstream if
+    * they must be kept), and both paths emit the input's column order
+    * plus `split` — the two plans are output-identical by
+    * construction, not merely on null-free inputs.
     */
   def twoPhaseTimeSplit(df: DataFrame, timeCol: String, tieCol: String,
       frac: Double = 0.9, maxDistinctKeys: Int = 100000): DataFrame = {
     val spark = df.sparkSession
-    val perKey = df.groupBy(timeCol).agg(count(lit(1)).as("cnt"))
+    // one explicit rule for both plans: the per-key path would drop
+    // nulls anyway (inner join on timeCol), while repartitionByRange
+    // would sort them FIRST and label them train — filter up front so
+    // path choice can never change the result
+    val src = df.filter(col(timeCol).isNotNull)
+    val outCols = (df.columns :+ "split").map(col).toIndexedSeq
+    val perKey = src.groupBy(timeCol).agg(count(lit(1)).as("cnt"))
       .limit(maxDistinctKeys + 1).collect()
       .map(r => (r.get(0), r.getLong(1)))
     if (perKey.length > maxDistinctKeys) {
-      val (ranked, n) = globalRowNumberWithTotal(df, "__gr_rn", 32,
+      val (ranked, n) = globalRowNumberWithTotal(src, "__gr_rn", 32,
         col(timeCol).asc, col(tieCol).asc)
       val pr =
         if (n > 1) (col("__gr_rn") - lit(1)).cast("double") / lit((n - 1).toDouble)
         else lit(0.0)
       return ranked
         .withColumn("split", when(pr < frac, "train").otherwise("test"))
-        .drop("__gr_rn")
+        .select(outCols: _*)
     }
     val n = perKey.map(_._2).sum
     val offsetsDf = prefixOffsets(spark, df.schema(timeCol), perKey)
@@ -151,9 +163,9 @@ object Features {
       row_number().over(Window.partitionBy(timeCol).orderBy(tieCol))
     val pr = if (n > 1) (rn - lit(1)).cast("double") / lit((n - 1).toDouble)
              else lit(0.0)
-    df.join(broadcast(offsetsDf), timeCol)
+    src.join(broadcast(offsetsDf), timeCol)
       .withColumn("split", when(pr < frac, "train").otherwise("test"))
-      .drop("gr_offset")
+      .select(outCols: _*)
   }
 
   /** #29 Ordered 90/10 time split without the reference's driver-side

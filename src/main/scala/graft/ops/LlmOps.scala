@@ -1674,10 +1674,20 @@ object LlmOps {
     val assigned = emb
       .withColumn("cell", bestCellOf(centroidScores(cents)))
       .withColumn("__batch_id", lit(batchId))
-    assigned
-      .repartition(col("cell"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", "__batch_id").parquet(s"$indexPath/vectors")
+      // pinned: consumed by BOTH the codes and vectors writes below —
+      // and they must see the identical assignment
+      .localCheckpoint()
+    // BATCH COMMIT ORDER: codes BEFORE vectors — the two relations
+    // are separate commits, and the crash window between them must
+    // fail SAFE for the probe. Codes-without-vectors (crash after the
+    // first write): the ADC scan ranks ghost codes whose finalists
+    // then drop out of the inner rerank join on (cell, vec_id) — at
+    // worst a few candidate slots wasted until the batch replays,
+    // never a served-but-uncommitted vector. The reverse order would
+    // leave committed vectors INVISIBLE to the ADC scan with no
+    // degradation signal at all — silent under-reporting, the failure
+    // mode this ordering removes. Replaying the batch repairs either
+    // window (dynamic overwrite rewrites exactly these directories).
     cbOpt.foreach { cb =>
       assigned
         .select(col("vec_id"), col("cell"), col("__batch_id"),
@@ -1686,6 +1696,10 @@ object LlmOps {
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "__batch_id").parquet(s"$indexPath/codes")
     }
+    assigned
+      .repartition(col("cell"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "__batch_id").parquet(s"$indexPath/vectors")
   }
 
   /** #113 Batch twin of the streaming ANN-index ingest
@@ -1810,7 +1824,8 @@ object LlmOps {
     */
   def annIncremental(spark: SparkSession, queries: DataFrame,
       indexPath: String, k: Int = 5, nProbe: Int = 4,
-      excludeQueryId: Boolean = true, candFactor: Int = 16): DataFrame = {
+      excludeQueryId: Boolean = true, candFactor: Int = 16,
+      maxQueryRows: Int = 65536): DataFrame = {
     // Layout tolerance — "probe the growing index any time" includes
     // the windows BETWEEN a seed's commits (quantizers written,
     // vectors/codes not yet) and a never-seeded index (stream started
@@ -1832,7 +1847,7 @@ object LlmOps {
       // (empty-tolerant) float path, not throw at the rerank join
       case Some(cb) if dirExists("codes") && dirExists("vectors") =>
         return annIncrementalPq(spark, queries, indexPath, cents, cb, k,
-          nProbe, excludeQueryId, candFactor)
+          nProbe, excludeQueryId, candFactor, maxQueryRows)
       case _ => ()
     }
     if (!dirExists("vectors")) return emptyAnnResult(queries)
@@ -1845,11 +1860,7 @@ object LlmOps {
     // (-cos, cid) — exactly centroidScores' array_sort order, so the
     // probed cells are the ones the previous in-plan form chose.
     import spark.implicits._
-    // null id / null embedding rows fell out of the old in-plan form
-    // via null propagation — skip them here the same way instead of
-    // NPE-ing the whole probe on one bad input row
-    val qRows = queries.select("vec_id", "embedding").collect()
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val qRows = collectBoundedQueries(queries, maxQueryRows)
     if (qRows.isEmpty) return emptyAnnResult(queries)
     val probeSeq = qRows.toSeq.flatMap { r =>
       val q = r.getSeq[Float](1).toArray
@@ -1879,6 +1890,27 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Driver-side probe-batch collect shared by both [[annIncremental]]
+    * paths — GUARDED (the twoPhaseTimeSplit rule): `limit(max + 1)`
+    * bounds the transfer by construction, so an unexpectedly large
+    * external query frame fails fast with an instruction instead of
+    * silently OOM-ing the driver. The bound is the same contract that
+    * makes a probe batch broadcastable at all; callers with more
+    * queries split the batch (probes are independent per query).
+    * Null id / null embedding rows fall out exactly as the old
+    * in-plan form dropped them via null propagation.
+    */
+  private def collectBoundedQueries(queries: DataFrame,
+      maxQueryRows: Int): Array[org.apache.spark.sql.Row] = {
+    val raw = queries.select("vec_id", "embedding")
+      .limit(maxQueryRows + 1).collect()
+    require(raw.length <= maxQueryRows,
+      s"annIncremental: query batch exceeds $maxQueryRows rows — probe " +
+        "batches must be broadcast-bounded; split the query set (probes " +
+        "are independent per query) or raise maxQueryRows deliberately")
+    raw.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+  }
+
   /** PQ probe path of [[annIncremental]]. Candidate generation scans
     * the cell-pruned `codes/` directories (4-byte packed codes) and
     * ranks by ADC cosine; only the surviving `candFactor·k` finalists
@@ -1891,12 +1923,12 @@ object LlmOps {
   private def annIncrementalPq(spark: SparkSession, queries: DataFrame,
       indexPath: String, cents: Array[(Int, Array[Float])],
       cb: graft.functions.Pq.Codebooks, k: Int, nProbe: Int,
-      excludeQueryId: Boolean, candFactor: Int): DataFrame = {
+      excludeQueryId: Boolean, candFactor: Int,
+      maxQueryRows: Int): DataFrame = {
     import spark.implicits._
     val m = cb.m
     val subDim = cb.subDim
-    val qRows = queries.select("vec_id", "embedding").collect()
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // the float-path rule
+    val qRows = collectBoundedQueries(queries, maxQueryRows)
     if (qRows.isEmpty) return emptyAnnResult(queries)
     // per query: prenorm, ADC table (m·k sub-dots), nProbe best cells
     // by query-centroid cosine — all bounded driver work (the probe

@@ -48,12 +48,21 @@ object Relational {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${spark.sparkContext.applicationId}"
     val src = Tables.events(spark, dir)
       .select("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+    // NULL and empty-string must stay distinct through the text
+    // round-trip BY CONSTRUCTION, not by fixture luck: pin an explicit
+    // null sentinel (the \N convention) and an explicit empty-string
+    // representation on BOTH sides. Writer/reader defaults conflate
+    // the two (both serialize to an empty field), which happens to
+    // pass on a fixture with no null/empty strings and silently turns
+    // lossy the day one appears.
     src.write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true")
+      .option("nullValue", "\\N").option("emptyValue", "")
       .csv(out)
     spark.read
       .schema("event_id LONG, ts_ms LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .option("header", "true").option("quote", "\"")
+      .option("nullValue", "\\N").option("emptyValue", "")
       .csv(out)
       .orderBy("event_id")
   }

@@ -202,6 +202,14 @@ object Sinks {
     *
     * Returns false (no-op) when the path doesn't exist or is already
     * flat, so callers can seal unconditionally.
+    *
+    * Quiesce violations FAIL LOUDLY instead of losing data silently:
+    * the set of `__batch_id=` directories is snapshotted before the
+    * rewrite reads and re-listed just after the park-rename — a
+    * stamped append that landed in between (a writer that wasn't
+    * actually quiesced) makes the two listings differ, and the seal
+    * restores the parked directory and throws rather than install a
+    * flat rewrite that silently discards the new batch.
     */
   def sealBatchStamped(spark: SparkSession, path: String,
       leadingPart: Option[String] = None): Boolean = {
@@ -228,6 +236,9 @@ object Sinks {
     if (!fs.exists(dst)) return false
     val df = spark.read.parquet(path)
     if (!df.columns.contains("__batch_id")) return false
+    // snapshot the stamped-directory set BEFORE the rewrite reads —
+    // compared again after the park to catch a concurrent append
+    val preBatches = listBatchDirs(fs, dst)
     // pin once: the rewrite and the pre-swap validation both consume
     // this relation, and the source is about to be renamed away
     val flat = df.drop("__batch_id").localCheckpoint()
@@ -247,12 +258,45 @@ object Sinks {
     val trash = staleTrash
     if (!fs.rename(dst, trash))
       throw new java.io.IOException(s"seal: could not park $dst")
+    // Concurrent-append check AFTER the park: the parked directory is
+    // the final pre-install state, so any __batch_id= directory that
+    // appeared (or changed) since the pre-rewrite snapshot is a batch
+    // the flat rewrite does NOT contain — installing would silently
+    // discard it. Restore and abort instead; the caller re-seals once
+    // ingest is actually quiesced.
+    val postBatches = listBatchDirs(fs, trash)
+    if (postBatches != preBatches) {
+      if (!fs.rename(trash, dst))
+        throw new java.io.IOException(
+          s"seal: concurrent append detected AND restore of $dst failed — data parked at $trash")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new IllegalStateException(
+        s"seal: stamped batches changed under $path during the seal " +
+          s"(${(postBatches diff preBatches).mkString(", ")} appeared) — " +
+          "quiesce ingest before sealing; original restored")
+    }
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
       fs.rename(trash, dst) // restore
       throw new java.io.IOException(s"seal: rename $tmp -> $dst failed; original restored")
     }
     fs.delete(trash, true)
     true
+  }
+
+  /** Root-relative paths of every `__batch_id=` directory under
+    * `root` (one listing level per layout depth — stamped layouts are
+    * either `part=<v>/__batch_id=<b>/` or `__batch_id=<b>/`). Bounded
+    * driver work: one listStatus per partition directory.
+    */
+  private def listBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[String] = {
+    def walk(p: org.apache.hadoop.fs.Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        val r = if (rel.isEmpty) name else s"$rel/$name"
+        if (name.startsWith("__batch_id=")) Seq(r) else walk(st.getPath, r)
+      }
+    walk(root, "").toSet
   }
 
   private def manifest(root: String) =

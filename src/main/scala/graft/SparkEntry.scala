@@ -138,7 +138,10 @@ object SparkEntry {
     "q110_negative_sampling" -> ((s: SparkSession, d: String) => Features.q110NegativeSampling(s, d)),
     "q111_simsearch_indexed" -> ((s: SparkSession, d: String) => LlmOps.q111SimsearchIndexed(s, d)),
     "q112_json_schema_projection" -> ((s: SparkSession, d: String) => Scalars.q112JsonSchemaProjection(s, d)),
-    "q113_simsearch_ingest_batch" -> ((s: SparkSession, d: String) => LlmOps.q113SimsearchIngestBatch(s, d))
+    "q113_simsearch_ingest_batch" -> ((s: SparkSession, d: String) => LlmOps.q113SimsearchIngestBatch(s, d)),
+    "q114_simsearch_sealed" -> ((s: SparkSession, d: String) => LlmOps.q114SimsearchSealed(s, d)),
+    "q115_hybrid_rrf_indexed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrfIndexed(s, d)),
+    "q116_bm25_sealed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q116Bm25Sealed(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -220,6 +223,26 @@ object SparkEntry {
   private val bm25Oracle: String = bm25OracleCtes + ",\n" +
     """r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
       |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** RRF fusion of the q104 lexical CTEs and a q38-style dense cosine
+    * leg — q108's oracle, SHARED by q115 (dense leg served from the
+    * persisted PQ index at the exhaustive declaration: identical rank
+    * lists ⇒ identical fusion, since rrfFuse sees only ranks).
+    */
+  private val hybridRrfOracle: String = bm25OracleCtes + ",\n" +
+    """lex AS (SELECT query_id, doc_id, lrank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS lrank FROM sc) t WHERE lrank <= 10),
+      |qe AS (SELECT qd.query_id, e.embedding AS qv FROM qd JOIN embeddings e ON e.vec_id = qd.query_id),
+      |dc AS (SELECT qe.query_id, e.vec_id AS doc_id,
+      |round(list_sum(list_transform(range(1, 65), i -> CAST(qe.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+      |(sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe.qv[i] AS DOUBLE) * CAST(qe.qv[i] AS DOUBLE)))) *
+      |sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
+      |FROM embeddings e CROSS JOIN qe),
+      |den AS (SELECT query_id, doc_id, drank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS drank FROM dc) t WHERE drank <= 10),
+      |u AS (SELECT COALESCE(lex.query_id, den.query_id) AS query_id, COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+      |COALESCE(CAST(round(1000000.0 / (60 + lex.lrank)) AS BIGINT), 0) + COALESCE(CAST(round(1000000.0 / (60 + den.drank)) AS BIGINT), 0) AS rrf_micro
+      |FROM lex FULL OUTER JOIN den ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
+      |f AS (SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank FROM u)
+      |SELECT query_id, doc_id, rrf_micro, rank FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q00_flagship_sessionize" ->
@@ -832,20 +855,21 @@ object SparkEntry {
     // (both engines round the same IEEE quotient), so the fused score
     // and its ties are exact; the dense leg reuses q38's proven
     // fixed-order list_sum cosine rounded to 6 dp before ranking.
-    "q108_hybrid_rrf" -> (bm25OracleCtes + ",\n" +
-      """lex AS (SELECT query_id, doc_id, lrank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS lrank FROM sc) t WHERE lrank <= 10),
-        |qe AS (SELECT qd.query_id, e.embedding AS qv FROM qd JOIN embeddings e ON e.vec_id = qd.query_id),
-        |dc AS (SELECT qe.query_id, e.vec_id AS doc_id,
-        |round(list_sum(list_transform(range(1, 65), i -> CAST(qe.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
-        |(sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe.qv[i] AS DOUBLE) * CAST(qe.qv[i] AS DOUBLE)))) *
-        |sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
-        |FROM embeddings e CROSS JOIN qe),
-        |den AS (SELECT query_id, doc_id, drank FROM (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS drank FROM dc) t WHERE drank <= 10),
-        |u AS (SELECT COALESCE(lex.query_id, den.query_id) AS query_id, COALESCE(lex.doc_id, den.doc_id) AS doc_id,
-        |COALESCE(CAST(round(1000000.0 / (60 + lex.lrank)) AS BIGINT), 0) + COALESCE(CAST(round(1000000.0 / (60 + den.drank)) AS BIGINT), 0) AS rrf_micro
-        |FROM lex FULL OUTER JOIN den ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
-        |f AS (SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank FROM u)
-        |SELECT query_id, doc_id, rrf_micro, rank FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // SHARED by q115 (indexed hybrid): at the exhaustive probe the
+    // persisted-index dense leg's rank lists equal the brute leg's,
+    // and RRF sees only ranks — so the fused output is row-identical
+    // (the q111-shares-q38 argument lifted through rrfFuse).
+    "q108_hybrid_rrf" -> hybridRrfOracle,
+    "q115_hybrid_rrf_indexed" -> hybridRrfOracle,
+    // q114: q113's ingest + the quiesce-time SEAL + a probe of the
+    // SEALED index == exact q38 (sealing is a pure relayout — the
+    // q113 argument extended one lifecycle step; the hash now gates
+    // the park-rename compaction every round).
+    "q114_simsearch_sealed" -> simsearchOracle,
+    // q116: q109's ingest + invIndexSeal + probe of the SEALED
+    // inverted index == exact q104 (the q114 argument for the
+    // lexical index family).
+    "q116_bm25_sealed" -> bm25Oracle,
     // q109 shares q104's oracle (the q87/q94 ingest-twin argument):
     // appending disjoint doc batches is a pure postings partition of
     // the corpus — df and stats reconstruct at probe time, so the

@@ -1722,14 +1722,50 @@ object LlmOps {
   def q113SimsearchIngestBatch(spark: SparkSession, dir: String,
       nBatches: Int = 4, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
-      kCodes: Int = 16, pqIters: Int = 2): DataFrame = {
+      kCodes: Int = 16, pqIters: Int = 2): DataFrame =
+    simsearchIngestProbe(spark, dir, nBatches, nQueries, k, nCells,
+      kmeansIters, m, kCodes, pqIters, seal = false, tag = "q113")
+
+  /** #114 Sealed-index similarity search — [[q113SimsearchIngestBatch]]
+    * extended ONE lifecycle step: the identical 4-batch ingest through
+    * [[annIndexAppendBatch]], then [[annIndexSeal]] (the quiesce-time
+    * compaction — [[Sinks.sealBatchStamped]]'s park-rename swap of
+    * vectors/ and codes/ to the flat layout), then the exhaustive
+    * probe served from the SEALED index. Sealing is a pure relayout
+    * (drop the stamp column, keep the cell partitioning), so the
+    * probe's answer EQUALS exact q38 row-for-row and the query SHARES
+    * q38's oracle — the q113 argument with the seal inserted. What
+    * the gate adds over q113: the flat rewrite's row-count-validated
+    * swap, the stamp column's invisibility to probes, and the sealed
+    * layout's cell pruning are all now hash-gated by the driver every
+    * round — previously the one index-lifecycle step no declared
+    * query executed. Reference shape: the append-only events table
+    * re-served by the views after each reload (README.md:80) — the
+    * store compacts, the query answer must not move.
+    */
+  def q114SimsearchSealed(spark: SparkSession, dir: String,
+      nBatches: Int = 4, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
+      kCodes: Int = 16, pqIters: Int = 2): DataFrame =
+    simsearchIngestProbe(spark, dir, nBatches, nQueries, k, nCells,
+      kmeansIters, m, kCodes, pqIters, seal = true, tag = "q114")
+
+  /** Shared body of q113/q114: batch-ingest the corpus through
+    * [[annIndexAppendBatch]], optionally [[annIndexSeal]], then the
+    * exhaustive probe (nProbe = nCells, lossless candFactor). ONE
+    * definition so the sealed and stamped declarations cannot drift.
+    */
+  private def simsearchIngestProbe(spark: SparkSession, dir: String,
+      nBatches: Int, nQueries: Int, k: Int, nCells: Int,
+      kmeansIters: Int, m: Int, kCodes: Int, pqIters: Int,
+      seal: Boolean, tag: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).localCheckpoint()
     val maxRow = emb.agg(max("vec_id")).head()
     if (maxRow.isNullAt(0))
       return emptyAnnResult(emb.select(col("vec_id"), col("embedding")))
     val bSize = math.max(1L, longOf(maxRow.get(0)) / nBatches + 1)
     // app-scoped path + fresh build per run (the q87/q106 rule)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q113_index_" +
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     Sinks.fsFor(spark, indexPath)
@@ -1739,6 +1775,7 @@ object LlmOps {
         emb.filter(expr(s"vec_id DIV $bSize") === b),
         indexPath, b.toLong, nCells, kmeansIters, m, kCodes, pqIters)
     }
+    if (seal) annIndexSeal(spark, indexPath)
     val n = emb.count()
     val queries = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding")

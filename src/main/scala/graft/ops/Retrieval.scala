@@ -380,7 +380,35 @@ object Retrieval {
     */
   def q109Bm25IngestBatch(spark: SparkSession, dir: String,
       nBatches: Int = 4, nQueries: Int = 8, qLen: Int = 4,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    bm25IngestProbe(spark, dir, nBatches, nQueries, qLen, k,
+      seal = false, tag = "q109")
+
+  /** #116 Sealed-index BM25 — [[q109Bm25IngestBatch]] extended one
+    * lifecycle step (the [[graft.ops.LlmOps.q114SimsearchSealed]]
+    * argument applied to the inverted index): the identical 4-batch
+    * ingest, then [[invIndexSeal]] (postings collapse to flat
+    * `tb=<bucket>/` directories, the per-batch stats rows collapse to
+    * one relation), then the q104 query set served from the SEALED
+    * index. Sealing is a pure relayout, so the result EQUALS q104
+    * row-for-row and SHARES its oracle — the driver's hash now gates
+    * the lexical index's compaction end-to-end: flat-rewrite row
+    * validation, park-rename swap, stats summation over the sealed
+    * (single-relation) stats, and tb pruning on the flat layout.
+    */
+  def q116Bm25Sealed(spark: SparkSession, dir: String,
+      nBatches: Int = 4, nQueries: Int = 8, qLen: Int = 4,
+      k: Int = 10): DataFrame =
+    bm25IngestProbe(spark, dir, nBatches, nQueries, qLen, k,
+      seal = true, tag = "q116")
+
+  /** Shared body of q109/q116: batch-ingest, optionally seal, probe.
+    * ONE definition so the stamped and sealed declarations cannot
+    * drift (the LlmOps.simsearchIngestProbe convention).
+    */
+  private def bm25IngestProbe(spark: SparkSession, dir: String,
+      nBatches: Int, nQueries: Int, qLen: Int, k: Int,
+      seal: Boolean, tag: String): DataFrame = {
     val docs = tokenizedDocs(spark, dir)
     val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
       case null => -1L
@@ -389,7 +417,7 @@ object Retrieval {
     }
     val bSize = math.max(1L, maxId / nBatches + 1)
     // app-scoped path + fresh build per run (the q87/q106 rule)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q109_index_" +
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     val fs = Sinks.fsFor(spark, indexPath)
@@ -398,6 +426,7 @@ object Retrieval {
       invIndexAppendBatch(docs.filter(expr(s"doc_id DIV $bSize") === b),
         indexPath, b.toLong)
     }
+    if (seal) invIndexSeal(spark, indexPath)
     probeAndClean(spark,
       bm25Indexed(spark, querySetOf(docs, nQueries, qLen), indexPath, k = k),
       indexPath)
@@ -477,8 +506,9 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
-  /** [[q108HybridRrf]] with the dense leg served from a PERSISTED
-    * PQ-coded IVF index ([[graft.ops.LlmOps.annIndexWrite]] →
+  /** #115 (declared since round 9) — [[q108HybridRrf]] with the dense
+    * leg served from a PERSISTED PQ-coded IVF index
+    * ([[graft.ops.LlmOps.annIndexWrite]] →
     * [[graft.ops.LlmOps.annIncremental]]) instead of the brute
     * embedding scan — the corpus-scale serving shape the q108
     * scaladoc promises is pluggable, demonstrated: at an exhaustive

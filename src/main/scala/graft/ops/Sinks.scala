@@ -212,7 +212,18 @@ object Sinks {
     * flat rewrite that silently discards the new batch.
     */
   def sealBatchStamped(spark: SparkSession, path: String,
-      leadingPart: Option[String] = None): Boolean = {
+      leadingPart: Option[String] = None): Boolean =
+    sealBatchStampedImpl(spark, path, leadingPart, () => ())
+
+  /** [[sealBatchStamped]] with a test seam: `afterSnapshot` runs
+    * between the stamped-directory snapshot and the park-rename — the
+    * window a quiesce-violating concurrent append would land in. The
+    * spec injects an append there to pin the guard's abort+restore
+    * behavior, which no external caller could otherwise trigger
+    * deterministically.
+    */
+  private[graft] def sealBatchStampedImpl(spark: SparkSession, path: String,
+      leadingPart: Option[String], afterSnapshot: () => Unit): Boolean = {
     val fs = fsFor(spark, path)
     val dst = new org.apache.hadoop.fs.Path(path)
     val staleTrash = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__seal_old")
@@ -234,11 +245,16 @@ object Sinks {
     fs.delete(staleTrash, true)
     fs.delete(staleTmp, true)
     if (!fs.exists(dst)) return false
+    // snapshot the stamped-directory set BEFORE the read pins its file
+    // listing — compared again after the park to catch a concurrent
+    // append. Snapshot-first ordering matters: a batch landing between
+    // this listing and the read below shows up in the post-park diff
+    // (conservative abort); the reverse ordering would let it slip
+    // into neither the rewrite nor the guard.
+    val preBatches = listBatchDirs(fs, dst)
     val df = spark.read.parquet(path)
     if (!df.columns.contains("__batch_id")) return false
-    // snapshot the stamped-directory set BEFORE the rewrite reads —
-    // compared again after the park to catch a concurrent append
-    val preBatches = listBatchDirs(fs, dst)
+    afterSnapshot()
     // pin once: the rewrite and the pre-swap validation both consume
     // this relation, and the source is about to be renamed away
     val flat = df.drop("__batch_id").localCheckpoint()

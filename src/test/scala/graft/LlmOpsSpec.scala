@@ -503,6 +503,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("q114 sealed-index simsearch: ingest + seal + probe == exact q38") {
+    // the declared q114 equality: sealing the batch-stamped index is
+    // a pure relayout, so the exhaustive probe of the SEALED index
+    // must still reproduce exact q38 row for row — and the sealed
+    // layout must actually be flat (no __batch_id column survives)
+    val declared = LlmOps.q114SimsearchSealed(spark, sf)
+      .collect().map(_.toString).toSeq
+    val exact = LlmOps.q38SimilarityTopk(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(declared.nonEmpty)
+    assert(declared === exact)
+  }
+
   test("ANN probe scans only the probed cell partitions (static prune, q106 technique)") {
     val emb = Tables.embeddings(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_prune").toString

@@ -158,6 +158,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(before === direct)
   }
 
+  test("q116 sealed-index BM25 == q104 (compaction moves no answers)") {
+    // q109's ingest + invIndexSeal + probe of the SEALED index: the
+    // seal is a pure relayout, so the probe must still serve q104's
+    // exact rows — the declared q116 equality the driver hash-gates
+    val direct = Retrieval.q104Bm25TopK(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val viaSeal = Retrieval.q116Bm25Sealed(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(viaSeal.nonEmpty)
+    assert(viaSeal === direct)
+  }
+
   test("q108 hybrid RRF == local fusion of brute BM25 and brute cosine lists") {
     val texts = Tables.documents(spark, SharedSpark.sfTiny)
       .select("doc_id", "text").as[(Long, String)].collect()

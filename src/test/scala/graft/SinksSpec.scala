@@ -177,4 +177,30 @@ class SinksSpec extends AnyFunSuite {
     assert(!Sinks.sealBatchStamped(spark, base + "_nope", None))
   }
 
+  test("sealBatchStamped: a concurrent stamped append aborts the seal and restores the original") {
+    val base = tmpDir("sealrace") + "/rel"
+    def appendBatch(b: Long): Unit =
+      Seq((b * 10, "x"), (b * 10 + 1, "y")).toDF("id", "v")
+        .withColumn("part", pmod(col("id"), lit(2)))
+        .withColumn("__batch_id", lit(b))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part", "__batch_id").parquet(base)
+    (0L until 2L).foreach(appendBatch)
+    // inject an append into the snapshot→park window (the quiesce
+    // violation the guard exists for): the seal must throw, NOT
+    // install a flat rewrite that silently drops batch 2
+    val e = intercept[IllegalStateException] {
+      Sinks.sealBatchStampedImpl(spark, base, Some("part"), () => appendBatch(2L))
+    }
+    assert(e.getMessage.contains("quiesce"))
+    // original restored WITH the concurrently appended batch intact
+    val after = spark.read.parquet(base)
+    assert(after.columns.contains("__batch_id"))
+    assert(after.count() === 6)
+    // and once ingest is actually quiet, the re-seal succeeds with
+    // every batch's rows present
+    assert(Sinks.sealBatchStamped(spark, base, Some("part")))
+    assert(spark.read.parquet(base).count() === 6)
+  }
+
 }

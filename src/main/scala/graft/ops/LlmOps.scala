@@ -1798,6 +1798,93 @@ object LlmOps {
     Sinks.sealBatchStamped(spark, s"$indexPath/codes", Some("cell"))
   }
 
+  /** Quantizer retrain rotation for a persisted ANN index — the drift
+    * fix for long-lived ingest: [[annIndexAppendBatch]] seeds
+    * centroids + PQ codebooks from the FIRST non-empty batch and never
+    * retrains, so on a drifting stream the seed batch's distribution
+    * governs realistic-nProbe recall forever. This op refits both
+    * quantizers on the ACCUMULATED corpus (through the same bounded
+    * [[trainerSample]] the seed fit used — retrain cost is constant in
+    * index size beyond one assignment/encode pass), re-assigns every
+    * vector to its new cell, re-encodes every code, and installs the
+    * rotated index via the park-rename swap ([[Sinks.swapInstall]]).
+    *
+    * What is PRESERVED: batch stamps. A stamped index stays stamped —
+    * every vector keeps its `__batch_id`, so at-least-once replay of a
+    * PRE-retrain batch remains idempotent: the replay assigns under
+    * the (persisted, now-rotated) quantizers exactly as the retrain
+    * itself did — deterministic trainers, deterministic assignment —
+    * and dynamic overwrite rewrites precisely the directories the
+    * rotation placed that batch's vectors in. (Contrast a bare
+    * [[annIndexWrite]] rebuild, which loses the stamp/replay story.)
+    *
+    * Crash safety: the rotated index is built COMPLETE (centroids,
+    * pq, codes, vectors) under a tmp root, count-validated against
+    * the live vector count, and swapped as ONE directory — a probe
+    * never observes new codes under old centroids or vice versa; a
+    * crash between the two renames is repaired at the next call's
+    * entry recovery ([[Sinks.recoverInterrupted]]), and the probe's
+    * missing-directory tolerance covers the parked window.
+    *
+    * PQ state follows the index: an index without `pq/` (float-only)
+    * rotates centroids only. No-op on an unseeded index. Quiesce
+    * contract: like [[annIndexSeal]], rotation must not race an
+    * append (single-writer discipline; appends resume — and replays
+    * re-land — once the swap is installed).
+    */
+  def annIndexRetrain(spark: SparkSession, indexPath: String,
+      nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
+      kCodes: Int = 16, pqIters: Int = 2): Unit = {
+    val fs = Sinks.fsFor(spark, indexPath)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val root = p(indexPath)
+    Sinks.recoverInterrupted(fs, root, "__retrain_old", "__retrain_tmp")
+    if (!fs.exists(p(s"$indexPath/centroids")) ||
+        !fs.exists(p(s"$indexPath/vectors"))) return // unseeded: nothing to rotate
+    val hadPq = fs.exists(p(s"$indexPath/pq"))
+    // the accumulated corpus, quantizer-fit-ready (embedding + nsq
+    // ride in the stored rows); pinned — the Lloyd loops, the
+    // assignment pass and the count validation all replay it, and the
+    // source directory is about to be parked away
+    val vecs = spark.read.parquet(s"$indexPath/vectors").localCheckpoint()
+    val stamped = vecs.columns.contains("__batch_id")
+    val expected = vecs.count()
+    if (expected == 0) return
+    val cents = kmeansCentroids(vecs, nCells, kmeansIters)
+    val cb =
+      if (!hadPq || cents.isEmpty) None
+      else pqCodebooks(vecs, m, kCodes, cents.head._2.length / m, pqIters)
+    val tmp = indexPath + "__retrain_tmp"
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    cb.foreach(writePqCodebooks(spark, tmp, _))
+    val partCols = if (stamped) Seq("cell", "__batch_id") else Seq("cell")
+    val assigned = vecs
+      .drop("cell")
+      .withColumn("cell", bestCellOf(centroidScores(cents)))
+      .localCheckpoint() // consumed by both writes below
+    cb.foreach { c =>
+      assigned
+        .select((Seq(col("vec_id"), col("cell")) ++
+          (if (stamped) Seq(col("__batch_id")) else Nil) :+
+          graft.functions.PqEncode.codes(col("embedding"), c).as("code")): _*)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/codes")
+    }
+    assigned
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/vectors")
+    val actual = spark.read.parquet(s"$tmp/vectors").count()
+    if (actual != expected) {
+      fs.delete(p(tmp), true)
+      throw new java.io.IOException(
+        s"annIndexRetrain: rewrite has $actual vectors, expected $expected; " +
+          s"aborted with $indexPath untouched")
+    }
+    Sinks.swapInstall(fs, p(tmp), root, "__retrain_old")
+  }
+
   /** Seal a streaming-ingested ([[dedupIndexAppendBatch]]) LSH dedup
     * index into [[dedupIndexWrite]]'s flat layout (the
     * [[annIndexSeal]] contract).

@@ -299,6 +299,49 @@ object Sinks {
     true
   }
 
+  /** Park-rename install of a fully-built replacement directory —
+    * the [[compact]]/[[sealBatchStamped]] swap discipline factored for
+    * whole-directory replacements (the ANN retrain rotation): park the
+    * live `dst` at `dst<trashSuffix>`, rename `tmp` into place,
+    * restore on failure, drop the parked copy on success. The caller
+    * has already VALIDATED tmp (count checks) — this helper only owns
+    * the never-half-written swap. Callers should also run
+    * [[recoverInterrupted]] at entry so a crash between the two
+    * renames is repaired on the next attempt.
+    */
+  private[graft] def swapInstall(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      trashSuffix: String): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(dst.toString + trashSuffix)
+    fs.delete(trash, true)
+    if (!fs.rename(dst, trash))
+      throw new java.io.IOException(s"swapInstall: could not park $dst")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(trash, dst) // restore
+      throw new java.io.IOException(
+        s"swapInstall: rename $tmp -> $dst failed; original restored")
+    }
+    fs.delete(trash, true)
+  }
+
+  /** Entry-time crash recovery for [[swapInstall]] users: if `dst` is
+    * gone but its parked copy exists (killed between the two renames),
+    * restore it; then clear any stale parked/tmp directories.
+    */
+  private[graft] def recoverInterrupted(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path, trashSuffix: String,
+      tmpSuffix: String): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(dst.toString + trashSuffix)
+    val tmp = new org.apache.hadoop.fs.Path(dst.toString + tmpSuffix)
+    if (!fs.exists(dst) && fs.exists(trash)) {
+      if (!fs.rename(trash, dst))
+        throw new java.io.IOException(
+          s"recoverInterrupted: could not restore $dst from $trash")
+    }
+    fs.delete(trash, true)
+    fs.delete(tmp, true)
+  }
+
   /** Root-relative paths of every `__batch_id=` directory under
     * `root` (one listing level per layout depth — stamped layouts are
     * either `part=<v>/__batch_id=<b>/` or `__batch_id=<b>/`). Bounded

@@ -516,6 +516,64 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(declared === exact)
   }
 
+  test("annIndexRetrain: rotation restores recall after distribution drift; stamps + replay survive") {
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    // drifted second half: the NEGATED corpus — norms unchanged, but a
+    // mode the seed-batch quantizers never saw (negated vectors score
+    // negative cosine against every seed centroid and crowd into the
+    // least-bad cells with garbage ADC codes)
+    val shifted = emb.select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"), col("label"))
+      .localCheckpoint()
+    val idx = java.nio.file.Files.createTempDirectory("graft_retrain").toString
+    LlmOps.annIndexAppendBatch(spark, emb, idx, 0L)
+    LlmOps.annIndexAppendBatch(spark, shifted, idx, 1L)
+    // ground truth: exact top-5 cosine neighbors of the drifted-half
+    // queries over the accumulated corpus (driver-side, tiny fixture)
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect() ++
+      shifted.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val queries = shifted.filter(col("vec_id") <= maxId + 20)
+      .select("vec_id", "embedding").localCheckpoint()
+    def cosd(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val truth = queries.as[(Long, Array[Float])].collect().map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid).map { case (id, v) => (id, cosd(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(): Int = LlmOps.annIncremental(spark, queries, idx,
+        k = 5, nProbe = 4, candFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .count { case (q, n) => truth(q).contains(n) }
+    val seeded = recall()
+    LlmOps.annIndexRetrain(spark, idx)
+    // batch stamps survive the rotation (replay addressing intact)
+    assert(spark.read.parquet(s"$idx/vectors").columns.contains("__batch_id"))
+    assert(spark.read.parquet(s"$idx/codes").columns.contains("__batch_id"))
+    val rotated = recall()
+    // everything here is deterministic (fixture, trainers, probe), so
+    // the STRICT lift is stable: measured 46 -> 51 of 100 at these
+    // params (the sweep also shows >= at every (nProbe, candFactor)
+    // tried — rotation never hurts on this fixture)
+    assert(rotated > seeded,
+      s"rotated recall $rotated !> seeded recall $seeded (of ${truth.size * 5})")
+    // replay of a PRE-retrain batch (the seed batch, at-least-once
+    // delivery) after the rotation: the replay assigns under the
+    // rotated quantizers exactly as the retrain did, so the probe
+    // answer must not move
+    val before = LlmOps.annIncremental(spark, queries, idx,
+      k = 5, nProbe = 4, candFactor = 8).collect().map(_.toString).toSeq
+    LlmOps.annIndexAppendBatch(spark, emb, idx, 0L)
+    val after = LlmOps.annIncremental(spark, queries, idx,
+      k = 5, nProbe = 4, candFactor = 8).collect().map(_.toString).toSeq
+    assert(after === before)
+  }
+
   test("ANN probe scans only the probed cell partitions (static prune, q106 technique)") {
     val emb = Tables.embeddings(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_prune").toString

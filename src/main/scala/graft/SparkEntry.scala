@@ -141,7 +141,8 @@ object SparkEntry {
     "q113_simsearch_ingest_batch" -> ((s: SparkSession, d: String) => LlmOps.q113SimsearchIngestBatch(s, d)),
     "q114_simsearch_sealed" -> ((s: SparkSession, d: String) => LlmOps.q114SimsearchSealed(s, d)),
     "q115_hybrid_rrf_indexed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrfIndexed(s, d)),
-    "q116_bm25_sealed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q116Bm25Sealed(s, d))
+    "q116_bm25_sealed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q116Bm25Sealed(s, d)),
+    "q117_perplexity_bigram" -> ((s: SparkSession, d: String) => LlmOps.q117PerplexityBigram(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -774,6 +775,35 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, bits_micro,
         |CASE WHEN bits_micro < 4910000 * n_tokens THEN 'head'
         |WHEN bits_micro < 4940000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // q117: q100's machinery, interpolated-bigram model — both model
+    // tables are bounded TakeOrdered CTEs (top-4096 unigrams, top-16384
+    // in-vocab-prev bigrams, count desc then pair asc); per-token bits
+    // -log2(0.5*P_bi + 0.5*P_uni) written token-for-token as the Spark
+    // side builds them (same literals, same association), micro-rounded
+    // then integer-summed; first token = P_uni alone. Only log2's libm
+    // ulp drift is engine code (the q100/q104 argument).
+    "q117_perplexity_bigram" ->
+      """WITH ref AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'),
+        |rt AS (SELECT unnest(toks) AS tok FROM ref),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rt),
+        |voc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 4096),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+        |bi AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM
+        |(SELECT toks[i] AS prev, toks[i + 1] AS cur FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM ref) x) y
+        |JOIN voc vv ON y.prev = vv.tok
+        |GROUP BY prev, cur ORDER BY cb DESC, prev ASC, cur ASC LIMIT 16384),
+        |tk AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks) + 1)) AS p FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) d),
+        |tok AS (SELECT doc_id, lang, toks[p] AS cur, CASE WHEN p > 1 THEN toks[p - 1] END AS prev FROM tk),
+        |sc0 AS (SELECT doc_id, lang,
+        |CASE WHEN tok.prev IS NULL THEN CAST(round(-log2((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1)) * 1000000.0) AS BIGINT)
+        |ELSE CAST(round(-log2(0.5 * ((COALESCE(bi.cb, 0) + 1.0) / (COALESCE(vp.c, 0) + v.v + 1)) + 0.5 * ((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1))) * 1000000.0) AS BIGINT) END AS bits
+        |FROM tok LEFT JOIN voc vc ON tok.cur = vc.tok LEFT JOIN voc vp ON tok.prev = vp.tok
+        |LEFT JOIN bi ON tok.prev = bi.prev AND tok.cur = bi.cur, n, v),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS bits_micro FROM sc0 GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, bits_micro,
+        |CASE WHEN bits_micro < 4930000 * n_tokens THEN 'head'
+        |WHEN bits_micro < 4980000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM sc ORDER BY doc_id""".stripMargin,
     // q101: md5-bucketed DSIR weights — 256-bucket hashed unigram
     // models for target (src0) and raw (all docs); Δbits rounded once

@@ -3232,6 +3232,148 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** #117 Interpolated-bigram LM perplexity gate — q100's pipeline
+    * with the model upgraded one order: CCNet's gate is a 5-gram
+    * KenLM (Wenzek et al. 2020 §4.3) and a unigram model is blind to
+    * word ORDER — a token-shuffled document scores identically to its
+    * original under q100, while real quality filtering must prefer
+    * fluent text. The bigram closes most of that gap: per token,
+    *
+    *   P(cur | prev) = 0.5·P_bi + 0.5·P_uni            (interpolation)
+    *   P_uni(cur)    = (c_cur + 1) / (N + V + 1)       (q100's model)
+    *   P_bi(cur|prev)= (c_{prev,cur} + 1) / (c_prev + V + 1)
+    *
+    * with the first token of a document scored by P_uni alone (no
+    * predecessor). Both model tables are BOUNDED regardless of corpus
+    * size: vocab = top `vocabCap` reference tokens, bigrams = top
+    * `bigramCap` reference pairs (count desc, pair asc — the q64/q85
+    * top-V pattern), and the bigram table keeps only pairs whose
+    * `prev` is in-vocab, so c_prev ≥ c_{prev,cur} and every
+    * probability stays below 1. Out-of-table lookups coalesce to
+    * count 0 — exactly the add-one smoothing mass.
+    *
+    * Oracle parity: bits are computed IN-PLAN per token as
+    * −log₂(0.5·P_bi + 0.5·P_uni), micro-rounded, integer-summed (the
+    * q100 machinery); the float expression is written token-for-token
+    * as the DuckDB oracle writes it (same literals, same association),
+    * so only log2's libm ulp drift is engine code — ~1e-9 micro-units
+    * from any rounding boundary. Bucket thresholds compare
+    * `bits_micro < threshold × n_tokens` in exact integers.
+    *
+    * Scale shape: trainer traffic is two TakeOrdered driver transfers
+    * (≤ vocabCap + bigramCap rows); scoring is an explode + THREE
+    * broadcast hash joins (cur-unigram, prev-unigram, bigram — all
+    * map-side) + ONE doc_id-keyed partial-agg exchange. Same cost
+    * class as q100 with one extra broadcast probe per token.
+    * `headBits`/`midBits` are corpus-tuned free parameters (the q97
+    * convention): measured interpolated-bigram bits/token spans
+    * ~4.66–5.52 across sf0.01/sf0.1 (p33 ≈ 4.92–4.96M micro) — the
+    * defaults cut near those terciles. The synthetic corpus's token
+    * order is near-random, so the bigram lowers bits only modestly
+    * here; on real text the gap (and the shuffled-text separation
+    * LlmOpsSpec pins) widens.
+    */
+  def q117PerplexityBigram(spark: SparkSession, dir: String,
+      refSource: String = "src0", vocabCap: Int = 4096,
+      bigramCap: Int = 16384, headBits: Long = 4930000L,
+      midBits: Long = 4980000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bigramPerplexity(docs.select("doc_id", "lang", "text"),
+      docs.filter(col("source") === refSource).select("text"),
+      vocabCap, bigramCap, headBits, midBits)
+  }
+
+  /** Fitted interpolated-bigram model: bounded (tok, c) unigram and
+    * (prev, cur, cb) bigram tables plus the corpus constants (N, V).
+    */
+  final case class BigramLm(uni: DataFrame, bi: DataFrame, n: Long, v: Long)
+
+  /** Fit the q117 model on `ref` (text): top-`vocabCap` unigrams, top
+    * `bigramCap` in-vocab-prev bigrams — both via TakeOrdered, so
+    * driver traffic is capped no matter the reference size (the
+    * `Bpe.fit` rule). The returned frames are localCheckpoint-pinned
+    * (bounded) so scoring replays never re-scan the reference.
+    */
+  def fitBigramLm(ref: DataFrame, vocabCap: Int,
+      bigramCap: Int): BigramLm = {
+    val toks = ref.select(split(col("text"), " ").as("toks"))
+      .localCheckpoint() // read twice: unigram counts + pair counts
+    val refToks = toks.select(explode(col("toks")).as("tok"))
+    val n = refToks.count()
+    val uni = refToks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc).limit(vocabCap)
+      .select(col("tok"), col("count").as("c"))
+      .localCheckpoint()
+    val v = uni.count()
+    val pairs = toks.select(explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + 1).as("prev"),
+              element_at(col("toks"), i + 2).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+        .as("p"))
+      .select(col("p.prev").as("prev"), col("p.cur").as("cur"))
+    // in-vocab prev only: guarantees c_prev >= c_{prev,cur}, so P_bi
+    // < 1 by construction (an OOV-prev bigram would divide by the
+    // smoothing floor and could exceed 1 — negative "bits")
+    val bi = pairs
+      .join(broadcast(uni.select(col("tok").as("prev"))), Seq("prev"))
+      .groupBy("prev", "cur").count()
+      .orderBy(col("count").desc, col("prev").asc, col("cur").asc)
+      .limit(bigramCap)
+      .select(col("prev"), col("cur"), col("count").as("cb"))
+      .localCheckpoint()
+    BigramLm(uni, bi, n, v)
+  }
+
+  /** Score `docs` (doc_id, lang, text) under a [[fitBigramLm]] model:
+    * explode with position, three broadcast probes, one doc-keyed
+    * partial-agg exchange, integer bucket thresholds. Pure transform
+    * (the [[scoreWithLm]] contract, bigram edition).
+    */
+  def scoreWithBigramLm(docs: DataFrame, lm: BigramLm, headBits: Long,
+      midBits: Long): DataFrame = {
+    val denomUni = lit((lm.n + lm.v + 1).toDouble)
+    val tok = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "cur")))
+      // element_at is 1-based: element_at(toks, pos) IS the previous
+      // token of the 0-based position pos; the first token has none
+      .select(col("doc_id"), col("lang"), col("cur"),
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"))
+    val joined = tok
+      .join(broadcast(lm.uni.select(col("tok").as("cur"), col("c").as("cu"))),
+        Seq("cur"), "left")
+      .join(broadcast(lm.uni.select(col("tok").as("prev"), col("c").as("cp"))),
+        Seq("prev"), "left")
+      .join(broadcast(lm.bi), Seq("prev", "cur"), "left")
+    // written token-for-token as the oracle SQL writes it (scaladoc)
+    val puni = (coalesce(col("cu"), lit(0L)) + lit(1.0)) / denomUni
+    val pbi = (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cp"), lit(0L)) + lit(lm.v + 1))
+    // functions.log2 qualified: the file-local driver-side
+    // log2(Double) helper shadows the Column overload
+    def clog2(c: Column): Column = org.apache.spark.sql.functions.log2(c)
+    val bits = when(col("prev").isNull,
+        round(-clog2(puni) * lit(1000000.0)).cast("long"))
+      .otherwise(
+        round(-clog2(lit(0.5) * pbi + lit(0.5) * puni) * lit(1000000.0)).cast("long"))
+    joined
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits_micro"))
+      .withColumn("ppl_bucket",
+        when(col("bits_micro") < lit(headBits) * col("n_tokens"), "head")
+          .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
+          .otherwise("tail"))
+  }
+
+  /** DataFrame core of [[q117PerplexityBigram]]. */
+  def bigramPerplexity(docs: DataFrame, ref: DataFrame, vocabCap: Int,
+      bigramCap: Int, headBits: Long, midBits: Long): DataFrame =
+    scoreWithBigramLm(docs, fitBigramLm(ref, vocabCap, bigramCap),
+      headBits, midBits).orderBy("doc_id")
+
   /** #103 Corpus datacard — the per-(lang, source) release statistics
     * a dataset ships with (the "datasheets for datasets" practice,
     * Gebru et al. 2021): document and token volumes, character mass,

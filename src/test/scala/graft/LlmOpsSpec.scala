@@ -516,6 +516,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(declared === exact)
   }
 
+  test("q117 bigram LM separates token-shuffled text from the original; unigram is order-blind") {
+    // the reason q117 exists: destroy word ORDER while preserving the
+    // token multiset (deterministic in-doc sort). The interpolated
+    // bigram must charge the destroyed text strictly more bits; the
+    // q100 unigram — a pure bag-of-tokens model — scores the two
+    // HashSets of evidence identically, so its separation is exactly 0.
+    val docsT = Tables.documents(spark, sf)
+    val docs = docsT.select(col("doc_id"), col("lang"), col("text"))
+    val ref = docsT.filter(col("source") === "src0").select("text")
+    val shuffled = docs.select(col("doc_id"), col("lang"),
+      concat_ws(" ", array_sort(split(col("text"), " "))).as("text"))
+    val lm = LlmOps.fitBigramLm(ref, 4096, 16384)
+    def bigramBits(d: org.apache.spark.sql.DataFrame): Long =
+      LlmOps.scoreWithBigramLm(d, lm, 1L, 2L)
+        .agg(sum("bits_micro")).head().getLong(0)
+    val bOrig = bigramBits(docs)
+    val bShuf = bigramBits(shuffled)
+    assert(bShuf > bOrig,
+      s"bigram bits on shuffled text ($bShuf) not above original ($bOrig)")
+    val (ulm, oov) = LlmOps.fitUnigramLm(ref, 4096)
+    def uniBits(d: org.apache.spark.sql.DataFrame): Long =
+      LlmOps.scoreWithLm(d, ulm, oov, 1L, 2L)
+        .agg(sum("bits_micro")).head().getLong(0)
+    assert(uniBits(docs) === uniBits(shuffled),
+      "unigram should be exactly order-blind (same token multiset)")
+    // model-table bounds hold (the TakeOrdered contract)
+    assert(lm.uni.count() <= 4096)
+    assert(lm.bi.count() <= 16384)
+    // P_bi < 1 by the in-vocab-prev construction: no negative bits
+    val neg = LlmOps.scoreWithBigramLm(docs, lm, 1L, 2L)
+      .filter(col("bits_micro") < 0).count()
+    assert(neg === 0)
+  }
+
   test("annIndexRetrain: rotation restores recall after distribution drift; stamps + replay survive") {
     val emb = Tables.embeddings(spark, sf).localCheckpoint()
     val maxId = emb.agg(max("vec_id")).head().getLong(0)

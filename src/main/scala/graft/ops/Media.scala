@@ -2,8 +2,12 @@ package graft.ops
 
 /** Self-contained pure-JVM media codecs for the multimodal surface.
   *
-  * Two real formats chosen because their on-disk layouts are simple,
-  * fully public, and decodable without native libraries:
+  * PNG and JPEG — the formats a real multimodal corpus actually
+  * ships — ride the JDK's own `javax.imageio` readers/writers
+  * ([[encodeImage]]/[[decodeImage]]; in every JDK, so the offline
+  * build constraint holds). Beside them, two hand-rolled formats
+  * whose on-disk layouts are simple, fully public, and decodable
+  * without ANY library:
   *
   *  - BMP: 24-bit uncompressed (`BI_RGB`) Windows bitmaps — 14-byte
   *    file header + 40-byte `BITMAPINFOHEADER`, bottom-up BGR pixel
@@ -141,6 +145,69 @@ object Media {
       y += 1
     }
     Bmp(newW, newH, out)
+  }
+
+  /** Encode top-down row-major RGB pixels via the JDK's ImageIO
+    * (`javax.imageio` ships in every JDK — no new dependency, the
+    * offline-build constraint): `format` is an informal ImageIO
+    * writer name ("png", "jpg"). PNG is lossless (exact pixel
+    * round-trips through [[decodeImage]]); JPEG is lossy by design —
+    * round-trips are dimension-exact and pixel-approximate
+    * (MediaSpec pins a mean-error tolerance).
+    */
+  def encodeImage(format: String, width: Int, height: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeImage: bad dims ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"encodeImage: need ${width * height * 3} rgb bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val s = (y * width + x) * 3
+        img.setRGB(x, y, ((rgb(s) & 0xFF) << 16) |
+          ((rgb(s + 1) & 0xFF) << 8) | (rgb(s + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, out)
+    require(ok, s"encodeImage: no ImageIO writer for '$format'")
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-readable image (PNG, JPEG, GIF, BMP — the
+    * JDK's registered readers) to the shared [[Bmp]] pixel form
+    * (top-down row-major RGB), so every downstream transform
+    * ([[resize]], feature extraction, row framing) runs one code path
+    * regardless of container format. Rejects undecodable bytes
+    * loudly (ImageIO returns null) rather than guessing.
+    */
+  def decodeImage(bytes: Array[Byte]): Bmp = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "decodeImage: no ImageIO reader recognized the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w.toLong * h * 3L <= Int.MaxValue.toLong,
+      s"decodeImage: implausible dims ${w}x$h")
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val d = (y * w + x) * 3
+        rgb(d) = ((p >> 16) & 0xFF).toByte
+        rgb(d + 1) = ((p >> 8) & 0xFF).toByte
+        rgb(d + 2) = (p & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(w, h, rgb)
   }
 
   /** 16-bit PCM RIFF/WAVE bytes from interleaved samples. */

@@ -264,20 +264,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fp.filter(col("n") < 2).count() === 0)
   }
 
-  test("q48 multimodal decode: real BMP/WAV features per mime, determinism") {
+  test("q48 multimodal decode: real BMP/PNG/JPEG/WAV features per mime, determinism") {
     val a = LlmOps.q48MultimodalDecode(spark, sf).collect()
     val b = LlmOps.q48MultimodalDecode(spark, sf).collect()
     assert(a.length === Tables.documents(spark, sf).count())
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     // every mime is present and decoded to its declared feature shape
     val byMime = a.groupBy(_.getAs[String]("mime"))
-    assert(byMime.keySet === Set("image/bmp", "audio/wav", "text/plain"))
-    byMime("image/bmp").foreach { r =>
+    assert(byMime.keySet === Set("image/bmp", "image/png", "image/jpeg",
+      "audio/wav", "text/plain"))
+    for (m <- Seq("image/bmp", "image/png", "image/jpeg"); r <- byMime(m)) {
       val f = r.getAs[String]("feature").split("\\|").map(_.toLong)
       assert(f.length === 5)
       assert((f(0), f(1)) === ((16L, 16L))) // REAL decoded dimensions
-      assert(f.drop(2).forall(m => m >= 0 && m <= 255000)) // channel means (milli)
+      assert(f.drop(2).forall(x => x >= 0 && x <= 255000)) // channel means (milli)
     }
+    // PNG is lossless: recompute one PNG doc's features end-to-end
+    // locally (text -> rgb -> encodeImage(png) -> decodeImage ->
+    // channel means) and they must equal the pipeline's exactly
+    val pngRow = byMime("image/png").minBy(_.getAs[Long]("doc_id"))
+    val pngId = pngRow.getAs[Long]("doc_id")
+    val txt = Tables.documents(spark, sf).filter(col("doc_id") === pngId)
+      .select("text").head().getString(0).getBytes("UTF-8")
+    val rgb = Array.tabulate(16 * 16 * 3)(i =>
+      if (txt.isEmpty) 0.toByte else txt(i % txt.length))
+    val img = graft.ops.Media.decodeImage(
+      graft.ops.Media.encodeImage("png", 16, 16, rgb))
+    val n = img.width.toLong * img.height
+    var rA = 0L; var gA = 0L; var bA = 0L
+    var i = 0
+    while (i < img.rgb.length) {
+      rA += img.rgb(i) & 0xFF; gA += img.rgb(i + 1) & 0xFF
+      bA += img.rgb(i + 2) & 0xFF; i += 3
+    }
+    assert(pngRow.getAs[String]("feature") ===
+      Array(16L, 16L, rA * 1000 / n, gA * 1000 / n, bA * 1000 / n).mkString("|"))
     byMime("audio/wav").foreach { r =>
       val f = r.getAs[String]("feature").split("\\|").map(_.toLong)
       assert(f.length === 4)
@@ -290,7 +311,7 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q90 transform: halved BMP/WAV re-encode through the real codecs, checksum-verified") {
+  test("q90 transform: halved BMP/PNG/JPEG/WAV re-encode through the real codecs, checksum-verified") {
     val rows = LlmOps.q90MultimodalTransform(spark, sf).collect()
     assert(rows.length === Tables.documents(spark, sf).count())
     val byMime = rows.groupBy(_.getAs[String]("mime"))
@@ -299,6 +320,12 @@ class LlmOpsSpec extends AnyFunSuite {
       assert((r.getAs[Long]("out_meta1"), r.getAs[Long]("out_meta2")) === ((8L, 8L)))
       // 8px rows stride to 24 bytes (no padding needed): 54 + 8*24
       assert(r.getAs[Int]("out_bytes") === 54 + 8 * 24)
+    }
+    // PNG/JPEG: halved dims, re-encoded in their own container (no
+    // closed-form size — containers compress — but never empty)
+    for (m <- Seq("image/png", "image/jpeg"); r <- byMime(m)) {
+      assert((r.getAs[Long]("out_meta1"), r.getAs[Long]("out_meta2")) === ((8L, 8L)))
+      assert(r.getAs[Int]("out_bytes") > 0)
     }
     // WAV: rate 8000 -> 4000, sample count halved (rounded up)
     byMime("audio/wav").foreach { r =>
@@ -337,12 +364,15 @@ class LlmOpsSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
       .filter(col("mx") =!= col("n") - 1)
     assert(bad.count() === 0)
-    // BMP docs (doc_id % 3 == 0) frame per decoded pixel row: exactly 16
-    val bmpCounts = frames.filter(pmod(col("doc_id"), lit(3)) === 0)
-      .groupBy("doc_id").count().select("count").distinct().collect()
-    assert(bmpCounts.map(_.getLong(0)).toSeq === Seq(16L))
+    // image docs (bmp %5==0, png %5==2, jpeg %5==3): one frame per
+    // DECODED pixel row — exactly 16 regardless of container format
+    for (m <- Seq(0, 2, 3)) {
+      val imgCounts = frames.filter(pmod(col("doc_id"), lit(5)) === m)
+        .groupBy("doc_id").count().select("count").distinct().collect()
+      assert(imgCounts.map(_.getLong(0)).toSeq === Seq(16L), s"mime slot $m")
+    }
     // WAV docs: sample-window frames, offset strides in samples (256)
-    val wavOff = frames.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val wavOff = frames.filter(pmod(col("doc_id"), lit(5)) === 1)
       .filter(col("frame_idx") === 1).select("offset").distinct().collect()
     assert(wavOff.map(_.getInt(0)).toSeq === Seq(256))
     assert(frames.collect().map(_.toString).toSeq ===

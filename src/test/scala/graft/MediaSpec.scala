@@ -58,6 +58,48 @@ class MediaSpec extends AnyFunSuite {
     assert(px(small, 1, 1) === px(img, 2, 2))
   }
 
+  test("PNG round-trip via ImageIO: exact pixels, dims preserved") {
+    val rgb = (0 until 5 * 3 * 3).map(i => (i * 11 % 251).toByte).toArray
+    val bytes = Media.encodeImage("png", 5, 3, rgb)
+    // real PNG magic
+    assert((bytes(0) & 0xFF) === 0x89 && bytes(1) === 'P'.toByte &&
+      bytes(2) === 'N'.toByte && bytes(3) === 'G'.toByte)
+    val img = Media.decodeImage(bytes)
+    assert((img.width, img.height) === ((5, 3)))
+    assert(img.rgb.toSeq === rgb.toSeq) // PNG is lossless
+    // and the shared pixel form means resize works on it unchanged
+    val half = Media.resize(img, 2, 1)
+    assert((half.width, half.height) === ((2, 1)))
+  }
+
+  test("JPEG round-trip via ImageIO: dims exact, pixels within lossy tolerance") {
+    // a smooth gradient (JPEG's best case) — mean per-channel error
+    // must stay small; exactness is NOT expected, JPEG is lossy
+    val w = 16; val h = 16
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      rgb(d) = (x * 16).toByte; rgb(d + 1) = (y * 16).toByte; rgb(d + 2) = 64.toByte
+    }
+    val bytes = Media.encodeImage("jpg", w, h, rgb)
+    // JFIF/EXIF SOI marker
+    assert((bytes(0) & 0xFF) === 0xFF && (bytes(1) & 0xFF) === 0xD8)
+    val img = Media.decodeImage(bytes)
+    assert((img.width, img.height) === ((w, h)))
+    val meanErr = img.rgb.indices.map(i =>
+      math.abs((img.rgb(i) & 0xFF) - (rgb(i) & 0xFF))).sum.toDouble / rgb.length
+    assert(meanErr < 16.0, s"JPEG mean per-channel error $meanErr too large")
+  }
+
+  test("decodeImage rejects undecodable bytes and unknown writer names fail loudly") {
+    intercept[IllegalArgumentException](
+      Media.decodeImage(Array.fill(64)(42.toByte)))
+    intercept[IllegalArgumentException](
+      Media.encodeImage("not-a-format", 2, 2, new Array[Byte](12)))
+    intercept[IllegalArgumentException](
+      Media.encodeImage("png", 2, 2, new Array[Byte](11))) // wrong length
+  }
+
   test("WAV round-trip: rate, channels, exact samples") {
     val samples = Array.tabulate(200)(i =>
       (math.sin(i * 2 * math.Pi / 40) * 16384).toShort)

@@ -142,7 +142,8 @@ object SparkEntry {
     "q114_simsearch_sealed" -> ((s: SparkSession, d: String) => LlmOps.q114SimsearchSealed(s, d)),
     "q115_hybrid_rrf_indexed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrfIndexed(s, d)),
     "q116_bm25_sealed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q116Bm25Sealed(s, d)),
-    "q117_perplexity_bigram" -> ((s: SparkSession, d: String) => LlmOps.q117PerplexityBigram(s, d))
+    "q117_perplexity_bigram" -> ((s: SparkSession, d: String) => LlmOps.q117PerplexityBigram(s, d)),
+    "q118_simsearch_serving" -> ((s: SparkSession, d: String) => LlmOps.q118SimsearchServing(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -158,7 +159,11 @@ object SparkEntry {
     * q111 and q112 ONTO the gate. q41 was evaluated and correctly
     * stays off: its hamming-0 pairs are REAL near-dups with different
     * token multisets (measured: 4/4 at sf0.01), so no multiset-based
-    * SQL mirror exists — the hash-seeded omission stands.
+    * SQL mirror exists — the hash-seeded omission stands. Round 9
+    * adds q118 (realistic-params pruned ANN probe — approximate by
+    * construction, the q49 rule; recall spec-pinned ≥ q92, and its
+    * bench line times the warm pruned probe against the memoized
+    * index).
     */
   /** Exact top-k cosine over the embeddings table — q38's oracle,
     * SHARED by q111 (persisted-index probe): declared exhaustive

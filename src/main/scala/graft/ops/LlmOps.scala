@@ -2179,6 +2179,54 @@ object LlmOps {
         excludeQueryId = true, candFactor = candFactor), indexPath)
   }
 
+  /** #118 Production-shaped ANN SERVING probe — the declared query
+    * whose bench line is the PRUNED path: realistic params
+    * (nProbe = 4 of 16 cells, candFactor = 16 — the shape a real
+    * serving tier runs), against a MEMOIZED index. q111/q113/q114
+    * declare exhaustive probes so their oracle equality is exact —
+    * which means the timed path no production caller runs (the ADC
+    * prefilter keeps everything); regressions in the pruned path
+    * (static cell pruning, ADC ranking, bounded-finalist rerank)
+    * showed up only in specs. This query puts them on the BENCH
+    * record: the index is a pure function of (corpus dir, params), so
+    * it persists at a parameter-keyed path (the q61 cluster-memo
+    * pattern — staged build + atomic root rename, losers of a
+    * cross-session race read the winner's identical content) and the
+    * bench's min-across-rounds protocol then times the warm PROBE,
+    * not the build. Approximate by construction ⇒ no oracle (the q49
+    * rule); recall vs exact q38 is spec-pinned at ≥ the in-memory q92
+    * composition (same quantizer fits, no tighter candidate budget).
+    */
+  def q118SimsearchServing(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nProbe: Int = 4,
+      candFactor: Int = 16, nCells: Int = 16, kmeansIters: Int = 3,
+      m: Int = 8, kCodes: Int = 16, pqIters: Int = 2): DataFrame = {
+    val memoIdx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      s"_c${nCells}i${kmeansIters}m${m}k${kCodes}p$pqIters"
+    val fs = Sinks.fsFor(spark, memoIdx)
+    val root = new org.apache.hadoop.fs.Path(memoIdx)
+    if (!fs.exists(root)) {
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
+        .localCheckpoint()
+      if (emb.isEmpty)
+        return emptyAnnResult(emb.select(col("vec_id"), col("embedding")))
+      val (cents, cbPre) = cachedIndexFits(dir, emb, nCells, kmeansIters,
+        m, kCodes, pqIters)
+      val staging = new org.apache.hadoop.fs.Path(
+        memoIdx + "__tmp_" + spark.sparkContext.applicationId)
+      annIndexWrite(spark, emb.drop("nsq"), staging.toString, nCells,
+        kmeansIters, m = m, kCodes = kCodes, pqIters = pqIters,
+        centsPre = Some(cents), cbPre = cbPre)
+      if (!fs.rename(staging, root)) fs.delete(staging, true)
+    }
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nQueries).select("vec_id", "embedding")
+    annIncremental(spark, queries, memoIdx, k = k, nProbe = nProbe,
+      excludeQueryId = true, candFactor = candFactor)
+  }
+
   // -- text analysis ------------------------------------------------
 
   /** #39 Tokenize + explode + frequency per language (token machinery

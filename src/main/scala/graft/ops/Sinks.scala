@@ -252,7 +252,16 @@ object Sinks {
     // (conservative abort); the reverse ordering would let it slip
     // into neither the rewrite nor the guard.
     val preBatches = listBatchDirs(fs, dst)
-    val df = spark.read.parquet(path)
+    // a directory with no data files (an ingest whose every batch was
+    // empty writes _SUCCESS but no parts) has nothing to seal — it is
+    // trivially flat, not an error
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+          return false
+      }
     if (!df.columns.contains("__batch_id")) return false
     afterSnapshot()
     // pin once: the rewrite and the pre-swap validation both consume

@@ -505,6 +505,27 @@ class LlmOpsSpec extends AnyFunSuite {
       s"indexed-probe recall $viaIndex < q92 recall $viaQ92 (of ${brute.size})")
   }
 
+  test("q118 serving probe: pruned realistic-params path, recall >= q92, memoized index reused") {
+    val got = LlmOps.q118SimsearchServing(spark, sf)
+    val rows = got.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(rows.nonEmpty)
+    val brute = LlmOps.q38SimilarityTopk(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val viaQ92 = LlmOps.q92SimsearchIvfPq(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      .intersect(brute).size
+    assert(rows.intersect(brute).size >= viaQ92,
+      s"serving recall ${rows.intersect(brute).size} < q92 recall $viaQ92 (of ${brute.size})")
+    // the memo index is ON DISK at its parameter-keyed path, and a
+    // second call returns identical rows without rebuilding (same
+    // persisted quantizers + codes)
+    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
+      sf.replaceAll("[^a-zA-Z0-9]", "_") + "_c16i3m8k16p2"
+    assert(new java.io.File(s"$memo/centroids").isDirectory)
+    assert(LlmOps.q118SimsearchServing(spark, sf).collect().map(_.toString).toSeq ===
+      got.collect().map(_.toString).toSeq)
+  }
+
   test("q113 ANN ingest twin: batch-built index == exact q38; seed replay is idempotent") {
     // the declared query: corpus through annIndexAppendBatch in 4
     // ordered ranges, exhaustive probe — must equal exact q38 (the

@@ -143,7 +143,8 @@ object SparkEntry {
     "q115_hybrid_rrf_indexed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q108HybridRrfIndexed(s, d)),
     "q116_bm25_sealed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q116Bm25Sealed(s, d)),
     "q117_perplexity_bigram" -> ((s: SparkSession, d: String) => LlmOps.q117PerplexityBigram(s, d)),
-    "q118_simsearch_serving" -> ((s: SparkSession, d: String) => LlmOps.q118SimsearchServing(s, d))
+    "q118_simsearch_serving" -> ((s: SparkSession, d: String) => LlmOps.q118SimsearchServing(s, d)),
+    "q119_dedup_ingest_sealed" -> ((s: SparkSession, d: String) => LlmOps.q119DedupIngestSealed(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -229,6 +230,23 @@ object SparkEntry {
   private val bm25Oracle: String = bm25OracleCtes + ",\n" +
     """r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
       |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q87's oracle (batch-sequential LSH ingest at threshold 1.0 ==
+    * global first-occurrence dedup by identical shingle set), SHARED
+    * by q119 (seal inserted before the final batch — a pure relayout
+    * admission cannot observe).
+    */
+  private val dedupIngestOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |fp AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      |array_to_string(list_sort(list_distinct(list_transform(range(1, len(t) - 1),
+      |i -> array_to_string(t[CAST(i AS INTEGER):(CAST(i AS INTEGER) + 2)], ' ')))), chr(31)) END AS f
+      |FROM toks),
+      |keep AS (SELECT doc_id, CASE WHEN f IS NULL THEN doc_id
+      |ELSE min(doc_id) OVER (PARTITION BY f) END AS keeper FROM fp),
+      |b AS (SELECT COALESCE(max(doc_id), -1) // 4 + 1 AS sz FROM documents)
+      |SELECT doc_id, CAST(doc_id // (SELECT GREATEST(sz, 1) FROM b) AS BIGINT) AS batch_id
+      |FROM keep WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
 
   /** RRF fusion of the q104 lexical CTEs and a q38-style dense cosine
     * leg — q108's oracle, SHARED by q115 (dense leg served from the
@@ -719,17 +737,13 @@ object SparkEntry {
     // first-occurrence dedup by identical shingle SET (an equivalence
     // relation; see LlmOps.q87DedupIngestBatch scaladoc). Docs with
     // < 3 tokens have no shingles and are always admitted.
-    "q87_dedup_ingest_batch" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |fp AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
-        |array_to_string(list_sort(list_distinct(list_transform(range(1, len(t) - 1),
-        |i -> array_to_string(t[CAST(i AS INTEGER):(CAST(i AS INTEGER) + 2)], ' ')))), chr(31)) END AS f
-        |FROM toks),
-        |keep AS (SELECT doc_id, CASE WHEN f IS NULL THEN doc_id
-        |ELSE min(doc_id) OVER (PARTITION BY f) END AS keeper FROM fp),
-        |b AS (SELECT COALESCE(max(doc_id), -1) // 4 + 1 AS sz FROM documents)
-        |SELECT doc_id, CAST(doc_id // (SELECT GREATEST(sz, 1) FROM b) AS BIGINT) AS batch_id
-        |FROM keep WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
+    "q87_dedup_ingest_batch" -> dedupIngestOracle,
+    // q119 shares q87's oracle: the seal before the final batch is a
+    // pure relayout and admission depends only on index CONTENT, so
+    // the sealed-probe + flat-append run admits exactly q87's rows —
+    // the q114/q116 argument for the LSH family, exercised
+    // mid-ingest.
+    "q119_dedup_ingest_sealed" -> dedupIngestOracle,
     "q66_zorder_curve" -> {
       // generated from the SAME (bit, position) sequence as
       // Layout.zValue — the two sides cannot drift

@@ -192,9 +192,18 @@ object LlmOps {
     * rule), append the admitted docs to the index stamped with
     * `batchId`, and return them. `batch` should be checkpointed by
     * the caller (it is read multiple times).
+    *
+    * `flatAppend = true` appends via [[dedupIndexWrite]]'s flat
+    * layout instead of the stamped writer — the ONLY correct append
+    * once an index has been SEALED ([[dedupIndexSeal]]): the stamped
+    * and flat layouts don't mix, and a sealed index re-enters the
+    * flat append world by contract. Probe semantics are identical —
+    * admission depends only on index content, which both layouts
+    * carry byte-for-byte.
     */
   def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
-      indexPath: String, batchId: Long, threshold: Double): DataFrame = {
+      indexPath: String, batchId: Long, threshold: Double,
+      flatAppend: Boolean = false): DataFrame = {
     // existence check through the path's own FileSystem — a
     // java.io.File test is local-FS-only and on an object store
     // would silently take the "no index" branch forever. "Exists"
@@ -218,7 +227,8 @@ object LlmOps {
        else minhashPairsOf(batch, threshold))
         .select(col("doc_b").as("doc_id")).distinct()
     val admitted = batch.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
-    dedupIndexAppendBatch(admitted, indexPath, batchId)
+    if (flatAppend) dedupIndexWrite(admitted, indexPath, "append")
+    else dedupIndexAppendBatch(admitted, indexPath, batchId)
     admitted
   }
 
@@ -270,6 +280,48 @@ object LlmOps {
     // (the q106 rule — without this every application leaks an
     // index-sized tmp directory, since the app-id-suffixed path means
     // the pre-run delete never targets a previous run's state)
+    val out = admitted.reduce(_.unionByName(_)).orderBy("doc_id")
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    out
+  }
+
+  /** #119 Sealed-index dedup ingest — the q114/q116 lifecycle
+    * argument for the THIRD index family, with the one twist the LSH
+    * index adds: its probe runs DURING ingest (admission), so the
+    * seal is exercised mid-stream rather than before a terminal
+    * probe. The first `nBatches - 1` batches ingest stamped (the
+    * exact q87 path), then [[dedupIndexSeal]] collapses buckets/ and
+    * hs/ to the flat layout, then the FINAL batch probes the SEALED
+    * index and appends FLAT (`flatAppend = true` — a sealed index
+    * re-enters the flat append world; the stamped writer would mix
+    * layouts). Admission depends only on index CONTENT, which the
+    * seal preserves byte-for-byte, so the admitted set EQUALS q87's
+    * row-for-row and the query SHARES q87's oracle — hash-gating the
+    * sealed-layout probe AND the flat-append-after-seal contract,
+    * the two read/write paths a long-lived dedup stream runs after
+    * every compaction.
+    */
+  def q119DedupIngestSealed(spark: SparkSession, dir: String,
+      nBatches: Int = 4, threshold: Double = 1.0): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
+      case null => -1L
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+    val bSize = math.max(1L, maxId / nBatches + 1)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q119_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + spark.sparkContext.applicationId
+    val fs = Sinks.fsFor(spark, indexPath)
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    val admitted = (0 until nBatches).map { b =>
+      if (b == nBatches - 1) dedupIndexSeal(spark, indexPath)
+      val batch = docs.filter(expr(s"doc_id DIV $bSize") === b)
+      dedupIngestBatch(spark, batch, indexPath, b.toLong, threshold,
+        flatAppend = b == nBatches - 1)
+        .select(col("doc_id"), lit(b.toLong).as("batch_id"))
+    }
     val out = admitted.reduce(_.unionByName(_)).orderBy("doc_id")
       .localCheckpoint()
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)

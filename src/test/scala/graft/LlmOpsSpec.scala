@@ -505,6 +505,18 @@ class LlmOpsSpec extends AnyFunSuite {
       s"indexed-probe recall $viaIndex < q92 recall $viaQ92 (of ${brute.size})")
   }
 
+  test("q119 sealed dedup ingest == q87: mid-stream seal + flat append change nothing") {
+    // the declared equality its shared oracle rests on — the seal
+    // before the last batch is a pure relayout, and the flat append
+    // after it is the sealed index's contractual write path
+    val viaSeal = LlmOps.q119DedupIngestSealed(spark, sf)
+      .collect().map(_.toString).toSeq
+    val stamped = LlmOps.q87DedupIngestBatch(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaSeal.nonEmpty)
+    assert(viaSeal === stamped)
+  }
+
   test("q118 serving probe: pruned realistic-params path, recall >= q92, memoized index reused") {
     val got = LlmOps.q118SimsearchServing(spark, sf)
     val rows = got.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

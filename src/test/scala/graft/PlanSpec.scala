@@ -253,4 +253,42 @@ class PlanSpec extends AnyFunSuite {
     val loops = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(loops <= 1, s"unexpected nested-loop joins:\n$p")
   }
+
+  test("q117: all model probes are broadcast hash joins; the only shuffle key is doc-level") {
+    val df = graft.ops.LlmOps.q117PerplexityBigram(spark, sf)
+    val p = plan(df)
+    // three bounded model tables (cur-unigram, prev-unigram, bigram)
+    // probe the exploded token stream map-side — a sort-merge join
+    // here would shuffle one row PER TOKEN per table at corpus scale
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc aggregation is partial before its exchange (map-side
+    // combine on the token stream — the q11 law: partial + final
+    // HashAggregate around one doc_id hash exchange)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("q118: the serving probe scans are partition-pruned to the probed cells") {
+    // build the memo index, then inspect the PROBE's executed plan:
+    // both the code scan and the finalist vector fetch must carry
+    // cell partition filters (static prune — probed cells are
+    // driver-known), never a full-index scan
+    graft.ops.LlmOps.q118SimsearchServing(spark, sf).collect()
+    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
+      sf.replaceAll("[^a-zA-Z0-9]", "_") + "_c16i3m8k16p2"
+    val emb = Tables.embeddings(spark, sf)
+    val probe = graft.ops.LlmOps.annIncremental(spark,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+        .select("vec_id", "embedding"),
+      memo, k = 3, nProbe = 1)
+    val p = plan(probe)
+    // every parquet scan over the index carries a cell partition
+    // filter; with nProbe=1 and 2 queries, at most 2 cells appear
+    val scanFilters = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanFilters.nonEmpty, p)
+    assert(scanFilters.forall(_.contains("cell")),
+      s"index scan without a cell prune:\n${scanFilters.mkString("\n")}")
+  }
 }

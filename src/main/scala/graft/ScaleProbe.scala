@@ -56,7 +56,9 @@ object ScaleProbe {
     "q105_source_quota" -> Seq("documents"),
     "q106_bm25_indexed" -> Seq("documents"),
     "q107_dim_reduction" -> Seq("embeddings"),
-    "q108_hybrid_rrf" -> Seq("documents", "embeddings"))
+    "q108_hybrid_rrf" -> Seq("documents", "embeddings"),
+    "q117_perplexity_bigram" -> Seq("documents"),
+    "q118_simsearch_serving" -> Seq("embeddings"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")
@@ -131,7 +133,8 @@ object ScaleProbe {
         "q77_repetition_stats", "q80_sequence_packing", "q81_decontamination",
         "q100_perplexity_filter", "q101_importance_resample",
         "q104_bm25_topk", "q105_source_quota", "q106_bm25_indexed",
-        "q107_dim_reduction", "q108_hybrid_rrf"))
+        "q107_dim_reduction", "q108_hybrid_rrf",
+        "q117_perplexity_bigram", "q118_simsearch_serving"))
     val needed = probes.flatMap(p => probeFacts.getOrElse(p, allFacts)).toSet
     // reuse is keyed on the REPLICATION FACTOR too (marker written
     // after a complete build): a run with a new SPARK_GRAFT_REPL must

@@ -1215,18 +1215,26 @@ object LlmOps {
   def invalidateTrainerCaches(): Unit = {
     centroidCache.clear()
     pqCbCache.clear()
-    // persisted cluster memos this JVM wrote: delete the directories
-    // so the next call re-clusters the rewritten corpus (memos other
-    // sessions wrote for the same dir are theirs to retire — the
-    // shared immutable-corpus-dir contract)
-    clusterMemoPaths.forEach { p =>
-      new java.io.File(p).listFiles() match {
-        case null => ()
-        case fs => { fs.foreach(_.delete()); new java.io.File(p).delete() }
-      }
+    // persisted memos this JVM wrote (cluster labels, the q118 ANN
+    // index): delete the directories so the next call recomputes over
+    // the rewritten corpus (memos other sessions wrote for the same
+    // dir are theirs to retire — the shared immutable-corpus-dir
+    // contract)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
     }
+    clusterMemoPaths.forEach(p => rmTree(new java.io.File(p)))
     clusterMemoPaths.clear()
+    annIndexMemoPaths.forEach(p => rmTree(new java.io.File(p)))
+    annIndexMemoPaths.clear()
   }
+
+  /** q118 memo-index paths this JVM materialized — the
+    * [[clusterMemoPaths]] tier for the serving index.
+    */
+  private val annIndexMemoPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Train product-quantization codebooks: k-means in each of `m`
     * disjoint subspaces, all subspaces in ONE distributed job per
@@ -2272,6 +2280,7 @@ object LlmOps {
         kmeansIters, m = m, kCodes = kCodes, pqIters = pqIters,
         centsPre = Some(cents), cbPre = cbPre)
       if (!fs.rename(staging, root)) fs.delete(staging, true)
+      annIndexMemoPaths.add(memoIdx)
     }
     val queries = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < nQueries).select("vec_id", "embedding")

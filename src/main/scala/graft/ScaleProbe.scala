@@ -145,6 +145,11 @@ object ScaleProbe {
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/$t.parquet")))) {
       System.err.println(s"[scaleprobe] building ${repl}x replica at $dst (${needed.mkString(",")})")
       buildReplica(spark, src, dst, repl, needed)
+      // the replica dir is REWRITTEN IN PLACE when the replication
+      // factor changes — retire every persisted memo keyed to it
+      // (cluster labels, the q118 serving index), or a probe would
+      // silently serve an index built from the previous corpus
+      graft.ops.LlmOps.invalidateMemosFor(spark, dst)
       java.nio.file.Files.list(java.nio.file.Paths.get(dst)).forEach { f =>
         if (f.getFileName.toString.startsWith("__repl_") && f != marker)
           java.nio.file.Files.delete(f)

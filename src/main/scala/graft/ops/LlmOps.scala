@@ -248,43 +248,9 @@ object LlmOps {
     * self-pair rule, replay-safe append.
     */
   def q87DedupIngestBatch(spark: SparkSession, dir: String,
-      nBatches: Int = 4, threshold: Double = 1.0): DataFrame = {
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
-      case null => -1L
-      case l: Long => l
-      case i: Int => i.toLong
-    }
-    // same arithmetic as the oracle: bSize = max(doc_id) DIV n + 1
-    val bSize = math.max(1L, maxId / nBatches + 1)
-    // Keyed by data dir AND Spark application id: two sessions
-    // running q87 over the same dir get disjoint index paths, so one
-    // can't delete/rewrite the index the other is mid-probe on
-    // (within one session the ingest loop below is sequential by
-    // construction — batches are a driver-side fold over the index).
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q87_index_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + spark.sparkContext.applicationId
-    // a fresh ingest run must not probe a previous run's index
-    val fs = Sinks.fsFor(spark, indexPath)
-    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    val admitted = (0 until nBatches).map { b =>
-      // no checkpoint on the batch itself: it is a trivial pushed-down
-      // filter over the parquet scan, cheaper to recompute than to
-      // materialize (the streaming twin checkpoints because ITS batch
-      // comes from a source that must not be re-read)
-      val batch = docs.filter(expr(s"doc_id DIV $bSize") === b)
-      dedupIngestBatch(spark, batch, indexPath, b.toLong, threshold)
-        .select(col("doc_id"), lit(b.toLong).as("batch_id"))
-    }
-    // materialize before deleting the throwaway index the plan reads
-    // (the q106 rule — without this every application leaks an
-    // index-sized tmp directory, since the app-id-suffixed path means
-    // the pre-run delete never targets a previous run's state)
-    val out = admitted.reduce(_.unionByName(_)).orderBy("doc_id")
-      .localCheckpoint()
-    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    out
-  }
+      nBatches: Int = 4, threshold: Double = 1.0): DataFrame =
+    dedupIngestProbe(spark, dir, nBatches, threshold, seal = false,
+      tag = "q87")
 
   /** #119 Sealed-index dedup ingest — the q114/q116 lifecycle
     * argument for the THIRD index family, with the one twist the LSH
@@ -303,25 +269,54 @@ object LlmOps {
     * every compaction.
     */
   def q119DedupIngestSealed(spark: SparkSession, dir: String,
-      nBatches: Int = 4, threshold: Double = 1.0): DataFrame = {
+      nBatches: Int = 4, threshold: Double = 1.0): DataFrame =
+    dedupIngestProbe(spark, dir, nBatches, threshold, seal = true,
+      tag = "q119")
+
+  /** Shared body of q87/q119 (the simsearchIngestProbe/bm25IngestProbe
+    * convention — ONE definition so the stamped and sealed
+    * declarations cannot drift): batch-ingest the corpus through
+    * [[dedupIngestBatch]]; with `seal`, [[dedupIndexSeal]] runs
+    * before the FINAL batch, which then probes the sealed index and
+    * appends FLAT (the sealed layout's contractual write path).
+    */
+  private def dedupIngestProbe(spark: SparkSession, dir: String,
+      nBatches: Int, threshold: Double, seal: Boolean,
+      tag: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
       case null => -1L
       case l: Long => l
       case i: Int => i.toLong
     }
+    // same arithmetic as the oracle: bSize = max(doc_id) DIV n + 1
     val bSize = math.max(1L, maxId / nBatches + 1)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q119_index_" +
+    // Keyed by data dir AND Spark application id: two sessions
+    // running the ingest over the same dir get disjoint index paths,
+    // so one can't delete/rewrite the index the other is mid-probe on
+    // (within one session the ingest loop below is sequential by
+    // construction — batches are a driver-side fold over the index).
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + spark.sparkContext.applicationId
+    // a fresh ingest run must not probe a previous run's index
     val fs = Sinks.fsFor(spark, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
     val admitted = (0 until nBatches).map { b =>
-      if (b == nBatches - 1) dedupIndexSeal(spark, indexPath)
+      val last = b == nBatches - 1
+      if (seal && last) dedupIndexSeal(spark, indexPath)
+      // no checkpoint on the batch itself: it is a trivial pushed-down
+      // filter over the parquet scan, cheaper to recompute than to
+      // materialize (the streaming twin checkpoints because ITS batch
+      // comes from a source that must not be re-read)
       val batch = docs.filter(expr(s"doc_id DIV $bSize") === b)
       dedupIngestBatch(spark, batch, indexPath, b.toLong, threshold,
-        flatAppend = b == nBatches - 1)
+        flatAppend = seal && last)
         .select(col("doc_id"), lit(b.toLong).as("batch_id"))
     }
+    // materialize before deleting the throwaway index the plan reads
+    // (the q106 rule — without this every application leaks an
+    // index-sized tmp directory, since the app-id-suffixed path means
+    // the pre-run delete never targets a previous run's state)
     val out = admitted.reduce(_.unionByName(_)).orderBy("doc_id")
       .localCheckpoint()
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
@@ -1216,18 +1211,50 @@ object LlmOps {
     centroidCache.clear()
     pqCbCache.clear()
     // persisted memos this JVM wrote (cluster labels, the q118 ANN
-    // index): delete the directories so the next call recomputes over
-    // the rewritten corpus (memos other sessions wrote for the same
-    // dir are theirs to retire — the shared immutable-corpus-dir
-    // contract)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
+    // index): delete THROUGH the path's own Hadoop FileSystem — the
+    // memos were written through it, and a java.io.File delete is
+    // local-FS-only (a silent no-op against HDFS/object stores — the
+    // same trap dedupIngestBatch's existence check documents). Memos
+    // other sessions wrote for the same dir are theirs to retire
+    // (the shared immutable-corpus-dir contract) — or use
+    // [[invalidateMemosFor]], which retires a dir's memos by name.
+    def rmFs(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(hp, true)
+      ()
     }
-    clusterMemoPaths.forEach(p => rmTree(new java.io.File(p)))
+    clusterMemoPaths.forEach(rmFs(_))
     clusterMemoPaths.clear()
-    annIndexMemoPaths.forEach(p => rmTree(new java.io.File(p)))
+    annIndexMemoPaths.forEach(rmFs(_))
     annIndexMemoPaths.clear()
+  }
+
+  /** Retire EVERY persisted memo derived from `dir` — cluster-label
+    * memos and q118 serving indexes — regardless of which session
+    * wrote them: the memo paths embed the sanitized corpus dir, so a
+    * caller that rewrites a corpus IN PLACE (ScaleProbe's replica
+    * rebuild is the canonical case) can invalidate by name without
+    * having created the memos itself. [[invalidateTrainerCaches]]
+    * only knows this JVM's writes; this is the cross-session form.
+    */
+  def invalidateMemosFor(spark: SparkSession, dir: String): Unit = {
+    val san = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val fs = Sinks.fsFor(spark, tmp)
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        // param suffixes start "_t"/"_c" — matching through them
+        // keeps a dir whose sanitized name PREFIXES another's (e.g.
+        // ".../sf0.1" vs ".../sf0.1b") from deleting the other's memos
+        val n = p.getName
+        n.startsWith(s"graft_cluster_memo_${san}_t") ||
+          n.startsWith(s"graft_ann_index_memo_${san}_c")
+      }
+      .foreach(fs.delete(_, true))
+    invalidateTrainerCaches()
   }
 
   /** q118 memo-index paths this JVM materialized — the
@@ -2279,7 +2306,8 @@ object LlmOps {
       annIndexWrite(spark, emb.drop("nsq"), staging.toString, nCells,
         kmeansIters, m = m, kCodes = kCodes, pqIters = pqIters,
         centsPre = Some(cents), cbPre = cbPre)
-      if (!fs.rename(staging, root)) fs.delete(staging, true)
+      // race-tolerant install (see Sinks.installMemo)
+      Sinks.installMemo(fs, staging, root)
       annIndexMemoPaths.add(memoIdx)
     }
     val queries = Tables.embeddings(spark, dir)
@@ -2649,10 +2677,12 @@ object LlmOps {
   private def mediaChecksum(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
 
-  /** Deterministic mixed-media corpus: every third document becomes a
-    * real 16×16 24-bit BMP (pixels cycle the text bytes), every third
+  /** Deterministic mixed-media corpus, five mimes by `doc_id % 5`:
+    * 0 → a real 16×16 24-bit BMP (pixels cycle the text bytes), 1 →
     * an 8 kHz mono 16-bit WAV (one centered sample per text byte),
-    * the rest stay raw UTF-8 text. Synthesis happens executor-side in
+    * 2 → the same pixels as PNG, 3 → as JPEG (both through the JDK
+    * ImageIO writers — the containers a real corpus ships), 4 → raw
+    * UTF-8 text. Synthesis happens executor-side in
     * the same `mapPartitions` shape a real ingest would use — the
     * driver never sees a payload. This is the fixture generator AND
     * the declared queries' input, so the REAL decoders below are
@@ -3111,8 +3141,10 @@ object LlmOps {
       val staging = new org.apache.hadoop.fs.Path(
         memoPath + "__tmp_" + spark.sparkContext.applicationId)
       labels.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      // atomic install; a lost race leaves the winner's identical memo
-      if (!fs.rename(staging, dst)) fs.delete(staging, true)
+      // race-tolerant install (losers read the winner's identical
+      // memo; the local-FS rename-onto-existing copy fallback is
+      // repaired inside — see Sinks.installMemo)
+      Sinks.installMemo(fs, staging, dst)
       clusterMemoPaths.add(memoPath)
     }
     spark.read.parquet(memoPath)

@@ -351,6 +351,27 @@ object Sinks {
     fs.delete(tmp, true)
   }
 
+  /** Install a staged memo directory at its final path, tolerating a
+    * cross-session race: only the first installer's rename lands; a
+    * loser deletes its staging. The subtlety this helper exists for:
+    * on the LOCAL filesystem, Hadoop's rename onto an EXISTING
+    * non-empty directory falls back to copy-then-delete INTO the
+    * destination (returning true!), which would nest the loser's
+    * staging dir inside the winner's memo and corrupt every
+    * subsequent parquet read at two directory depths. We pre-check
+    * existence AND repair the nested-copy case after the fact, so the
+    * installed memo is clean whichever interleaving happened.
+    */
+  private[graft] def installMemo(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst) || !fs.rename(staging, dst))
+      fs.delete(staging, true)
+    val nested = new org.apache.hadoop.fs.Path(dst, staging.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
+    ()
+  }
+
   /** Root-relative paths of every `__batch_id=` directory under
     * `root` (one listing level per layout depth — stamped layouts are
     * either `part=<v>/__batch_id=<b>/` or `__batch_id=<b>/`). Bounded

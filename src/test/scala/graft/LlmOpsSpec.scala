@@ -609,6 +609,18 @@ class LlmOpsSpec extends AnyFunSuite {
     rmMemo() // leave nothing poisoned for other consumers
   }
 
+  test("invalidateMemosFor retires a corpus dir's persisted memos by name") {
+    val t = 0.52 // this test's own memo key
+    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
+      sf.replaceAll("[^a-zA-Z0-9]", "_") + s"_t${(t * 1e6).round}_d5000"
+    LlmOps.q61DedupClustersCached(spark, sf, t).collect()
+    assert(new java.io.File(memo).isDirectory)
+    // the cross-session form: retire by corpus dir, not by JVM-local
+    // path registry (an in-place corpus rewrite is the use case)
+    LlmOps.invalidateMemosFor(spark, sf)
+    assert(!new java.io.File(memo).exists)
+  }
+
   test("q117 bigram LM separates token-shuffled text from the original; unigram is order-blind") {
     // the reason q117 exists: destroy word ORDER while preserving the
     // token multiset (deterministic in-doc sort). The interpolated

@@ -144,7 +144,8 @@ object SparkEntry {
     "q116_bm25_sealed" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q116Bm25Sealed(s, d)),
     "q117_perplexity_bigram" -> ((s: SparkSession, d: String) => LlmOps.q117PerplexityBigram(s, d)),
     "q118_simsearch_serving" -> ((s: SparkSession, d: String) => LlmOps.q118SimsearchServing(s, d)),
-    "q119_dedup_ingest_sealed" -> ((s: SparkSession, d: String) => LlmOps.q119DedupIngestSealed(s, d))
+    "q119_dedup_ingest_sealed" -> ((s: SparkSession, d: String) => LlmOps.q119DedupIngestSealed(s, d)),
+    "q120_simsearch_retrained" -> ((s: SparkSession, d: String) => LlmOps.q120SimsearchRetrained(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -953,6 +954,11 @@ object SparkEntry {
     // q38 — the oracle hash-gates the whole ANN ingest loop (the
     // q109-shares-q104 argument applied to vector search)
     "q113_simsearch_ingest_batch" -> simsearchOracle,
+    // q120: ingest + annIndexRetrain + exhaustive probe == exact q38 —
+    // rotation rewrites every quantizer-derived byte but preserves the
+    // vector set, which is all the exhaustive answer depends on; the
+    // hash gates the re-encode pass end-to-end every round.
+    "q120_simsearch_retrained" -> simsearchOracle,
     // q112: schema-full PERMISSIVE from_json projection. Fields
     // absent from a payload are NULL -> sentinel-coalesced on both
     // sides; the corrupt-record column mirrors as "props where NOT

@@ -1847,15 +1847,41 @@ object LlmOps {
     simsearchIngestProbe(spark, dir, nBatches, nQueries, k, nCells,
       kmeansIters, m, kCodes, pqIters, seal = true, tag = "q114")
 
-  /** Shared body of q113/q114: batch-ingest the corpus through
-    * [[annIndexAppendBatch]], optionally [[annIndexSeal]], then the
-    * exhaustive probe (nProbe = nCells, lossless candFactor). ONE
-    * definition so the sealed and stamped declarations cannot drift.
+  /** #120 Retrained-index similarity search — the ROTATION on the
+    * oracle gate: a 2-batch ingest (stamped, seed-trained — the q113
+    * path), then [[annIndexRetrain]] (refit both quantizers on the
+    * accumulated corpus, re-assign every cell, re-encode every code,
+    * whole-directory swap), then the exhaustive probe of the ROTATED
+    * index. Rotation changes every quantizer-derived byte in the
+    * index but preserves its CONTENT — the vector set — and under the
+    * exhaustive declaration (every cell probed, lossless prefilter,
+    * exact rerank) content is all the answer depends on, so the
+    * result EQUALS exact q38 and SHARES its oracle. What the gate
+    * proves that the drift spec cannot: the re-encode pass loses or
+    * corrupts NOTHING — every vector survives re-assignment with its
+    * embedding intact, under fresh centroids and codebooks, every
+    * round, by hash. (2 batches rather than q113's 4: the rotation,
+    * not the ingest, is what this query declares — the ingest path is
+    * already q113/q114's gate.)
+    */
+  def q120SimsearchRetrained(spark: SparkSession, dir: String,
+      nBatches: Int = 2, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
+      kCodes: Int = 16, pqIters: Int = 2): DataFrame =
+    simsearchIngestProbe(spark, dir, nBatches, nQueries, k, nCells,
+      kmeansIters, m, kCodes, pqIters, seal = false, tag = "q120",
+      retrain = true)
+
+  /** Shared body of q113/q114/q120: batch-ingest the corpus through
+    * [[annIndexAppendBatch]], optionally [[annIndexRetrain]] and/or
+    * [[annIndexSeal]], then the exhaustive probe (nProbe = nCells,
+    * lossless candFactor). ONE definition so the stamped, sealed and
+    * rotated declarations cannot drift.
     */
   private def simsearchIngestProbe(spark: SparkSession, dir: String,
       nBatches: Int, nQueries: Int, k: Int, nCells: Int,
       kmeansIters: Int, m: Int, kCodes: Int, pqIters: Int,
-      seal: Boolean, tag: String): DataFrame = {
+      seal: Boolean, tag: String, retrain: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(spark, dir).localCheckpoint()
     val maxRow = emb.agg(max("vec_id")).head()
     if (maxRow.isNullAt(0))
@@ -1872,6 +1898,8 @@ object LlmOps {
         emb.filter(expr(s"vec_id DIV $bSize") === b),
         indexPath, b.toLong, nCells, kmeansIters, m, kCodes, pqIters)
     }
+    if (retrain)
+      annIndexRetrain(spark, indexPath, nCells, kmeansIters, m, kCodes, pqIters)
     if (seal) annIndexSeal(spark, indexPath)
     val n = emb.count()
     val queries = emb.filter(col("vec_id") < nQueries)

@@ -655,6 +655,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(neg === 0)
   }
 
+  test("q120 retrained-index simsearch: ingest + rotation + probe == exact q38") {
+    // the declared equality: rotation rewrites every quantizer-derived
+    // byte but preserves the vector set, which is all the exhaustive
+    // probe depends on
+    val declared = LlmOps.q120SimsearchRetrained(spark, sf)
+      .collect().map(_.toString).toSeq
+    val exact = LlmOps.q38SimilarityTopk(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(declared.nonEmpty)
+    assert(declared === exact)
+  }
+
   test("annIndexRetrain: rotation restores recall after distribution drift; stamps + replay survive") {
     val emb = Tables.embeddings(spark, sf).localCheckpoint()
     val maxId = emb.agg(max("vec_id")).head().getLong(0)

@@ -2705,12 +2705,14 @@ object LlmOps {
   private def mediaChecksum(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
 
-  /** Deterministic mixed-media corpus, five mimes by `doc_id % 5`:
+  /** Deterministic mixed-media corpus, six mimes by `doc_id % 6`:
     * 0 → a real 16×16 24-bit BMP (pixels cycle the text bytes), 1 →
     * an 8 kHz mono 16-bit WAV (one centered sample per text byte),
     * 2 → the same pixels as PNG, 3 → as JPEG (both through the JDK
-    * ImageIO writers — the containers a real corpus ships), 4 → raw
-    * UTF-8 text. Synthesis happens executor-side in
+    * ImageIO writers — the containers a real corpus ships), 4 → a
+    * 3-frame 8×8 GMJV video ([[Media.encodeVideo]] — length-prefixed
+    * PNG frames, each frame's pixels offset into the text bytes),
+    * 5 → raw UTF-8 text. Synthesis happens executor-side in
     * the same `mapPartitions` shape a real ingest would use — the
     * driver never sees a payload. This is the fixture generator AND
     * the declared queries' input, so the REAL decoders below are
@@ -2722,18 +2724,18 @@ object LlmOps {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        def rgbOf(txt: Array[Byte]): Array[Byte] = {
-          val rgb = new Array[Byte](16 * 16 * 3)
+        def rgbOf(txt: Array[Byte], n: Int, off: Int = 0): Array[Byte] = {
+          val rgb = new Array[Byte](n)
           var i = 0
           while (i < rgb.length) {
-            rgb(i) = if (txt.isEmpty) 0 else txt(i % txt.length); i += 1
+            rgb(i) = if (txt.isEmpty) 0 else txt((i + off) % txt.length); i += 1
           }
           rgb
         }
         it.map { case (id, txt) =>
-          (id % 5) match {
+          (id % 6) match {
             case 0 =>
-              MediaRow(id, "image/bmp", Media.encodeBmp(16, 16, rgbOf(txt)))
+              MediaRow(id, "image/bmp", Media.encodeBmp(16, 16, rgbOf(txt, 16 * 16 * 3)))
             case 1 =>
               val samples = new Array[Short](math.max(1, txt.length))
               var i = 0
@@ -2745,9 +2747,14 @@ object LlmOps {
             // through the JDK ImageIO codecs — the formats an actual
             // multimodal corpus ships, beside the hand-rolled BMP
             case 2 =>
-              MediaRow(id, "image/png", Media.encodeImage("png", 16, 16, rgbOf(txt)))
+              MediaRow(id, "image/png", Media.encodeImage("png", 16, 16, rgbOf(txt, 16 * 16 * 3)))
             case 3 =>
-              MediaRow(id, "image/jpeg", Media.encodeImage("jpg", 16, 16, rgbOf(txt)))
+              MediaRow(id, "image/jpeg", Media.encodeImage("jpg", 16, 16, rgbOf(txt, 16 * 16 * 3)))
+            // video: 3 PNG frames in the GMJV container, each frame's
+            // pixels offset one byte further into the text
+            case 4 =>
+              MediaRow(id, "video/gmjv", Media.encodeVideo(
+                (0 until 3).map(f => Media.Bmp(8, 8, rgbOf(txt, 8 * 8 * 3, f)))))
             case _ => MediaRow(id, "text/plain", txt)
           }
         }
@@ -2787,6 +2794,15 @@ object LlmOps {
           case "audio/wav" =>
             val w = Media.decodeWav(r.media)
             Array(w.sampleRate, w.channels, w.samples.length, Media.rmsMicro(w))
+          case "video/gmjv" =>
+            // container walk + real per-frame decode: dims, frame
+            // count, and the mean channel value across ALL frames
+            val frames = Media.decodeVideo(r.media)
+            val n = frames.map(f => f.rgb.length.toLong).sum
+            var acc = 0L
+            frames.foreach(f => f.rgb.foreach(b => acc += b & 0xFF))
+            Array(frames.head.width, frames.head.height, frames.size.toLong,
+              if (n == 0) 0L else acc * 1000 / n)
           case _ =>
             val sum = mediaChecksum(r.media)
             Array(r.media.length.toLong, sum % 997,
@@ -2844,6 +2860,15 @@ object LlmOps {
             }
             TransformRow(r.doc_id, r.mime, r.media.length, out.length,
               halved.width.toLong, halved.height.toLong, mediaChecksum(out))
+          case "video/gmjv" =>
+            // temporal 2:1 downsample — keep even-indexed frames
+            // (the video analogue of the WAV decimation below),
+            // re-encode in the same container
+            val frames = Media.decodeVideo(r.media)
+            val kept = frames.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f }
+            val out = Media.encodeVideo(kept)
+            TransformRow(r.doc_id, r.mime, r.media.length, out.length,
+              kept.size.toLong, kept.head.width.toLong, mediaChecksum(out))
           case "audio/wav" =>
             val w = Media.decodeWav(r.media)
             // 2:1 decimation PER FRAME (frame = one sample per
@@ -2908,6 +2933,13 @@ object LlmOps {
               val from = y * img.width * 3
               FrameRow(r.doc_id, y, from,
                 fnv((from until from + img.width * 3).iterator.map(img.rgb(_) & 0xFF)))
+            }
+          case "video/gmjv" =>
+            // TRUE frame sampling: one row per decoded video frame
+            // (offset = frame index), hashed over the frame's pixels
+            Media.decodeVideo(r.media).iterator.zipWithIndex.map {
+              case (f, i) =>
+                FrameRow(r.doc_id, i, i, fnv(f.rgb.iterator.map(_ & 0xFF)))
             }
           case _ =>
             val nFrames = math.max(1, r.media.length / stride)

@@ -210,6 +210,55 @@ object Media {
     Bmp(w, h, rgb)
   }
 
+  /** Minimal real video container for the multimodal surface —
+    * motion-PNG: magic "GMJV", big-endian u16 frame count, then per
+    * frame a big-endian u32 byte length + one complete PNG payload
+    * (decoded frame-by-frame through the JDK ImageIO reader, so the
+    * per-frame codec is the real thing; the container walk validates
+    * every length against the remaining bytes). The shape mirrors
+    * what an MJPEG/AVI pipeline does per frame — container walk +
+    * still-image codec — without shipping a native demuxer the
+    * offline build can't have.
+    */
+  def encodeVideo(frames: Seq[Bmp]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeVideo: need at least one frame")
+    require(frames.size <= 0xFFFF, s"encodeVideo: ${frames.size} frames > u16")
+    val payloads = frames.map(f => encodeImage("png", f.width, f.height, f.rgb))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('G'); out.write('M'); out.write('J'); out.write('V')
+    out.write((frames.size >> 8) & 0xFF); out.write(frames.size & 0xFF)
+    payloads.foreach { p =>
+      out.write((p.length >>> 24) & 0xFF); out.write((p.length >>> 16) & 0xFF)
+      out.write((p.length >>> 8) & 0xFF); out.write(p.length & 0xFF)
+      out.write(p, 0, p.length)
+    }
+    out.toByteArray
+  }
+
+  /** Parse a GMJV container into decoded frames; rejects bad magic,
+    * truncated frame tables, and per-frame payloads ImageIO cannot
+    * read (via [[decodeImage]]'s own validation).
+    */
+  def decodeVideo(bytes: Array[Byte]): Seq[Bmp] = {
+    require(bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'M' &&
+      bytes(2) == 'J' && bytes(3) == 'V', "decodeVideo: not a GMJV container")
+    val n = ((bytes(4) & 0xFF) << 8) | (bytes(5) & 0xFF)
+    var pos = 6
+    (0 until n).map { i =>
+      require(pos + 4 <= bytes.length, s"decodeVideo: frame $i table truncated")
+      val len = ((bytes(pos) & 0xFF) << 24) | ((bytes(pos + 1) & 0xFF) << 16) |
+        ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      // Long-free here is safe: len is reassembled from 4 bytes so a
+      // hostile value is at most Int.MaxValue, and the require below
+      // rejects anything past the buffer before the copy
+      require(len >= 0 && pos + 4 + len <= bytes.length,
+        s"decodeVideo: frame $i payload overruns container")
+      val frame = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
+      pos += 4 + len
+      decodeImage(frame)
+    }
+  }
+
   /** 16-bit PCM RIFF/WAVE bytes from interleaved samples. */
   def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     require(sampleRate > 0 && channels > 0, "encodeWav: bad rate/channels")

@@ -264,7 +264,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fp.filter(col("n") < 2).count() === 0)
   }
 
-  test("q48 multimodal decode: real BMP/PNG/JPEG/WAV features per mime, determinism") {
+  test("q48 multimodal decode: real BMP/PNG/JPEG/WAV/video features per mime, determinism") {
     val a = LlmOps.q48MultimodalDecode(spark, sf).collect()
     val b = LlmOps.q48MultimodalDecode(spark, sf).collect()
     assert(a.length === Tables.documents(spark, sf).count())
@@ -272,7 +272,14 @@ class LlmOpsSpec extends AnyFunSuite {
     // every mime is present and decoded to its declared feature shape
     val byMime = a.groupBy(_.getAs[String]("mime"))
     assert(byMime.keySet === Set("image/bmp", "image/png", "image/jpeg",
-      "audio/wav", "text/plain"))
+      "video/gmjv", "audio/wav", "text/plain"))
+    byMime("video/gmjv").foreach { r =>
+      val f = r.getAs[String]("feature").split("\\|").map(_.toLong)
+      assert(f.length === 4)
+      // REAL decoded dims + frame count from the container walk
+      assert((f(0), f(1), f(2)) === ((8L, 8L, 3L)))
+      assert(f(3) >= 0 && f(3) <= 255000) // mean channel (milli)
+    }
     for (m <- Seq("image/bmp", "image/png", "image/jpeg"); r <- byMime(m)) {
       val f = r.getAs[String]("feature").split("\\|").map(_.toLong)
       assert(f.length === 5)
@@ -311,7 +318,7 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q90 transform: halved BMP/PNG/JPEG/WAV re-encode through the real codecs, checksum-verified") {
+  test("q90 transform: halved BMP/PNG/JPEG/WAV + temporally-downsampled video through the real codecs") {
     val rows = LlmOps.q90MultimodalTransform(spark, sf).collect()
     assert(rows.length === Tables.documents(spark, sf).count())
     val byMime = rows.groupBy(_.getAs[String]("mime"))
@@ -325,6 +332,12 @@ class LlmOpsSpec extends AnyFunSuite {
     // closed-form size — containers compress — but never empty)
     for (m <- Seq("image/png", "image/jpeg"); r <- byMime(m)) {
       assert((r.getAs[Long]("out_meta1"), r.getAs[Long]("out_meta2")) === ((8L, 8L)))
+      assert(r.getAs[Int]("out_bytes") > 0)
+    }
+    // video: temporal 2:1 — 3 frames keep the 2 even-indexed ones,
+    // width unchanged, still a valid (non-empty) GMJV container
+    byMime("video/gmjv").foreach { r =>
+      assert((r.getAs[Long]("out_meta1"), r.getAs[Long]("out_meta2")) === ((2L, 8L)))
       assert(r.getAs[Int]("out_bytes") > 0)
     }
     // WAV: rate 8000 -> 4000, sample count halved (rounded up)
@@ -364,15 +377,20 @@ class LlmOpsSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
       .filter(col("mx") =!= col("n") - 1)
     assert(bad.count() === 0)
-    // image docs (bmp %5==0, png %5==2, jpeg %5==3): one frame per
+    // image docs (bmp %6==0, png %6==2, jpeg %6==3): one frame per
     // DECODED pixel row — exactly 16 regardless of container format
     for (m <- Seq(0, 2, 3)) {
-      val imgCounts = frames.filter(pmod(col("doc_id"), lit(5)) === m)
+      val imgCounts = frames.filter(pmod(col("doc_id"), lit(6)) === m)
         .groupBy("doc_id").count().select("count").distinct().collect()
       assert(imgCounts.map(_.getLong(0)).toSeq === Seq(16L), s"mime slot $m")
     }
+    // video docs (%6==4): TRUE frame sampling — exactly the 3
+    // container frames, one row each
+    val vidCounts = frames.filter(pmod(col("doc_id"), lit(6)) === 4)
+      .groupBy("doc_id").count().select("count").distinct().collect()
+    assert(vidCounts.map(_.getLong(0)).toSeq === Seq(3L))
     // WAV docs: sample-window frames, offset strides in samples (256)
-    val wavOff = frames.filter(pmod(col("doc_id"), lit(5)) === 1)
+    val wavOff = frames.filter(pmod(col("doc_id"), lit(6)) === 1)
       .filter(col("frame_idx") === 1).select("offset").distinct().collect()
     assert(wavOff.map(_.getInt(0)).toSeq === Seq(256))
     assert(frames.collect().map(_.toString).toSeq ===

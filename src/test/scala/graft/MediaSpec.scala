@@ -100,6 +100,32 @@ class MediaSpec extends AnyFunSuite {
       Media.encodeImage("png", 2, 2, new Array[Byte](11))) // wrong length
   }
 
+  test("GMJV video round-trip: frame count, dims, exact pixels per frame") {
+    val frames = (0 until 4).map { f =>
+      Media.Bmp(3, 2, Array.tabulate(3 * 2 * 3)(i => ((i + f * 7) % 251).toByte))
+    }
+    val bytes = Media.encodeVideo(frames)
+    assert(bytes(0) === 'G'.toByte && bytes(3) === 'V'.toByte)
+    val back = Media.decodeVideo(bytes)
+    assert(back.size === 4)
+    back.zip(frames).foreach { case (b, f) =>
+      assert((b.width, b.height) === ((f.width, f.height)))
+      assert(b.rgb.toSeq === f.rgb.toSeq) // PNG frames are lossless
+    }
+  }
+
+  test("GMJV decode rejects bad magic, truncated frame table, overrunning payload") {
+    intercept[IllegalArgumentException](
+      Media.decodeVideo(Array.fill(16)(9.toByte)))
+    val ok = Media.encodeVideo(Seq(Media.Bmp(2, 2, new Array[Byte](12))))
+    // truncate mid-payload: the declared length overruns the buffer
+    intercept[IllegalArgumentException](
+      Media.decodeVideo(ok.take(ok.length - 3)))
+    // frame-count says 2 but only one frame follows
+    val lying = ok.clone(); lying(5) = 2
+    intercept[IllegalArgumentException](Media.decodeVideo(lying))
+  }
+
   test("WAV round-trip: rate, channels, exact samples") {
     val samples = Array.tabulate(200)(i =>
       (math.sin(i * 2 * math.Pi / 40) * 16384).toShort)

@@ -685,6 +685,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(declared === exact)
   }
 
+  test("lifecycle composition: ingest -> retrain -> seal -> probe still answers exactly") {
+    // the full compaction window a long-lived stream runs: stamped
+    // ingest, quantizer rotation, quiesce seal — then the exhaustive
+    // probe must STILL equal exact q38 (content preserved through
+    // both rewrites), and the final layout must be flat
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val bSize = math.max(1L, maxId / 2 + 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lifecycle").toString
+    (0 until 2).foreach(b => LlmOps.annIndexAppendBatch(spark,
+      emb.filter(expr(s"vec_id DIV $bSize") === b), idx, b.toLong))
+    LlmOps.annIndexRetrain(spark, idx)
+    LlmOps.annIndexSeal(spark, idx)
+    assert(!spark.read.parquet(s"$idx/vectors").columns.contains("__batch_id"))
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val got = LlmOps.annIncremental(spark, queries, idx, k = 5, nProbe = 16,
+        candFactor = (((n + 4) / 5).toInt).max(1))
+      .collect().map(_.toString).toSeq
+    val exact = LlmOps.q38SimilarityTopk(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got === exact)
+  }
+
   test("annIndexRetrain: rotation restores recall after distribution drift; stamps + replay survive") {
     val emb = Tables.embeddings(spark, sf).localCheckpoint()
     val maxId = emb.agg(max("vec_id")).head().getLong(0)

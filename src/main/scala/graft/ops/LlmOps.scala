@@ -256,17 +256,22 @@ object LlmOps {
     * argument for the THIRD index family, with the one twist the LSH
     * index adds: its probe runs DURING ingest (admission), so the
     * seal is exercised mid-stream rather than before a terminal
-    * probe. The first `nBatches - 1` batches ingest stamped (the
-    * exact q87 path), then [[dedupIndexSeal]] collapses buckets/ and
-    * hs/ to the flat layout, then the FINAL batch probes the SEALED
-    * index and appends FLAT (`flatAppend = true` — a sealed index
-    * re-enters the flat append world; the stamped writer would mix
-    * layouts). Admission depends only on index CONTENT, which the
-    * seal preserves byte-for-byte, so the admitted set EQUALS q87's
-    * row-for-row and the query SHARES q87's oracle — hash-gating the
-    * sealed-layout probe AND the flat-append-after-seal contract,
-    * the two read/write paths a long-lived dedup stream runs after
-    * every compaction.
+    * probe. The seal runs before the PENULTIMATE batch: batches
+    * before it ingest stamped (the exact q87 path), then
+    * [[dedupIndexSeal]] collapses buckets/ and hs/ to the flat
+    * layout, and the last TWO batches probe + append FLAT
+    * (`flatAppend = true` — a sealed index re-enters the flat append
+    * world; the stamped writer would mix layouts). Sealing before
+    * the penultimate batch — not the last — is deliberate: the FINAL
+    * batch's admissions then READ the penultimate batch's
+    * flat-append content, so a flat append that wrote wrong/empty
+    * postings would change the declared output. Admission depends
+    * only on index CONTENT, which both the seal and the flat append
+    * preserve, so the admitted set EQUALS q87's row-for-row and the
+    * query SHARES q87's oracle — hash-gating the sealed-layout
+    * probe, the flat-append WRITE, and the flat-append READ-BACK:
+    * the three paths a long-lived dedup stream runs after every
+    * compaction.
     */
   def q119DedupIngestSealed(spark: SparkSession, dir: String,
       nBatches: Int = 4, threshold: Double = 1.0): DataFrame =
@@ -301,16 +306,18 @@ object LlmOps {
     // a fresh ingest run must not probe a previous run's index
     val fs = Sinks.fsFor(spark, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    // seal point: before the PENULTIMATE batch (see q119 scaladoc —
+    // the final batch must read a flat append, not just write one)
+    val sealAt = math.max(0, nBatches - 2)
     val admitted = (0 until nBatches).map { b =>
-      val last = b == nBatches - 1
-      if (seal && last) dedupIndexSeal(spark, indexPath)
+      if (seal && b == sealAt) dedupIndexSeal(spark, indexPath)
       // no checkpoint on the batch itself: it is a trivial pushed-down
       // filter over the parquet scan, cheaper to recompute than to
       // materialize (the streaming twin checkpoints because ITS batch
       // comes from a source that must not be re-read)
       val batch = docs.filter(expr(s"doc_id DIV $bSize") === b)
       dedupIngestBatch(spark, batch, indexPath, b.toLong, threshold,
-        flatAppend = seal && last)
+        flatAppend = seal && b >= sealAt)
         .select(col("doc_id"), lit(b.toLong).as("batch_id"))
     }
     // materialize before deleting the throwaway index the plan reads
@@ -1207,61 +1214,76 @@ object LlmOps {
     * DOES rewrite a dir in place calls this first, or the next fit
     * would silently describe the old contents.
     */
+  /** Disk-memo key for a corpus dir: the sanitized name for
+    * readability PLUS an 8-hex hash of the RAW dir string — two
+    * distinct dirs that sanitize identically ("/a-b" vs "/a_b")
+    * must NEVER share a memo, or one corpus would silently serve the
+    * other's labels/index. The hash also makes [[invalidateMemosFor]]
+    * matching exact rather than a prefix heuristic.
+    */
+  private def memoDirKey(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_h" +
+      f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0xFFFFFFFFL}%08x"
+
   def invalidateTrainerCaches(): Unit = {
     centroidCache.clear()
     pqCbCache.clear()
     // persisted memos this JVM wrote (cluster labels, the q118 ANN
-    // index): delete THROUGH the path's own Hadoop FileSystem — the
-    // memos were written through it, and a java.io.File delete is
-    // local-FS-only (a silent no-op against HDFS/object stores — the
-    // same trap dedupIngestBatch's existence check documents). Memos
-    // other sessions wrote for the same dir are theirs to retire
-    // (the shared immutable-corpus-dir contract) — or use
-    // [[invalidateMemosFor]], which retires a dir's memos by name.
-    def rmFs(p: String): Unit = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .delete(hp, true)
-      ()
+    // index): delete THROUGH the FileSystem each memo was WRITTEN
+    // through (captured at write time — a bare Configuration could
+    // resolve a schemeless path to a different FS than the session's
+    // spark.hadoop.* conf did, silently no-op-ing the delete). Memos
+    // other sessions wrote for the same dir are theirs to retire —
+    // or use [[invalidateMemosFor]], which retires by name.
+    clusterMemoPaths.forEach { (p, fs) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
     }
-    clusterMemoPaths.forEach(rmFs(_))
     clusterMemoPaths.clear()
-    annIndexMemoPaths.forEach(rmFs(_))
+    annIndexMemoPaths.forEach { (p, fs) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+    }
     annIndexMemoPaths.clear()
   }
 
-  /** Retire EVERY persisted memo derived from `dir` — cluster-label
+  /** Retire every persisted memo derived from `dir` — cluster-label
     * memos and q118 serving indexes — regardless of which session
-    * wrote them: the memo paths embed the sanitized corpus dir, so a
-    * caller that rewrites a corpus IN PLACE (ScaleProbe's replica
-    * rebuild is the canonical case) can invalidate by name without
-    * having created the memos itself. [[invalidateTrainerCaches]]
-    * only knows this JVM's writes; this is the cross-session form.
+    * wrote them: memo names embed [[memoDirKey]] (sanitized dir + a
+    * hash of the raw dir), so a caller that rewrites a corpus IN
+    * PLACE (ScaleProbe's replica rebuild is the canonical case) can
+    * invalidate by name without having created the memos itself, and
+    * the hash guarantees only `dir`'s own memos match. In-JVM trainer
+    * fits are dropped ONLY for this dir (the path registries and the
+    * (dir, …)-keyed fit caches are filtered, not cleared — unrelated
+    * corpora keep their fits and memos).
     */
   def invalidateMemosFor(spark: SparkSession, dir: String): Unit = {
-    val san = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val key = memoDirKey(dir)
     val tmp = System.getProperty("java.io.tmpdir")
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)
-    if (!fs.exists(root)) return
-    fs.listStatus(root).map(_.getPath)
-      .filter { p =>
-        // param suffixes start "_t"/"_c" — matching through them
-        // keeps a dir whose sanitized name PREFIXES another's (e.g.
-        // ".../sf0.1" vs ".../sf0.1b") from deleting the other's memos
-        val n = p.getName
-        n.startsWith(s"graft_cluster_memo_${san}_t") ||
-          n.startsWith(s"graft_ann_index_memo_${san}_c")
-      }
-      .foreach(fs.delete(_, true))
-    invalidateTrainerCaches()
+    if (fs.exists(root)) {
+      fs.listStatus(root).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(s"graft_cluster_memo_${key}_") ||
+            n.startsWith(s"graft_ann_index_memo_${key}_")
+        }
+        .foreach(fs.delete(_, true))
+    }
+    // targeted in-JVM retirement: only this dir's entries
+    clusterMemoPaths.keySet.removeIf(_.contains(key))
+    annIndexMemoPaths.keySet.removeIf(_.contains(key))
+    centroidCache.keySet.removeIf(_._1 == dir)
+    pqCbCache.keySet.removeIf(_._1 == dir)
+    ()
   }
 
-  /** q118 memo-index paths this JVM materialized — the
-    * [[clusterMemoPaths]] tier for the serving index.
+  /** q118 memo-index paths this JVM materialized (→ the FileSystem
+    * each was written through) — the [[clusterMemoPaths]] tier for
+    * the serving index.
     */
-  private val annIndexMemoPaths =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val annIndexMemoPaths = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.fs.FileSystem]()
 
   /** Train product-quantization codebooks: k-means in each of `m`
     * disjoint subspaces, all subspaces in ONE distributed job per
@@ -2317,8 +2339,7 @@ object LlmOps {
       candFactor: Int = 16, nCells: Int = 16, kmeansIters: Int = 3,
       m: Int = 8, kCodes: Int = 16, pqIters: Int = 2): DataFrame = {
     val memoIdx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      s"_c${nCells}i${kmeansIters}m${m}k${kCodes}p$pqIters"
+      memoDirKey(dir) + s"_c${nCells}i${kmeansIters}m${m}k${kCodes}p$pqIters"
     val fs = Sinks.fsFor(spark, memoIdx)
     val root = new org.apache.hadoop.fs.Path(memoIdx)
     if (!fs.exists(root)) {
@@ -2336,8 +2357,8 @@ object LlmOps {
         centsPre = Some(cents), cbPre = cbPre)
       // race-tolerant install (see Sinks.installMemo)
       Sinks.installMemo(fs, staging, root)
-      annIndexMemoPaths.add(memoIdx)
-    }
+      annIndexMemoPaths.put(memoIdx, fs)
+    } else Sinks.repairNestedStaging(fs, root)
     val queries = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < nQueries).select("vec_id", "embedding")
     annIncremental(spark, queries, memoIdx, k = k, nProbe = nProbe,
@@ -2796,13 +2817,18 @@ object LlmOps {
             Array(w.sampleRate, w.channels, w.samples.length, Media.rmsMicro(w))
           case "video/gmjv" =>
             // container walk + real per-frame decode: dims, frame
-            // count, and the mean channel value across ALL frames
+            // count, and the mean channel value across ALL frames.
+            // decodeVideo accepts a 0-frame container — feature out
+            // zeros rather than crash on frames.head
             val frames = Media.decodeVideo(r.media)
-            val n = frames.map(f => f.rgb.length.toLong).sum
-            var acc = 0L
-            frames.foreach(f => f.rgb.foreach(b => acc += b & 0xFF))
-            Array(frames.head.width, frames.head.height, frames.size.toLong,
-              if (n == 0) 0L else acc * 1000 / n)
+            if (frames.isEmpty) Array(0L, 0L, 0L, 0L)
+            else {
+              val n = frames.map(f => f.rgb.length.toLong).sum
+              var acc = 0L
+              frames.foreach(f => f.rgb.foreach(b => acc += b & 0xFF))
+              Array(frames.head.width, frames.head.height, frames.size.toLong,
+                if (n == 0) 0L else acc * 1000 / n)
+            }
           case _ =>
             val sum = mediaChecksum(r.media)
             Array(r.media.length.toLong, sum % 997,
@@ -2863,12 +2889,16 @@ object LlmOps {
           case "video/gmjv" =>
             // temporal 2:1 downsample — keep even-indexed frames
             // (the video analogue of the WAV decimation below),
-            // re-encode in the same container
+            // re-encode in the same container. A 0-frame container
+            // passes through untouched (encodeVideo requires ≥ 1
+            // frame; there is nothing to downsample anyway).
             val frames = Media.decodeVideo(r.media)
             val kept = frames.zipWithIndex.collect { case (f, i) if i % 2 == 0 => f }
-            val out = Media.encodeVideo(kept)
+            val out = if (kept.isEmpty) r.media else Media.encodeVideo(kept)
             TransformRow(r.doc_id, r.mime, r.media.length, out.length,
-              kept.size.toLong, kept.head.width.toLong, mediaChecksum(out))
+              kept.size.toLong,
+              kept.headOption.map(_.width.toLong).getOrElse(0L),
+              mediaChecksum(out))
           case "audio/wav" =>
             val w = Media.decodeWav(r.media)
             // 2:1 decimation PER FRAME (frame = one sample per
@@ -3152,12 +3182,12 @@ object LlmOps {
         (col("rn") === 1).as("keep"))
       .orderBy("doc_id")
 
-  /** Memo paths this JVM materialized — so
-    * [[invalidateTrainerCaches]] can retire them when a caller
-    * declares a corpus dir rewritten in place.
+  /** Memo paths this JVM materialized (→ the FileSystem each was
+    * written through) — so [[invalidateTrainerCaches]] can retire
+    * them when a caller declares a corpus dir rewritten in place.
     */
-  private val clusterMemoPaths =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val clusterMemoPaths = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.fs.FileSystem]()
 
   /** [[q61DedupClusters]] labels memoized per (corpus dir, params) —
     * the trainer-cache tier applied to the cluster map, PERSISTED
@@ -3184,8 +3214,7 @@ object LlmOps {
   def q61DedupClustersCached(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
     val memoPath = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      s"_t${(threshold * 1e6).round}_d$maxDocs"
+      memoDirKey(dir) + s"_t${(threshold * 1e6).round}_d$maxDocs"
     val fs = Sinks.fsFor(spark, memoPath)
     val dst = new org.apache.hadoop.fs.Path(memoPath)
     if (!fs.exists(dst)) {
@@ -3205,8 +3234,8 @@ object LlmOps {
       // memo; the local-FS rename-onto-existing copy fallback is
       // repaired inside — see Sinks.installMemo)
       Sinks.installMemo(fs, staging, dst)
-      clusterMemoPaths.add(memoPath)
-    }
+      clusterMemoPaths.put(memoPath, fs)
+    } else Sinks.repairNestedStaging(fs, dst)
     spark.read.parquet(memoPath)
   }
 

@@ -248,10 +248,11 @@ object Media {
       require(pos + 4 <= bytes.length, s"decodeVideo: frame $i table truncated")
       val len = ((bytes(pos) & 0xFF) << 24) | ((bytes(pos + 1) & 0xFF) << 16) |
         ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
-      // Long-free here is safe: len is reassembled from 4 bytes so a
-      // hostile value is at most Int.MaxValue, and the require below
-      // rejects anything past the buffer before the copy
-      require(len >= 0 && pos + 4 + len <= bytes.length,
+      // overflow-free form: `pos + 4 + len` could wrap negative for a
+      // hostile length near Int.MaxValue and slip past a `<= length`
+      // check — compare against the remaining room instead (the BMP
+      // decoder's Long-arithmetic rule, int edition)
+      require(len >= 0 && len <= bytes.length - pos - 4,
         s"decodeVideo: frame $i payload overruns container")
       val frame = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
       pos += 4 + len

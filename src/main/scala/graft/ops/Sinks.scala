@@ -372,6 +372,22 @@ object Sinks {
     ()
   }
 
+  /** Read-side companion of [[installMemo]]: drop any `__tmp_`-named
+    * child nested inside an installed memo. The in-install repair
+    * only runs when installMemo is CALLED — a racing session killed
+    * mid-copy-fallback leaves partial nested staging that every later
+    * consumer (which sees the memo exists and skips the build branch)
+    * would otherwise read as garbage rows forever. One listStatus;
+    * call before reading a memo that already exists.
+    */
+  private[graft] def repairNestedStaging(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dst)) return
+    fs.listStatus(dst).map(_.getPath)
+      .filter(_.getName.contains("__tmp_"))
+      .foreach(fs.delete(_, true))
+  }
+
   /** Root-relative paths of every `__batch_id=` directory under
     * `root` (one listing level per layout depth — stamped layouts are
     * either `part=<v>/__batch_id=<b>/` or `__batch_id=<b>/`). Bounded

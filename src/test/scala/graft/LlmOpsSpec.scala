@@ -8,6 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * hash-seeded variants against their exact twins on sf0.001.
   */
 class LlmOpsSpec extends AnyFunSuite {
+  /** Mirror of LlmOps.memoDirKey for locating memos in specs. */
+  private def memoKey(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_h" +
+      "%08x".format(scala.util.hashing.MurmurHash3.stringHash(dir) & 0xFFFFFFFFL)
+
   lazy val spark = SharedSpark.spark
   import spark.implicits._
   val sf = SharedSpark.sfTiny
@@ -550,7 +555,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // second call returns identical rows without rebuilding (same
     // persisted quantizers + codes)
     val memo = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
-      sf.replaceAll("[^a-zA-Z0-9]", "_") + "_c16i3m8k16p2"
+      memoKey(sf) + "_c16i3m8k16p2"
     assert(new java.io.File(s"$memo/centroids").isDirectory)
     assert(LlmOps.q118SimsearchServing(spark, sf).collect().map(_.toString).toSeq ===
       got.collect().map(_.toString).toSeq)
@@ -602,7 +607,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // owns its memo path end-to-end
     val t = 0.51
     val memo = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
-      sf.replaceAll("[^a-zA-Z0-9]", "_") + s"_t${(t * 1e6).round}_d5000"
+      memoKey(sf) + s"_t${(t * 1e6).round}_d5000"
     def rmMemo(): Unit = {
       val d = new java.io.File(memo)
       Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
@@ -630,7 +635,7 @@ class LlmOpsSpec extends AnyFunSuite {
   test("invalidateMemosFor retires a corpus dir's persisted memos by name") {
     val t = 0.52 // this test's own memo key
     val memo = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
-      sf.replaceAll("[^a-zA-Z0-9]", "_") + s"_t${(t * 1e6).round}_d5000"
+      memoKey(sf) + s"_t${(t * 1e6).round}_d5000"
     LlmOps.q61DedupClustersCached(spark, sf, t).collect()
     assert(new java.io.File(memo).isDirectory)
     // the cross-session form: retire by corpus dir, not by JVM-local

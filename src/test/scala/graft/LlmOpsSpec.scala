@@ -690,6 +690,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(declared === exact)
   }
 
+  test("ANN flat append after seal: a sealed index extends via annIndexWrite(append) and answers exactly") {
+    // the q119 contract for the vector family: once sealed, the index
+    // re-enters the flat append world — new vectors land through
+    // annIndexWrite(mode = "append") under the PERSISTED quantizers,
+    // and the exhaustive probe over the extended index equals exact
+    // brute-force over the full corpus
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val half = maxId / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft_sealapp").toString
+    LlmOps.annIndexAppendBatch(spark, emb.filter(col("vec_id") <= half), idx, 0L)
+    LlmOps.annIndexSeal(spark, idx)
+    LlmOps.annIndexWrite(spark, emb.filter(col("vec_id") > half), idx,
+      mode = "append")
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val got = LlmOps.annIncremental(spark, queries, idx, k = 5, nProbe = 16,
+        candFactor = (((n + 4) / 5).toInt).max(1))
+      .collect().map(_.toString).toSeq
+    val exact = LlmOps.q38SimilarityTopk(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got === exact)
+  }
+
   test("lifecycle composition: ingest -> retrain -> seal -> probe still answers exactly") {
     // the full compaction window a long-lived stream runs: stamped
     // ingest, quantizer rotation, quiesce seal — then the exhaustive

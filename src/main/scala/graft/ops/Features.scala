@@ -143,7 +143,11 @@ object Features {
     // would sort them FIRST and label them train — filter up front so
     // path choice can never change the result
     val src = df.filter(col(timeCol).isNotNull)
-    val outCols = (df.columns :+ "split").map(col).toIndexedSeq
+    // an input that already carries a split column is REPLACED by
+    // withColumn below — exclude it here or the select would name the
+    // column twice (ambiguous downstream, unwritable to parquet)
+    val outCols = (df.columns.filterNot(_ == "split") :+ "split")
+      .map(col).toIndexedSeq
     val perKey = src.groupBy(timeCol).agg(count(lit(1)).as("cnt"))
       .limit(maxDistinctKeys + 1).collect()
       .map(r => (r.get(0), r.getLong(1)))

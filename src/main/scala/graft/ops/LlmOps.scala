@@ -227,9 +227,26 @@ object LlmOps {
        else minhashPairsOf(batch, threshold))
         .select(col("doc_b").as("doc_id")).distinct()
     val admitted = batch.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
-    if (flatAppend) dedupIndexWrite(admitted, indexPath, "append")
+    if (flatAppend) dedupIndexAppendFlat(admitted, indexPath)
     else dedupIndexAppendBatch(admitted, indexPath, batchId)
     admitted
+  }
+
+  /** Flat (unstamped) append without [[dedupIndexWrite]]'s
+    * checkpoint — the post-seal writer [[dedupIngestBatch]] uses:
+    * the admitted batch is already materialized by the caller, so
+    * recomputing the map-side shingle transform for the second write
+    * is cheaper at every scale than checkpointing TB-class hash-set
+    * blocks per micro-batch (the [[dedupIndexAppendBatch]] rule,
+    * flat edition — dedupIndexWrite keeps its checkpoint because its
+    * build-from-scratch callers pass UNmaterialized corpora).
+    */
+  private def dedupIndexAppendFlat(docs: DataFrame, indexPath: String): Unit = {
+    val withHs = shingleHashSets(docs)
+    bandBuckets(withHs)
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$indexPath/buckets")
+    withHs.write.mode("append").parquet(s"$indexPath/hs")
   }
 
   /** #87 Declared batch twin of the streaming dedup ingest: process
@@ -282,8 +299,10 @@ object LlmOps {
     * convention — ONE definition so the stamped and sealed
     * declarations cannot drift): batch-ingest the corpus through
     * [[dedupIngestBatch]]; with `seal`, [[dedupIndexSeal]] runs
-    * before the FINAL batch, which then probes the sealed index and
-    * appends FLAT (the sealed layout's contractual write path).
+    * before the PENULTIMATE batch and the last two batches probe +
+    * append FLAT — the final batch must READ a flat append, not just
+    * write one, or the flat-append content would be off the oracle
+    * gate (see the q119 scaladoc).
     */
   private def dedupIngestProbe(spark: SparkSession, dir: String,
       nBatches: Int, threshold: Double, seal: Boolean,
@@ -1225,16 +1244,64 @@ object LlmOps {
     dir.replaceAll("[^a-zA-Z0-9]", "_") + "_h" +
       f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0xFFFFFFFFL}%08x"
 
+  /** Signature of a corpus table's on-disk state: an order-independent
+    * hash of its parquet files' (name, length, mtime). Disk memos
+    * embed it so a REGENERATED corpus at the SAME path can never
+    * serve a stale memo — the disk tier outlives the JVM, so the
+    * in-memory caches' immutable-within-JVM contract is not enough
+    * for it. One recursive listing, driver-side, cheap relative to
+    * any job the memo saves.
+    */
+  private def tableSignature(spark: SparkSession, dir: String,
+      table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = Sinks.fsFor(spark, p.toString)
+    if (!fs.exists(p)) return "0" * 8
+    var acc = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      acc ^= scala.util.hashing.MurmurHash3.stringHash(
+        st.getPath.getName + ":" + st.getLen + ":" +
+          st.getModificationTime).toLong & 0xFFFFFFFFL
+    }
+    f"$acc%08x"
+  }
+
+  /** Memo path of [[q61DedupClustersCached]] — exposed package-wide so
+    * specs locate memos through the ONE definition instead of
+    * hand-mirroring the key arithmetic.
+    */
+  private[graft] def clusterMemoPathOf(spark: SparkSession, dir: String,
+      threshold: Double, maxDocs: Long): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
+      memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
+      s"_t${(threshold * 1e6).round}_d$maxDocs"
+
+  /** Memo path of [[q118SimsearchServing]]'s index (the
+    * [[clusterMemoPathOf]] convention for the vector family).
+    */
+  private[graft] def annIndexMemoPathOf(spark: SparkSession, dir: String,
+      nCells: Int, kmeansIters: Int, m: Int, kCodes: Int,
+      pqIters: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
+      memoDirKey(dir) + "_s" + tableSignature(spark, dir, "embeddings") +
+      s"_c${nCells}i${kmeansIters}m${m}k${kCodes}p$pqIters"
+
   def invalidateTrainerCaches(): Unit = {
     centroidCache.clear()
     pqCbCache.clear()
-    // persisted memos this JVM wrote (cluster labels, the q118 ANN
-    // index): delete THROUGH the FileSystem each memo was WRITTEN
-    // through (captured at write time — a bare Configuration could
-    // resolve a schemeless path to a different FS than the session's
-    // spark.hadoop.* conf did, silently no-op-ing the delete). Memos
-    // other sessions wrote for the same dir are theirs to retire —
-    // or use [[invalidateMemosFor]], which retires by name.
+    // persisted memos this JVM wrote OR warm-read (cluster labels,
+    // the q118 ANN index): delete THROUGH the FileSystem each memo
+    // was accessed through (captured at access time — a bare
+    // Configuration could resolve a schemeless path to a different FS
+    // than the session's spark.hadoop.* conf did, silently no-op-ing
+    // the delete). Deleting a memo other sessions also consume is the
+    // CONTRACT, not interference: the caller is declaring those
+    // corpora rewritten, which invalidates the memo for everyone —
+    // concurrent probes racing a legitimate invalidation are the
+    // caller's quiesce responsibility (the seal rule). Memos for
+    // corpora this JVM never touched: use [[invalidateMemosFor]].
     clusterMemoPaths.forEach { (p, fs) =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
     }
@@ -2338,8 +2405,8 @@ object LlmOps {
       nQueries: Int = 10, k: Int = 5, nProbe: Int = 4,
       candFactor: Int = 16, nCells: Int = 16, kmeansIters: Int = 3,
       m: Int = 8, kCodes: Int = 16, pqIters: Int = 2): DataFrame = {
-    val memoIdx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
-      memoDirKey(dir) + s"_c${nCells}i${kmeansIters}m${m}k${kCodes}p$pqIters"
+    val memoIdx = annIndexMemoPathOf(spark, dir, nCells, kmeansIters,
+      m, kCodes, pqIters)
     val fs = Sinks.fsFor(spark, memoIdx)
     val root = new org.apache.hadoop.fs.Path(memoIdx)
     if (!fs.exists(root)) {
@@ -2357,8 +2424,10 @@ object LlmOps {
         centsPre = Some(cents), cbPre = cbPre)
       // race-tolerant install (see Sinks.installMemo)
       Sinks.installMemo(fs, staging, root)
-      annIndexMemoPaths.put(memoIdx, fs)
     } else Sinks.repairNestedStaging(fs, root)
+    // register on both branches (the q61 memo rule): warm readers
+    // must be able to retire what they consumed
+    annIndexMemoPaths.put(memoIdx, fs)
     val queries = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < nQueries).select("vec_id", "embedding")
     annIncremental(spark, queries, memoIdx, k = k, nProbe = nProbe,
@@ -3213,8 +3282,7 @@ object LlmOps {
     */
   def q61DedupClustersCached(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDocs: Long = 5000): DataFrame = {
-    val memoPath = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
-      memoDirKey(dir) + s"_t${(threshold * 1e6).round}_d$maxDocs"
+    val memoPath = clusterMemoPathOf(spark, dir, threshold, maxDocs)
     val fs = Sinks.fsFor(spark, memoPath)
     val dst = new org.apache.hadoop.fs.Path(memoPath)
     if (!fs.exists(dst)) {
@@ -3234,8 +3302,12 @@ object LlmOps {
       // memo; the local-FS rename-onto-existing copy fallback is
       // repaired inside — see Sinks.installMemo)
       Sinks.installMemo(fs, staging, dst)
-      clusterMemoPaths.put(memoPath, fs)
     } else Sinks.repairNestedStaging(fs, dst)
+    // register on BOTH branches: a JVM that only warm-READ a memo
+    // must still be able to retire it via invalidateTrainerCaches
+    // when it declares the corpus rewritten — build-only registration
+    // would leave the stale memo alive and silently served
+    clusterMemoPaths.put(memoPath, fs)
     spark.read.parquet(memoPath)
   }
 

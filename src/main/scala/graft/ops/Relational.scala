@@ -54,7 +54,11 @@ object Relational {
     // representation on BOTH sides. Writer/reader defaults conflate
     // the two (both serialize to an empty field), which happens to
     // pass on a fixture with no null/empty strings and silently turns
-    // lossy the day one appears.
+    // lossy the day one appears. Residual (inherent to sentinel-based
+    // CSV, univocity applies nullValue after unquoting): a DATA value
+    // that is literally the two characters \N reads back as NULL —
+    // lossless-for-arbitrary-strings needs an escaping text format
+    // (the q51 JSON round-trip), not CSV.
     src.write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true")
       .option("nullValue", "\\N").option("emptyValue", "")

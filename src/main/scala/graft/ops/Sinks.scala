@@ -295,9 +295,11 @@ object Sinks {
         throw new java.io.IOException(
           s"seal: concurrent append detected AND restore of $dst failed — data parked at $trash")
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val changed = (postBatches.keySet ++ preBatches.keySet)
+        .filter(k => preBatches.get(k) != postBatches.get(k))
       throw new IllegalStateException(
         s"seal: stamped batches changed under $path during the seal " +
-          s"(${(postBatches diff preBatches).mkString(", ")} appeared) — " +
+          s"(${changed.mkString(", ")}) — " +
           "quiesce ingest before sealing; original restored")
     }
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
@@ -369,7 +371,14 @@ object Sinks {
       fs.delete(staging, true)
     val nested = new org.apache.hadoop.fs.Path(dst, staging.getName)
     if (fs.exists(nested)) fs.delete(nested, true)
-    ()
+    // a GENUINE failure — rename refused and no concurrent winner
+    // installed either — must throw, not fall through: the caller
+    // would otherwise read a nonexistent memo, and probe paths with
+    // missing-directory tolerance (annIncremental) would degrade to
+    // an EMPTY answer with no error signal
+    if (!fs.exists(dst))
+      throw new java.io.IOException(
+        s"installMemo: could not install $dst (rename failed, no concurrent winner)")
   }
 
   /** Read-side companion of [[installMemo]]: drop any `__tmp_`-named
@@ -388,20 +397,35 @@ object Sinks {
       .foreach(fs.delete(_, true))
   }
 
-  /** Root-relative paths of every `__batch_id=` directory under
-    * `root` (one listing level per layout depth — stamped layouts are
-    * either `part=<v>/__batch_id=<b>/` or `__batch_id=<b>/`). Bounded
-    * driver work: one listStatus per partition directory.
+  /** Root-relative path → CONTENT signature (file count, total bytes,
+    * max mtime) of every `__batch_id=` directory under `root`
+    * (stamped layouts are `part=<v>/__batch_id=<b>/` or
+    * `__batch_id=<b>/`). The signature — not just the name set —
+    * matters to the seal's concurrent-append guard: a quiesce
+    * violation that REPLAYS an existing batch id changes no directory
+    * names, only their contents, and must still be detected. Bounded
+    * driver work: one recursive listing of the stamped tree.
     */
   private def listBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Set[String] = {
-    def walk(p: org.apache.hadoop.fs.Path, rel: String): Seq[String] =
+      root: org.apache.hadoop.fs.Path): Map[String, (Long, Long, Long)] = {
+    def walk(p: org.apache.hadoop.fs.Path,
+        rel: String): Seq[(String, org.apache.hadoop.fs.Path)] =
       fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
         val name = st.getPath.getName
         val r = if (rel.isEmpty) name else s"$rel/$name"
-        if (name.startsWith("__batch_id=")) Seq(r) else walk(st.getPath, r)
+        if (name.startsWith("__batch_id=")) Seq(r -> st.getPath)
+        else walk(st.getPath, r)
       }
-    walk(root, "").toSet
+    walk(root, "").map { case (rel, p) =>
+      var n = 0L; var bytes = 0L; var mtime = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        n += 1; bytes += st.getLen
+        mtime = math.max(mtime, st.getModificationTime)
+      }
+      rel -> ((n, bytes, mtime))
+    }.toMap
   }
 
   private def manifest(root: String) =

@@ -8,11 +8,6 @@ import org.scalatest.funsuite.AnyFunSuite
   * hash-seeded variants against their exact twins on sf0.001.
   */
 class LlmOpsSpec extends AnyFunSuite {
-  /** Mirror of LlmOps.memoDirKey for locating memos in specs. */
-  private def memoKey(dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_h" +
-      "%08x".format(scala.util.hashing.MurmurHash3.stringHash(dir) & 0xFFFFFFFFL)
-
   lazy val spark = SharedSpark.spark
   import spark.implicits._
   val sf = SharedSpark.sfTiny
@@ -554,8 +549,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // the memo index is ON DISK at its parameter-keyed path, and a
     // second call returns identical rows without rebuilding (same
     // persisted quantizers + codes)
-    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
-      memoKey(sf) + "_c16i3m8k16p2"
+    val memo = graft.ops.LlmOps.annIndexMemoPathOf(spark, sf, 16, 3, 8, 16, 2)
     assert(new java.io.File(s"$memo/centroids").isDirectory)
     assert(LlmOps.q118SimsearchServing(spark, sf).collect().map(_.toString).toSeq ===
       got.collect().map(_.toString).toSeq)
@@ -606,8 +600,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // a threshold no other test/declared query uses, so this test
     // owns its memo path end-to-end
     val t = 0.51
-    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
-      memoKey(sf) + s"_t${(t * 1e6).round}_d5000"
+    val memo = graft.ops.LlmOps.clusterMemoPathOf(spark, sf, t, 5000)
     def rmMemo(): Unit = {
       val d = new java.io.File(memo)
       Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
@@ -634,8 +627,7 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("invalidateMemosFor retires a corpus dir's persisted memos by name") {
     val t = 0.52 // this test's own memo key
-    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
-      memoKey(sf) + s"_t${(t * 1e6).round}_d5000"
+    val memo = graft.ops.LlmOps.clusterMemoPathOf(spark, sf, t, 5000)
     LlmOps.q61DedupClustersCached(spark, sf, t).collect()
     assert(new java.io.File(memo).isDirectory)
     // the cross-session form: retire by corpus dir, not by JVM-local

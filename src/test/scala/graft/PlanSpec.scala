@@ -12,11 +12,6 @@ import org.scalatest.funsuite.AnyFunSuite
   * product on the declared relational paths.
   */
 class PlanSpec extends AnyFunSuite {
-  /** Mirror of LlmOps.memoDirKey for locating memos in specs. */
-  private def memoKey(dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_h" +
-      "%08x".format(scala.util.hashing.MurmurHash3.stringHash(dir) & 0xFFFFFFFFL)
-
   lazy val spark = SharedSpark.spark
   val sf = SharedSpark.sfTiny
 
@@ -281,8 +276,7 @@ class PlanSpec extends AnyFunSuite {
     // cell partition filters (static prune — probed cells are
     // driver-known), never a full-index scan
     graft.ops.LlmOps.q118SimsearchServing(spark, sf).collect()
-    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
-      memoKey(sf) + "_c16i3m8k16p2"
+    val memo = graft.ops.LlmOps.annIndexMemoPathOf(spark, sf, 16, 3, 8, 16, 2)
     val emb = Tables.embeddings(spark, sf)
     val probe = graft.ops.LlmOps.annIncremental(spark,
       emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2)

@@ -1857,12 +1857,13 @@ object LlmOps {
           .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
         cb
       }
+    // no checkpoint: both writes below recompute this map-side
+    // assignment from the checkpointed emb — deterministic, so they
+    // see identical cells, and one cheap expression replay beats
+    // materializing the full batch a second time per micro-batch
     val assigned = emb
       .withColumn("cell", bestCellOf(centroidScores(cents)))
       .withColumn("__batch_id", lit(batchId))
-      // pinned: consumed by BOTH the codes and vectors writes below —
-      // and they must see the identical assignment
-      .localCheckpoint()
     // BATCH COMMIT ORDER: codes BEFORE vectors — the two relations
     // are separate commits, and the crash window between them must
     // fail SAFE for the probe. Codes-without-vectors (crash after the

@@ -145,7 +145,9 @@ object SparkEntry {
     "q117_perplexity_bigram" -> ((s: SparkSession, d: String) => LlmOps.q117PerplexityBigram(s, d)),
     "q118_simsearch_serving" -> ((s: SparkSession, d: String) => LlmOps.q118SimsearchServing(s, d)),
     "q119_dedup_ingest_sealed" -> ((s: SparkSession, d: String) => LlmOps.q119DedupIngestSealed(s, d)),
-    "q120_simsearch_retrained" -> ((s: SparkSession, d: String) => LlmOps.q120SimsearchRetrained(s, d))
+    "q120_simsearch_retrained" -> ((s: SparkSession, d: String) => LlmOps.q120SimsearchRetrained(s, d)),
+    "q121_quality_classifier" -> ((s: SparkSession, d: String) => LlmOps.q121QualityClassifier(s, d)),
+    "q122_quality_lr_refined" -> ((s: SparkSession, d: String) => LlmOps.q122QualityLrRefined(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -165,7 +167,13 @@ object SparkEntry {
     * adds q118 (realistic-params pruned ANN probe — approximate by
     * construction, the q49 rule; recall spec-pinned ≥ q92, and its
     * bench line times the warm pruned probe against the memoized
-    * index).
+    * index) and q122 (iterative hashed-LR refinement of q121 —
+    * ITERATIVE float training, the q97/k-means rule; LlmOpsSpec pins
+    * a deterministic planted-token separation law and the
+    * theorem-backed monotone training loss). q121 itself — the
+    * closed-form Naive-Bayes log-count-ratio tier — IS oracled: its
+    * per-token weights micro-round once (the q101 Δbits rule) and
+    * everything downstream is integer arithmetic.
     */
   /** Exact top-k cosine over the embeddings table — q38's oracle,
     * SHARED by q111 (persisted-index probe): declared exhaustive
@@ -824,6 +832,28 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, bits_micro,
         |CASE WHEN bits_micro < 4930000 * n_tokens THEN 'head'
         |WHEN bits_micro < 4980000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // q121: Naive-Bayes log-count-ratio quality gate — vocab = top
+    // 4096 corpus tokens (count desc, tok asc; class-conditional
+    // counts ride the same aggregate), per-token weight = the
+    // log₂-ratio DIFFERENCE micro-rounded once (the q101 Δbits rule),
+    // OOV and prior-log-odds constants likewise; doc score and the
+    // kept rule are exact integer arithmetic. Only log2's libm ulp
+    // drift is engine float code (the q100/q104 argument).
+    "q121_quality_classifier" ->
+      """WITH lt AS (SELECT doc_id, lang, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label, text FROM documents),
+        |tk AS (SELECT doc_id, lang, label, unnest(string_split(text, ' ')) AS tok FROM lt),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n1 FROM tk),
+        |dc AS (SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(label) AS BIGINT) AS d1 FROM lt),
+        |voc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c, CAST(sum(label) AS BIGINT) AS c1 FROM tk GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 4096),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+        |w AS (SELECT tok, CAST(round((log2((c1 + 1.0) / (tot.n1 + v.v + 1)) - log2((c - c1 + 1.0) / ((tot.n - tot.n1) + v.v + 1))) * 1000000.0) AS BIGINT) AS w FROM voc, tot, v),
+        |oov AS (SELECT CAST(round((log2(1.0 / (tot.n1 + v.v + 1)) - log2(1.0 / ((tot.n - tot.n1) + v.v + 1))) * 1000000.0) AS BIGINT) AS w FROM tot, v),
+        |bs AS (SELECT CAST(round((log2(dc.d1 + 1.0) - log2(dc.d - dc.d1 + 1.0)) * 1000000.0) AS BIGINT) AS b FROM dc),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(SUM(COALESCE(w.w, (SELECT w FROM oov))) + (SELECT b FROM bs) AS BIGINT) AS llr_micro
+        |FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, llr_micro, (llr_micro > 0) AS kept
         |FROM sc ORDER BY doc_id""".stripMargin,
     // q101: md5-bucketed DSIR weights — 256-bucket hashed unigram
     // models for target (src0) and raw (all docs); Δbits rounded once

@@ -3746,6 +3746,229 @@ object LlmOps {
     scoreWithBigramLm(docs, fitBigramLm(ref, vocabCap, bigramCap),
       headBits, midBits).orderBy("doc_id")
 
+  /** #121 Learned quality classifier — the reference-vs-corpus gate
+    * of the big pipelines (GPT-3, Brown et al. 2020 Appendix A,
+    * filters CommonCrawl with a linear classifier trained
+    * positive-on-reference / negative-on-raw; CCNet §4.2 the same
+    * shape over LM features): multinomial Naive Bayes in its
+    * log-count-ratio form — the NBSVM baseline of Wang & Manning
+    * 2012 ("Baselines and Bigrams", ACL) — over the top-`vocabCap`
+    * corpus tokens. Label = (source == refSource); per-token weight
+    * w(t) = log₂P(t|pos) − log₂P(t|neg) under add-one smoothing with
+    * one reserved OOV mass unit per class (the q100 denominator
+    * shape), micro-rounded ONCE per token as the difference (the
+    * q101 Δbits rule); doc score = Σ occurrences w(t) + prior
+    * log-odds, all integer arithmetic after the per-token rounding,
+    * so the gate is exactly reproducible in any engine — this is the
+    * oracled tier; [[fitHashedLr]] is the iterative refinement tier.
+    *
+    * Scale shape — the q100 trainer bound and the q100 scoring plan:
+    * ONE map-side-partial token count whose driver traffic is capped
+    * at `vocabCap` rows by TakeOrdered (class-conditional counts ride
+    * the same pass as a `sum(label)` beside the `count`), two 1-row
+    * total aggs; scoring explodes tokens into a BROADCAST join
+    * against the ≤`vocabCap`-row weight table and re-aggregates per
+    * doc — one doc_id-keyed exchange with map-side partial sums.
+    * Training and scoring are both single-scan regardless of corpus
+    * size. `kept` = llr_micro > 0 (the NB decision rule; GPT-3
+    * instead Pareto-samples on the score — a nondeterminism this
+    * deterministic gate trades away, the q101 argument).
+    */
+  def q121QualityClassifier(spark: SparkSession, dir: String,
+      refSource: String = "src0", vocabCap: Int = 4096): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labeled = docs.select(col("doc_id"), col("lang"), col("text"),
+      (col("source") === refSource).cast("int").as("label"))
+    val (w, oovW, bias) = fitNbLogOdds(labeled, vocabCap)
+    scoreNbLogOdds(labeled, w, oovW, bias).orderBy("doc_id")
+  }
+
+  /** Fit the q121 Naive-Bayes log-count-ratio model on `docs`
+    * (doc_id, text, label∈{0,1}): a ≤`vocabCap`-row (tok, w_micro)
+    * table plus the OOV weight and prior-log-odds constants. One
+    * token scan (TakeOrdered caps driver traffic at `vocabCap` rows —
+    * the `Bpe.fit` rule; `sum(label)` rides the same aggregate so
+    * class splits cost no extra pass), one 1-row token-total agg, one
+    * 1-row doc-total agg.
+    */
+  def fitNbLogOdds(docs: DataFrame, vocabCap: Int): (DataFrame, Long, Long) = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("label"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tot = toks.agg(count(lit(1)), sum("label")).head()
+    val n = tot.getLong(0)
+    val n1 = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val dTot = docs.agg(count(lit(1)), sum("label")).head()
+    val d1 = if (dTot.isNullAt(1)) 0L else dTot.getLong(1)
+    val d0 = dTot.getLong(0) - d1
+    val voc = toks.groupBy("tok")
+      .agg(count(lit(1)).as("c"), sum("label").as("c1"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val den1 = (n1 + voc.length + 1).toDouble
+    val den0 = ((n - n1) + voc.length + 1).toDouble
+    val w = spark.createDataFrame(
+      voc.toSeq.map { case (t, c, c1) =>
+        (t, micro(log2((c1 + 1).toDouble / den1) -
+          log2((c - c1 + 1).toDouble / den0)))
+      }).toDF("tok", "w")
+    (w, micro(log2(1.0 / den1) - log2(1.0 / den0)),
+      micro(log2((d1 + 1).toDouble) - log2((d0 + 1).toDouble)))
+  }
+
+  /** Score `docs` (doc_id, lang, text) under a [[fitNbLogOdds]]
+    * model: broadcast-join the weight table over exploded tokens,
+    * ONE doc_id-keyed partial-agg exchange, integer decision rule.
+    * Pure transform (the `scoreWithLm` shape).
+    */
+  def scoreNbLogOdds(docs: DataFrame, w: DataFrame, oovW: Long,
+      biasMicro: Long): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(w), Seq("tok"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(coalesce(col("w"), lit(oovW))) + lit(biasMicro))
+          .as("llr_micro"))
+      .withColumn("kept", col("llr_micro") > lit(0L))
+
+  /** #122 Iterative refinement of the q121 gate — logistic
+    * regression over `nBuckets` HASHED bag-of-token frequency
+    * features (xxhash64 fold — the q101 production-path convention;
+    * frequencies, not counts, so document length doesn't masquerade
+    * as quality), initialized from the hashed Naive-Bayes log-odds
+    * (the NBSVM interpolation insight: NB weights are already a
+    * strong linear model; GD then fits what NB's independence
+    * assumption misses) and refined by full-batch gradient descent.
+    * `lr` ≤ 8 is the provable descent region: frequencies sum to 1
+    * per doc ⇒ ‖x‖₂ ≤ 1 ⇒ the logistic loss Hessian is bounded by ¼,
+    * so average-gradient steps with η < 2/¼ strictly decrease the
+    * loss — the spec's monotone-loss law is a theorem, not a fixture
+    * accident. Iterative float training ⇒ no SQL oracle (the
+    * q97/k-means rule); LlmOpsSpec pins a planted-token separation
+    * law, monotone training loss, and run-twice determinism.
+    */
+  def q122QualityLrRefined(spark: SparkSession, dir: String,
+      refSource: String = "src0", nBuckets: Int = 4096, epochs: Int = 8,
+      lr: Double = 4.0, minCount: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labeled = docs.select(col("doc_id"), col("lang"), col("text"),
+      (col("source") === refSource).cast("int").as("label"))
+    val (w, b, _) = fitHashedLr(labeled, nBuckets, epochs, lr, minCount)
+    scoreHashedLr(labeled, w, b, nBuckets).orderBy("doc_id")
+  }
+
+  /** Per-doc hashed token-frequency features: (doc_id, bucket, x)
+    * with x = bucket count / doc token count. One explode + one
+    * aggregate; the shared featurizer of [[fitHashedLr]] and
+    * [[scoreHashedLr]], so train and serve cannot drift.
+    */
+  private def hashedFreqFeatures(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .groupBy(col("doc_id"),
+        pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("bucket"))
+      .agg((count(lit(1)) / first("n")).as("x"))
+
+  /** Fit the q122 logistic regression: hashed-NB initialization (one
+    * bucket-keyed class-count agg, ≤ nBuckets rows to the driver),
+    * then full-batch GD with weights + bias driver-held (nBuckets+1
+    * doubles — bounded), every distributed pass a partial aggregate.
+    * Returns (weights, bias, per-epoch training loss) — the loss
+    * rides the same margin pass as the residuals, so tracking it
+    * costs one extra 1-row agg per epoch, and the returned history
+    * lets callers (and the spec) verify descent.
+    */
+  def fitHashedLr(docs: DataFrame, nBuckets: Int, epochs: Int,
+      lr: Double, minCount: Int = 5): (Array[Double], Double, Array[Double]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = hashedFreqFeatures(docs, nBuckets)
+      .join(docs.select("doc_id", "label"), "doc_id")
+      .localCheckpoint() // replayed 3× per epoch
+    val n = docs.count()
+    if (n == 0) return (new Array[Double](nBuckets), 0.0, Array.empty)
+    // hashed-NB init (the hashing trick, Weinberger et al. 2009, over
+    // the fitNbLogOdds weights): per-bucket class-conditional token
+    // OCCURRENCE counts — one map-side-partial agg, ≤ nBuckets rows
+    // to the driver; natural log, because GD's gradient lives in nats
+    val bc = docs
+      .select(col("label"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("c"), sum("label").as("c1"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val t1 = bc.map(_._3).sum
+    val t0 = bc.map(b => b._2 - b._3).sum
+    // minCount floor (the fastText pruning rule): a bucket whose
+    // total evidence is a handful of occurrences carries a loud
+    // ±log-ratio that is pure memorization noise — start it at 0 and
+    // let GD earn any weight it deserves from the gradient
+    val w = new Array[Double](nBuckets)
+    bc.foreach { case (b, c, c1) =>
+      if (c >= minCount)
+        w(b) = math.log((c1 + 1.0) / (t1 + nBuckets)) -
+          math.log((c - c1 + 1.0) / (t0 + nBuckets))
+    }
+    val n1 = docs.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var bias = math.log((n1 + 1.0) / ((n - n1) + 1.0))
+    val losses = new Array[Double](epochs)
+    for (e <- 0 until epochs) {
+      val wDf = w.toIndexedSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "w")
+      // per-doc margin (broadcast weights, doc-keyed partial agg) →
+      // residual r = y − σ(margin) and log-loss per doc
+      val margin = feats
+        .join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy("doc_id", "label")
+        .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("dot"))
+        .select(col("doc_id"), col("label"),
+          (col("dot") + lit(bias)).as("z"))
+        .localCheckpoint() // read twice: residuals and gradient join
+      val resid = margin.select(col("doc_id"),
+        (col("label") - lit(1.0) / (lit(1.0) + exp(-col("z")))).as("r"))
+      // log(1+e^z) − y·z: the numerically-stable softplus form
+      losses(e) = margin
+        .agg(coalesce(sum(
+          when(col("z") > 0, col("z") + log(lit(1.0) + exp(-col("z"))))
+            .otherwise(log(lit(1.0) + exp(col("z")))) -
+            col("label") * col("z")), lit(0.0)))
+        .head().getDouble(0) / n
+      // bucket-keyed gradient cells: ≤ nBuckets rows to the driver
+      val grad = feats.join(resid, "doc_id")
+        .groupBy("bucket").agg(sum(col("r") * col("x")).as("g"))
+        .collect().map(row => (row.getLong(0).toInt, row.getDouble(1)))
+      val gBias = resid.agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+      grad.foreach { case (bkt, g) => w(bkt) += lr * g / n }
+      bias += lr * gBias / n
+    }
+    (w, bias, losses)
+  }
+
+  /** Score (doc_id, lang, text) under a [[fitHashedLr]] model:
+    * broadcast weights, one dot, micro-rounded logit, keep = logit
+    * above `thresholdMicro`. Map-side except the shared featurizer's
+    * one aggregate.
+    */
+  def scoreHashedLr(docs: DataFrame, w: Array[Double], bias: Double,
+      nBuckets: Int, thresholdMicro: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = w.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "w")
+    hashedFreqFeatures(docs, nBuckets)
+      .join(broadcast(wDf), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(round((sum(col("x") * coalesce(col("w"), lit(0.0))) + lit(bias)) *
+        lit(1000000.0)).cast("long").as("logit_micro"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("logit_micro"),
+        (col("logit_micro") > lit(thresholdMicro)).as("kept"))
+  }
+
   /** #103 Corpus datacard — the per-(lang, source) release statistics
     * a dataset ships with (the "datasheets for datasets" practice,
     * Gebru et al. 2021): document and token volumes, character mass,

@@ -625,6 +625,65 @@ class LlmOpsSpec extends AnyFunSuite {
     rmMemo() // leave nothing poisoned for other consumers
   }
 
+  test("q121 NB classifier: planted-token labels separate near-perfectly; declared query is deterministic") {
+    // fixture-independent separation law: plant a sentinel token in
+    // the label-1 docs — the log-count-ratio weight for that token is
+    // log2(251/1)-scale, decisively positive, regardless of how
+    // separable the synthetic sources happen to be
+    val planted = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" qzxplant")))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") % 2 === 0).cast("int").as("label"))
+      .localCheckpoint()
+    val (w, oovW, bias) = LlmOps.fitNbLogOdds(planted, 4096)
+    val scored = LlmOps.scoreNbLogOdds(planted, w, oovW, bias)
+      .join(planted.select("doc_id", "label"), "doc_id")
+    val n = scored.count()
+    val correct = scored.filter(
+      (col("llr_micro") > 0) === (col("label") === 1)).count()
+    assert(correct.toDouble / n >= 0.95,
+      s"NB separated only $correct/$n planted-label docs")
+    // lift over the majority-class trivial model
+    val majority = math.max(
+      planted.filter(col("label") === 1).count(),
+      planted.filter(col("label") === 0).count())
+    assert(correct > majority, s"no lift over majority ($correct vs $majority)")
+    // declared query: deterministic rows, one per doc, twice
+    val a = LlmOps.q121QualityClassifier(spark, sf).collect().map(_.toString).toSeq
+    val bRun = LlmOps.q121QualityClassifier(spark, sf).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a.size === Tables.documents(spark, sf).count())
+    assert(a === bRun)
+  }
+
+  test("q122 LR refinement: NB-init separates planted labels; GD loss is monotone non-increasing; deterministic") {
+    val planted = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" qzxplant")))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") % 2 === 0).cast("int").as("label"))
+      .localCheckpoint()
+    val (w, b, losses) = LlmOps.fitHashedLr(planted, 4096, 8, 4.0)
+    val scored = LlmOps.scoreHashedLr(planted, w, b, 4096)
+      .join(planted.select("doc_id", "label"), "doc_id")
+    val n = scored.count()
+    val correct = scored.filter(
+      (col("logit_micro") > 0) === (col("label") === 1)).count()
+    assert(correct.toDouble / n >= 0.95,
+      s"refined LR separated only $correct/$n planted-label docs")
+    // the theorem: lr=4 < 8 = 2/L for ‖x‖₂ ≤ 1 frequency features, so
+    // every full-batch step strictly decreases the training loss
+    assert(losses.length === 8)
+    losses.sliding(2).foreach { case Array(prev, next) =>
+      assert(next <= prev + 1e-12, s"loss rose: $prev -> $next in ${losses.mkString(",")}")
+    }
+    // declared query: deterministic rows, one per doc, twice
+    val a = LlmOps.q122QualityLrRefined(spark, sf).collect().map(_.toString).toSeq
+    val bRun = LlmOps.q122QualityLrRefined(spark, sf).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a.size === Tables.documents(spark, sf).count())
+    assert(a === bRun)
+  }
+
   test("invalidateMemosFor retires a corpus dir's persisted memos by name") {
     val t = 0.52 // this test's own memo key
     val memo = graft.ops.LlmOps.clusterMemoPathOf(spark, sf, t, 5000)

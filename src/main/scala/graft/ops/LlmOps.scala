@@ -3842,17 +3842,20 @@ object LlmOps {
     * (the NBSVM interpolation insight: NB weights are already a
     * strong linear model; GD then fits what NB's independence
     * assumption misses) and refined by full-batch gradient descent.
-    * `lr` ≤ 8 is the provable descent region: frequencies sum to 1
-    * per doc ⇒ ‖x‖₂ ≤ 1 ⇒ the logistic loss Hessian is bounded by ¼,
-    * so average-gradient steps with η < 2/¼ strictly decrease the
-    * loss — the spec's monotone-loss law is a theorem, not a fixture
-    * accident. Iterative float training ⇒ no SQL oracle (the
-    * q97/k-means rule); LlmOpsSpec pins a planted-token separation
-    * law, monotone training loss, and run-twice determinism.
+    * `lr` < 4 is the provable descent region: frequencies sum to 1
+    * per doc ⇒ ‖x‖₂ ≤ 1, and the bias rides as a constant-1 feature
+    * coordinate ⇒ ‖[x,1]‖₂² ≤ 2 ⇒ the logistic loss Hessian is
+    * bounded by L = 2/4 = ½, so average-gradient steps with η < 2/L
+    * = 4 strictly decrease the loss — the spec's monotone-loss law is
+    * a theorem, not a fixture accident; the default lr = 2 sits
+    * strictly inside it. Iterative float training ⇒ no SQL oracle
+    * (the q97/k-means rule); LlmOpsSpec pins a planted-token
+    * separation law, monotone training loss, and run-twice
+    * determinism.
     */
   def q122QualityLrRefined(spark: SparkSession, dir: String,
       refSource: String = "src0", nBuckets: Int = 4096, epochs: Int = 8,
-      lr: Double = 4.0, minCount: Int = 5): DataFrame = {
+      lr: Double = 2.0, minCount: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val labeled = docs.select(col("doc_id"), col("lang"), col("text"),
       (col("source") === refSource).cast("int").as("label"))
@@ -3892,6 +3895,16 @@ object LlmOps {
       .localCheckpoint() // replayed 3× per epoch
     val n = docs.count()
     if (n == 0) return (new Array[Double](nBuckets), 0.0, Array.empty)
+    // NB evidence lives at OCCURRENCE scale (Σ occ·w + prior) but the
+    // features are frequencies (x = occ/dl), so an unscaled NB init
+    // yields margins ~dl× too small — sigmoid stays in its flat
+    // near-0.5 region, gradients nearly cancel, and GD crawls (the
+    // round-9 89.2% failure). Multiplying the init weights by the
+    // mean doc length restores the NB margin scale in frequency
+    // space: (E[dl]/dl)·Σ occ·w + prior ≈ the NB doc score, exactly
+    // for average-length docs. One extra 1-row aggregate.
+    val meanDl = docs.select(size(split(col("text"), " ")).as("dl"))
+      .agg(avg("dl")).head().getDouble(0)
     // hashed-NB init (the hashing trick, Weinberger et al. 2009, over
     // the fitNbLogOdds weights): per-bucket class-conditional token
     // OCCURRENCE counts — one map-side-partial agg, ≤ nBuckets rows
@@ -3910,8 +3923,8 @@ object LlmOps {
     val w = new Array[Double](nBuckets)
     bc.foreach { case (b, c, c1) =>
       if (c >= minCount)
-        w(b) = math.log((c1 + 1.0) / (t1 + nBuckets)) -
-          math.log((c - c1 + 1.0) / (t0 + nBuckets))
+        w(b) = meanDl * (math.log((c1 + 1.0) / (t1 + nBuckets)) -
+          math.log((c - c1 + 1.0) / (t0 + nBuckets)))
     }
     val n1 = docs.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var bias = math.log((n1 + 1.0) / ((n - n1) + 1.0))

@@ -663,7 +663,7 @@ class LlmOpsSpec extends AnyFunSuite {
           .otherwise(col("text")).as("text"),
         (col("doc_id") % 2 === 0).cast("int").as("label"))
       .localCheckpoint()
-    val (w, b, losses) = LlmOps.fitHashedLr(planted, 4096, 8, 4.0)
+    val (w, b, losses) = LlmOps.fitHashedLr(planted, 4096, 8, 2.0)
     val scored = LlmOps.scoreHashedLr(planted, w, b, 4096)
       .join(planted.select("doc_id", "label"), "doc_id")
     val n = scored.count()
@@ -671,8 +671,9 @@ class LlmOpsSpec extends AnyFunSuite {
       (col("logit_micro") > 0) === (col("label") === 1)).count()
     assert(correct.toDouble / n >= 0.95,
       s"refined LR separated only $correct/$n planted-label docs")
-    // the theorem: lr=4 < 8 = 2/L for ‖x‖₂ ≤ 1 frequency features, so
-    // every full-batch step strictly decreases the training loss
+    // the theorem: with the bias riding as a constant-1 coordinate,
+    // ‖[x,1]‖₂² ≤ 2 for frequency features ⇒ L = ½ ⇒ lr=2 < 4 = 2/L,
+    // so every full-batch step strictly decreases the training loss
     assert(losses.length === 8)
     losses.sliding(2).foreach { case Array(prev, next) =>
       assert(next <= prev + 1e-12, s"loss rose: $prev -> $next in ${losses.mkString(",")}")

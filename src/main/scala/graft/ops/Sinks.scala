@@ -381,6 +381,25 @@ object Sinks {
         s"installMemo: could not install $dst (rename failed, no concurrent winner)")
   }
 
+  /** Recursive directory copy (src must exist; dst must not) — the
+    * clone step of the memo-reusing lifecycle queries: a seal/retrain
+    * demonstration MUTATES its index, so it works on a filesystem
+    * copy of the shared read-only ingest memo rather than on the memo
+    * itself. Local-FS cheap at demo scale; at 100 TB a real pipeline
+    * seals its own index in place — the clone exists only so a
+    * DECLARED query can exercise mutation without destroying shared
+    * memo state.
+    */
+  private[graft] def copyDir(fs: org.apache.hadoop.fs.FileSystem,
+      src: String, dst: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    fs.delete(d, true)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d, false, conf))
+      throw new java.io.IOException(s"copyDir: copy $src -> $dst failed")
+  }
+
   /** Read-side companion of [[installMemo]]: drop any `__tmp_`-named
     * child nested inside an installed memo. The in-install repair
     * only runs when installMemo is CALLED — a racing session killed

@@ -196,6 +196,51 @@ object Pipeline {
       end: java.sql.Date): DataFrame =
     features(extractSessions(sessionEvents(explodeEvents(raw)), apiKey, start, end))
 
+  /** #123 The SQL ENTRY SURFACE — the reference's transform layer IS
+    * SQL (two dbt view models, shopping_events_exploded.sql +
+    * nep_session_events.sql:7-19), so a user porting that project
+    * writes `spark.sql`, not DataFrame chains. This declared query
+    * proves view-composition parity end to end: register every
+    * testdata table as a temp view ([[Tables.registerTempViews]]),
+    * define the two dbt models AS SQL VIEWS (the flatten→sessionize
+    * chain over the harness event log, with q55's declared
+    * session/sku synthesis standing in for the reference's JSON
+    * payload), and serve the result with one `spark.sql` SELECT over
+    * the view stack — hash-gated by the SAME oracle as q55, so the
+    * SQL surface and the stateful DataFrame surface are pinned to
+    * each other every round.
+    *
+    * Catalyst inlines temp views exactly like dbt view expansion
+    * (SURVEY §1.1), so the plan — and its 100 TB shape: one
+    * session_id-keyed exchange for the ordered collect — is identical
+    * to the DataFrame composition's; `array_sort(collect_list(
+    * struct(ts, sku)))` is the declared ordered-ARRAY_AGG mapping of
+    * `ARRAY_AGG(...) WITHIN GROUP (ORDER BY ...)`.
+    */
+  def q123SqlSessionEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    Tables.registerTempViews(spark, dir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW shopping_events_exploded AS
+        |SELECT CAST(user_id AS STRING) || '-' || date_format(ts, 'yyyy-MM-dd') AS session_id,
+        |       'k1' AS api_key,
+        |       CAST(ts AS DATE) AS session_date,
+        |       unix_millis(ts) AS event_epoch_timestamp,
+        |       'sku_' || CAST(event_id % 100 AS STRING) AS sku
+        |FROM events""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW nep_session_events AS
+        |SELECT session_id, api_key,
+        |       min(session_date) AS session_date,
+        |       array_join(transform(array_sort(collect_list(struct(event_epoch_timestamp, sku))),
+        |                            x -> x.sku), '|') AS interactions
+        |FROM shopping_events_exploded
+        |GROUP BY session_id, api_key""".stripMargin)
+    spark.sql(
+      """SELECT session_id, api_key, session_date, interactions
+        |FROM nep_session_events ORDER BY session_id""".stripMargin)
+  }
+
   /** Per-stage counts from [[prepareCorpus]] — the audit record a
     * training run stores next to its data manifest.
     */

@@ -147,7 +147,9 @@ object SparkEntry {
     "q119_dedup_ingest_sealed" -> ((s: SparkSession, d: String) => LlmOps.q119DedupIngestSealed(s, d)),
     "q120_simsearch_retrained" -> ((s: SparkSession, d: String) => LlmOps.q120SimsearchRetrained(s, d)),
     "q121_quality_classifier" -> ((s: SparkSession, d: String) => LlmOps.q121QualityClassifier(s, d)),
-    "q122_quality_lr_refined" -> ((s: SparkSession, d: String) => LlmOps.q122QualityLrRefined(s, d))
+    "q122_quality_lr_refined" -> ((s: SparkSession, d: String) => LlmOps.q122QualityLrRefined(s, d)),
+    "q123_sql_session_events" -> ((s: SparkSession, d: String) => graft.Pipeline.q123SqlSessionEvents(s, d)),
+    "q124_vocab_decode" -> ((s: SparkSession, d: String) => Features.q124VocabDecode(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -855,6 +857,24 @@ object SparkEntry {
         |FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id, lang)
         |SELECT doc_id, lang, n_tokens, llr_micro, (llr_micro > 0) AS kept
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // q123: the spark.sql view-stack query over the registered temp
+    // views — by construction it must hash-match the q55 oracle (the
+    // declared SQL↔DataFrame parity gate), so the oracle IS q55's.
+    "q123_sql_session_events" ->
+      """WITH x AS (SELECT CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d') AS session_id,
+        |CAST(ts AS DATE) AS session_date, epoch_ms(ts) AS epoch_ms,
+        |'sku_' || CAST(event_id % 100 AS VARCHAR) AS sku FROM events)
+        |SELECT session_id, 'k1' AS api_key, min(session_date) AS session_date,
+        |string_agg(sku, '|' ORDER BY epoch_ms, sku) AS interactions
+        |FROM x GROUP BY session_id ORDER BY session_id""".stripMargin,
+    // q124: encode ∘ decode = identity — the decode leg re-joins the
+    // q30 vocab the other way (id → token) and reassembles each doc.
+    "q124_vocab_decode" ->
+      """WITH tok AS (SELECT doc_id, p - 1 AS pos, sp[p] AS token FROM (SELECT doc_id, sp, unnest(range(1, len(sp) + 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t0) t1),
+        |vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) AS INTEGER) AS id FROM tok GROUP BY token),
+        |enc AS (SELECT t.doc_id, t.pos, v.id FROM tok t JOIN vocab v ON t.token = v.token),
+        |dec AS (SELECT e.doc_id, string_agg(iv.token, ' ' ORDER BY e.pos) AS decoded FROM enc e JOIN vocab iv ON e.id = iv.id GROUP BY e.doc_id)
+        |SELECT doc_id, decoded FROM dec ORDER BY doc_id""".stripMargin,
     // q101: md5-bucketed DSIR weights — 256-bucket hashed unigram
     // models for target (src0) and raw (all docs); Δbits rounded once
     // per BUCKET (the difference, not each log) then integer-summed;

@@ -60,4 +60,24 @@ object Tables {
       .withColumn("ts", canonicalTs(raw.schema("ts").dataType))
       .withColumn("ts_ms", unix_millis(col("ts")))
   }
+
+  /** All testdata table names, in one place. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a session temp view — the SQL
+    * entry surface (SURVEY §1.1: dbt `materialized: view` ↔
+    * `createOrReplaceTempView`). After this, `spark.sql` queries run
+    * verbatim over the same relations the DataFrame API reads;
+    * `events` is registered through [[events]] so the canonical-µs
+    * `ts` (not the raw ns long) is what SQL sees — identical to what
+    * every DataFrame operator in this library reads. Idempotent;
+    * views are unmaterialized (Catalyst inlines them exactly like dbt
+    * view expansion).
+    */
+  def registerTempViews(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -278,6 +278,43 @@ object Features {
       .orderBy("doc_id")
   }
 
+  /** #124 Vocab DECODE — the inverse of q30's index: the reference
+    * serves predictions as token IDS and maps them back to SKUs
+    * through the inverted vocabulary (`prediction_to_word = {v: k ...}`,
+    * lstm_model.py:40); this declared query is that readout as a
+    * relational op, closing the q30/q74 encode family's round trip.
+    * Fit the q30 vocabulary, encode every document, then DECODE the
+    * id stream back through the id→token inverse join and reassemble
+    * the document — the oracle hash thereby gates encode ∘ decode =
+    * identity over the whole corpus (the decoded text must equal the
+    * tokenized original, token for token).
+    *
+    * Scale shape: the vocab is bounded by distinct-token count and
+    * BROADCAST on both hops (the id→token side is the same relation
+    * re-keyed — no new fit, no extra shuffle); the reassembly is the
+    * one doc_id-keyed ordered-collect exchange q30 already pays.
+    */
+  def q124VocabDecode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "token")
+    val vocab = globalRowNumber(
+        toks.groupBy("token").agg(count(lit(1)).as("freq")),
+        "id", 32, desc("freq"), asc("token"))
+      .select(col("token"), col("id").cast("int").as("id"))
+    val enc = toks.join(broadcast(vocab), "token")
+      .select(col("doc_id"), col("pos"), col("id"))
+    // the inverse join — lstm_model.py:40's id→word dictionary as a
+    // broadcast relation (same bounded vocab, keyed the other way)
+    enc
+      .join(broadcast(vocab.select(col("id"),
+        col("token").as("decoded_token"))), "id")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", Scalars.orderedCollect(
+        col("pos"), col("decoded_token"), "decoded_token")).as("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** #31 HR@k (my_reclist.py:18-26): share of rows whose label appears
     * in the top-k prediction list. The declared query builds a
     * deterministic synthetic prediction list (uuid-free) and reduces

@@ -307,4 +307,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(rD.pplDropped === 0L)
     assert(expectTail.nonEmpty && expectDrop.nonEmpty, "gates should bite on this corpus")
   }
+
+  test("q123 SQL view stack == q55 stateful DataFrame surface, row for row") {
+    // the declared SQL↔DataFrame parity law: the spark.sql query over
+    // the registered temp views and the mapGroups sessionizer are two
+    // ENGINES for the same semantics and must agree exactly
+    val sf = SharedSpark.sfTiny
+    val viaSql = Pipeline.q123SqlSessionEvents(spark, sf)
+      .collect().map(_.toString).toSeq
+    val viaDf = ops.StatefulSessionize.q55SessionEventsStateful(spark, sf)
+      .select("session_id", "api_key", "session_date", "interactions")
+      .orderBy("session_id")
+      .collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaDf)
+    // the view registration is idempotent and the views are live for
+    // ad-hoc SQL afterwards (the SQL entry surface contract)
+    Tables.registerTempViews(spark, sf)
+    assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM nep_session_events").head().getLong(0) ===
+      viaSql.size.toLong)
+  }
+
+  test("q124 vocab decode: encode ∘ decode = identity over the corpus; bounded broadcast vocab") {
+    val sf = SharedSpark.sfTiny
+    val decoded = ops.Features.q124VocabDecode(spark, sf)
+    val joined = decoded.join(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")), "doc_id")
+    assert(joined.count() === Tables.documents(spark, sf).count())
+    // decode must reproduce the tokenized original exactly — every
+    // doc, token for token (split-then-rejoin normalizes nothing on
+    // this corpus: single-space separated fixtures)
+    assert(joined.filter(col("decoded") =!= col("text")).count() === 0L)
+  }
 }

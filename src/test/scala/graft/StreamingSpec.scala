@@ -473,6 +473,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(sealedProbe === streamed)
   }
 
+  test("ANN stream ingest + seal killed between park and install: next seal recovers, checkpointed replay is a no-op, probe exact") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_ann_sealcrash").toString
+    val idx = s"$base/index"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val bSize = math.max(1L, maxId / 2 + 1)
+    def batch(b: Int) = emb.filter(expr(s"vec_id DIV $bSize") === b)
+    (0 until 2).foreach { b =>
+      val tmp = s"$base/stage_$b"
+      batch(b).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/b$b.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/b$b.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + b * 2000))
+    }
+    def runStream(): Unit = {
+      val src = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      Streaming.annIndexIngest(src, idx).awaitTermination()
+    }
+    runStream()
+    val queries = emb.filter(col("vec_id") < 8)
+    def probe() = graft.ops.LlmOps.annIncremental(spark, queries, idx,
+      k = 5, nProbe = 4).collect().map(_.toString).toSeq
+    val baseline = probe()
+    assert(baseline.nonEmpty)
+    // ---- simulate a seal killed BETWEEN its two renames on the
+    // vectors relation (Sinks.sealBatchStamped): the live directory
+    // is parked at __seal_old, the validated flat rewrite sits at
+    // __seal_tmp, dst is GONE — the exact crash window the entry
+    // recovery exists for. (codes untouched: the crash hit the first
+    // relation's swap.)
+    val vecs = Paths.get(s"$idx/vectors")
+    Files.move(vecs, Paths.get(s"$idx/vectors__seal_old"))
+    Files.createDirectories(Paths.get(s"$idx/vectors__seal_tmp"))
+    Files.write(Paths.get(s"$idx/vectors__seal_tmp/garbage"),
+      Array[Byte](1, 2, 3))
+    assert(!Files.exists(vecs))
+    // ---- restart: the quiesce-time seal is called UNCONDITIONALLY
+    // by contract; its entry recovery restores the parked relation,
+    // clears the stale tmp, and the re-seal completes both relations
+    graft.ops.LlmOps.annIndexSeal(spark, idx)
+    Seq("vectors", "codes").foreach { sub =>
+      assert(Files.exists(Paths.get(s"$idx/$sub")), sub)
+      assert(!Files.exists(Paths.get(s"$idx/${sub}__seal_old")), sub)
+      assert(!Files.exists(Paths.get(s"$idx/${sub}__seal_tmp")), sub)
+      val cellDirs = new java.io.File(s"$idx/$sub").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty, sub)
+      assert(!cellDirs.exists(_.listFiles().exists(
+        _.getName.startsWith("__batch_id="))), s"$sub still stamped")
+    }
+    assert(probe() === baseline)
+    // ---- the streaming checkpoint survived the crash + recovery
+    // untouched: restarting the stream with no new files delivers
+    // zero batches (sealing RETIRES the checkpoint — nothing replays
+    // onto the flat layout) and the sealed answer does not move
+    runStream()
+    assert(probe() === baseline)
+    // ---- and the retrain rotation's own crash window: park the
+    // WHOLE index root as a killed-between-renames swapInstall would,
+    // then call annIndexRetrain — recoverInterrupted at entry
+    // restores the root before rotating, and rotation preserves the
+    // exhaustive answer's content
+    val n = emb.count()
+    def exhaustiveProbe() = graft.ops.LlmOps.annIncremental(spark, queries,
+      idx, k = 5, nProbe = 16, candFactor = (((n + 4) / 5).toInt).max(1))
+      .collect().map(_.toString).toSeq
+    val exhaustiveBefore = exhaustiveProbe()
+    Files.move(Paths.get(idx), Paths.get(idx + "__retrain_old"))
+    graft.ops.LlmOps.annIndexRetrain(spark, idx)
+    assert(Files.exists(Paths.get(s"$idx/vectors")))
+    assert(!Files.exists(Paths.get(idx + "__retrain_old")))
+    assert(exhaustiveProbe() === exhaustiveBefore && exhaustiveBefore.nonEmpty)
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

@@ -58,7 +58,10 @@ object ScaleProbe {
     "q107_dim_reduction" -> Seq("embeddings"),
     "q108_hybrid_rrf" -> Seq("documents", "embeddings"),
     "q117_perplexity_bigram" -> Seq("documents"),
-    "q118_simsearch_serving" -> Seq("embeddings"))
+    "q118_simsearch_serving" -> Seq("embeddings"),
+    "q122_quality_lr_refined" -> Seq("documents"),
+    "q123_sql_session_events" -> Seq("events"),
+    "q124_vocab_decode" -> Seq("documents"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")

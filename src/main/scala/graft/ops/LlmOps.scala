@@ -4039,18 +4039,24 @@ object LlmOps {
         .localCheckpoint() // read twice: residuals and gradient join
       val resid = margin.select(col("doc_id"),
         (col("label") - lit(1.0) / (lit(1.0) + exp(-col("z")))).as("r"))
-      // log(1+e^z) − y·z: the numerically-stable softplus form
-      losses(e) = margin
+      // loss (log(1+e^z) − y·z, the numerically-stable softplus form)
+      // and the bias gradient Σr ride ONE 1-row aggregate — both are
+      // scalars of the margin relation, and splitting them cost a
+      // whole extra job per epoch
+      val scalars = margin
         .agg(coalesce(sum(
           when(col("z") > 0, col("z") + log(lit(1.0) + exp(-col("z"))))
             .otherwise(log(lit(1.0) + exp(col("z")))) -
-            col("label") * col("z")), lit(0.0)))
-        .head().getDouble(0) / n
+            col("label") * col("z")), lit(0.0)),
+          coalesce(sum(col("label") -
+            lit(1.0) / (lit(1.0) + exp(-col("z")))), lit(0.0)))
+        .head()
+      losses(e) = scalars.getDouble(0) / n
+      val gBias = scalars.getDouble(1)
       // bucket-keyed gradient cells: ≤ nBuckets rows to the driver
       val grad = feats.join(resid, "doc_id")
         .groupBy("bucket").agg(sum(col("r") * col("x")).as("g"))
         .collect().map(row => (row.getLong(0).toInt, row.getDouble(1)))
-      val gBias = resid.agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
       grad.foreach { case (bkt, g) => w(bkt) += lr * g / n }
       bias += lr * gBias / n
     }

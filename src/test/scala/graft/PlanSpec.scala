@@ -130,6 +130,36 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unpartitioned Window in q30 plan:\n$bad")
   }
 
+  test("q123: the SQL view stack inlines to ONE session_id-keyed exchange, no window") {
+    // Catalyst must expand the temp views exactly like dbt view
+    // expansion: the whole flatten→sessionize chain is one hash
+    // aggregation keyed by the session — no view materialization
+    // boundary, no extra shuffle, no window operator at all
+    val p = plan(graft.Pipeline.q123SqlSessionEvents(spark, sf))
+    val sessionExchanges = "hashpartitioning\\(session_id".r.findAllIn(p).size
+    assert(sessionExchanges >= 1,
+      s"expected a session_id hash exchange:\n$p")
+    assert(!p.contains("Window"), s"unexpected Window in the view-stack plan:\n$p")
+    // the events scan survives view inlining as a plain parquet scan
+    assert(p.contains("Scan parquet"), s"no parquet scan in plan:\n$p")
+  }
+
+  test("q124: both vocab hops are broadcast joins; no unpartitioned Window") {
+    val df = graft.ops.Features.q124VocabDecode(spark, sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned Window in q124 plan:\n$bad")
+    val p = plan(df)
+    // encode hop (token → id) and decode hop (id → token) both ride
+    // the bounded broadcast vocab — the corpus side never shuffles
+    // for them
+    val bcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcasts >= 2, s"expected 2 broadcast vocab joins, got $bcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab join regressed to SMJ:\n$p")
+  }
+
   test("q00: sessionize reuses ONE user_id shuffle for both windows and the groupBy") {
     val p = plan(graft.ops.Features.q00FlagshipSessionize(spark, sf))
     val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size

@@ -393,7 +393,7 @@ object LlmOps {
       threshold: Double): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_dedup_prefix_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
-      s"_b${nBatches}_p${prefix}_t${(threshold * 1e6).round}"
+      s"_b${nBatches}_p${prefix}_t${(threshold * 1e6).round}_$IndexMemoFormat"
 
   /** #86 Paragraph-level exact dedup (the C4/RefinedWeb boilerplate
     * strip): segment each document into fixed-width token chunks
@@ -1333,6 +1333,17 @@ object LlmOps {
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
       s"_t${(threshold * 1e6).round}_d$maxDocs"
 
+  /** On-disk FORMAT tag for persisted INDEX memos. The corpus
+    * signature catches a regenerated corpus; this catches regenerated
+    * CODE: bump it whenever any index layout a memo stores changes
+    * (stamp scheme, partition columns, codebook encoding, the
+    * dedup-prefix admitted schema), so new code never clones or
+    * probes bytes an older format wrote. Rides every index-memo
+    * path; stale-format memos are orphaned (and cleaned by any
+    * [[invalidateMemosFor]] on their dir, which matches by prefix).
+    */
+  private[graft] val IndexMemoFormat = "f1"
+
   /** Memo path of [[q118SimsearchServing]]'s index (the
     * [[clusterMemoPathOf]] convention for the vector family).
     */
@@ -1341,7 +1352,7 @@ object LlmOps {
       pqIters: Int): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "embeddings") +
-      s"_c${nCells}i${kmeansIters}m${m}k${kCodes}p$pqIters"
+      s"_c${nCells}i${kmeansIters}m${m}k${kCodes}p${pqIters}_$IndexMemoFormat"
 
   /** Memo path of the BATCH-STAMPED ANN ingest — the shared read-only
     * input q114 (seal) and q120 (retrain) clone before mutating (the
@@ -1353,7 +1364,7 @@ object LlmOps {
       pqIters: Int): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_stamped_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "embeddings") +
-      s"_b${nBatches}_c${nCells}i${kmeansIters}m${m}k${kCodes}p$pqIters"
+      s"_b${nBatches}_c${nCells}i${kmeansIters}m${m}k${kCodes}p${pqIters}_$IndexMemoFormat"
 
   /** Corpus-state memo key for `table` under `dir` — [[memoDirKey]] +
     * the table signature, exposed package-wide so other operator

@@ -437,7 +437,8 @@ object Retrieval {
       // seal), not a re-payment of q109's ingest (the
       // LlmOps.simsearchIngestProbe memo-clone pattern).
       val memo = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stamped_memo_" +
-        LlmOps.memoKeyFor(spark, dir, "documents") + s"_b$nBatches"
+        LlmOps.memoKeyFor(spark, dir, "documents") +
+        s"_b${nBatches}_${LlmOps.IndexMemoFormat}"
       val memoRoot = new org.apache.hadoop.fs.Path(memo)
       if (!fs.exists(memoRoot)) {
         val staging = new org.apache.hadoop.fs.Path(

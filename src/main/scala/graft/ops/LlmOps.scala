@@ -1306,15 +1306,18 @@ object LlmOps {
     */
   private def tableSignature(spark: SparkSession, dir: String,
       table: String): String = {
-    val root = s"$dir/$table.parquet"
-    val p = new org.apache.hadoop.fs.Path(root)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = Sinks.fsFor(spark, p.toString)
     if (!fs.exists(p)) return "0" * 8
+    // strip the QUALIFIED root (listFiles returns qualified URIs, so
+    // a bare-path prefix would never match): entries are root-relative
+    // and the signature depends only on content, not path spelling
+    val rootStr = fs.makeQualified(p).toString
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      entries += st.getPath.toString.stripPrefix(root) + ":" +
+      entries += st.getPath.toString.stripPrefix(rootStr) + ":" +
         st.getLen + ":" + st.getModificationTime
     }
     val acc = entries.sorted.foldLeft(1125899906842597L) { (h, e) =>

@@ -272,7 +272,7 @@ object Retrieval {
     val avgdl = st.getLong(1).toDouble / nDocs
     val buckets = queries
       .select(pmod(xxhash64(col("tok")), lit(nBuckets)).as("tb"))
-      .distinct().collect().map(_.getLong(0))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
     val pruned = spark.read.parquet(s"$indexPath/postings")
       .filter(col("tb").isin(buckets: _*))
     // exact-term postings; df = posting row count per term (rows are

@@ -685,6 +685,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a === bRun)
   }
 
+  test("tableSignature distinguishes duplicate file triples (the XOR-cancellation regression)") {
+    // The round-9 signature XOR-combined per-file hashes, so two
+    // files with identical (basename, length, mtime) under different
+    // partition subdirectories CANCELLED — a corpus containing such a
+    // pair signed identically to one containing neither, the exact
+    // stale-memo failure the signature exists to prevent. The memo
+    // path embeds the signature, so distinct on-disk states must
+    // yield distinct memo paths.
+    import java.nio.file.{Files, Paths}
+    def mk(tag: String, subdirs: Seq[String]): String = {
+      val root = Files.createTempDirectory(s"graft_sig_$tag").toString
+      subdirs.foreach { sub =>
+        val d = Paths.get(s"$root/documents.parquet/$sub")
+        Files.createDirectories(d)
+        Files.write(d.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+        Files.setLastModifiedTime(d.resolve("part-0.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+      }
+      root
+    }
+    // dirA: a self-cancelling PAIR of identical triples; dirB: none
+    val a = mk("a", Seq("p=1", "p=2"))
+    val b = mk("b", Seq())
+    val pathA = graft.ops.LlmOps.clusterMemoPathOf(spark, a, 0.5, 5000)
+    val pathB = graft.ops.LlmOps.clusterMemoPathOf(spark, b, 0.5, 5000)
+    // strip the dir-key component (differs trivially); compare the
+    // signature segment, which under XOR read identically ("both
+    // empty") for these two states
+    def sig(p: String) = p.substring(p.lastIndexOf("_s") + 2).takeWhile(_ != '_')
+    assert(sig(pathA) !== sig(pathB),
+      s"duplicate-pair state signed as empty: $pathA vs $pathB")
+    // and one MORE copy of the same triple must change it again
+    val c = mk("c", Seq("p=1", "p=2", "p=3"))
+    val pathC = graft.ops.LlmOps.clusterMemoPathOf(spark, c, 0.5, 5000)
+    assert(sig(pathC) !== sig(pathA))
+    assert(sig(pathC) !== sig(pathB))
+  }
+
   test("invalidateMemosFor retires a corpus dir's persisted memos by name") {
     val t = 0.52 // this test's own memo key
     val memo = graft.ops.LlmOps.clusterMemoPathOf(spark, sf, t, 5000)

@@ -1398,7 +1398,7 @@ object LlmOps {
   private val MemoPrefixes = Seq(
     "graft_cluster_memo_", "graft_ann_index_memo_",
     "graft_ann_stamped_memo_", "graft_dedup_prefix_memo_",
-    "graft_bm25_stamped_memo_")
+    "graft_bm25_stamped_memo_", "graft_bm25_index_memo_")
 
   /** Retire every persisted memo derived from `dir` — cluster-label
     * memos, serving indexes and stamped-ingest memos — regardless of

@@ -530,18 +530,48 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
-  /** #115 (declared since round 9) — [[q108HybridRrf]] with the dense
-    * leg served from a PERSISTED PQ-coded IVF index
-    * ([[graft.ops.LlmOps.annIndexWrite]] →
-    * [[graft.ops.LlmOps.annIncremental]]) instead of the brute
-    * embedding scan — the corpus-scale serving shape the q108
-    * scaladoc promises is pluggable, demonstrated: at an exhaustive
-    * probe (nProbe = nCells, lossless candFactor — the q111
-    * argument) the probe's rank lists EQUAL the brute leg's, so the
-    * fused output is row-identical to [[q108HybridRrf]]
-    * (RetrievalSpec pins this); production uses nProbe < nCells and
-    * accepts the recall trade. Self-pairs stay in
-    * (excludeQueryId = false), mirroring the brute leg.
+  /** Ensure the PERSISTED flat inverted-index memo for `dir` exists
+    * ([[invIndexWrite]] layout at a parameter-keyed path, staged
+    * build + race-tolerant install — the
+    * LlmOps.ensureServingIndexMemo discipline applied to the lexical
+    * family) and return its path. Serves [[q108HybridRrfIndexed]]'s
+    * lexical leg, which must not re-pay a per-run index build the
+    * probe doesn't depend on; the build path itself stays gated by
+    * q106 (fresh per run, shares q104's oracle).
+    */
+  private[graft] def ensureInvIndexMemo(spark: SparkSession, dir: String,
+      nBuckets: Int = 64): String = {
+    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_memo_" +
+      LlmOps.memoKeyFor(spark, dir, "documents") +
+      s"_n${nBuckets}_${LlmOps.IndexMemoFormat}"
+    val fs = Sinks.fsFor(spark, memo)
+    val root = new org.apache.hadoop.fs.Path(memo)
+    if (!fs.exists(root)) {
+      val staging = new org.apache.hadoop.fs.Path(
+        memo + "__tmp_" + spark.sparkContext.applicationId)
+      fs.delete(staging, true)
+      invIndexWrite(tokenizedDocs(spark, dir), staging.toString, nBuckets)
+      Sinks.installMemo(fs, staging, root)
+    } else Sinks.repairNestedStaging(fs, root)
+    memo
+  }
+
+  /** #115 (declared since round 9) — [[q108HybridRrf]] with BOTH legs
+    * served from PERSISTED indexes: the dense leg from the PQ-coded
+    * IVF serving index ([[graft.ops.LlmOps.annIndexWrite]] →
+    * [[graft.ops.LlmOps.annIncremental]]) and, since round 10, the
+    * lexical leg from the flat inverted index
+    * ([[ensureInvIndexMemo]] → [[bm25Indexed]]) — the full
+    * corpus-scale serving shape the q108 scaladoc promises is
+    * pluggable, demonstrated end to end. Equality argument per leg:
+    * the indexed BM25 probe computes identical arithmetic over
+    * identical postings (the q106==q104 oracle gate), and at an
+    * exhaustive probe (nProbe = nCells, lossless candFactor — the
+    * q111 argument) the ANN rank lists EQUAL the brute leg's; fusion
+    * is rank-only, so the fused output is row-identical to
+    * [[q108HybridRrf]] (RetrievalSpec pins this). Production uses
+    * nProbe < nCells and accepts the recall trade. Self-pairs stay
+    * in (excludeQueryId = false), mirroring the brute leg.
     */
   def q108HybridRrfIndexed(spark: SparkSession, dir: String,
       nQueries: Int = 8, qLen: Int = 4, kEach: Int = 10, k: Int = 10,
@@ -551,7 +581,8 @@ object Retrieval {
     val qdocs = docs.filter(col("doc_id") % 97 === 0)
       .orderBy("doc_id").limit(nQueries)
     val qterms = querySetOf(docs, nQueries, qLen)
-    val lex = bm25TopK(docs, qterms, kEach, k1 = 1.2, b = 0.75)
+    val lex = bm25Indexed(spark, qterms,
+        ensureInvIndexMemo(spark, dir), k = kEach, k1 = 1.2, b = 0.75)
       .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()

@@ -203,4 +203,40 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(base).count() === 6)
   }
 
+  test("installMemo: race loser deletes its staging, winner's memo survives; nested staging repaired") {
+    val base = tmpDir("memoinstall")
+    val dst = new org.apache.hadoop.fs.Path(s"$base/memo")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // winner installs first
+    Seq((1L, "winner")).toDF("id", "who").write.parquet(dst.toString)
+    // loser stages its own build and calls installMemo: the memo
+    // contract says the loser's content is identical, but the TEST
+    // writes distinguishable rows to prove which install survived
+    val staging = new org.apache.hadoop.fs.Path(s"$base/memo__tmp_loser")
+    Seq((1L, "loser")).toDF("id", "who").write.parquet(staging.toString)
+    Sinks.installMemo(fs, staging, dst)
+    assert(!fs.exists(staging), "loser staging must be deleted")
+    val rows = spark.read.parquet(dst.toString).collect()
+    assert(rows.length === 1 && rows.head.getString(1) === "winner")
+    // the local-FS rename-onto-existing fallback failure mode: a
+    // racing session killed mid-copy leaves its staging NESTED inside
+    // the installed memo — the read-side repair must drop it before
+    // parquet discovery reads garbage at two directory depths
+    val nested = new org.apache.hadoop.fs.Path(dst, "memo__tmp_dead")
+    fs.mkdirs(nested)
+    val out = fs.create(new org.apache.hadoop.fs.Path(nested, "junk.parquet"))
+    out.write(Array[Byte](9, 9, 9)); out.close()
+    Sinks.repairNestedStaging(fs, dst)
+    assert(!fs.exists(nested), "nested staging must be repaired away")
+    val rows2 = spark.read.parquet(dst.toString).collect()
+    assert(rows2.length === 1 && rows2.head.getString(1) === "winner")
+    // genuine failure (no winner, rename refused): must THROW, never
+    // leave the caller probing a nonexistent memo as an empty answer
+    val badDst = new org.apache.hadoop.fs.Path(s"$base/nope/deep/memo")
+    val ghost = new org.apache.hadoop.fs.Path(s"$base/ghost_staging")
+    intercept[java.io.IOException] {
+      Sinks.installMemo(fs, ghost, badDst) // staging doesn't even exist
+    }
+  }
+
 }

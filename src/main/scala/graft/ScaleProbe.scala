@@ -61,7 +61,9 @@ object ScaleProbe {
     "q118_simsearch_serving" -> Seq("embeddings"),
     "q122_quality_lr_refined" -> Seq("documents"),
     "q123_sql_session_events" -> Seq("events"),
-    "q124_vocab_decode" -> Seq("documents"))
+    "q124_vocab_decode" -> Seq("documents"),
+    "q114_simsearch_sealed" -> Seq("embeddings"),
+    "q120_simsearch_retrained" -> Seq("embeddings"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")

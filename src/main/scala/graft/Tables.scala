@@ -73,11 +73,20 @@ object Tables {
     * `ts` (not the raw ns long) is what SQL sees — identical to what
     * every DataFrame operator in this library reads. Idempotent;
     * views are unmaterialized (Catalyst inlines them exactly like dbt
-    * view expansion).
+    * view expansion). Tables whose parquet directory does not exist
+    * under `dir` are skipped rather than thrown on: scale-probe
+    * replicas materialize only the fact tables a query reads, and a
+    * view registration for a table the query never touches must not
+    * abort the whole SQL surface.
     */
-  def registerTempViews(spark: SparkSession, dir: String): Unit =
+  def registerTempViews(spark: SparkSession, dir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
     names.foreach { n =>
-      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
-      df.createOrReplaceTempView(n)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      if (p.getFileSystem(hconf).exists(p)) {
+        val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+        df.createOrReplaceTempView(n)
+      }
     }
+  }
 }

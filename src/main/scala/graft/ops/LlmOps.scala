@@ -371,6 +371,7 @@ object LlmOps {
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$staging/admitted")
           Sinks.installMemo(fs, staging, memoRoot)
+          gcStaleMemos(spark, "graft_dedup_prefix_memo_", dir, "documents")
         } else Sinks.repairNestedStaging(fs, memoRoot)
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$memo/index")))
           Sinks.copyDir(fs, s"$memo/index", indexPath,
@@ -1327,7 +1328,12 @@ object LlmOps {
     val acc = entries.sorted.foldLeft(1125899906842597L) { (h, e) =>
       h * 31 + scala.util.hashing.MurmurHash3.stringHash(e)
     }
-    f"${acc & 0xFFFFFFFFL}%08x"
+    // full 64-bit fold: this signature is the SOLE stale-memo guard
+    // for every persisted memo family, and a 32-bit truncation gives
+    // non-negligible birthday odds across many regenerated corpus
+    // states — a collision silently serves a stale index (round-10
+    // advice). 8 extra filename chars buy 2^32× the margin.
+    f"$acc%016x"
   }
 
   /** Memo path of [[q61DedupClustersCached]] — exposed package-wide so
@@ -1346,10 +1352,52 @@ object LlmOps {
     * (stamp scheme, partition columns, codebook encoding, the
     * dedup-prefix admitted schema), so new code never clones or
     * probes bytes an older format wrote. Rides every index-memo
-    * path; stale-format memos are orphaned (and cleaned by any
-    * [[invalidateMemosFor]] on their dir, which matches by prefix).
+    * path; stale-format memos are orphaned and garbage-collected by
+    * the next same-family install ([[gcStaleMemos]]) or any
+    * [[invalidateMemosFor]] on their dir.
+    * f2: inverted-index stats gained the `n_buckets` column (probes
+    * read the hash modulus from the index, round-11).
     */
-  private[graft] val IndexMemoFormat = "f1"
+  private[graft] val IndexMemoFormat = "f2"
+
+  /** Garbage-collect STALE siblings of a memo family for `dir` at
+    * install time: every memo of the same family and corpus dir
+    * whose embedded table signature differs from the CURRENT one is
+    * unreachable by construction (the signature is part of every
+    * lookup key) and would otherwise accumulate one index-sized tmp
+    * directory per regenerated corpus state forever (round-10
+    * advice). Memos with the current signature but a different
+    * trailing format tag are likewise dead code's bytes and go too.
+    * Live same-signature memos under OTHER parameters are kept —
+    * concurrent sessions may be mid-read on them; deleting a
+    * CURRENT-signature memo is [[invalidateMemosFor]]'s job only.
+    * Staging dirs (`__tmp_*`) of stale memos match the same prefix
+    * rule and are swept with them.
+    */
+  private[graft] def gcStaleMemos(spark: SparkSession, familyPrefix: String,
+      dir: String, table: String): Unit = {
+    val stem = s"$familyPrefix${memoDirKey(dir)}_s"
+    val live = stem + tableSignature(spark, dir, table)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val fs = Sinks.fsFor(spark, tmp)
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(root)) {
+      fs.listStatus(root).map(_.getPath).filter { p =>
+        val n = p.getName
+        n.startsWith(stem) && (!n.startsWith(live) || isStaleFormat(n))
+      }.foreach(fs.delete(_, true))
+    }
+  }
+
+  /** A memo name carries a stale format tag iff it ends (before any
+    * staging suffix) in `_f<digits>` that is not [[IndexMemoFormat]].
+    * Families without format tags (cluster memos) never match.
+    */
+  private def isStaleFormat(name: String): Boolean = {
+    val base = name.replaceFirst("__tmp_.*$", "")
+    val m = "_f([0-9]+)$".r.findFirstIn(base)
+    m.exists(_ != s"_$IndexMemoFormat")
+  }
 
   /** Memo path of [[q118SimsearchServing]]'s index (the
     * [[clusterMemoPathOf]] convention for the vector family).
@@ -2100,6 +2148,7 @@ object LlmOps {
         fs.delete(staging, true)
         ingestInto(staging.toString)
         Sinks.installMemo(fs, staging, memoRoot)
+        gcStaleMemos(spark, "graft_ann_stamped_memo_", dir, "embeddings")
       } else Sinks.repairNestedStaging(fs, memoRoot)
       Sinks.copyDir(fs, memo, indexPath,
         spark.sparkContext.hadoopConfiguration)
@@ -2562,6 +2611,7 @@ object LlmOps {
         centsPre = Some(cents), cbPre = cbPre)
       // race-tolerant install (see Sinks.installMemo)
       Sinks.installMemo(fs, staging, root)
+      gcStaleMemos(spark, "graft_ann_index_memo_", dir, "embeddings")
     } else Sinks.repairNestedStaging(fs, root)
     Some(memoIdx)
   }
@@ -3428,6 +3478,7 @@ object LlmOps {
       // memo; the local-FS rename-onto-existing copy fallback is
       // repaired inside — see Sinks.installMemo)
       Sinks.installMemo(fs, staging, dst)
+      gcStaleMemos(spark, "graft_cluster_memo_", dir, "documents")
     } else Sinks.repairNestedStaging(fs, dst)
     spark.read.parquet(memoPath)
   }

@@ -245,8 +245,12 @@ object Retrieval {
     import spark.implicits._
     postingsOf(docs, nBuckets).repartition(col("tb"))
       .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
-    Seq(statsOf(docs))
-      .toDF("n_docs", "total_tokens")
+    val (n, total) = statsOf(docs)
+    // n_buckets rides the stats table so probes read the bucket count
+    // the postings were actually hashed with — two call sites each
+    // defaulting to 64 is a silent-mismatch trap (round-10 advice)
+    Seq((n, total, nBuckets))
+      .toDF("n_docs", "total_tokens", "n_buckets")
       .coalesce(1).write
       .mode(if (mode == "append") "append" else "overwrite")
       .parquet(s"$indexPath/stats")
@@ -258,20 +262,35 @@ object Retrieval {
     * of the query terms' buckets — cost scales with those terms'
     * posting lists, never the indexed corpus. Corpus stats are the
     * SUM of the stats rows (one per write), so an appended index
-    * scores with its true N and avgdl.
+    * scores with its true N and avgdl. The bucket count used to hash
+    * query terms is READ FROM THE INDEX (the `n_buckets` stats
+    * column each write records), never guessed from a parameter: a
+    * probe hashing with a different modulus than the postings layout
+    * silently returns incomplete results. `nBuckets` survives only
+    * as the fallback for pre-f2 indexes whose stats lack the column,
+    * and mixed per-write bucket counts abort loudly.
     */
   def bm25Indexed(spark: SparkSession, queries: DataFrame,
       indexPath: String, nBuckets: Int = 64, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val st = spark.read.parquet(s"$indexPath/stats")
-      .agg(sum("n_docs"), sum("total_tokens")).head()
+    val stDf = spark.read.parquet(s"$indexPath/stats")
+    val st = stDf.agg(sum("n_docs"), sum("total_tokens")).head()
     val nDocs = st.getLong(0)
     // empty index: the postings dir holds no parquet files (an empty
     // partitioned write emits none), so don't even try to read it
     if (nDocs == 0) return emptyResult(queries)
     val avgdl = st.getLong(1).toDouble / nDocs
+    val nb: Int =
+      if (stDf.columns.contains("n_buckets")) {
+        val vals = stDf.select("n_buckets").distinct().collect()
+          .map(_.getInt(0)).sorted
+        if (vals.length != 1) throw new IllegalStateException(
+          s"bm25Indexed: index $indexPath mixes bucket counts " +
+            s"${vals.mkString(",")} — one index, one hash modulus")
+        vals.head
+      } else nBuckets
     val buckets = queries
-      .select(pmod(xxhash64(col("tok")), lit(nBuckets)).as("tb"))
+      .select(pmod(xxhash64(col("tok")), lit(nb)).as("tb"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
     val pruned = spark.read.parquet(s"$indexPath/postings")
       .filter(col("tb").isin(buckets: _*))
@@ -347,8 +366,8 @@ object Retrieval {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "__batch_id").parquet(s"$indexPath/postings")
     val (n, total) = statsOf(docs)
-    Seq((n, total, batchId))
-      .toDF("n_docs", "total_tokens", "__batch_id")
+    Seq((n, total, nBuckets, batchId))
+      .toDF("n_docs", "total_tokens", "n_buckets", "__batch_id")
       .coalesce(1).write
       .mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(s"$indexPath/stats")
@@ -448,6 +467,7 @@ object Retrieval {
         fs.delete(staging, true)
         ingestInto(staging.toString)
         Sinks.installMemo(fs, staging, memoRoot)
+        LlmOps.gcStaleMemos(spark, "graft_bm25_stamped_memo_", dir, "documents")
       } else Sinks.repairNestedStaging(fs, memoRoot)
       Sinks.copyDir(fs, memo, indexPath,
         spark.sparkContext.hadoopConfiguration)
@@ -554,6 +574,7 @@ object Retrieval {
       fs.delete(staging, true)
       invIndexWrite(tokenizedDocs(spark, dir), staging.toString, nBuckets)
       Sinks.installMemo(fs, staging, root)
+      LlmOps.gcStaleMemos(spark, "graft_bm25_index_memo_", dir, "documents")
     } else Sinks.repairNestedStaging(fs, root)
     memo
   }

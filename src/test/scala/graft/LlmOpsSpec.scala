@@ -1383,4 +1383,46 @@ class LlmOpsSpec extends AnyFunSuite {
     val other = LlmOps.kmeansCentroidsCached(emb, SharedSpark.sfTiny, 16, 2)
     assert(!(other eq c1))
   }
+
+  test("memo install garbage-collects stale-signature and stale-format siblings") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    def mkdir(name: String): java.io.File = {
+      val d = new java.io.File(tmp, name)
+      d.mkdirs(); d
+    }
+    // derive the LIVE name through the one key definition, then
+    // fabricate siblings: same family+dir but a stale signature, and
+    // a same-signature sibling under OTHER params (must survive —
+    // concurrent sessions may be mid-read on it)
+    val t = 0.53 // this test's own memo key
+    val live = graft.ops.LlmOps.clusterMemoPathOf(spark, sf, t, 5000)
+    val liveName = new java.io.File(live).getName
+    val sigStart = liveName.lastIndexOf("_s") + 2
+    val sigEnd = liveName.indexOf('_', sigStart)
+    val staleName = liveName.substring(0, sigStart) + "deadbeefdeadbeef" +
+      liveName.substring(sigEnd)
+    val otherParams = liveName.substring(0, sigEnd) + "_t990000_d5000"
+    val stale = mkdir(staleName)
+    val keepOther = mkdir(otherParams)
+    val staleStaging = mkdir(staleName + "__tmp_app_123")
+    new java.io.File(live).delete() // force a fresh install (runs GC)
+    LlmOps.q61DedupClustersCached(spark, sf, t).collect()
+    assert(new java.io.File(live).isDirectory)
+    assert(!stale.exists, "stale-signature sibling survived install GC")
+    assert(!staleStaging.exists, "stale staging dir survived install GC")
+    assert(keepOther.isDirectory,
+      "live-signature sibling under other params was wrongly deleted")
+    keepOther.delete()
+    // format-tagged families: a sibling with the CURRENT signature
+    // but a stale _f<N> tag is dead code's bytes and goes too
+    val annLive = graft.ops.LlmOps.annIndexMemoPathOf(spark, sf,
+      16, 3, 8, 16, 2)
+    val annName = new java.io.File(annLive).getName
+    assert(annName.endsWith("_" + graft.ops.LlmOps.IndexMemoFormat))
+    val oldFormat = mkdir(annName.stripSuffix(
+      graft.ops.LlmOps.IndexMemoFormat) + "f0")
+    graft.ops.LlmOps.gcStaleMemos(spark, "graft_ann_index_memo_", sf,
+      "embeddings")
+    assert(!oldFormat.exists, "stale-format sibling survived GC")
+  }
 }

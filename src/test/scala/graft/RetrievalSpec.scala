@@ -263,4 +263,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(selectedFiles < allFiles,
       s"fixture degenerate: every file is in a probed bucket")
   }
+
+  test("bm25Indexed reads the hash modulus from the index, not its parameter") {
+    // build with a deliberately NON-default bucket count, probe with
+    // the default parameter: before round 11 the probe hashed query
+    // terms with ITS OWN default (64) against a 7-bucket layout and
+    // silently returned incomplete results; now the n_buckets stats
+    // column is authoritative and the parameter is only a pre-f2
+    // fallback.
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_inv_nbuckets").toString
+    Retrieval.invIndexWrite(docs, idx, nBuckets = 7)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(8)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok"))
+      .distinct()
+    val direct = Retrieval.q104Bm25TopK(spark, SharedSpark.sfTiny)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val probed = Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(probed === direct)
+    // one index, one modulus: an append that disagrees on n_buckets
+    // must abort the probe loudly, never mix hash layouts silently
+    Retrieval.invIndexWrite(docs.limit(0), idx, nBuckets = 13,
+      mode = "append")
+    intercept[IllegalStateException] {
+      Retrieval.bm25Indexed(spark, queries, idx).collect()
+    }
+  }
 }

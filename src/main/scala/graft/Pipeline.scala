@@ -133,10 +133,22 @@ object Pipeline {
     * @return (tokenCol, id) — one row per DISTINCT known token
     */
   def fitVocab(tokens: DataFrame, tokenCol: String = "token"): DataFrame =
-    ops.Features.globalRowNumber(
-        tokens.groupBy(tokenCol).agg(count(lit(1)).as("freq")),
-        "id", 32, desc("freq"), asc(tokenCol))
-      .select(col(tokenCol), (col("id") + lit(1)).cast("int").as("id"))
+    fitVocabSized(tokens, tokenCol)._1
+
+  /** [[fitVocab]] plus the vocabulary's row count — free at fit time
+    * ([[ops.Features.globalRowNumberWithTotal]] folds it from the
+    * per-bucket counts id assignment needs anyway), and what
+    * [[encode]]'s counted broadcast gate wants so it never pays a
+    * count job of its own.
+    */
+  def fitVocabSized(tokens: DataFrame,
+      tokenCol: String = "token"): (DataFrame, Long) = {
+    val (ranked, n) = ops.Features.globalRowNumberWithTotal(
+      tokens.groupBy(tokenCol).agg(count(lit(1)).as("freq")),
+      "id", 32, desc("freq"), asc(tokenCol))
+    (ranked.select(col(tokenCol), (col("id") + lit(1)).cast("int").as("id")),
+      n)
+  }
 
   /** `VOCAB_SIZE = len(tokenizer.word_index)` (my_dbt_flow.py:335):
     * distinct known tokens PLUS the `<UNK>` entry.
@@ -148,16 +160,23 @@ object Pipeline {
     * coalesce to [[OovId]], so a test-split token unseen at fit time
     * maps to `<UNK>` instead of silently dropping its row (the
     * inner-join trap: an inner join here would DELETE unseen-SKU
-    * events from the encoded session). Vocab is broadcast — it is
-    * bounded by distinct-token count, not corpus size.
+    * events from the encoded session). The vocab side is broadcast
+    * only under the counted [[ops.Features.vocabBroadcastMaxRows]]
+    * gate (plain shuffle join above it): distinct-token count is
+    * DATA-bound on an LLM corpus, and an unconditional hint is an
+    * OOM past the broadcast limit. Pass `vocabRows` when the caller
+    * already knows the size ([[fitVocabSized]]); otherwise one
+    * bounded count job pays for the gate.
     */
-  def encode(toks: DataFrame, vocab: DataFrame, tokenCol: String = "token"): DataFrame = {
+  def encode(toks: DataFrame, vocab: DataFrame, tokenCol: String = "token",
+      vocabRows: Option[Long] = None): DataFrame = {
     // the vocab's first column is its token column whatever it was
     // named at fit time; align it with this side's tokenCol so the
     // USING join resolves
     val v = vocab.select(
       col(vocab.columns(0)).as(tokenCol), col(vocab.columns(1)).as("id"))
-    toks.join(broadcast(v), Seq(tokenCol), "left")
+    val n = vocabRows.getOrElse(v.count())
+    toks.join(ops.Features.sizeGatedBroadcast(v, n), Seq(tokenCol), "left")
       .withColumn("id", coalesce(col("id"), lit(OovId)))
   }
 
@@ -216,9 +235,28 @@ object Pipeline {
     * to the DataFrame composition's; `array_sort(collect_list(
     * struct(ts, sku)))` is the declared ordered-ARRAY_AGG mapping of
     * `ARRAY_AGG(...) WITHIN GROUP (ORDER BY ...)`.
+    *
+    * PARAMETERIZED (round 11): the reference binds query parameters —
+    * `%(api_key)s` and the date range in the metaflow extraction
+    * (my_dbt_flow.py:234-252), `{{ var(...) }}` in the dbt models
+    * (shopping_events_exploded.sql:10,26) — so the port target binds
+    * them too, through `spark.sql(sqlText, args)` NAMED PARAMETER
+    * MARKERS (`:api_key`, `:start_date`, `:end_date`), never string
+    * interpolation: values travel as typed literals through Catalyst
+    * (no injection, plan-cache-friendly). The markers live in the
+    * final SELECT — where the reference's own extraction binds them —
+    * over the unparameterized view stack. Defaults select everything,
+    * keeping the declared query hash-identical to q55's oracle;
+    * PipelineSpec pins that a changed binding changes the result.
+    *
+    * Catalog note: the two `CREATE OR REPLACE TEMPORARY VIEW`s are
+    * deliberate session-catalog side effects — they ARE the dbt-model
+    * surface being declared. Both are idempotent and name-stable, so
+    * re-running the query (or racing it within a session) converges.
     */
   def q123SqlSessionEvents(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String, apiKey: String = "k1", startDate: String = "1900-01-01",
+      endDate: String = "2100-01-01"): DataFrame = {
     Tables.registerTempViews(spark, dir)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY VIEW shopping_events_exploded AS
@@ -238,7 +276,13 @@ object Pipeline {
         |GROUP BY session_id, api_key""".stripMargin)
     spark.sql(
       """SELECT session_id, api_key, session_date, interactions
-        |FROM nep_session_events ORDER BY session_id""".stripMargin)
+        |FROM nep_session_events
+        |WHERE api_key = :api_key
+        |  AND session_date BETWEEN CAST(:start_date AS DATE)
+        |                       AND CAST(:end_date AS DATE)
+        |ORDER BY session_id""".stripMargin,
+      Map("api_key" -> apiKey, "start_date" -> startDate,
+        "end_date" -> endDate))
   }
 
   /** Per-stage counts from [[prepareCorpus]] — the audit record a

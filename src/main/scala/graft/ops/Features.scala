@@ -224,24 +224,51 @@ object Features {
     (ranked, counts.map(_._2).sum)
   }
 
+  /** Row bound under which a fitted vocabulary is broadcast for its
+    * encode/decode joins; above it the join is left un-hinted (plain
+    * shuffle join unless Catalyst's own sizing still picks
+    * broadcast). On the reference's SKU universe the vocab is bounded
+    * by catalog size, but on an LLM corpus distinct-token count is
+    * DATA-bound — an unconditional `broadcast()` hint is a hard
+    * OOM/8 GB-limit failure past a few hundred million tokens, and
+    * the hint overrides Catalyst's sizing, so the gate must be ours.
+    * The default (16 M rows ≈ 1-2 GB hashed) is conservative for
+    * typical executor memory; tune per cluster via the
+    * `graft.vocab.broadcastMaxRows` session conf.
+    */
+  private[graft] def vocabBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.get("graft.vocab.broadcastMaxRows", (16L << 20).toString).toLong
+
+  /** `vocab` hinted for its join: broadcast iff its COUNTED row count
+    * is within [[vocabBroadcastMaxRows]]. The count is free at every
+    * call site — [[globalRowNumberWithTotal]] already folded it from
+    * the per-bucket counts the id assignment needs anyway.
+    */
+  private[graft] def sizeGatedBroadcast(vocab: DataFrame,
+      nRows: Long): DataFrame =
+    if (nRows <= vocabBroadcastMaxRows(vocab.sparkSession)) broadcast(vocab)
+    else vocab
+
   /** #30 Vocabulary build + sequence encode (Keras Tokenizer
     * fit_on_texts/texts_to_sequences, my_dbt_flow.py:323-333). Keras
     * breaks frequency ties by insertion order, which is not
     * relational; we declare frequency-desc then token-asc (SURVEY §2
     * #30) and mirror that in the oracle. Id assignment is the
     * two-phase globalRowNumber — no single-partition window even when
-    * the distinct-token set is web-corpus-sized. The vocab is small
-    * relative to the corpus ⇒ broadcast join for the encode side.
+    * the distinct-token set is web-corpus-sized. The encode join is
+    * broadcast under the counted [[vocabBroadcastMaxRows]] gate, a
+    * plain shuffle join above it.
     */
   def q30VocabIndex(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("pos", "pos").withColumnRenamed("col", "token")
-    val vocab = globalRowNumber(
+    val (vocabRanked, nVocab) = globalRowNumberWithTotal(
         toks.groupBy("token").agg(count(lit(1)).as("freq")),
         "id", 32, desc("freq"), asc("token"))
+    val vocab = vocabRanked
       .select(col("token"), col("id").cast("int").as("id"))
-    toks.join(broadcast(vocab), "token")
+    toks.join(sizeGatedBroadcast(vocab, nVocab), "token")
       .groupBy("doc_id")
       .agg(concat_ws("|", transform(
         Scalars.orderedCollect(col("pos"), col("id"), "id"),
@@ -268,8 +295,9 @@ object Features {
         substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
       .select(col("doc_id"), col("is_train"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "token")
-    val vocab = graft.Pipeline.fitVocab(toks.filter(col("is_train")).select("token"))
-    graft.Pipeline.encode(toks, vocab)
+    val (vocab, nVocab) =
+      graft.Pipeline.fitVocabSized(toks.filter(col("is_train")).select("token"))
+    graft.Pipeline.encode(toks, vocab, vocabRows = Some(nVocab))
       .groupBy("doc_id", "is_train")
       .agg(concat_ws("|", transform(
         Scalars.orderedCollect(col("pos"), col("id"), "id"),
@@ -289,26 +317,29 @@ object Features {
     * identity over the whole corpus (the decoded text must equal the
     * tokenized original, token for token).
     *
-    * Scale shape: the vocab is bounded by distinct-token count and
-    * BROADCAST on both hops (the id→token side is the same relation
-    * re-keyed — no new fit, no extra shuffle); the reassembly is the
-    * one doc_id-keyed ordered-collect exchange q30 already pays.
+    * Scale shape: both vocab hops ride the counted
+    * [[vocabBroadcastMaxRows]] gate (the id→token side is the same
+    * relation re-keyed — no new fit, no extra shuffle when broadcast;
+    * above the bound each hop is a plain shuffle join); the
+    * reassembly is the one doc_id-keyed ordered-collect exchange q30
+    * already pays.
     */
   def q124VocabDecode(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "token")
-    val vocab = globalRowNumber(
+    val (vocabRanked, nVocab) = globalRowNumberWithTotal(
         toks.groupBy("token").agg(count(lit(1)).as("freq")),
         "id", 32, desc("freq"), asc("token"))
+    val vocab = vocabRanked
       .select(col("token"), col("id").cast("int").as("id"))
-    val enc = toks.join(broadcast(vocab), "token")
+    val enc = toks.join(sizeGatedBroadcast(vocab, nVocab), "token")
       .select(col("doc_id"), col("pos"), col("id"))
     // the inverse join — lstm_model.py:40's id→word dictionary as a
-    // broadcast relation (same bounded vocab, keyed the other way)
+    // size-gated relation (same bounded vocab, keyed the other way)
     enc
-      .join(broadcast(vocab.select(col("id"),
-        col("token").as("decoded_token"))), "id")
+      .join(sizeGatedBroadcast(vocab.select(col("id"),
+        col("token").as("decoded_token")), nVocab), "id")
       .groupBy("doc_id")
       .agg(concat_ws(" ", Scalars.orderedCollect(
         col("pos"), col("decoded_token"), "decoded_token")).as("decoded"))

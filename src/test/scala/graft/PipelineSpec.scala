@@ -330,6 +330,34 @@ class PipelineSpec extends AnyFunSuite {
       viaSql.size.toLong)
   }
 
+  test("q123 bound parameters select: changed bindings change the result") {
+    // the reference binds api_key and a date range into its SQL
+    // (%(api_key)s / dbt vars); the port binds them through
+    // spark.sql(sql, args) named markers. The defaults select
+    // everything (the declared hash-gated query); a changed binding
+    // must visibly narrow the result — parameters that don't
+    // parameterize are decoration.
+    val sf = SharedSpark.sfTiny
+    val all = Pipeline.q123SqlSessionEvents(spark, sf).collect()
+    assert(all.nonEmpty)
+    // a foreign api_key selects nothing (every synthetic event is k1)
+    assert(Pipeline.q123SqlSessionEvents(spark, sf, apiKey = "k2")
+      .collect().isEmpty)
+    // a one-day window selects a strict non-empty subset (the tiny
+    // corpus spans multiple days)
+    val day = all.head.getAs[java.sql.Date]("session_date").toString
+    val oneDay = Pipeline.q123SqlSessionEvents(spark, sf,
+      startDate = day, endDate = day).collect()
+    assert(oneDay.nonEmpty && oneDay.length < all.length)
+    assert(oneDay.forall(_.getAs[java.sql.Date]("session_date")
+      .toString == day))
+    // and the window's rows are exactly the full result's rows for
+    // that day — binding filters, it never rewrites
+    val expect = all.filter(
+      _.getAs[java.sql.Date]("session_date").toString == day)
+    assert(oneDay.map(_.toString).toSeq === expect.map(_.toString).toSeq)
+  }
+
   test("q124 vocab decode: encode ∘ decode = identity over the corpus; bounded broadcast vocab") {
     val sf = SharedSpark.sfTiny
     val decoded = ops.Features.q124VocabDecode(spark, sf)

@@ -160,6 +160,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"vocab join regressed to SMJ:\n$p")
   }
 
+  test("vocab broadcast is size-gated: shuffle join above the counted bound, broadcast below") {
+    // distinct-token count is data-bound on an LLM corpus, so the
+    // vocab joins in q30/q74/q124/Pipeline.encode hint broadcast only
+    // under graft.vocab.broadcastMaxRows; above it the hint is
+    // withheld and (with Catalyst's own sizing neutralized here) the
+    // plan shuffles both sides instead of building an unbounded
+    // broadcast relation.
+    val conf = spark.conf
+    val saved = Seq("graft.vocab.broadcastMaxRows",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // NOTE: the vocab FIT legitimately broadcasts its bounded
+      // per-bucket offsets relation (gr_pid join inside
+      // globalRowNumber) regardless of the gate, so the assertions
+      // count joins rather than demanding zero broadcasts.
+      def bcasts(p: String) = "BroadcastHashJoin".r.findAllIn(p).size
+      def shuffles(p: String) = "SortMergeJoin".r.findAllIn(p).size +
+        "ShuffledHashJoin".r.findAllIn(p).size
+      conf.set("graft.vocab.broadcastMaxRows", "1") // every vocab is "too big"
+      val above = plan(graft.ops.Features.q124VocabDecode(spark, sf))
+      assert(shuffles(above) >= 2,
+        s"both vocab hops should shuffle above the bound:\n$above")
+      conf.set("graft.vocab.broadcastMaxRows", (16L << 20).toString)
+      val below = plan(graft.ops.Features.q124VocabDecode(spark, sf))
+      // the hint (not Catalyst's sizing, disabled above) forces the
+      // two vocab-hop broadcasts back under the bound
+      assert(bcasts(below) >= bcasts(above) + 2,
+        s"vocab under the bound lost its broadcast hint: " +
+          s"${bcasts(below)} vs ${bcasts(above)} above:\n$below")
+      assert(shuffles(below) === 0,
+        s"vocab hop still shuffles under the bound:\n$below")
+      // Pipeline.encode rides the same gate (left join keeps OOV rows)
+      conf.set("graft.vocab.broadcastMaxRows", "1")
+      val toks = Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.col("text"), " ")).as("token"))
+      val (vocab, n) = graft.Pipeline.fitVocabSized(toks.select("token"))
+      val encAbove = plan(graft.Pipeline.encode(toks, vocab,
+        vocabRows = Some(n)))
+      assert(shuffles(encAbove) >= 1,
+        s"encode's vocab join should shuffle above the bound:\n$encAbove")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("q00: sessionize reuses ONE user_id shuffle for both windows and the groupBy") {
     val p = plan(graft.ops.Features.q00FlagshipSessionize(spark, sf))
     val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size

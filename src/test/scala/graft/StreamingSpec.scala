@@ -554,6 +554,149 @@ class StreamingSpec extends AnyFunSuite {
     assert(exhaustiveProbe() === exhaustiveBefore && exhaustiveBefore.nonEmpty)
   }
 
+  test("inverted-index stream ingest + seal killed between park and install: next seal recovers, replay is a no-op, probe exact") {
+    // q116's seal driven through the SAME crash window the ANN spec
+    // pins: the live postings relation parked at __seal_old, a
+    // half-written flat rewrite at __seal_tmp, dst GONE — the state a
+    // kill between sealBatchStamped's two renames leaves behind.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_inv_sealcrash").toString
+    val idx = s"$base/index"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    docs.grouped((docs.size + 1) / 2).toSeq.zipWithIndex.foreach {
+      case (rows, i) =>
+        val tmp = s"$base/stage_$i"
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(s"$srcDir/b$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(Paths.get(s"$srcDir/b$i.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + i * 2000))
+    }
+    def runStream(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      Streaming.bm25IndexIngest(src, idx).awaitTermination()
+    }
+    runStream()
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val queries = toks.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(8)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok"))
+      .distinct()
+    def probe() = graft.ops.Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val baseline = probe()
+    assert(baseline.nonEmpty)
+    // ---- the crash: postings parked, garbage tmp, dst gone (stats
+    // untouched — the kill hit the first relation's swap)
+    val postings = Paths.get(s"$idx/postings")
+    Files.move(postings, Paths.get(s"$idx/postings__seal_old"))
+    Files.createDirectories(Paths.get(s"$idx/postings__seal_tmp"))
+    Files.write(Paths.get(s"$idx/postings__seal_tmp/garbage"),
+      Array[Byte](1, 2, 3))
+    assert(!Files.exists(postings))
+    // ---- restart: the quiesce-time seal is called UNCONDITIONALLY
+    // by contract; entry recovery restores the parked relation,
+    // clears the stale tmp, and the re-seal flattens both relations
+    graft.ops.Retrieval.invIndexSeal(spark, idx)
+    Seq("postings", "stats").foreach { sub =>
+      assert(Files.exists(Paths.get(s"$idx/$sub")), sub)
+      assert(!Files.exists(Paths.get(s"$idx/${sub}__seal_old")), sub)
+      assert(!Files.exists(Paths.get(s"$idx/${sub}__seal_tmp")), sub)
+    }
+    val tbDirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("tb="))
+    assert(tbDirs.nonEmpty)
+    assert(!tbDirs.exists(_.listFiles().exists(
+      _.getName.startsWith("__batch_id="))), "postings still stamped")
+    assert(probe() === baseline)
+    // ---- the streaming checkpoint survived the crash + recovery:
+    // restarting with no new files delivers zero batches and the
+    // sealed answer does not move
+    runStream()
+    assert(probe() === baseline)
+  }
+
+  test("dedup stream ingest + seal killed between park and install: next seal recovers, index content and admitted set preserved") {
+    // q119's seal (dedupIndexSeal: banded buckets + hs) through the
+    // identical kill-between-park-and-install window.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_dedup_sealcrash").toString
+    val idx = s"$base/index"
+    val out = s"$base/admitted"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    docs.grouped((docs.size + 1) / 2).toSeq.zipWithIndex.foreach {
+      case (rows, i) =>
+        val tmp = s"$base/stage_$i"
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(s"$srcDir/b$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(Paths.get(s"$srcDir/b$i.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + i * 2000))
+    }
+    def runStream(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      Streaming.dedupIngest(src, idx, out).awaitTermination()
+    }
+    runStream()
+    def admittedSet() = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    def indexContent() = Seq(s"$idx/buckets", s"$idx/hs").map { rel =>
+      val df = spark.read.parquet(rel)
+      val flat = if (df.columns.contains("__batch_id"))
+        df.drop("__batch_id") else df
+      flat.select(flat.columns.sorted.map(col): _*)
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+    val admittedBefore = admittedSet()
+    val contentBefore = indexContent()
+    assert(admittedBefore.nonEmpty)
+    // ---- the crash on the banded buckets relation
+    val buckets = Paths.get(s"$idx/buckets")
+    Files.move(buckets, Paths.get(s"$idx/buckets__seal_old"))
+    Files.createDirectories(Paths.get(s"$idx/buckets__seal_tmp"))
+    Files.write(Paths.get(s"$idx/buckets__seal_tmp/garbage"),
+      Array[Byte](1, 2, 3))
+    assert(!Files.exists(buckets))
+    // ---- restart + unconditional seal: recover, then flatten
+    graft.ops.LlmOps.dedupIndexSeal(spark, idx)
+    Seq("buckets", "hs").foreach { sub =>
+      assert(Files.exists(Paths.get(s"$idx/$sub")), sub)
+      assert(!Files.exists(Paths.get(s"$idx/${sub}__seal_old")), sub)
+      assert(!Files.exists(Paths.get(s"$idx/${sub}__seal_tmp")), sub)
+    }
+    val bandDirs = new java.io.File(s"$idx/buckets").listFiles()
+      .filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    assert(!bandDirs.exists(_.listFiles().exists(
+      _.getName.startsWith("__batch_id="))), "buckets still stamped")
+    // the seal moved bytes, never answers: identical row multisets
+    assert(indexContent() === contentBefore)
+    // ---- replay: no new files → zero batches, nothing moves
+    runStream()
+    assert(indexContent() === contentBefore)
+    assert(admittedSet() === admittedBefore)
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** sf1-class scale probe: replicate the sf0.1 tables `REPL`× with
@@ -38,6 +38,8 @@ object ScaleProbe {
   private val probeFacts: Map[String, Seq[String]] = Map(
     "q00_flagship_sessionize" -> Seq("events"),
     "q57_skew_salted_agg" -> Seq("events"),
+    "q12_agg_ordered_collect" -> Seq("events"),
+    "q76_skew_salted_join" -> Seq("events"),
     "q11_agg_hash_groupby" -> Seq("lineitem"),
     "q08_join_shuffle_multiway" -> Seq("lineitem", "orders"),
     "q37_dedup_near_minhash" -> Seq("documents"),
@@ -63,13 +65,26 @@ object ScaleProbe {
     "q123_sql_session_events" -> Seq("events"),
     "q124_vocab_decode" -> Seq("documents"),
     "q114_simsearch_sealed" -> Seq("embeddings"),
-    "q120_simsearch_retrained" -> Seq("embeddings"))
+    "q120_simsearch_retrained" -> Seq("embeddings"),
+    "q125_corpus_pipeline" -> Seq("documents"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")
 
+  /** Hot-key rewrites for the SKEW replica mode: one key carrying
+    * ~20% of the fact table — the one scale dimension decorrelated
+    * replication cannot exercise (every replica widens the key
+    * population, keeping per-key group sizes constant; real logs
+    * concentrate). The hot 20% is chosen by a DETERMINISTIC id gate
+    * (ids are uniform mod 5 and the replica stride is a multiple of
+    * 5), and the hot key is a BASE-replica key so join probes (q76's
+    * customer side, q08's orders side) still match it.
+    */
+  private final val HotUser = 1L
+  private final val HotOrder = 1L
+
   def buildReplica(spark: SparkSession, src: String, dst: String, repl: Int,
-      tables: Set[String] = allFacts.toSet): Unit = {
+      tables: Set[String] = allFacts.toSet, hotKey: Boolean = false): Unit = {
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit =
       if (tables(name)) {
         val base = spark.read.parquet(s"$src/$name.parquet")
@@ -78,9 +93,12 @@ object ScaleProbe {
         ()
       }
     val shift = (c: String, i: Int) => col(c) + lit(i.toLong * IdStride)
+    def hot(keyCol: String, hotVal: Long)(c: Column): Column =
+      if (!hotKey) c
+      else when(pmod(col(keyCol), lit(5)) === 0, lit(hotVal)).otherwise(c)
     replicate("events", (df, i) => df
       .withColumn("event_id", shift("event_id", i))
-      .withColumn("user_id", shift("user_id", i)))
+      .withColumn("user_id", hot("event_id", HotUser)(shift("user_id", i))))
     replicate("documents", (df, i) => df
       .withColumn("doc_id", shift("doc_id", i))
       // suffix every token: within-replica similarity intact, zero
@@ -105,7 +123,7 @@ object ScaleProbe {
             when(pmod(j + lit(i), lit(2)) === 0, x).otherwise(-x))
         }))
     replicate("lineitem", (df, i) => df
-      .withColumn("l_orderkey", shift("l_orderkey", i)))
+      .withColumn("l_orderkey", hot("l_orderkey", HotOrder)(shift("l_orderkey", i))))
     replicate("orders", (df, i) => df
       .withColumn("o_orderkey", shift("o_orderkey", i))
       .withColumn("o_custkey", shift("o_custkey", i)))
@@ -119,7 +137,16 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     Bench.quietLogs()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    // SPARK_GRAFT_SKEW=1: hot-key mode — one user carries ~20% of
+    // events (one order ~20% of lineitem) in the replica, the skew
+    // dimension the decorrelated build deliberately avoids. Separate
+    // default dir + artifact name; the default probe set narrows to
+    // the skew-sensitive queries (AQE-reliant q08/q12 vs the declared
+    // salted paths q57/q76, with q00's windowed sessionize riding
+    // along as the watermark of unsalted per-key work).
+    val skew = sys.env.get("SPARK_GRAFT_SKEW").contains("1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      if (skew) "/tmp/graft_sf1_hot" else "/tmp/graft_sf1")
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
@@ -128,7 +155,11 @@ object ScaleProbe {
     // names) — used by the 30× run to chase only the steepest curves
     val probes = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq(
+      .getOrElse(if (skew) Seq(
+        "q00_flagship_sessionize", "q08_join_shuffle_multiway",
+        "q12_agg_ordered_collect", "q57_skew_salted_agg",
+        "q76_skew_salted_join")
+      else Seq(
         "q00_flagship_sessionize", "q57_skew_salted_agg",
         "q11_agg_hash_groupby", "q08_join_shuffle_multiway",
         "q37_dedup_near_minhash", "q75_dedup_clusters_lsh",
@@ -145,11 +176,12 @@ object ScaleProbe {
     // after a complete build): a run with a new SPARK_GRAFT_REPL must
     // rebuild, not silently time stale data and mislabel the curve —
     // and a build killed mid-write (no marker) is never trusted
-    val marker = java.nio.file.Paths.get(s"$dst/__repl_$repl")
+    val marker = java.nio.file.Paths.get(
+      s"$dst/__repl_${repl}${if (skew) "_hot" else ""}")
     if (!java.nio.file.Files.exists(marker) || !needed.forall(t =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/$t.parquet")))) {
       System.err.println(s"[scaleprobe] building ${repl}x replica at $dst (${needed.mkString(",")})")
-      buildReplica(spark, src, dst, repl, needed)
+      buildReplica(spark, src, dst, repl, needed, hotKey = skew)
       // the replica dir is REWRITTEN IN PLACE when the replication
       // factor changes — retire every persisted memo keyed to it
       // (cluster labels, the q118 serving index), or a probe would
@@ -196,7 +228,10 @@ object ScaleProbe {
     def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // default 10× run keeps the canonical artifact name; other
     // replication factors write alongside it instead of clobbering
-    val outName = if (repl == 10) "scale_probe.json" else s"scale_probe_x$repl.json"
+    val outName =
+      if (skew) s"scale_probe_hot_x$repl.json"
+      else if (repl == 10) "scale_probe.json"
+      else s"scale_probe_x$repl.json"
     // cumulative emission after every round (the kill-survivable
     // Bench rule): an external timeout mid-round leaves the newest
     // complete record instead of nothing after an hour of timing

@@ -113,11 +113,25 @@ object Layout {
     * globalRowNumber.
     */
   def q102TrainingShards(spark: org.apache.spark.sql.SparkSession,
-      dir: String, nShards: Int = 8): DataFrame = {
+      dir: String, nShards: Int = 8): DataFrame =
+    shardPositionsOf(
+        graft.Tables.documents(spark, dir).select("doc_id"), nShards)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  /** Core of [[q102TrainingShards]] over ANY (doc_id, ...) relation —
+    * exposed so the q125 corpus-pipeline composition assigns its
+    * mixture-kept train docs through the ONE shard/rank definition
+    * (same gate arithmetic, same bucketed two-phase rank — see the
+    * q102 scaladoc for the scale argument). Extra input columns ride
+    * through; output adds (gate, shard, pos).
+    */
+  private[graft] def shardPositionsOf(docs: DataFrame,
+      nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        substring(md5(col("doc_id").cast("string")), 1, 4).as("gate"))
+    val spark = docs.sparkSession
+    val d = docs
+      .withColumn("gate", substring(md5(col("doc_id").cast("string")), 1, 4))
       .withColumn("bucket", substring(col("gate"), 1, 2))
       // conv(hex,16,10) == the oracle's strpos arithmetic: both read
       // the two hex digits as one base-16 value in [0, 255]
@@ -137,7 +151,7 @@ object Layout {
       .withColumn("pos",
         col("offset") - 1 + row_number().over(
           Window.partitionBy("shard", "bucket").orderBy("gate", "doc_id")))
-      .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
-      .orderBy("doc_id")
+      .withColumn("pos", col("pos").cast("long"))
+      .drop("bucket", "offset")
   }
 }

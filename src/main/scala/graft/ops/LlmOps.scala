@@ -1346,6 +1346,36 @@ object LlmOps {
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
       s"_t${(threshold * 1e6).round}_d$maxDocs"
 
+  /** Memo path for q125's CORPUS-PIPELINE cluster labels — the
+    * [[clusterMemoPathOf]] convention with the paragraph-strip config
+    * in the key (`cp<w>`): q125 clusters the PARA-CLEANED exact
+    * survivors, so its labels differ from q61's raw-text labels and
+    * must never share a path. Every input the labels depend on is in
+    * the key: corpus dir + on-disk signature, id bound, Jaccard
+    * threshold, para window.
+    */
+  private[graft] def corpusLabelsMemoPathOf(spark: SparkSession,
+      dir: String, threshold: Double, maxDocs: Long,
+      paraTokens: Int): String =
+    clusterMemoPathOf(spark, dir, threshold, maxDocs) + s"_cp$paraTokens"
+
+  /** Memo path for q125's PREPARED CORPUS (the cleaned relation +
+    * CorpusReport counters after the full prepareCorpus chain) — the
+    * q114/q119 memo-clone convention applied to the corpus-prep
+    * front half: the chain is a pure function of (corpus state,
+    * declared config), every one of its stages already carries its
+    * own bench line (q36/q86/q61/q77/q100/q81), and re-running all
+    * of them inside every timed q125 round would re-pay costs the
+    * bench already measures. `cfgTag` names the declared config —
+    * bump it whenever ANY q125 stage parameter changes, or a stale
+    * prepared corpus would serve under a new declaration.
+    */
+  private[graft] def corpusPrepMemoPathOf(spark: SparkSession,
+      dir: String, maxDocs: Long, cfgTag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_corpus_prep_memo_" +
+      memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
+      s"_d${maxDocs}_$cfgTag"
+
   /** On-disk FORMAT tag for persisted INDEX memos. The corpus
     * signature catches a regenerated corpus; this catches regenerated
     * CODE: bump it whenever any index layout a memo stores changes
@@ -1450,7 +1480,8 @@ object LlmOps {
   private val MemoPrefixes = Seq(
     "graft_cluster_memo_", "graft_ann_index_memo_",
     "graft_ann_stamped_memo_", "graft_dedup_prefix_memo_",
-    "graft_bm25_stamped_memo_", "graft_bm25_index_memo_")
+    "graft_bm25_stamped_memo_", "graft_bm25_index_memo_",
+    "graft_corpus_prep_memo_")
 
   /** Retire every persisted memo derived from `dir` — cluster-label
     * memos, serving indexes and stamped-ingest memos — regardless of
@@ -3304,11 +3335,25 @@ object LlmOps {
     * corpus size.
     */
   def q96DataMixture(spark: SparkSession, dir: String, frac: Double = 0.5,
-      enWeight: Double = 0.4, otherWeight: Double = 0.15): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        substring(md5(col("doc_id").cast("string")), 1, 4).as("gate"))
+      enWeight: Double = 0.4, otherWeight: Double = 0.15): DataFrame =
+    dataMixtureOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      frac, enWeight, otherWeight)
+      .orderBy("doc_id")
+
+  /** Core of [[q96DataMixture]] over ANY (doc_id, lang, n_tokens)
+    * relation — exposed so the q125 corpus-pipeline composition mixes
+    * its cleaned train split through the ONE budget-walk definition
+    * (same md5-gate order, same bucket-prefix two-phase plan — see
+    * the q96 scaladoc). Returns the kept rows with their gate.
+    */
+  private[graft] def dataMixtureOf(docs: DataFrame, frac: Double,
+      enWeight: Double, otherWeight: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs
+      .withColumn("gate", substring(md5(col("doc_id").cast("string")), 1, 4))
       .withColumn("bucket", substring(col("gate"), 1, 2))
       .localCheckpoint() // replayed by the bucket agg AND the final filter
     val bucketSums = d.groupBy("lang", "bucket")
@@ -3344,7 +3389,6 @@ object LlmOps {
       .filter(col("prefix") + col("cumb") < col("budget"))
     val cols = Seq("doc_id", "lang", "n_tokens", "gate").map(col)
     below.select(cols: _*).unionByName(boundary.select(cols: _*))
-      .orderBy("doc_id")
   }
 
   /** #97 Semantic dedup — the SemDeDup screen (Abbas et al. 2023,

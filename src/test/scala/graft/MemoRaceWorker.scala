@@ -52,8 +52,12 @@ object MemoRaceWorker {
       require(read.startsWith(s"deterministic-content-$i:"),
         s"payload $p corrupt: ${read.take(40)}")
     }
-    require(!entries.exists(_.contains("__tmp_")),
-      s"nested staging survived install: ${entries.toSeq}")
+    // NOTE: no nested-__tmp_ assertion HERE — the loser's copy-into
+    // fallback transiently nests its staging inside dst before its
+    // own installMemo repairs it, so the winner can legitimately
+    // observe that window mid-race. The POST-state (both processes
+    // exited) is where absence is guaranteed; MemoRaceSpec asserts it
+    // there.
     println(s"WORKER $id OK owner=${owners.head.stripPrefix("OWNER_")} " +
       s"files=${parts.length}")
   }

@@ -358,6 +358,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(oneDay.map(_.toString).toSeq === expect.map(_.toString).toSeq)
   }
 
+  test("q125 corpus pipeline: memoized run == fresh chain run; internal consistency") {
+    val sf = SharedSpark.sfTiny
+    // retire any persisted prepared-corpus/label memos so the first
+    // run provably executes the full chain, then a second run serves
+    // from the installed memo — both must be row-identical (the
+    // memo-clone correctness rule the lifecycle queries live by)
+    ops.LlmOps.invalidateMemosFor(spark, sf)
+    val fresh = Pipeline.q125CorpusPipeline(spark, sf)
+      .collect().map(_.toString).toSeq
+    val memod = Pipeline.q125CorpusPipeline(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fresh.nonEmpty)
+    assert(memod === fresh)
+    // internal consistency of the one-relation output
+    val rows = Pipeline.q125CorpusPipeline(spark, sf).collect()
+    val rep = rows.filter(_.getString(0) == "report")
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    val docs = rows.filter(_.getString(0) == "doc")
+    assert(rep("mixture_kept") === docs.length.toLong,
+      "doc rows must be exactly the mixture-kept set")
+    assert(rep("final_kept") === rep("train") + rep("holdout"))
+    assert(rep("input") >= rep("after_exact_dedup"))
+    assert(rep("after_exact_dedup") - rep("para_dropped") >=
+      rep("after_near_dedup"))
+    assert(rep("final_kept") > 0 && rep("train") > 0)
+    // the discriminating gates bite on this corpus — a stage that
+    // never drops is not demonstrating its semantics (the tiny corpus
+    // has no EXACT duplicates, so that stage is exercised by the
+    // larger SFs and its own q36 gate instead)
+    assert(rep("after_exact_dedup") - rep("para_dropped") >
+      rep("after_near_dedup"), "near-dup resolution idle")
+    assert(rep("ppl_dropped") > 0, "ppl gate idle")
+    assert(rep("decontaminated") > 0, "decontamination idle")
+    assert(rep("mixture_kept") < rep("train"), "mixture budget idle")
+    // positions are dense 0..n-1 within each shard
+    docs.groupBy(_.getInt(3)).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getLong(4)).sorted
+      assert(pos === (0L until rs.length.toLong).toArray.toSeq.sorted,
+        s"shard $shard positions not dense")
+    }
+    // doc rows carry real shard ids in [0, 8)
+    assert(docs.forall(r => r.getInt(3) >= 0 && r.getInt(3) < 8))
+  }
+
   test("q124 vocab decode: encode ∘ decode = identity over the corpus; bounded broadcast vocab") {
     val sf = SharedSpark.sfTiny
     val decoded = ops.Features.q124VocabDecode(spark, sf)

@@ -358,6 +358,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(oneDay.map(_.toString).toSeq === expect.map(_.toString).toSeq)
   }
 
+  test("registerTempViews skips tables whose parquet dir is absent") {
+    // scale-probe replicas materialize only the fact tables a query
+    // reads; the SQL surface must register what exists rather than
+    // abort on what doesn't (round-10 advice)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_partial_replica").toString
+    val sf = SharedSpark.sfTiny
+    Tables.nation(spark, sf).write.parquet(s"$dir/nation.parquet")
+    Tables.registerTempViews(spark, dir) // must not throw
+    assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) > 0)
+    // re-register from the full dir so later tests see full views
+    Tables.registerTempViews(spark, sf)
+  }
+
   test("q125 corpus pipeline: memoized run == fresh chain run; internal consistency") {
     val sf = SharedSpark.sfTiny
     // retire any persisted prepared-corpus/label memos so the first

@@ -114,4 +114,36 @@ class LayoutSpec extends AnyFunSuite {
       assert(xs.map(_._3).sorted.toSeq === (0L until xs.size).toSeq, s"shard $s not dense")
     }
   }
+
+  test("shardPositionsOf == the plain per-shard window rank; invariant under input partitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Layout.shardPositionsOf(d, 8)
+        .select("doc_id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = run(docs)
+    // Scala mirror of the declared semantics: shard = first two gate
+    // hex digits mod 8; pos = rank within shard by (gate, doc_id)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val rows = docs.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSeq.map { id =>
+        val gate = md5hex(id.toString).take(4)
+        (id, gate, Integer.parseInt(gate.take(2), 16) % 8)
+      }
+    val expected = rows.groupBy(_._3).toSeq.flatMap { case (shard, xs) =>
+      xs.sortBy(x => (x._2, x._1)).zipWithIndex.map { case (x, i) =>
+        (x._1, shard, i.toLong)
+      }
+    }.sortBy(_._1)
+    assert(got === expected)
+    // the two-phase bucketed rank must not depend on how the input
+    // happened to be partitioned
+    assert(run(docs.repartition(7)) === expected)
+  }
 }

@@ -1425,4 +1425,36 @@ class LlmOpsSpec extends AnyFunSuite {
       "embeddings")
     assert(!oldFormat.exists, "stale-format sibling survived GC")
   }
+
+  test("dataMixtureOf == the plain per-lang budget window; invariant under input partitioning") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LlmOps.dataMixtureOf(df, 0.5, 0.4, 0.15)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = run(d)
+    // Scala mirror of the q96 window rule: per lang in (md5-gate,
+    // doc_id) order, keep while the EXCLUSIVE prefix sum is under
+    // share * frac * total (same left-assoc double arithmetic)
+    def md5hex(s: String): String = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      m.map("%02x".format(_)).mkString
+    }
+    val rows = d.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        md5hex(r.getLong(0).toString).take(4)))
+    val total = rows.map(_._3).sum.toDouble
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
+      val budget = (if (lang == "en") 0.4 else 0.15) * 0.5 * total
+      var cum = 0L
+      xs.sortBy(x => (x._4, x._1)).takeWhile { x =>
+        val keep = cum < budget; cum += x._3; keep
+      }
+    }.map(_._1).sorted.toSeq
+    assert(got.nonEmpty && got === expected)
+    assert(run(d.repartition(7)) === got)
+  }
 }

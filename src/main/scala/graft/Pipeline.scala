@@ -583,7 +583,7 @@ object Pipeline {
         perplexityRef = Some(full.filter(col("source") === "src0")
           .select("text")),
         nearLabelsCache = Some(ops.LlmOps.corpusLabelsMemoPathOf(
-          spark, dir, 0.5, maxDocs, 20)))
+          spark, dir, 0.5, maxDocs, 20, exactPairs = true)))
       val staging = new org.apache.hadoop.fs.Path(
         memo + "__tmp_" + spark.sparkContext.applicationId)
       fs.delete(staging, true)

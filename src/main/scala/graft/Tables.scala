@@ -77,7 +77,11 @@ object Tables {
     * under `dir` are skipped rather than thrown on: scale-probe
     * replicas materialize only the fact tables a query reads, and a
     * view registration for a table the query never touches must not
-    * abort the whole SQL surface.
+    * abort the whole SQL surface. An absent table's EXISTING temp
+    * view (registered earlier for a different dir in this session)
+    * is DROPPED, not left standing: a stale view silently serving the
+    * other corpus's rows is worse than the loud
+    * TABLE_OR_VIEW_NOT_FOUND a query over the missing table now gets.
     */
   def registerTempViews(spark: SparkSession, dir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -86,6 +90,9 @@ object Tables {
       if (p.getFileSystem(hconf).exists(p)) {
         val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
         df.createOrReplaceTempView(n)
+      } else {
+        spark.catalog.dropTempView(n)
+        ()
       }
     }
   }

@@ -1352,12 +1352,16 @@ object LlmOps {
     * survivors, so its labels differ from q61's raw-text labels and
     * must never share a path. Every input the labels depend on is in
     * the key: corpus dir + on-disk signature, id bound, Jaccard
-    * threshold, para window.
+    * threshold, para window, AND the pair-source mode (`ex` exact
+    * n-gram Jaccard / `lsh` banded MinHash — the two detectors keep
+    * DIFFERENT survivor sets, so a shared path would serve one
+    * algorithm's labels to the other's caller).
     */
   private[graft] def corpusLabelsMemoPathOf(spark: SparkSession,
       dir: String, threshold: Double, maxDocs: Long,
-      paraTokens: Int): String =
-    clusterMemoPathOf(spark, dir, threshold, maxDocs) + s"_cp$paraTokens"
+      paraTokens: Int, exactPairs: Boolean): String =
+    clusterMemoPathOf(spark, dir, threshold, maxDocs) +
+      s"_cp${paraTokens}${if (exactPairs) "ex" else "lsh"}"
 
   /** Memo path for q125's PREPARED CORPUS (the cleaned relation +
     * CorpusReport counters after the full prepareCorpus chain) — the

@@ -239,10 +239,59 @@ object Retrieval {
     (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
   }
 
+  /** The single recorded bucket count of an index's stats relation:
+    * Some(n) when every stats row that records one agrees, None when
+    * none records one (a pre-f2 index — the caller falls back to its
+    * parameter). Mixed recorded counts abort loudly: postings hashed
+    * with two moduli in one directory cannot be probed correctly.
+    */
+  private def indexBucketCount(stDf: DataFrame): Option[Int] =
+    if (!stDf.columns.contains("n_buckets")) None
+    else {
+      val vals = stDf.select("n_buckets").na.drop().distinct().collect()
+        .map(_.getInt(0)).sorted
+      if (vals.length > 1) throw new IllegalStateException(
+        s"inverted index mixes bucket counts ${vals.mkString(",")} — " +
+          "one index, one hash modulus")
+      vals.headOption
+    }
+
+  /** Refuse a write that would mix hash moduli in one index: an
+    * append whose `nBuckets` differs from the count the existing
+    * stats record (or appends onto a pre-f2 index that records none —
+    * unprovable layout) aborts BEFORE any bytes land, instead of
+    * poisoning every later probe (which would only detect the mix at
+    * read time, after two layouts already interleaved in postings/).
+    */
+  private def guardAppendBuckets(spark: SparkSession, indexPath: String,
+      nBuckets: Int): Unit = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
+    val fs = Sinks.fsFor(spark, statsPath.toString)
+    if (!fs.exists(statsPath)) return
+    val stDf =
+      try spark.read.option("mergeSchema", "true").parquet(statsPath.toString)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+          return // empty stats dir: nothing recorded yet
+      }
+    indexBucketCount(stDf) match {
+      case Some(n) if n != nBuckets => throw new IllegalArgumentException(
+        s"append with nBuckets=$nBuckets onto $indexPath whose postings " +
+          s"are hashed with $n buckets — rebuild the index instead")
+      case None if !stDf.isEmpty => throw new IllegalArgumentException(
+        s"append onto $indexPath whose stats record no bucket count " +
+          "(pre-f2 layout) — the hash modulus cannot be validated; " +
+          "rebuild the index")
+      case _ => ()
+    }
+  }
+
   def invIndexWrite(docs: DataFrame, indexPath: String,
       nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    if (mode == "append") guardAppendBuckets(spark, indexPath, nBuckets)
     postingsOf(docs, nBuckets).repartition(col("tb"))
       .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
     val (n, total) = statsOf(docs)
@@ -273,22 +322,20 @@ object Retrieval {
   def bm25Indexed(spark: SparkSession, queries: DataFrame,
       indexPath: String, nBuckets: Int = 64, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stDf = spark.read.parquet(s"$indexPath/stats")
+    // mergeSchema: a stats dir whose files span the pre-f2 (no
+    // n_buckets column) and f2 layouts must surface the column with
+    // nulls for the old rows, not whichever single footer Spark
+    // happened to pick — a footer race here either NPEs or silently
+    // reverts to the parameter against a differently-hashed layout
+    val stDf = spark.read.option("mergeSchema", "true")
+      .parquet(s"$indexPath/stats")
     val st = stDf.agg(sum("n_docs"), sum("total_tokens")).head()
     val nDocs = st.getLong(0)
     // empty index: the postings dir holds no parquet files (an empty
     // partitioned write emits none), so don't even try to read it
     if (nDocs == 0) return emptyResult(queries)
     val avgdl = st.getLong(1).toDouble / nDocs
-    val nb: Int =
-      if (stDf.columns.contains("n_buckets")) {
-        val vals = stDf.select("n_buckets").distinct().collect()
-          .map(_.getInt(0)).sorted
-        if (vals.length != 1) throw new IllegalStateException(
-          s"bm25Indexed: index $indexPath mixes bucket counts " +
-            s"${vals.mkString(",")} — one index, one hash modulus")
-        vals.head
-      } else nBuckets
+    val nb: Int = indexBucketCount(stDf).getOrElse(nBuckets)
     val buckets = queries
       .select(pmod(xxhash64(col("tok")), lit(nb)).as("tb"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
@@ -360,6 +407,10 @@ object Retrieval {
       batchId: Long, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // same modulus guard as the flat append (one small stats read per
+    // micro-batch; a replayed batch trivially passes — it recorded
+    // this count itself)
+    guardAppendBuckets(spark, indexPath, nBuckets)
     postingsOf(docs, nBuckets)
       .withColumn("__batch_id", lit(batchId))
       .repartition(col("tb"))

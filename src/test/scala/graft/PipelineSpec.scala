@@ -366,8 +366,14 @@ class PipelineSpec extends AnyFunSuite {
       .createTempDirectory("graft_partial_replica").toString
     val sf = SharedSpark.sfTiny
     Tables.nation(spark, sf).write.parquet(s"$dir/nation.parquet")
-    Tables.registerTempViews(spark, dir) // must not throw
+    Tables.registerTempViews(spark, sf) // full registration first...
+    Tables.registerTempViews(spark, dir) // ...then the partial replica
     assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) > 0)
+    // absent tables' PREVIOUS views are dropped, not left silently
+    // serving the other corpus: querying one now fails loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT count(*) FROM lineitem").collect()
+    }
     // re-register from the full dir so later tests see full views
     Tables.registerTempViews(spark, sf)
   }

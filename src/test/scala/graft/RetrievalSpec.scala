@@ -287,11 +287,22 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long)].collect().toSeq
     assert(probed === direct)
     // one index, one modulus: an append that disagrees on n_buckets
-    // must abort the probe loudly, never mix hash layouts silently
-    Retrieval.invIndexWrite(docs.limit(0), idx, nBuckets = 13,
-      mode = "append")
-    intercept[IllegalStateException] {
-      Retrieval.bm25Indexed(spark, queries, idx).collect()
+    // must abort AT WRITE TIME, before any bytes land — a read-time
+    // poison pill would brick every later probe of the index
+    intercept[IllegalArgumentException] {
+      Retrieval.invIndexWrite(docs.limit(0), idx, nBuckets = 13,
+        mode = "append")
     }
+    intercept[IllegalArgumentException] {
+      Retrieval.invIndexAppendBatch(docs.limit(0), idx, 9L, nBuckets = 13)
+    }
+    // the refused writes left the index untouched and probeable
+    assert(Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq === direct)
+    // same-modulus appends still pass the guard
+    Retrieval.invIndexWrite(docs.limit(0), idx, nBuckets = 7,
+      mode = "append")
+    assert(Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq === direct)
   }
 }

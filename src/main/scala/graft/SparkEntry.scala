@@ -890,9 +890,9 @@ object SparkEntry {
     // intermediate cardinality as well as the final keep set.
     "q125_corpus_pipeline" ->
       """WITH RECURSIVE
-        |d0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 5000),
+        |d0 AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE doc_id < 5000),
         |ek AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM d0 GROUP BY text),
-        |e AS (SELECT d0.doc_id, d0.lang, d0.text FROM d0 JOIN ek USING (doc_id)),
+        |e AS MATERIALIZED (SELECT d0.doc_id, d0.lang, d0.text FROM d0 JOIN ek USING (doc_id)),
         |ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
         |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
         |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
@@ -901,7 +901,7 @@ object SparkEntry {
         |row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras),
         |ctext AS (SELECT doc_id, COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS text
         |FROM pranked GROUP BY doc_id),
-        |c AS (SELECT e.doc_id, e.lang, ct.text FROM e JOIN ctext ct ON e.doc_id = ct.doc_id WHERE length(ct.text) > 0),
+        |c AS MATERIALIZED (SELECT e.doc_id, e.lang, ct.text FROM e JOIN ctext ct ON e.doc_id = ct.doc_id WHERE length(ct.text) > 0),
         |sh AS (SELECT DISTINCT doc_id, sp[p] || ' ' || sp[p+1] || ' ' || sp[p+2] AS shingle
         |FROM (SELECT doc_id, sp, unnest(range(1, len(sp) - 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM c) t0 WHERE len(sp) >= 3) t1),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -910,13 +910,13 @@ object SparkEntry {
         |ed AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
         |reach(n, r) AS (SELECT doc_id, doc_id FROM c UNION SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.n),
         |cl AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
-        |nr AS (SELECT c.doc_id, c.lang, c.text FROM c JOIN cl ON c.doc_id = cl.doc_id WHERE cl.component = c.doc_id),
+        |nr AS MATERIALIZED (SELECT c.doc_id, c.lang, c.text FROM c JOIN cl ON c.doc_id = cl.doc_id WHERE cl.component = c.doc_id),
         |qt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM nr),
         |qb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |len(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS tb,
         |len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS db FROM qt),
         |qtop AS (SELECT doc_id, max(cnt) AS top_n FROM (SELECT doc_id, tok, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM nr) z GROUP BY doc_id, tok) y GROUP BY doc_id),
-        |qual AS (SELECT qt.doc_id, qt.lang, qt.text FROM qt JOIN qb USING (doc_id) JOIN qtop USING (doc_id)
+        |qual AS MATERIALIZED (SELECT qt.doc_id, qt.lang, qt.text FROM qt JOIN qb USING (doc_id) JOIN qtop USING (doc_id)
         |WHERE qb.n_tokens >= 5 AND ((qb.tb - qb.db) * 1000) // greatest(qb.tb, 1) <= 300 AND (qtop.top_n * 1000) // qb.n_tokens <= 200),
         |ref AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
         |rn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
@@ -926,7 +926,7 @@ object SparkEntry {
         |oovb AS (SELECT CAST(round(-log2(1.0 / (rn0.n + vv.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM rn0, vv),
         |ptk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM qual),
         |psc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(COALESCE(lm.bits, (SELECT bits FROM oovb))) AS BIGINT) AS bits_micro FROM ptk LEFT JOIN lm USING (tok) GROUP BY doc_id),
-        |ppl AS (SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN psc USING (doc_id) WHERE psc.bits_micro < 4940000 * psc.n_tokens),
+        |ppl AS MATERIALIZED (SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN psc USING (doc_id) WHERE psc.bits_micro < 4940000 * psc.n_tokens),
         |esh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
         |FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 13 = 0) w WHERE len(toks) >= 3) x),
         |tsh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
@@ -934,12 +934,12 @@ object SparkEntry {
         |ovl AS (SELECT doc_id, count(*) AS n_overlap FROM tsh JOIN esh USING (shingle) GROUP BY doc_id),
         |tnn AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
         |flagged AS (SELECT tnn.doc_id FROM tnn LEFT JOIN ovl USING (doc_id) WHERE (COALESCE(ovl.n_overlap, 0) * 1000) // tnn.n_sh >= 700),
-        |dec AS (SELECT ppl.doc_id, ppl.lang, ppl.text FROM ppl WHERE ppl.doc_id NOT IN (SELECT doc_id FROM flagged)),
-        |tr AS (SELECT doc_id, lang, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM dec),
-        |mdd AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS gate FROM tr WHERE is_train),
+        |dec AS MATERIALIZED (SELECT ppl.doc_id, ppl.lang, ppl.text FROM ppl WHERE ppl.doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |tr AS MATERIALIZED (SELECT doc_id, lang, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM dec),
+        |mdd AS MATERIALIZED (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS gate FROM tr WHERE is_train),
         |mtot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM mdd),
         |mwin AS (SELECT doc_id, lang, n_tokens, gate, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY gate, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM mdd),
-        |mx AS (SELECT doc_id, lang, gate FROM mwin CROSS JOIN mtot WHERE cumb < (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END) * 0.5 * t),
+        |mx AS MATERIALIZED (SELECT doc_id, lang, gate FROM mwin CROSS JOIN mtot WHERE cumb < (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END) * 0.5 * t),
         |shq AS (SELECT doc_id, lang, gate, CAST(((strpos('0123456789abcdef', substring(gate, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(gate, 2, 1)) - 1)) % 8 AS INTEGER) AS shard FROM mx),
         |docrows AS (SELECT 'doc' AS kind, lang AS name, CAST(doc_id AS BIGINT) AS doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY gate, doc_id) - 1 AS BIGINT) AS pos FROM shq)
         |SELECT kind, name, doc_id, shard, pos FROM docrows

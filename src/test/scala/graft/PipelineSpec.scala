@@ -365,17 +365,19 @@ class PipelineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_partial_replica").toString
     val sf = SharedSpark.sfTiny
-    Tables.nation(spark, sf).write.parquet(s"$dir/nation.parquet")
-    Tables.registerTempViews(spark, sf) // full registration first...
-    Tables.registerTempViews(spark, dir) // ...then the partial replica
-    assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) > 0)
+    // isolated session: temp views are session-scoped state, and the
+    // shared test session's views are live for concurrently-running
+    // suites — this test must not drop them out from under anyone
+    val s2 = spark.newSession()
+    Tables.nation(s2, sf).write.parquet(s"$dir/nation.parquet")
+    Tables.registerTempViews(s2, sf) // full registration first...
+    Tables.registerTempViews(s2, dir) // ...then the partial replica
+    assert(s2.sql("SELECT count(*) AS n FROM nation").head().getLong(0) > 0)
     // absent tables' PREVIOUS views are dropped, not left silently
     // serving the other corpus: querying one now fails loudly
     intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("SELECT count(*) FROM lineitem").collect()
+      s2.sql("SELECT count(*) FROM lineitem").collect()
     }
-    // re-register from the full dir so later tests see full views
-    Tables.registerTempViews(spark, sf)
   }
 
   test("q125 corpus pipeline: memoized run == fresh chain run; internal consistency") {

@@ -290,6 +290,106 @@ object Streaming {
       .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
       .start()
 
+  /** One corpus-prep ingest step — the q125 chain's INCREMENTAL form,
+    * shared verbatim by [[corpusPrepIngest]] and its spec's direct
+    * batch loop. Per batch of (doc_id, lang, text), in q125's stage
+    * order, each stage in its incremental edition:
+    *  1. paragraph strip against ALL history ([[LlmOps.paraIngestBatch]]
+    *     — the q94 core; emptied docs dropped);
+    *  2. near-dup admission against the persisted LSH index
+    *     ([[LlmOps.dedupIngestBatch]] — the q87 core; exact duplicates
+    *     are Jaccard-1 and thus subsumed at any threshold);
+    *  3. the q77 heuristic repetition/length gate (map-side);
+    *  4. the q100 LM-perplexity gate under a PRE-FIT broadcast model
+    *     ([[LlmOps.fitUnigramLm]] — the artifact tier: fit once on the
+    *     reference corpus, score forever);
+    *  5. q81 decontamination against a PRE-COMPUTED eval shingle set.
+    * Returns the batch's surviving (doc_id, lang, text) rows, already
+    * materialized. Exactly-once on at-least-once delivery: both index
+    * appends are batch-stamped / own-identity-safe (their cores'
+    * contracts), stages 3-5 are per-doc deterministic against
+    * external references, so a replayed batch reproduces exactly its
+    * own admissions.
+    */
+  private[graft] def corpusPrepBatch(batch: DataFrame, batchId: Long,
+      indexRoot: String, lm: DataFrame, oovBits: Long,
+      evalShingles: DataFrame, nearThreshold: Double, paraTokens: Int,
+      minTokens: Int, dupMilliMax: Int, topMilliMax: Int,
+      pplHeadBits: Long, pplMidBits: Long,
+      contaminationMilli: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val b = batch.select("doc_id", "lang", "text").localCheckpoint()
+    val cleaned = LlmOps.paraIngestBatch(spark, b.select("doc_id", "text"),
+        s"$indexRoot/para", batchId, paraTokens)
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(b.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "text")
+      .localCheckpoint()
+    val admitted = LlmOps.dedupIngestBatch(spark, cleaned,
+      s"$indexRoot/dedup", batchId, nearThreshold)
+    val (dupM, topM) = LlmOps.repetitionMetrics(split(col("text"), " "))
+    val quality = admitted
+      .filter(size(split(col("text"), " ")) >= minTokens)
+      .filter(dupM <= dupMilliMax && topM <= topMilliMax)
+    val lmKept = quality.join(
+      LlmOps.scoreWithLm(quality.select("doc_id", "lang", "text"), lm,
+          oovBits, pplHeadBits, pplMidBits)
+        .filter(col("ppl_bucket") =!= "tail").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val flagged = LlmOps.shingleOverlap(
+        LlmOps.shingles(lmKept.select("doc_id", "text")), evalShingles)
+      .filter(col("overlap_milli") >= contaminationMilli)
+      .select("doc_id")
+    lmKept.join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
+  }
+
+  /** Streaming corpus-prep ingest — the q125 end-to-end chain run the
+    * way a production training-data pipeline actually runs it: as a
+    * CONTINUOUS ingest where every micro-batch of raw (doc_id, lang,
+    * text) documents flows through the full gate sequence
+    * ([[corpusPrepBatch]] — paragraph strip, near-dup admission
+    * against all history, heuristic quality, LM perplexity,
+    * decontamination) and the survivors land batch-id-stamped in the
+    * training sink. The two stateful stages ride their own persisted
+    * incremental indexes under `indexRoot` (the q94/q87 cores —
+    * per-batch cost scales with the batch plus its index overlap,
+    * never with history); the model-based gates take PRE-FIT
+    * artifacts (LM table + eval shingle set), the artifact tier a
+    * real pipeline fits offline. Replay-safe end to end: the sink
+    * and both indexes are batch-stamped dynamic overwrites, so
+    * at-least-once delivery rewrites exactly its own directories —
+    * the same exactly-once argument as each member op, now for the
+    * composition. Batch q125 gates the same stage semantics against
+    * the DuckDB oracle; StreamingSpec pins stream == direct-loop
+    * equality and replay idempotence for this plumbing.
+    */
+  def corpusPrepIngest(docs: DataFrame, indexRoot: String, outPath: String,
+      lm: DataFrame, oovBits: Long, evalShingles: DataFrame,
+      nearThreshold: Double = 0.5, paraTokens: Int = 20,
+      minTokens: Int = 5, dupMilliMax: Int = 300, topMilliMax: Int = 200,
+      pplHeadBits: Long = 4910000L, pplMidBits: Long = 4940000L,
+      contaminationMilli: Int = 700):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = corpusPrepBatch(batch, batchId, indexRoot, lm, oovBits,
+          evalShingles, nearThreshold, paraTokens, minTokens, dupMilliMax,
+          topMilliMax, pplHeadBits, pplMidBits, contaminationMilli)
+        // parallel bounded-file write (see dedupIngest's sink note);
+        // an all-dropped batch writes NOTHING — a _SUCCESS-only dir
+        // would break schema inference on the first read
+        if (!kept.isEmpty)
+          kept.withColumn("__batch_id", lit(batchId))
+            .repartition(8, col("doc_id"))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id").parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
+      .start()
+
   /** Streaming inverted-index ingest — maintain the q106 BM25 index
     * incrementally: each micro-batch of (doc_id, text) documents
     * appends its postings batch-id-stamped

@@ -697,6 +697,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(admittedSet() === admittedBefore)
   }
 
+  test("streaming corpus-prep ingest: stream == direct per-batch loop, gates bite, replay is a no-op") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_corpusprep").toString
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val full = Tables.documents(spark, sf)
+    val docs = full.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    docs.grouped((docs.size + 2) / 3).toSeq.zipWithIndex.foreach {
+      case (rows, i) =>
+        val tmp = s"$base/stage_$i"
+        rows.toDF("doc_id", "lang", "text").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(s"$srcDir/b$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(Paths.get(s"$srcDir/b$i.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + i * 2000))
+    }
+    // the artifact tier: LM fit on the src0 slice, eval shingle set
+    val (lm, oov) = graft.ops.LlmOps.fitUnigramLm(
+      full.filter(col("source") === "src0").select("text"), 4096)
+    val lmB = lm.localCheckpoint()
+    val evalSh = graft.ops.LlmOps.shingles(
+        full.filter(col("doc_id") % 13 === 0).select("doc_id", "text"))
+      .select("shingle").distinct().localCheckpoint()
+    def runStream(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      Streaming.corpusPrepIngest(src, s"$base/idx_stream",
+        s"$base/out_stream", lmB, oov, evalSh).awaitTermination()
+    }
+    runStream()
+    def streamed() = spark.read.parquet(s"$base/out_stream")
+      .select("doc_id").as[Long].collect().toSet
+    // direct twin: the SAME per-batch core over the same ordered
+    // ranges against a fresh index root — proves the stream plumbing
+    // (checkpointing, stamped sink) adds/loses nothing
+    val twin = docs.grouped((docs.size + 2) / 3).toSeq.zipWithIndex
+      .flatMap { case (rows, i) =>
+        Streaming.corpusPrepBatch(rows.toDF("doc_id", "lang", "text"),
+            i.toLong, s"$base/idx_twin", lmB, oov, evalSh,
+            nearThreshold = 0.5, paraTokens = 20, minTokens = 5,
+            dupMilliMax = 300, topMilliMax = 200,
+            pplHeadBits = 4910000L, pplMidBits = 4940000L,
+            contaminationMilli = 700)
+          .select("doc_id").as[Long].collect()
+      }.toSet
+    val got = streamed()
+    assert(got.nonEmpty)
+    assert(got === twin)
+    // the composition GATES: survivors are a strict subset, and the
+    // model gates demonstrably bit (this corpus has LM-tail docs and
+    // eval near-copies by construction — the q125 stage counters)
+    assert(got.size < docs.size)
+    // replay: restarting with no new files delivers zero batches and
+    // moves nothing — sink and indexes are batch-stamped
+    runStream()
+    assert(streamed() === got)
+    // direct same-batch re-run against the STREAM's index: admission
+    // is replay-idempotent for the whole composition, so the kept set
+    // of batch 0 reproduces exactly
+    val b0 = docs.grouped((docs.size + 2) / 3).toSeq.head
+    val replayKept = Streaming.corpusPrepBatch(
+        b0.toDF("doc_id", "lang", "text"), 0L, s"$base/idx_stream",
+        lmB, oov, evalSh, nearThreshold = 0.5, paraTokens = 20,
+        minTokens = 5, dupMilliMax = 300, topMilliMax = 200,
+        pplHeadBits = 4910000L, pplMidBits = 4940000L,
+        contaminationMilli = 700)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayKept === (got intersect b0.map(_._1).toSet))
+  }
+
   test("q56 interval join: stream-stream == batch") {
     val batch = Streaming.intervalJoinBatch(Tables.events(spark, sf))
     val stream = Streaming.runAvailableNow(spark, sf,

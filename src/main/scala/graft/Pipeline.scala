@@ -411,10 +411,8 @@ object Pipeline {
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .drop("component")
       .localCheckpoint()
-    val (dupM, topM) = ops.LlmOps.repetitionMetrics(split(col("text"), " "))
-    val quality = near
-      .filter(size(split(col("text"), " ")) >= minTokens)
-      .filter(dupM <= dupMilliMax && topM <= topMilliMax)
+    val quality = ops.LlmOps.heuristicQualityGate(near, minTokens,
+      dupMilliMax, topMilliMax)
     // model-based gates: both score (doc_id, lang, text) projections
     // of the current survivor set; a corpus without a lang column
     // scores under one synthetic domain (the models are lang-blind —
@@ -424,11 +422,9 @@ object Pipeline {
     val (ppl, nPplDropped) = perplexityRef match {
       case Some(ref) =>
         val q = quality.localCheckpoint()
-        val tail = ops.LlmOps.perplexityFilter(
-            q.select(col("doc_id"), langOf(q).as("lang"), col("text")),
-            ref.select("text"), 4096, pplHeadBits, pplMidBits)
-          .filter(col("ppl_bucket") === "tail").select("doc_id")
-        val kept = q.join(tail, Seq("doc_id"), "left_anti")
+        val (lmTab, oovBits) = ops.LlmOps.fitUnigramLm(ref.select("text"), 4096)
+        val kept = ops.LlmOps.lmTailGate(q, lmTab, oovBits,
+          pplHeadBits, pplMidBits)
         val n = kept.count()
         (kept, q.count() - n)
       case None => (quality, 0L)
@@ -448,13 +444,10 @@ object Pipeline {
     val (decon, nDropped) = evalDocs match {
       case Some(ev) =>
         val q = dsir.localCheckpoint()
-        val flagged = ops.LlmOps.shingleOverlap(
-            ops.LlmOps.shingles(q.select("doc_id", "text")),
-            ops.LlmOps.shingles(ev.select("doc_id", "text"))
-              .select("shingle").distinct())
-          .filter(col("overlap_milli") >= contaminationMilli)
-          .select("doc_id")
-        val d = q.join(flagged, Seq("doc_id"), "left_anti")
+        val d = ops.LlmOps.decontaminationGate(q,
+          ops.LlmOps.shingles(ev.select("doc_id", "text"))
+            .select("shingle").distinct(),
+          contaminationMilli)
         val n = d.count()
         (d, q.count() - n)
       case None => (dsir, 0L)

@@ -3731,6 +3731,53 @@ object LlmOps {
           .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
           .otherwise("tail"))
 
+  /** The q77 heuristic quality gate over any (…, doc_id, text)
+    * relation: minimum whitespace-token count plus the repetition
+    * thresholds, all map-side. ONE definition shared by
+    * [[graft.Pipeline.prepareCorpus]] and the streaming composition
+    * ([[Streaming.corpusPrepBatch]]) so the batch and stream forms of
+    * the corpus-prep chain cannot drift.
+    */
+  def heuristicQualityGate(docs: DataFrame, minTokens: Int,
+      dupMilliMax: Int, topMilliMax: Int): DataFrame = {
+    val (dupM, topM) = repetitionMetrics(split(col("text"), " "))
+    docs.filter(size(split(col("text"), " ")) >= minTokens)
+      .filter(dupM <= dupMilliMax && topM <= topMilliMax)
+  }
+
+  /** The q100 tail-drop under a PRE-FIT unigram LM ([[fitUnigramLm]]):
+    * drop every doc whose micro-bit score lands in the `tail` bucket,
+    * keep everything else — expressed as an anti-join on the tail ids
+    * (not a semi-join on the survivors), so a hypothetical unscored
+    * row is KEPT, matching prepareCorpus's historical semantics. A
+    * corpus without a `lang` column scores under one synthetic
+    * domain. Shared by the batch and streaming chain forms.
+    */
+  def lmTailGate(docs: DataFrame, lm: DataFrame, oovBits: Long,
+      headBits: Long, midBits: Long): DataFrame = {
+    val lang =
+      if (docs.columns.contains("lang")) col("lang") else lit("")
+    val tail = scoreWithLm(
+        docs.select(col("doc_id"), lang.as("lang"), col("text")),
+        lm, oovBits, headBits, midBits)
+      .filter(col("ppl_bucket") === "tail").select("doc_id")
+    docs.join(tail, Seq("doc_id"), "left_anti")
+  }
+
+  /** The q81 decontamination gate against a PRE-COMPUTED distinct
+    * reference shingle set: drop every doc whose 3-shingle overlap is
+    * at or above `contaminationMilli` per mille. Docs too short to
+    * shingle are kept (nothing to match on). Shared by the batch and
+    * streaming chain forms.
+    */
+  def decontaminationGate(docs: DataFrame, refShingles: DataFrame,
+      contaminationMilli: Int): DataFrame =
+    docs.join(
+      shingleOverlap(shingles(docs.select("doc_id", "text")), refShingles)
+        .filter(col("overlap_milli") >= contaminationMilli)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** DataFrame core of [[q100PerplexityFilter]]: score `docs` (doc_id,
     * lang, text) under a unigram LM fit on `ref` (text). See the
     * operator scaladoc for the model and the scale argument.

@@ -248,26 +248,77 @@ object Retrieval {
   private def indexBucketCount(stDf: DataFrame): Option[Int] =
     if (!stDf.columns.contains("n_buckets")) None
     else {
-      val vals = stDf.select("n_buckets").na.drop().distinct().collect()
-        .map(_.getInt(0)).sorted
-      if (vals.length > 1) throw new IllegalStateException(
-        s"inverted index mixes bucket counts ${vals.mkString(",")} — " +
-          "one index, one hash modulus")
-      vals.headOption
+      // a NULL row means a pre-f2 write whose hash modulus nobody
+      // recorded — next to RECORDED rows that is a mixed-provenance
+      // index whose early postings may sit in wrong buckets, and
+      // accepting the recorded value would validate exactly the
+      // silent-incomplete-probe failure this column exists to stop
+      val rows = stDf.select("n_buckets").distinct().collect()
+      val (nulls, vals) = rows.partition(_.isNullAt(0))
+      val counts = vals.map(_.getInt(0)).sorted
+      if (counts.length > 1 || (counts.nonEmpty && nulls.nonEmpty))
+        throw new IllegalStateException(
+          s"inverted index mixes bucket provenance (recorded: " +
+            s"${counts.mkString(",")}${if (nulls.nonEmpty) " + unrecorded pre-f2 writes" else ""}) — " +
+            "one index, one hash modulus; rebuild the index")
+      counts.headOption
     }
 
-  /** Refuse a write that would mix hash moduli in one index: an
-    * append whose `nBuckets` differs from the count the existing
-    * stats record (or appends onto a pre-f2 index that records none —
-    * unprovable layout) aborts BEFORE any bytes land, instead of
-    * poisoning every later probe (which would only detect the mix at
-    * read time, after two layouts already interleaved in postings/).
+  /** stats written batch-stamped ([[invIndexAppendBatch]]) carry
+    * `__batch_id=` partition directories; flat writes
+    * ([[invIndexWrite]], or a sealed index) don't. The two directory
+    * depths cannot mix — parquet partition discovery requires one.
+    */
+  private def statsIsStamped(fs: org.apache.hadoop.fs.FileSystem,
+      statsPath: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(statsPath).exists(_.getPath.getName.startsWith("__batch_id="))
+
+  /** JVM-local (indexPath → validated bucket count): a long-lived
+    * stream appends one stats file per micro-batch, so re-merge-
+    * reading ALL stats footers per batch would cost O(batches) per
+    * append — quadratic over the stream's life. The first successful
+    * guard pins the count for this JVM; later appends compare against
+    * the pin in O(1). Cross-JVM writers re-validate on their own
+    * first append.
+    */
+  private val guardedBuckets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  /** Refuse a write that would mix hash moduli OR directory layouts
+    * in one index: an append whose `nBuckets` differs from the count
+    * the existing stats record, an append onto a pre-f2 index that
+    * records none (unprovable layout), or a stamped append onto a
+    * flat index (and vice versa — the depths break partition
+    * discovery) aborts BEFORE any bytes land, instead of poisoning
+    * every later probe. Check-then-act caveat: two CONCURRENT FIRST
+    * appends to a brand-new path both see no stats and pass — the
+    * guard assumes one pipeline configures one index (the documented
+    * concurrent-batch case shares one config); a mixed-modulus index
+    * born that way is still caught loudly at the next guard or read.
     */
   private def guardAppendBuckets(spark: SparkSession, indexPath: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int, stamped: Boolean): Unit = {
+    // the pin covers (path, LAYOUT): a stamped append must never ride
+    // a pin the flat writer earned (or vice versa), and sealing —
+    // which changes the layout in place — retires the path's pins
+    val pinKey = s"$indexPath|stamped=$stamped"
+    val pinned = guardedBuckets.get(pinKey)
+    if (pinned != null) {
+      if (pinned.intValue != nBuckets) throw new IllegalArgumentException(
+        s"append with nBuckets=$nBuckets onto $indexPath validated at " +
+          s"$pinned buckets this session — one index, one hash modulus")
+      return
+    }
     val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
     val fs = Sinks.fsFor(spark, statsPath.toString)
     if (!fs.exists(statsPath)) return
+    if (statsIsStamped(fs, statsPath) != stamped &&
+        fs.listStatus(statsPath).nonEmpty)
+      throw new IllegalArgumentException(
+        s"${if (stamped) "batch-stamped" else "flat"} append onto " +
+          s"$indexPath whose existing layout is " +
+          s"${if (stamped) "flat" else "batch-stamped"} — the directory " +
+          "depths don't mix (seal the index or use the matching writer)")
     val stDf =
       try spark.read.option("mergeSchema", "true").parquet(statsPath.toString)
       catch {
@@ -283,6 +334,8 @@ object Retrieval {
         s"append onto $indexPath whose stats record no bucket count " +
           "(pre-f2 layout) — the hash modulus cannot be validated; " +
           "rebuild the index")
+      case Some(_) =>
+        guardedBuckets.put(pinKey, Int.box(nBuckets)); ()
       case _ => ()
     }
   }
@@ -291,7 +344,8 @@ object Retrieval {
       nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    if (mode == "append") guardAppendBuckets(spark, indexPath, nBuckets)
+    if (mode == "append")
+      guardAppendBuckets(spark, indexPath, nBuckets, stamped = false)
     postingsOf(docs, nBuckets).repartition(col("tb"))
       .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
     val (n, total) = statsOf(docs)
@@ -407,10 +461,10 @@ object Retrieval {
       batchId: Long, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // same modulus guard as the flat append (one small stats read per
-    // micro-batch; a replayed batch trivially passes — it recorded
-    // this count itself)
-    guardAppendBuckets(spark, indexPath, nBuckets)
+    // same modulus guard as the flat append (first append per JVM
+    // pays one stats read; later ones hit the session pin — a
+    // replayed batch trivially passes, it recorded this count itself)
+    guardAppendBuckets(spark, indexPath, nBuckets, stamped = true)
     postingsOf(docs, nBuckets)
       .withColumn("__batch_id", lit(batchId))
       .repartition(col("tb"))
@@ -434,6 +488,11 @@ object Retrieval {
   def invIndexSeal(spark: SparkSession, indexPath: String): Unit = {
     Sinks.sealBatchStamped(spark, s"$indexPath/postings", Some("tb"))
     Sinks.sealBatchStamped(spark, s"$indexPath/stats", None)
+    // the layout just changed in place: retire this JVM's append-guard
+    // pins so the next append revalidates against the sealed layout
+    guardedBuckets.remove(s"$indexPath|stamped=true")
+    guardedBuckets.remove(s"$indexPath|stamped=false")
+    ()
   }
 
   /** #109 Batch twin of the streaming inverted-index ingest: split

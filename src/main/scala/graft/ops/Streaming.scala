@@ -328,20 +328,16 @@ object Streaming {
       .localCheckpoint()
     val admitted = LlmOps.dedupIngestBatch(spark, cleaned,
       s"$indexRoot/dedup", batchId, nearThreshold)
-    val (dupM, topM) = LlmOps.repetitionMetrics(split(col("text"), " "))
-    val quality = admitted
-      .filter(size(split(col("text"), " ")) >= minTokens)
-      .filter(dupM <= dupMilliMax && topM <= topMilliMax)
-    val lmKept = quality.join(
-      LlmOps.scoreWithLm(quality.select("doc_id", "lang", "text"), lm,
-          oovBits, pplHeadBits, pplMidBits)
-        .filter(col("ppl_bucket") =!= "tail").select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val flagged = LlmOps.shingleOverlap(
-        LlmOps.shingles(lmKept.select("doc_id", "text")), evalShingles)
-      .filter(col("overlap_milli") >= contaminationMilli)
-      .select("doc_id")
-    lmKept.join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
+    // the three stateless gates are THE SAME definitions
+    // prepareCorpus composes (heuristicQualityGate / lmTailGate /
+    // decontaminationGate) — one body, so the batch-gated q125
+    // semantics and this streaming form cannot drift
+    val quality = LlmOps.heuristicQualityGate(admitted, minTokens,
+      dupMilliMax, topMilliMax)
+    val lmKept = LlmOps.lmTailGate(quality, lm, oovBits,
+      pplHeadBits, pplMidBits)
+    LlmOps.decontaminationGate(lmKept, evalShingles, contaminationMilli)
+      .localCheckpoint()
   }
 
   /** Streaming corpus-prep ingest — the q125 end-to-end chain run the

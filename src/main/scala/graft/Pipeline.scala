@@ -102,11 +102,18 @@ object Pipeline {
   def features(sessions: DataFrame, maxLen: Int = 20): DataFrame = {
     val toks = sessions.select(col("session_id"), posexplode(col("interactions")))
       .withColumnRenamed("col", "sku")
-    val vocab = ops.Features.globalRowNumber(
+    // counted size gate, not a raw broadcast hint: the SKU vocab is
+    // catalog-bounded on the reference's data, but this is a library
+    // entry point — the same chain on a DATA-bound token universe
+    // must fall back to the shuffle join above the gate, like every
+    // sibling vocab join (encode, q30). The count is free: the id
+    // assignment already folded it from its per-bucket counts.
+    val (vocabRanked, nVocab) = ops.Features.globalRowNumberWithTotal(
         toks.groupBy("sku").agg(count(lit(1)).as("freq")),
         "id", 32, desc("freq"), asc("sku"))
+    val vocab = vocabRanked
       .select(col("sku"), col("id").cast("int").as("id"))
-    val enc = toks.join(broadcast(vocab), "sku")
+    val enc = toks.join(ops.Features.sizeGatedBroadcast(vocab, nVocab), "sku")
       .groupBy("session_id")
       .agg(ops.Scalars.orderedCollect(col("pos"), col("id"), "id").as("ids"))
     enc.select(
@@ -165,17 +172,29 @@ object Pipeline {
     * gate (plain shuffle join above it): distinct-token count is
     * DATA-bound on an LLM corpus, and an unconditional hint is an
     * OOM past the broadcast limit. Pass `vocabRows` when the caller
-    * already knows the size ([[fitVocabSized]]); otherwise one
-    * bounded count job pays for the gate.
+    * already knows the size ([[fitVocabSized]]) — that path stays
+    * fully lazy. Without it the gate needs a count, and counting an
+    * UNCACHED vocab would execute its full upstream aggregation (a
+    * corpus-sized scan + shuffle) once for the count and again for
+    * the join — so the fallback localCheckpoints the vocab first:
+    * one upstream execution total, the count and the join both read
+    * the materialized blocks. The checkpoint makes the 2-arg form
+    * eager and stores the vocab on executor storage; callers that
+    * need a plan-only builder pass `vocabRows`.
     */
   def encode(toks: DataFrame, vocab: DataFrame, tokenCol: String = "token",
       vocabRows: Option[Long] = None): DataFrame = {
     // the vocab's first column is its token column whatever it was
     // named at fit time; align it with this side's tokenCol so the
     // USING join resolves
-    val v = vocab.select(
+    val aligned = vocab.select(
       col(vocab.columns(0)).as(tokenCol), col(vocab.columns(1)).as("id"))
-    val n = vocabRows.getOrElse(v.count())
+    val (v, n) = vocabRows match {
+      case Some(r) => (aligned, r)
+      case None =>
+        val cp = aligned.localCheckpoint(true)
+        (cp, cp.count())
+    }
     toks.join(ops.Features.sizeGatedBroadcast(v, n), Seq(tokenCol), "left")
       .withColumn("id", coalesce(col("id"), lit(OovId)))
   }

@@ -177,6 +177,16 @@ object SparkEntry {
     * closed-form Naive-Bayes log-count-ratio tier — IS oracled: its
     * per-token weights micro-round once (the q101 Δbits rule) and
     * everything downstream is integer arithmetic.
+    *
+    * ORACLE-AUTHORING RULE for composed/stage-chained CTE oracles
+    * (q125, q126): mark every CTE referenced more than once — or
+    * referenced by a scalar count subquery — `AS MATERIALIZED`.
+    * DuckDB inlines non-recursive CTEs PER REFERENCE, so each
+    * `(SELECT count(*) FROM stage_k)` re-instantiates the entire
+    * upstream chain; on q125's oracle that re-inlining blew DuckDB
+    * past 20 GB at sf0.1, and the hints brought it to 3.4 s (commit
+    * e5d3c3c). The hint is semantically transparent — same rows,
+    * bounded memory.
     */
   /** Exact top-k cosine over the embeddings table — q38's oracle,
     * SHARED by q111 (persisted-index probe): declared exhaustive

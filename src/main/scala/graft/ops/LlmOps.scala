@@ -1285,15 +1285,26 @@ object LlmOps {
     * would silently describe the old contents.
     */
   /** Disk-memo key for a corpus dir: the sanitized name for
-    * readability PLUS an 8-hex hash of the RAW dir string — two
+    * readability PLUS a 16-hex hash of the RAW dir string — two
     * distinct dirs that sanitize identically ("/a-b" vs "/a_b")
     * must NEVER share a memo, or one corpus would silently serve the
     * other's labels/index. The hash also makes [[invalidateMemosFor]]
-    * matching exact rather than a prefix heuristic.
+    * matching exact rather than a prefix heuristic. 64 bits like
+    * [[tableSignature]] (two independently-seeded 32-bit murmurs):
+    * the dir key is the OTHER half of every memo path's identity,
+    * and a 32-bit truncation here would reopen exactly the birthday
+    * collision the signature widened away — two corpus roots
+    * colliding on the key prefix cross-serve each other's memos
+    * (round-11 advice). Widening the key format orphans pre-widening
+    * memos (their names no longer match any stem the GC computes);
+    * they are tmp-scoped and bounded, and never *served* — lookups
+    * only ever resolve through this one definition.
     */
-  private def memoDirKey(dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_h" +
-      f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0xFFFFFFFFL}%08x"
+  private def memoDirKey(dir: String): String = {
+    val hi = scala.util.hashing.MurmurHash3.stringHash(dir) & 0xFFFFFFFFL
+    val lo = scala.util.hashing.MurmurHash3.stringHash(dir, 0x9E3779B9) & 0xFFFFFFFFL
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_h" + f"${(hi << 32) | lo}%016x"
+  }
 
   /** Signature of a corpus table's on-disk state: a hash of the
     * SORTED list of its parquet files' (path, length, mtime) triples,
@@ -1407,6 +1418,16 @@ object LlmOps {
     * CURRENT-signature memo is [[invalidateMemosFor]]'s job only.
     * Staging dirs (`__tmp_*`) of stale memos match the same prefix
     * rule and are swept with them.
+    *
+    * Stale candidates younger than [[MemoGcGraceMs]] are SKIPPED:
+    * "unreachable by construction" holds only for sessions that see
+    * the CURRENT corpus state — a concurrent session that resolved
+    * its memo path just before the corpus was regenerated can still
+    * be mid-read on a now-stale memo, and on HDFS/object stores a
+    * delete fails such a reader mid-stream (round-11 advice). The
+    * grace window (measured from the memo's last modification, i.e.
+    * its install) outlives any read that started before the
+    * regeneration; the next install after the window sweeps it.
     */
   private[graft] def gcStaleMemos(spark: SparkSession, familyPrefix: String,
       dir: String, table: String): Unit = {
@@ -1415,13 +1436,22 @@ object LlmOps {
     val tmp = System.getProperty("java.io.tmpdir")
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)
+    val cutoff = System.currentTimeMillis() - MemoGcGraceMs
     if (fs.exists(root)) {
-      fs.listStatus(root).map(_.getPath).filter { p =>
-        val n = p.getName
-        n.startsWith(stem) && (!n.startsWith(live) || isStaleFormat(n))
-      }.foreach(fs.delete(_, true))
+      fs.listStatus(root).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(stem) && (!n.startsWith(live) || isStaleFormat(n)) &&
+          st.getModificationTime < cutoff
+      }.foreach(st => fs.delete(st.getPath, true))
     }
   }
+
+  /** Grace window for [[gcStaleMemos]]: a stale-signature memo is
+    * only swept once untouched this long, so a reader that resolved
+    * it against the PREVIOUS corpus state finishes before the delete
+    * lands. Sized generously above any single memo read.
+    */
+  private[graft] val MemoGcGraceMs: Long = 15 * 60 * 1000L
 
   /** A memo name carries a stale format tag iff it ends (before any
     * staging suffix) in `_f<digits>` that is not [[IndexMemoFormat]].

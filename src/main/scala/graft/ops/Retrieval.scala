@@ -302,6 +302,29 @@ object Retrieval {
     // a pin the flat writer earned (or vice versa), and sealing —
     // which changes the layout in place — retires the path's pins
     val pinKey = s"$indexPath|stamped=$stamped"
+    val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
+    val fs = Sinks.fsFor(spark, statsPath.toString)
+    if (!fs.exists(statsPath)) {
+      // brand-new (or deleted-and-recreated) index: any pin this JVM
+      // held for the old incarnation is meaningless — drop it so the
+      // next append after re-creation revalidates from the new stats
+      guardedBuckets.remove(pinKey); return
+    }
+    // the layout check runs on EVERY append, pinned or not: the pin
+    // only amortizes the O(batches) stats-FOOTER read, never this one
+    // listStatus — another JVM may have sealed (or overwrite-rebuilt)
+    // the index since the pin was earned, and a stamped append landing
+    // on the now-flat layout mixes directory depths that break parquet
+    // partition discovery for every later probe (round-11 advice)
+    if (statsIsStamped(fs, statsPath) != stamped &&
+        fs.listStatus(statsPath).nonEmpty) {
+      guardedBuckets.remove(pinKey)
+      throw new IllegalArgumentException(
+        s"${if (stamped) "batch-stamped" else "flat"} append onto " +
+          s"$indexPath whose existing layout is " +
+          s"${if (stamped) "flat" else "batch-stamped"} — the directory " +
+          "depths don't mix (seal the index or use the matching writer)")
+    }
     val pinned = guardedBuckets.get(pinKey)
     if (pinned != null) {
       if (pinned.intValue != nBuckets) throw new IllegalArgumentException(
@@ -309,16 +332,6 @@ object Retrieval {
           s"$pinned buckets this session — one index, one hash modulus")
       return
     }
-    val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/stats")
-    val fs = Sinks.fsFor(spark, statsPath.toString)
-    if (!fs.exists(statsPath)) return
-    if (statsIsStamped(fs, statsPath) != stamped &&
-        fs.listStatus(statsPath).nonEmpty)
-      throw new IllegalArgumentException(
-        s"${if (stamped) "batch-stamped" else "flat"} append onto " +
-          s"$indexPath whose existing layout is " +
-          s"${if (stamped) "flat" else "batch-stamped"} — the directory " +
-          "depths don't mix (seal the index or use the matching writer)")
     val stDf =
       try spark.read.option("mergeSchema", "true").parquet(statsPath.toString)
       catch {
@@ -346,6 +359,15 @@ object Retrieval {
     import spark.implicits._
     if (mode == "append")
       guardAppendBuckets(spark, indexPath, nBuckets, stamped = false)
+    else {
+      // overwrite rebuilds the index in place — possibly with a new
+      // bucket count or layout — so retire this JVM's append-guard
+      // pins exactly as invIndexSeal does: a later append must
+      // revalidate against the REBUILT stats, not the pin the old
+      // incarnation earned (round-11 advice)
+      guardedBuckets.remove(s"$indexPath|stamped=true")
+      guardedBuckets.remove(s"$indexPath|stamped=false")
+    }
     postingsOf(docs, nBuckets).repartition(col("tb"))
       .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
     val (n, total) = statsOf(docs)

@@ -1405,6 +1405,14 @@ class LlmOpsSpec extends AnyFunSuite {
     val stale = mkdir(staleName)
     val keepOther = mkdir(otherParams)
     val staleStaging = mkdir(staleName + "__tmp_app_123")
+    // a YOUNG stale sibling (mtime inside the grace window) must
+    // survive: a concurrent session that resolved its path against
+    // the previous corpus state may still be mid-read on it
+    val youngStale = mkdir(staleName.replaceFirst("deadbeef", "cafebabe"))
+    // age the sweep candidates past the grace window; youngStale
+    // keeps its fresh mtime
+    val aged = System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L
+    stale.setLastModified(aged); staleStaging.setLastModified(aged)
     new java.io.File(live).delete() // force a fresh install (runs GC)
     LlmOps.q61DedupClustersCached(spark, sf, t).collect()
     assert(new java.io.File(live).isDirectory)
@@ -1412,7 +1420,9 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!staleStaging.exists, "stale staging dir survived install GC")
     assert(keepOther.isDirectory,
       "live-signature sibling under other params was wrongly deleted")
-    keepOther.delete()
+    assert(youngStale.isDirectory,
+      "stale sibling inside the grace window was swept mid-grace")
+    keepOther.delete(); youngStale.delete()
     // format-tagged families: a sibling with the CURRENT signature
     // but a stale _f<N> tag is dead code's bytes and goes too
     val annLive = graft.ops.LlmOps.annIndexMemoPathOf(spark, sf,
@@ -1421,6 +1431,8 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(annName.endsWith("_" + graft.ops.LlmOps.IndexMemoFormat))
     val oldFormat = mkdir(annName.stripSuffix(
       graft.ops.LlmOps.IndexMemoFormat) + "f0")
+    oldFormat.setLastModified(
+      System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L)
     graft.ops.LlmOps.gcStaleMemos(spark, "graft_ann_index_memo_", sf,
       "embeddings")
     assert(!oldFormat.exists, "stale-format sibling survived GC")

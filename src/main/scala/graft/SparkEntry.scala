@@ -266,7 +266,7 @@ object SparkEntry {
       |FROM toks),
       |keep AS (SELECT doc_id, CASE WHEN f IS NULL THEN doc_id
       |ELSE min(doc_id) OVER (PARTITION BY f) END AS keeper FROM fp),
-      |b AS (SELECT COALESCE(max(doc_id), -1) // 4 + 1 AS sz FROM documents)
+      |b AS (SELECT COALESCE(max(doc_id), -1) // 3 + 1 AS sz FROM documents)
       |SELECT doc_id, CAST(doc_id // (SELECT GREATEST(sz, 1) FROM b) AS BIGINT) AS batch_id
       |FROM keep WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
 

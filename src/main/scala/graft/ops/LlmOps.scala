@@ -262,10 +262,16 @@ object LlmOps {
     * no shingles and are always admitted, mirroring
     * shingleHashSets's size filter). The oracle hash-gates the whole
     * ingest loop: index layout, band pruning, incremental probe,
-    * self-pair rule, replay-safe append.
+    * self-pair rule, replay-safe append. Default nBatches = 3 — the
+    * minimum that exercises every declared transition (fresh-index
+    * first batch, a probe against a SINGLE-batch index, a probe
+    * against a MULTI-batch accumulated index; the sealed variant
+    * additionally fits its seal before the penultimate batch with a
+    * flat-append write AND read-back after it): more batches re-run
+    * transitions the gate already covers at per-batch fixed cost.
     */
   def q87DedupIngestBatch(spark: SparkSession, dir: String,
-      nBatches: Int = 4, threshold: Double = 1.0): DataFrame =
+      nBatches: Int = 3, threshold: Double = 1.0): DataFrame =
     dedupIngestProbe(spark, dir, nBatches, threshold, seal = false,
       tag = "q87")
 
@@ -295,7 +301,7 @@ object LlmOps {
     * this query pays the seal and the flat tail it declares.)
     */
   def q119DedupIngestSealed(spark: SparkSession, dir: String,
-      nBatches: Int = 4, threshold: Double = 1.0): DataFrame =
+      nBatches: Int = 3, threshold: Double = 1.0): DataFrame =
     dedupIngestProbe(spark, dir, nBatches, threshold, seal = true,
       tag = "q119", reusePrefixMemo = true)
 
@@ -574,7 +580,7 @@ object LlmOps {
     * materialized (the q106 rule — no tmp leak per application).
     */
   def q94DedupParagraphIngest(spark: SparkSession, dir: String,
-      nBatches: Int = 4, paraTokens: Int = 20): DataFrame = {
+      nBatches: Int = 3, paraTokens: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
       case null => -1L
@@ -2102,14 +2108,14 @@ object LlmOps {
     * quality when every cell is probed and the prefilter is lossless.
     */
   def q113SimsearchIngestBatch(spark: SparkSession, dir: String,
-      nBatches: Int = 4, nQueries: Int = 10, k: Int = 5,
+      nBatches: Int = 3, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
       kCodes: Int = 16, pqIters: Int = 2): DataFrame =
     simsearchIngestProbe(spark, dir, nBatches, nQueries, k, nCells,
       kmeansIters, m, kCodes, pqIters, seal = false, tag = "q113")
 
   /** #114 Sealed-index similarity search — [[q113SimsearchIngestBatch]]
-    * extended ONE lifecycle step: the identical 4-batch
+    * extended ONE lifecycle step: the identical multi-batch
     * [[annIndexAppendBatch]] ingest (since round 10 built ONCE into a
     * parameter-keyed persisted memo and CLONED per run — the ingest
     * bytes are a pure function of (corpus, split, params) and the
@@ -2130,7 +2136,7 @@ object LlmOps {
     * store compacts, the query answer must not move.
     */
   def q114SimsearchSealed(spark: SparkSession, dir: String,
-      nBatches: Int = 4, nQueries: Int = 10, k: Int = 5,
+      nBatches: Int = 3, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
       kCodes: Int = 16, pqIters: Int = 2): DataFrame =
     simsearchIngestProbe(spark, dir, nBatches, nQueries, k, nCells,

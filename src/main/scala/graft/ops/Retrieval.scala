@@ -530,14 +530,14 @@ object Retrieval {
     * bucket pruning, stats summation, cross-batch df reconstruction.
     */
   def q109Bm25IngestBatch(spark: SparkSession, dir: String,
-      nBatches: Int = 4, nQueries: Int = 8, qLen: Int = 4,
+      nBatches: Int = 3, nQueries: Int = 8, qLen: Int = 4,
       k: Int = 10): DataFrame =
     bm25IngestProbe(spark, dir, nBatches, nQueries, qLen, k,
       seal = false, tag = "q109")
 
   /** #116 Sealed-index BM25 — [[q109Bm25IngestBatch]] extended one
     * lifecycle step (the [[graft.ops.LlmOps.q114SimsearchSealed]]
-    * argument applied to the inverted index): the identical 4-batch
+    * argument applied to the inverted index): the identical multi-batch
     * ingest (since round 10 built once into a parameter-keyed
     * persisted memo and CLONED per run — the ingest path stays gated
     * fresh by q109), then [[invIndexSeal]] (postings collapse to flat
@@ -550,7 +550,7 @@ object Retrieval {
     * (single-relation) stats, and tb pruning on the flat layout.
     */
   def q116Bm25Sealed(spark: SparkSession, dir: String,
-      nBatches: Int = 4, nQueries: Int = 8, qLen: Int = 4,
+      nBatches: Int = 3, nQueries: Int = 8, qLen: Int = 4,
       k: Int = 10): DataFrame =
     bm25IngestProbe(spark, dir, nBatches, nQueries, qLen, k,
       seal = true, tag = "q116", reuseIngestMemo = true)

@@ -106,6 +106,18 @@ object Bench {
     val RepeatThresholdSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_THRESHOLD", "0.5").toDouble
     val Rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // Two-tier re-measurement: queries whose best sample is already
+    // HEAVY (>= HeavyThresholdSec) stop after HeavyRounds passes.
+    // Stall noise is ADDITIVE (multi-minute episodes inflate a sample
+    // by a roughly constant amount), so a 6 s query is proportionally
+    // far less distorted than a 0.6 s one and min-of-2 already bounds
+    // it; re-running the lifecycle heavyweights a third time buys the
+    // estimate little while costing the 420 s budget the most — the
+    // seven 4-9 s ingest/lifecycle queries alone are ~45 s/round.
+    val HeavyThresholdSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_THRESHOLD", "2.0").toDouble
+    val HeavyRounds =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_ROUNDS", "2").toInt
     val BudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
     val startNanos = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
@@ -167,7 +179,9 @@ object Bench {
           stop = true
         } else {
           val skip = failed.contains(name) ||
-            best.get(name).exists(_ <= RepeatThresholdSec)
+            best.get(name).exists(_ <= RepeatThresholdSec) ||
+            (round > HeavyRounds &&
+              best.get(name).exists(_ >= HeavyThresholdSec))
           if (!skip) timeOnce(name, fn) match {
             case Some(t) =>
               best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)

@@ -558,16 +558,55 @@ object Pipeline {
   def q125CorpusPipeline(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxDocs: Long = 5000): DataFrame = {
     import spark.implicits._
-    // The prepared corpus (chain output + stage counters) persists as
-    // a parameter-keyed memo — the q114/q119 memo-clone rule: the
-    // chain is a pure function of (corpus state, this declared
-    // config), each of its stages carries its own bench line
-    // (q36/q86/q61/q77/q100/q81), and the memo key embeds the corpus
-    // signature + every config knob (the cfgTag names this
-    // declaration), so a regenerated corpus or a changed config
-    // rebuilds. The FIRST run on any corpus state executes the full
-    // chain — which is exactly what the driver's fresh-container
-    // correctness gate hashes.
+    val (cleaned, rep) = preparedCorpusCached(spark, dir, maxDocs)
+    val train = cleaned.filter(col("is_train"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val mixed = ops.LlmOps.dataMixtureOf(train, frac = 0.5,
+      enWeight = 0.4, otherWeight = 0.15).localCheckpoint()
+    val mixtureKept = mixed.count()
+    val docRows = ops.Layout.shardPositionsOf(
+        mixed.select("doc_id", "lang"), nShards = 8)
+      .select(lit("doc").as("kind"), col("lang").as("name"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("shard").cast("int").as("shard"), col("pos"))
+    val reportRows = (reportCounters(rep) :+
+        ("mixture_kept" -> mixtureKept))
+      .map { case (n, v) => ("report", n, v) }
+      .toDF("kind", "name", "pos")
+      .select(col("kind"), col("name"), lit(-1L).as("doc_id"),
+        lit(-1).cast("int").as("shard"), col("pos"))
+    docRows.unionByName(reportRows).orderBy("kind", "name", "doc_id")
+  }
+
+  /** The q125 memo's stage counters as (name, count) pairs in the
+    * memo's declared column order — ONE definition for q125's report
+    * rows and q126's manifest read-back expectation.
+    */
+  private[graft] def reportCounters(
+      rep: org.apache.spark.sql.Row): Seq[(String, Long)] =
+    Seq("input", "after_exact_dedup", "para_dropped", "after_near_dedup",
+      "ppl_dropped", "decontaminated", "final_kept", "train", "holdout")
+      .map(n => n -> rep.getAs[Long](n))
+
+  /** The q125-declared prepared corpus (cleaned relation + stage
+    * counters), built once per (corpus state, config) into a
+    * parameter-keyed persisted memo and read thereafter — the
+    * q114/q119 memo-clone rule: the chain is a pure function of
+    * (corpus state, this declared config), each of its stages
+    * carries its own bench line (q36/q86/q61/q77/q100/q81), and the
+    * memo key embeds the corpus signature + every config knob (the
+    * cfgTag names this declaration), so a regenerated corpus or a
+    * changed config rebuilds. The FIRST run on any corpus state
+    * executes the full chain — which is exactly what the driver's
+    * fresh-container correctness gate hashes. Shared by q125 (split +
+    * mixture + shard tail) and q126 (release artifact + read-back):
+    * both declare the SAME chain, so they must read the same bytes.
+    */
+  private[graft] def preparedCorpusCached(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxDocs: Long): (DataFrame, org.apache.spark.sql.Row) = {
+    import spark.implicits._
     val memo = ops.LlmOps.corpusPrepMemoPathOf(spark, dir, maxDocs,
       "t500m5d300t200e13c700p20ppl")
     val fs = ops.Sinks.fsFor(spark, memo)
@@ -614,34 +653,78 @@ object Pipeline {
       ops.LlmOps.gcStaleMemos(spark, "graft_corpus_prep_memo_", dir,
         "documents")
     } else ops.Sinks.repairNestedStaging(fs, dst)
-    val cleaned = spark.read.parquet(s"$memo/cleaned")
-    val rep = spark.read.parquet(s"$memo/report").head()
-    val train = cleaned.filter(col("is_train"))
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val mixed = ops.LlmOps.dataMixtureOf(train, frac = 0.5,
-      enWeight = 0.4, otherWeight = 0.15).localCheckpoint()
-    val mixtureKept = mixed.count()
-    val docRows = ops.Layout.shardPositionsOf(
-        mixed.select("doc_id", "lang"), nShards = 8)
-      .select(lit("doc").as("kind"), col("lang").as("name"),
-        col("doc_id").cast("long").as("doc_id"),
-        col("shard").cast("int").as("shard"), col("pos"))
-    val reportRows = Seq(
-      ("report", "input", rep.getAs[Long]("input")),
-      ("report", "after_exact_dedup", rep.getAs[Long]("after_exact_dedup")),
-      ("report", "para_dropped", rep.getAs[Long]("para_dropped")),
-      ("report", "after_near_dedup", rep.getAs[Long]("after_near_dedup")),
-      ("report", "ppl_dropped", rep.getAs[Long]("ppl_dropped")),
-      ("report", "decontaminated", rep.getAs[Long]("decontaminated")),
-      ("report", "final_kept", rep.getAs[Long]("final_kept")),
-      ("report", "train", rep.getAs[Long]("train")),
-      ("report", "holdout", rep.getAs[Long]("holdout")),
-      ("report", "mixture_kept", mixtureKept))
-      .toDF("kind", "name", "pos")
-      .select(col("kind"), col("name"), lit(-1L).as("doc_id"),
-        lit(-1).cast("int").as("shard"), col("pos"))
-    docRows.unionByName(reportRows).orderBy("kind", "name", "doc_id")
+    (spark.read.parquet(s"$memo/cleaned"),
+      spark.read.parquet(s"$memo/report").head())
+  }
+
+  /** #126 Corpus RELEASE read-back — the shipped artifact under the
+    * hash gate, the engine twin of the reference's artifact step
+    * (model tar → object store, my_dbt_flow.py:463-476) with the
+    * q02/q03 sink rule applied to the LAST ungated write path:
+    * [[releaseArtifacts]] writes `train_shards/` + `holdout/` +
+    * `datacard/` + `manifest/` from the q125-declared prepared
+    * corpus (the SAME persisted memo — one chain, two declared
+    * consumers), and the query's output is built ENTIRELY from
+    * reading those files back:
+    *
+    *   kind='doc'      one row per train doc READ FROM ITS SHARD FILE
+    *                   (name=lang, shard=the `__shard=K` partition it
+    *                   landed in, pos=token count of the read-back
+    *                   text) — gates shard assignment (the q102
+    *                   md5-gate rule in [[ops.Sinks.exportShards]]),
+    *                   membership, and the text/lang round-trip;
+    *   kind='holdout'  the same for the holdout relation;
+    *   kind='card'     the datacard read back, one row per
+    *                   (lang, metric) — gates the q103 arithmetic
+    *                   OVER THE RELEASED corpus;
+    *   kind='manifest' the manifest counters read back — gates that
+    *                   the audit record shipped next to the data
+    *                   equals the chain's CorpusReport stage counts
+    *                   (q125's report rows, plus n_shards).
+    *
+    * The DuckDB oracle recomputes all four families from the q125
+    * stage CTEs, so any byte the release writers lose, duplicate or
+    * misroute moves some row. The written release is app-scoped and
+    * deleted after the result is localized (the q106 rule).
+    */
+  def q126CorpusRelease(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxDocs: Long = 5000, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val (cleaned, rep) = preparedCorpusCached(spark, dir, maxDocs)
+    val outPath = s"${System.getProperty("java.io.tmpdir")}/graft_q126_release_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    val fs = ops.Sinks.fsFor(spark, outPath)
+    fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
+    val manifest = (reportCounters(rep) :+ ("n_shards" -> nShards.toLong))
+      .toDF("name", "value")
+    releaseArtifacts(spark, cleaned, manifest, outPath, nShards)
+    def docRows(path: String, kind: String, shardCol: Column) =
+      spark.read.parquet(path)
+        .select(lit(kind).as("kind"), col("lang").as("name"),
+          col("doc_id").cast("long").as("doc_id"),
+          shardCol.cast("int").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("pos"))
+    val shardDocs =
+      docRows(s"$outPath/train_shards", "doc", col("__shard"))
+    val holdoutDocs = docRows(s"$outPath/holdout", "holdout", lit(-1))
+    val cardBack = spark.read.parquet(s"$outPath/datacard")
+    val cardRows = Seq("n_docs", "n_tokens", "n_chars", "dup_docs",
+        "quality_milli_sum").map { m =>
+      cardBack.select(lit("card").as("kind"),
+        concat(col("lang"), lit("/" + m)).as("name"),
+        lit(-1L).as("doc_id"), lit(-1).cast("int").as("shard"),
+        col(m).cast("long").as("pos"))
+    }.reduce(_.unionByName(_))
+    val manifestRows = spark.read.parquet(s"$outPath/manifest")
+      .select(lit("manifest").as("kind"), col("name"),
+        lit(-1L).as("doc_id"), lit(-1).cast("int").as("shard"),
+        col("value").cast("long").as("pos"))
+    ops.Sinks.localizeAndDelete(spark,
+      shardDocs.unionByName(holdoutDocs).unionByName(cardRows)
+        .unionByName(manifestRows)
+        .orderBy("kind", "name", "doc_id"),
+      outPath)
   }
 
   /** Per-stage lineage export — the Catalyst answer to the
@@ -703,6 +786,29 @@ object Pipeline {
       dsirTarget = dsirTarget, paraDedupTokens = paraDedupTokens,
       sourceQuotaCap = sourceQuotaCap)
     val cleaned = cleaned0.localCheckpoint()
+    val manifest = Seq((report.input, report.afterExactDedup,
+        report.afterNearDedup, report.afterQuality, report.train,
+        report.holdout, report.decontaminated, report.paraDropped,
+        report.pplDropped, report.dsirDropped, report.quotaDropped,
+        nShards))
+      .toDF("input", "after_exact_dedup", "after_near_dedup",
+        "after_quality", "train", "holdout", "decontaminated",
+        "para_dropped", "ppl_dropped", "dsir_dropped", "quota_dropped",
+        "n_shards")
+    val card = releaseArtifacts(spark, cleaned, manifest, outPath, nShards)
+    (report, card)
+  }
+
+  /** The WRITE half of [[releaseCorpus]] — shards + holdout +
+    * datacard + manifest from an already-prepared corpus. Split out
+    * so q126 can drive the identical artifact writers over the
+    * memoized q125 prepared corpus (the memo-clone bench rule: the
+    * chain's cost is q125's line; this query's line is the release
+    * write + read-back it declares). Returns the datacard relation.
+    */
+  private[graft] def releaseArtifacts(
+      spark: org.apache.spark.sql.SparkSession, cleaned: DataFrame,
+      manifest: DataFrame, outPath: String, nShards: Int): DataFrame = {
     def colOr(name: String) =
       (if (cleaned.columns.contains(name)) col(name) else lit("")).as(name)
     val train = cleaned.filter(col("is_train"))
@@ -718,15 +824,8 @@ object Pipeline {
       cleaned.select(col("doc_id"), colOr("lang"), colOr("source"),
         col("text")))
     card.write.mode("overwrite").parquet(s"$outPath/datacard")
-    Seq((report.input, report.afterExactDedup, report.afterNearDedup,
-        report.afterQuality, report.train, report.holdout,
-        report.decontaminated, report.paraDropped, report.pplDropped,
-        report.dsirDropped, report.quotaDropped, nShards))
-      .toDF("input", "after_exact_dedup", "after_near_dedup",
-        "after_quality", "train", "holdout", "decontaminated",
-        "para_dropped", "ppl_dropped", "dsir_dropped", "quota_dropped",
-        "n_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/manifest")
-    (report, card)
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outPath/manifest")
+    card
   }
 }

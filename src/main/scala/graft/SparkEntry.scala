@@ -150,7 +150,8 @@ object SparkEntry {
     "q122_quality_lr_refined" -> ((s: SparkSession, d: String) => LlmOps.q122QualityLrRefined(s, d)),
     "q123_sql_session_events" -> ((s: SparkSession, d: String) => graft.Pipeline.q123SqlSessionEvents(s, d)),
     "q124_vocab_decode" -> ((s: SparkSession, d: String) => Features.q124VocabDecode(s, d)),
-    "q125_corpus_pipeline" -> ((s: SparkSession, d: String) => graft.Pipeline.q125CorpusPipeline(s, d))
+    "q125_corpus_pipeline" -> ((s: SparkSession, d: String) => graft.Pipeline.q125CorpusPipeline(s, d)),
+    "q126_corpus_release" -> ((s: SparkSession, d: String) => graft.Pipeline.q126CorpusRelease(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -252,6 +253,64 @@ object SparkEntry {
   private val bm25Oracle: String = bm25OracleCtes + ",\n" +
     """r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
       |SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The q125 corpus-prep stage chain (exact dedup -> paragraph strip
+    * -> exact near-dup closure -> quality -> LM gate -> decontamination
+    * -> train gate) as shared DuckDB CTEs ending at `tr` (the cleaned
+    * corpus + its is_train split) -- ONE definition composed by the
+    * q125 oracle (mixture + shard tail) and the q126 oracle (release
+    * read-back tail), so the two gated declarations of the same chain
+    * can never drift. Every multi-referenced CTE is AS MATERIALIZED
+    * (the oracle-authoring rule above).
+    */
+  private val corpusChainCtes: String =
+    """WITH RECURSIVE
+      |d0 AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE doc_id < 5000),
+      |ek AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM d0 GROUP BY text),
+      |e AS MATERIALIZED (SELECT d0.doc_id, d0.lang, d0.text FROM d0 JOIN ek USING (doc_id)),
+      |ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
+      |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+      |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
+      |FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i FROM ptoks) x),
+      |pranked AS (SELECT doc_id, para_idx, para,
+      |row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras),
+      |ctext AS (SELECT doc_id, COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS text
+      |FROM pranked GROUP BY doc_id),
+      |c AS MATERIALIZED (SELECT e.doc_id, e.lang, ct.text FROM e JOIN ctext ct ON e.doc_id = ct.doc_id WHERE length(ct.text) > 0),
+      |sh AS (SELECT DISTINCT doc_id, sp[p] || ' ' || sp[p+1] || ' ' || sp[p+2] AS shingle
+      |FROM (SELECT doc_id, sp, unnest(range(1, len(sp) - 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM c) t0 WHERE len(sp) >= 3) t1),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.5),
+      |ed AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
+      |reach(n, r) AS (SELECT doc_id, doc_id FROM c UNION SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.n),
+      |cl AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
+      |nr AS MATERIALIZED (SELECT c.doc_id, c.lang, c.text FROM c JOIN cl ON c.doc_id = cl.doc_id WHERE cl.component = c.doc_id),
+      |qt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM nr),
+      |qb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |len(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS tb,
+      |len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS db FROM qt),
+      |qtop AS (SELECT doc_id, max(cnt) AS top_n FROM (SELECT doc_id, tok, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM nr) z GROUP BY doc_id, tok) y GROUP BY doc_id),
+      |qual AS MATERIALIZED (SELECT qt.doc_id, qt.lang, qt.text FROM qt JOIN qb USING (doc_id) JOIN qtop USING (doc_id)
+      |WHERE qb.n_tokens >= 5 AND ((qb.tb - qb.db) * 1000) // greatest(qb.tb, 1) <= 300 AND (qtop.top_n * 1000) // qb.n_tokens <= 200),
+      |ref AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
+      |rn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+      |voc AS (SELECT tok, count(*) AS c FROM ref GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 4096),
+      |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+      |lm AS (SELECT tok, CAST(round(-log2((c + 1.0) / (rn0.n + vv.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM voc, rn0, vv),
+      |oovb AS (SELECT CAST(round(-log2(1.0 / (rn0.n + vv.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM rn0, vv),
+      |ptk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM qual),
+      |psc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(COALESCE(lm.bits, (SELECT bits FROM oovb))) AS BIGINT) AS bits_micro FROM ptk LEFT JOIN lm USING (tok) GROUP BY doc_id),
+      |ppl AS MATERIALIZED (SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN psc USING (doc_id) WHERE psc.bits_micro < 4940000 * psc.n_tokens),
+      |esh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 13 = 0) w WHERE len(toks) >= 3) x),
+      |tsh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ppl) w WHERE len(toks) >= 3) y),
+      |ovl AS (SELECT doc_id, count(*) AS n_overlap FROM tsh JOIN esh USING (shingle) GROUP BY doc_id),
+      |tnn AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
+      |flagged AS (SELECT tnn.doc_id FROM tnn LEFT JOIN ovl USING (doc_id) WHERE (COALESCE(ovl.n_overlap, 0) * 1000) // tnn.n_sh >= 700),
+      |dec AS MATERIALIZED (SELECT ppl.doc_id, ppl.lang, ppl.text FROM ppl WHERE ppl.doc_id NOT IN (SELECT doc_id FROM flagged)),
+      |tr AS MATERIALIZED (SELECT doc_id, lang, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM dec)""".stripMargin
 
   /** q87's oracle (batch-sequential LSH ingest at threshold 1.0 ==
     * global first-occurrence dedup by identical shingle set), SHARED
@@ -898,55 +957,8 @@ object SparkEntry {
     // name=lang, doc_id, shard, pos) rows plus one (kind='report')
     // counter row per CorpusReport stage, so the hash gates every
     // intermediate cardinality as well as the final keep set.
-    "q125_corpus_pipeline" ->
-      """WITH RECURSIVE
-        |d0 AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE doc_id < 5000),
-        |ek AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM d0 GROUP BY text),
-        |e AS MATERIALIZED (SELECT d0.doc_id, d0.lang, d0.text FROM d0 JOIN ek USING (doc_id)),
-        |ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
-        |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
-        |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
-        |FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i FROM ptoks) x),
-        |pranked AS (SELECT doc_id, para_idx, para,
-        |row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras),
-        |ctext AS (SELECT doc_id, COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS text
-        |FROM pranked GROUP BY doc_id),
-        |c AS MATERIALIZED (SELECT e.doc_id, e.lang, ct.text FROM e JOIN ctext ct ON e.doc_id = ct.doc_id WHERE length(ct.text) > 0),
-        |sh AS (SELECT DISTINCT doc_id, sp[p] || ' ' || sp[p+1] || ' ' || sp[p+2] AS shingle
-        |FROM (SELECT doc_id, sp, unnest(range(1, len(sp) - 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM c) t0 WHERE len(sp) >= 3) t1),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b FROM pr JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.5),
-        |ed AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
-        |reach(n, r) AS (SELECT doc_id, doc_id FROM c UNION SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.n),
-        |cl AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
-        |nr AS MATERIALIZED (SELECT c.doc_id, c.lang, c.text FROM c JOIN cl ON c.doc_id = cl.doc_id WHERE cl.component = c.doc_id),
-        |qt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM nr),
-        |qb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |len(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS tb,
-        |len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS db FROM qt),
-        |qtop AS (SELECT doc_id, max(cnt) AS top_n FROM (SELECT doc_id, tok, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM nr) z GROUP BY doc_id, tok) y GROUP BY doc_id),
-        |qual AS MATERIALIZED (SELECT qt.doc_id, qt.lang, qt.text FROM qt JOIN qb USING (doc_id) JOIN qtop USING (doc_id)
-        |WHERE qb.n_tokens >= 5 AND ((qb.tb - qb.db) * 1000) // greatest(qb.tb, 1) <= 300 AND (qtop.top_n * 1000) // qb.n_tokens <= 200),
-        |ref AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
-        |rn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
-        |voc AS (SELECT tok, count(*) AS c FROM ref GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 4096),
-        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
-        |lm AS (SELECT tok, CAST(round(-log2((c + 1.0) / (rn0.n + vv.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM voc, rn0, vv),
-        |oovb AS (SELECT CAST(round(-log2(1.0 / (rn0.n + vv.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM rn0, vv),
-        |ptk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM qual),
-        |psc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(COALESCE(lm.bits, (SELECT bits FROM oovb))) AS BIGINT) AS bits_micro FROM ptk LEFT JOIN lm USING (tok) GROUP BY doc_id),
-        |ppl AS MATERIALIZED (SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN psc USING (doc_id) WHERE psc.bits_micro < 4940000 * psc.n_tokens),
-        |esh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-        |FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 13 = 0) w WHERE len(toks) >= 3) x),
-        |tsh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-        |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ppl) w WHERE len(toks) >= 3) y),
-        |ovl AS (SELECT doc_id, count(*) AS n_overlap FROM tsh JOIN esh USING (shingle) GROUP BY doc_id),
-        |tnn AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
-        |flagged AS (SELECT tnn.doc_id FROM tnn LEFT JOIN ovl USING (doc_id) WHERE (COALESCE(ovl.n_overlap, 0) * 1000) // tnn.n_sh >= 700),
-        |dec AS MATERIALIZED (SELECT ppl.doc_id, ppl.lang, ppl.text FROM ppl WHERE ppl.doc_id NOT IN (SELECT doc_id FROM flagged)),
-        |tr AS MATERIALIZED (SELECT doc_id, lang, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM dec),
-        |mdd AS MATERIALIZED (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS gate FROM tr WHERE is_train),
+    "q125_corpus_pipeline" -> (corpusChainCtes + ",\n" +
+      """mdd AS MATERIALIZED (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS gate FROM tr WHERE is_train),
         |mtot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM mdd),
         |mwin AS (SELECT doc_id, lang, n_tokens, gate, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY gate, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM mdd),
         |mx AS MATERIALIZED (SELECT doc_id, lang, gate FROM mwin CROSS JOIN mtot WHERE cumb < (CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END) * 0.5 * t),
@@ -963,7 +975,43 @@ object SparkEntry {
         |UNION ALL SELECT 'report', 'train', -1, -1, (SELECT count(*) FROM tr WHERE is_train)
         |UNION ALL SELECT 'report', 'holdout', -1, -1, (SELECT count(*) FROM tr WHERE NOT is_train)
         |UNION ALL SELECT 'report', 'mixture_kept', -1, -1, (SELECT count(*) FROM mx)
-        |ORDER BY kind, name, doc_id""".stripMargin,
+        |ORDER BY kind, name, doc_id""".stripMargin),
+    // q126: the RELEASE artifact read back — same chain CTEs as q125,
+    // then the release's four shipped relations recomputed: per-doc
+    // shard rows (the q102 md5-gate shard rule over the train split,
+    // pos = cleaned-text token count), holdout rows, the q103
+    // datacard arithmetic over the WHOLE released corpus, and the
+    // manifest counters (q125's report family + n_shards). The Spark
+    // side builds its result ENTIRELY from reading the written files
+    // back, so this hash gates the release writers byte-for-byte.
+    "q126_corpus_release" -> (corpusChainCtes + ",\n" +
+      """trn AS MATERIALIZED (SELECT doc_id, lang, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM tr WHERE is_train),
+        |hld AS MATERIALIZED (SELECT doc_id, lang, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM tr WHERE NOT is_train),
+        |docrows AS (SELECT 'doc' AS kind, lang AS name, CAST(doc_id AS BIGINT) AS doc_id,
+        |CAST(((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS INTEGER) AS shard,
+        |n_tokens AS pos FROM trn),
+        |hrows AS (SELECT 'holdout' AS kind, lang AS name, CAST(doc_id AS BIGINT) AS doc_id, CAST(-1 AS INTEGER) AS shard, n_tokens AS pos FROM hld),
+        |cm AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to'], x))) AS INTEGER) AS n_stop, COUNT(*) OVER (PARTITION BY text) AS nd FROM (SELECT lang, text, string_split(text, ' ') AS toks FROM tr) z),
+        |cagg AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(n_chars) AS BIGINT) AS n_chars, CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT) AS dup_docs, CAST(SUM(CAST(round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 1000.0) AS BIGINT)) AS BIGINT) AS quality_milli_sum FROM cm GROUP BY lang),
+        |crows AS (SELECT 'card' AS kind, lang || '/n_docs' AS name, CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS INTEGER) AS shard, n_docs AS pos FROM cagg
+        |UNION ALL SELECT 'card', lang || '/n_tokens', -1, -1, n_tokens FROM cagg
+        |UNION ALL SELECT 'card', lang || '/n_chars', -1, -1, n_chars FROM cagg
+        |UNION ALL SELECT 'card', lang || '/dup_docs', -1, -1, dup_docs FROM cagg
+        |UNION ALL SELECT 'card', lang || '/quality_milli_sum', -1, -1, quality_milli_sum FROM cagg)
+        |SELECT kind, name, doc_id, shard, pos FROM docrows
+        |UNION ALL SELECT kind, name, doc_id, shard, pos FROM hrows
+        |UNION ALL SELECT kind, name, doc_id, shard, pos FROM crows
+        |UNION ALL SELECT 'manifest', 'input', -1, -1, (SELECT count(*) FROM d0)
+        |UNION ALL SELECT 'manifest', 'after_exact_dedup', -1, -1, (SELECT count(*) FROM e)
+        |UNION ALL SELECT 'manifest', 'para_dropped', -1, -1, (SELECT count(*) FROM e) - (SELECT count(*) FROM c)
+        |UNION ALL SELECT 'manifest', 'after_near_dedup', -1, -1, (SELECT count(*) FROM nr)
+        |UNION ALL SELECT 'manifest', 'ppl_dropped', -1, -1, (SELECT count(*) FROM qual) - (SELECT count(*) FROM ppl)
+        |UNION ALL SELECT 'manifest', 'decontaminated', -1, -1, (SELECT count(*) FROM ppl) - (SELECT count(*) FROM dec)
+        |UNION ALL SELECT 'manifest', 'final_kept', -1, -1, (SELECT count(*) FROM dec)
+        |UNION ALL SELECT 'manifest', 'train', -1, -1, (SELECT count(*) FROM trn)
+        |UNION ALL SELECT 'manifest', 'holdout', -1, -1, (SELECT count(*) FROM hld)
+        |UNION ALL SELECT 'manifest', 'n_shards', -1, -1, 8
+        |ORDER BY kind, name, doc_id""".stripMargin),
     // q101: md5-bucketed DSIR weights — 256-bucket hashed unigram
     // models for target (src0) and raw (all docs); Δbits rounded once
     // per BUCKET (the difference, not each log) then integer-summed;

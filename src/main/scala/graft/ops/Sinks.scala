@@ -59,8 +59,16 @@ object Sinks {
     // gate) without shipping it in the released files: the projection
     // sits above the sort with no exchange, so within-partition order
     // is preserved while the written schema stays clean.
+    // shard = the q102 md5-gate rule (first two hex digits of
+    // md5(key) read base-16, mod nShards) — ONE deterministic shard
+    // convention across the engine, and one any OTHER engine can
+    // reproduce (md5 is universal; xxhash64 is Spark-private), which
+    // is what lets q126 hash-gate the released shard assignment
+    // against a DuckDB twin.
     val sorted = df
-      .withColumn("__shard", pmod(xxhash64(col(shardKey)), lit(nShards.toLong)))
+      .withColumn("__shard", pmod(
+        conv(substring(md5(col(shardKey).cast("string")), 1, 2), 16, 10)
+          .cast("int"), lit(nShards)))
       .repartition(col("__shard"))
       .sortWithinPartitions(("__shard" +: orderCols).map(col): _*)
     dropCols.foldLeft(sorted)(_ drop _)

@@ -424,6 +424,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(docs.forall(r => r.getInt(3) >= 0 && r.getInt(3) < 8))
   }
 
+  test("q126 corpus release: read-back equals the prepared corpus; manifest == q125 report") {
+    val sf = SharedSpark.sfTiny
+    val rows = Pipeline.q126CorpusRelease(spark, sf).collect()
+    // deterministic: a second release (rewrite + re-read) is identical
+    val again = Pipeline.q126CorpusRelease(spark, sf).collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
+    val man = rows.filter(_.getString(0) == "manifest")
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    // manifest read-back == the q125 report counters (shared names)
+    val q125rep = Pipeline.q125CorpusPipeline(spark, sf).collect()
+      .filter(_.getString(0) == "report")
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    q125rep.foreach { case (n, v) =>
+      if (n != "mixture_kept")
+        assert(man(n) === v, s"manifest counter $n drifted from q125")
+    }
+    assert(man("n_shards") === 8L)
+    // shard read-back IS the train split: same doc_ids, every shard
+    // id in [0, nShards), and the q125 mixture-kept docs are a subset
+    val docRows = rows.filter(_.getString(0) == "doc")
+    assert(docRows.length.toLong === man("train"))
+    assert(docRows.forall(r => r.getInt(3) >= 0 && r.getInt(3) < 8))
+    val holdRows = rows.filter(_.getString(0) == "holdout")
+    assert(holdRows.length.toLong === man("holdout"))
+    val (cleaned, _) = Pipeline.preparedCorpusCached(spark, sf, 5000)
+    val trainIds = cleaned.filter(col("is_train"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docRows.map(_.getLong(2)).toSet === trainIds)
+    // the datacard read-back matches datacardOf recomputed over the
+    // prepared corpus (the write→read round-trip loses nothing)
+    val cardBack = rows.filter(_.getString(0) == "card")
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    val direct = ops.LlmOps.datacardOf(cleaned.select(col("doc_id"),
+        col("lang"), lit("").as("source"), col("text"))).collect()
+    direct.foreach { r =>
+      val lang = r.getString(0)
+      assert(cardBack(s"$lang/n_docs") === r.getLong(2))
+      assert(cardBack(s"$lang/n_tokens") === r.getLong(3))
+      assert(cardBack(s"$lang/quality_milli_sum") === r.getLong(6))
+    }
+    // token counts on doc rows are the CLEANED text's counts (> 0)
+    assert(docRows.forall(_.getLong(4) > 0L))
+  }
+
   test("q124 vocab decode: encode ∘ decode = identity over the corpus; bounded broadcast vocab") {
     val sf = SharedSpark.sfTiny
     val decoded = ops.Features.q124VocabDecode(spark, sf)

@@ -512,13 +512,16 @@ object Pipeline {
     *     src0 slice, micro-bit integer scoring, `tail` dropped)
     *   → q81 decontamination (3-shingle overlap ≥ 100‰ against the
     *     external eval slice doc_id % 13 == 0 of the full corpus)
+    *   → q105 source quota (corpus balancing: each source capped at
+    *     its 12 best docs by the q103 quality integer — integer-exact
+    *     top-N, sized to provably BITE at every SF)
     *   → q63 deterministic train gate (md5 < 'e6')
     *   → q96 mixture over the train split's CLEANED token counts
     *     (frac 0.5, en 0.4 / other 0.15, md5-gate budget walk)
     *   → q102 shard + position assignment (8 shards, gate order).
     *
     * Every stage above is individually oracled (q36/q86/q61/q99/q77/
-    * q100/q81/q63/q96/q102 are all green driver rows), so the
+    * q100/q81/q105/q63/q96/q102 are all green driver rows), so the
     * COMPOSITION is oracle-able: the DuckDB twin is the stage CTEs
     * chained in this exact order. The iterative-float / hash-seeded
     * stages (q101 DSIR, q37 MinHash-LSH, q121's trained NB) are
@@ -586,7 +589,8 @@ object Pipeline {
   private[graft] def reportCounters(
       rep: org.apache.spark.sql.Row): Seq[(String, Long)] =
     Seq("input", "after_exact_dedup", "para_dropped", "after_near_dedup",
-      "ppl_dropped", "decontaminated", "final_kept", "train", "holdout")
+      "ppl_dropped", "decontaminated", "quota_dropped", "final_kept",
+      "train", "holdout")
       .map(n => n -> rep.getAs[Long](n))
 
   /** The q125-declared prepared corpus (cleaned relation + stage
@@ -608,13 +612,15 @@ object Pipeline {
       maxDocs: Long): (DataFrame, org.apache.spark.sql.Row) = {
     import spark.implicits._
     val memo = ops.LlmOps.corpusPrepMemoPathOf(spark, dir, maxDocs,
-      "t500m5d300t200e13c700p20ppl")
+      "t500m5d300t200e13c700p20pplq12")
     val fs = ops.Sinks.fsFor(spark, memo)
     val dst = new org.apache.hadoop.fs.Path(memo)
     if (!fs.exists(dst)) {
       val full = Tables.documents(spark, dir)
+      // source rides the whole chain: the q105 quota stage groups by
+      // it, and the released datacard (q126) reports per-domain stats
       val docs = full.filter(col("doc_id") < maxDocs)
-        .select("doc_id", "lang", "text")
+        .select("doc_id", "lang", "source", "text")
       val (cleaned0, report) = prepareCorpus(spark, docs,
         nearThreshold = 0.5, minTokens = 5, dupMilliMax = 300,
         topMilliMax = 200,
@@ -634,7 +640,15 @@ object Pipeline {
         perplexityRef = Some(full.filter(col("source") === "src0")
           .select("text")),
         nearLabelsCache = Some(ops.LlmOps.corpusLabelsMemoPathOf(
-          spark, dir, 0.5, maxDocs, 20, exactPairs = true)))
+          spark, dir, 0.5, maxDocs, 20, exactPairs = true)),
+        // q105 corpus balancing ON the gated chain (round-12): cap
+        // each source at its 12 best docs by the q103 quality integer
+        // — integer-exact top-N, so the composed oracle carries it as
+        // one more CTE. 12 sits just under the ~13-16 per-source
+        // survivor count the upstream gates leave at every SF, so the
+        // stage provably BITES (quota_dropped > 0 in the gated
+        // report) rather than riding along idle.
+        sourceQuotaCap = Some(12))
       val staging = new org.apache.hadoop.fs.Path(
         memo + "__tmp_" + spark.sparkContext.applicationId)
       fs.delete(staging, true)
@@ -642,10 +656,11 @@ object Pipeline {
         .parquet(s"$staging/cleaned")
       Seq((report.input, report.afterExactDedup, report.paraDropped,
           report.afterNearDedup, report.pplDropped, report.decontaminated,
-          report.afterQuality, report.train, report.holdout))
+          report.quotaDropped, report.afterQuality, report.train,
+          report.holdout))
         .toDF("input", "after_exact_dedup", "para_dropped",
           "after_near_dedup", "ppl_dropped", "decontaminated",
-          "final_kept", "train", "holdout")
+          "quota_dropped", "final_kept", "train", "holdout")
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/report")
       ops.Sinks.installMemo(fs, staging, dst)
       ops.LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", dir,
@@ -712,7 +727,8 @@ object Pipeline {
     val cardRows = Seq("n_docs", "n_tokens", "n_chars", "dup_docs",
         "quality_milli_sum").map { m =>
       cardBack.select(lit("card").as("kind"),
-        concat(col("lang"), lit("/" + m)).as("name"),
+        concat(col("lang"), lit(":"), col("source"), lit("/" + m))
+          .as("name"),
         lit(-1L).as("doc_id"), lit(-1).cast("int").as("shard"),
         col(m).cast("long").as("pos"))
     }.reduce(_.unionByName(_))

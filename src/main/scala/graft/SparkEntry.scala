@@ -265,9 +265,9 @@ object SparkEntry {
     */
   private val corpusChainCtes: String =
     """WITH RECURSIVE
-      |d0 AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE doc_id < 5000),
+      |d0 AS MATERIALIZED (SELECT doc_id, lang, source, text FROM documents WHERE doc_id < 5000),
       |ek AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM d0 GROUP BY text),
-      |e AS MATERIALIZED (SELECT d0.doc_id, d0.lang, d0.text FROM d0 JOIN ek USING (doc_id)),
+      |e AS MATERIALIZED (SELECT d0.doc_id, d0.lang, d0.source, d0.text FROM d0 JOIN ek USING (doc_id)),
       |ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM e),
       |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
       |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
@@ -276,7 +276,7 @@ object SparkEntry {
       |row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras),
       |ctext AS (SELECT doc_id, COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS text
       |FROM pranked GROUP BY doc_id),
-      |c AS MATERIALIZED (SELECT e.doc_id, e.lang, ct.text FROM e JOIN ctext ct ON e.doc_id = ct.doc_id WHERE length(ct.text) > 0),
+      |c AS MATERIALIZED (SELECT e.doc_id, e.lang, e.source, ct.text FROM e JOIN ctext ct ON e.doc_id = ct.doc_id WHERE length(ct.text) > 0),
       |sh AS (SELECT DISTINCT doc_id, sp[p] || ' ' || sp[p+1] || ' ' || sp[p+2] AS shingle
       |FROM (SELECT doc_id, sp, unnest(range(1, len(sp) - 1)) AS p FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM c) t0 WHERE len(sp) >= 3) t1),
       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -285,13 +285,13 @@ object SparkEntry {
       |ed AS (SELECT doc_a AS a, doc_b AS b FROM j UNION ALL SELECT doc_b, doc_a FROM j),
       |reach(n, r) AS (SELECT doc_id, doc_id FROM c UNION SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.n),
       |cl AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
-      |nr AS MATERIALIZED (SELECT c.doc_id, c.lang, c.text FROM c JOIN cl ON c.doc_id = cl.doc_id WHERE cl.component = c.doc_id),
-      |qt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM nr),
+      |nr AS MATERIALIZED (SELECT c.doc_id, c.lang, c.source, c.text FROM c JOIN cl ON c.doc_id = cl.doc_id WHERE cl.component = c.doc_id),
+      |qt AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks FROM nr),
       |qb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
       |len(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS tb,
       |len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS db FROM qt),
       |qtop AS (SELECT doc_id, max(cnt) AS top_n FROM (SELECT doc_id, tok, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM nr) z GROUP BY doc_id, tok) y GROUP BY doc_id),
-      |qual AS MATERIALIZED (SELECT qt.doc_id, qt.lang, qt.text FROM qt JOIN qb USING (doc_id) JOIN qtop USING (doc_id)
+      |qual AS MATERIALIZED (SELECT qt.doc_id, qt.lang, qt.source, qt.text FROM qt JOIN qb USING (doc_id) JOIN qtop USING (doc_id)
       |WHERE qb.n_tokens >= 5 AND ((qb.tb - qb.db) * 1000) // greatest(qb.tb, 1) <= 300 AND (qtop.top_n * 1000) // qb.n_tokens <= 200),
       |ref AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
       |rn0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
@@ -301,7 +301,7 @@ object SparkEntry {
       |oovb AS (SELECT CAST(round(-log2(1.0 / (rn0.n + vv.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM rn0, vv),
       |ptk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM qual),
       |psc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(COALESCE(lm.bits, (SELECT bits FROM oovb))) AS BIGINT) AS bits_micro FROM ptk LEFT JOIN lm USING (tok) GROUP BY doc_id),
-      |ppl AS MATERIALIZED (SELECT qual.doc_id, qual.lang, qual.text FROM qual JOIN psc USING (doc_id) WHERE psc.bits_micro < 4940000 * psc.n_tokens),
+      |ppl AS MATERIALIZED (SELECT qual.doc_id, qual.lang, qual.source, qual.text FROM qual JOIN psc USING (doc_id) WHERE psc.bits_micro < 4940000 * psc.n_tokens),
       |esh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       |FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 13 = 0) w WHERE len(toks) >= 3) x),
       |tsh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
@@ -309,8 +309,11 @@ object SparkEntry {
       |ovl AS (SELECT doc_id, count(*) AS n_overlap FROM tsh JOIN esh USING (shingle) GROUP BY doc_id),
       |tnn AS (SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id),
       |flagged AS (SELECT tnn.doc_id FROM tnn LEFT JOIN ovl USING (doc_id) WHERE (COALESCE(ovl.n_overlap, 0) * 1000) // tnn.n_sh >= 700),
-      |dec AS MATERIALIZED (SELECT ppl.doc_id, ppl.lang, ppl.text FROM ppl WHERE ppl.doc_id NOT IN (SELECT doc_id FROM flagged)),
-      |tr AS MATERIALIZED (SELECT doc_id, lang, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM dec)""".stripMargin
+      |dec AS MATERIALIZED (SELECT ppl.doc_id, ppl.lang, ppl.source, ppl.text FROM ppl WHERE ppl.doc_id NOT IN (SELECT doc_id FROM flagged)),
+      |qqm AS (SELECT doc_id, source, CAST(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to'], x))) AS DOUBLE) / len(toks)) * 1000.0) AS BIGINT) AS q_milli FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM dec) z),
+      |qqr AS (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY q_milli DESC, doc_id) AS qrank FROM qqm),
+      |quo AS MATERIALIZED (SELECT dec.doc_id, dec.lang, dec.source, dec.text FROM dec JOIN qqr USING (doc_id) WHERE qqr.qrank <= 12),
+      |tr AS MATERIALIZED (SELECT doc_id, lang, source, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train FROM quo)""".stripMargin
 
   /** q87's oracle (batch-sequential LSH ingest at threshold 1.0 ==
     * global first-occurrence dedup by identical shingle set), SHARED
@@ -971,7 +974,8 @@ object SparkEntry {
         |UNION ALL SELECT 'report', 'after_near_dedup', -1, -1, (SELECT count(*) FROM nr)
         |UNION ALL SELECT 'report', 'ppl_dropped', -1, -1, (SELECT count(*) FROM qual) - (SELECT count(*) FROM ppl)
         |UNION ALL SELECT 'report', 'decontaminated', -1, -1, (SELECT count(*) FROM ppl) - (SELECT count(*) FROM dec)
-        |UNION ALL SELECT 'report', 'final_kept', -1, -1, (SELECT count(*) FROM dec)
+        |UNION ALL SELECT 'report', 'quota_dropped', -1, -1, (SELECT count(*) FROM dec) - (SELECT count(*) FROM quo)
+        |UNION ALL SELECT 'report', 'final_kept', -1, -1, (SELECT count(*) FROM quo)
         |UNION ALL SELECT 'report', 'train', -1, -1, (SELECT count(*) FROM tr WHERE is_train)
         |UNION ALL SELECT 'report', 'holdout', -1, -1, (SELECT count(*) FROM tr WHERE NOT is_train)
         |UNION ALL SELECT 'report', 'mixture_kept', -1, -1, (SELECT count(*) FROM mx)
@@ -991,13 +995,13 @@ object SparkEntry {
         |CAST(((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS INTEGER) AS shard,
         |n_tokens AS pos FROM trn),
         |hrows AS (SELECT 'holdout' AS kind, lang AS name, CAST(doc_id AS BIGINT) AS doc_id, CAST(-1 AS INTEGER) AS shard, n_tokens AS pos FROM hld),
-        |cm AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to'], x))) AS INTEGER) AS n_stop, COUNT(*) OVER (PARTITION BY text) AS nd FROM (SELECT lang, text, string_split(text, ' ') AS toks FROM tr) z),
-        |cagg AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(n_chars) AS BIGINT) AS n_chars, CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT) AS dup_docs, CAST(SUM(CAST(round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 1000.0) AS BIGINT)) AS BIGINT) AS quality_milli_sum FROM cm GROUP BY lang),
-        |crows AS (SELECT 'card' AS kind, lang || '/n_docs' AS name, CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS INTEGER) AS shard, n_docs AS pos FROM cagg
-        |UNION ALL SELECT 'card', lang || '/n_tokens', -1, -1, n_tokens FROM cagg
-        |UNION ALL SELECT 'card', lang || '/n_chars', -1, -1, n_chars FROM cagg
-        |UNION ALL SELECT 'card', lang || '/dup_docs', -1, -1, dup_docs FROM cagg
-        |UNION ALL SELECT 'card', lang || '/quality_milli_sum', -1, -1, quality_milli_sum FROM cagg)
+        |cm AS (SELECT lang, source, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(toks) AS INTEGER) AS n_tokens, CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to'], x))) AS INTEGER) AS n_stop, COUNT(*) OVER (PARTITION BY text) AS nd FROM (SELECT lang, source, text, string_split(text, ' ') AS toks FROM tr) z),
+        |cagg AS MATERIALIZED (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(n_chars) AS BIGINT) AS n_chars, CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT) AS dup_docs, CAST(SUM(CAST(round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 1000.0) AS BIGINT)) AS BIGINT) AS quality_milli_sum FROM cm GROUP BY lang, source),
+        |crows AS (SELECT 'card' AS kind, lang || ':' || source || '/n_docs' AS name, CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS INTEGER) AS shard, n_docs AS pos FROM cagg
+        |UNION ALL SELECT 'card', lang || ':' || source || '/n_tokens', -1, -1, n_tokens FROM cagg
+        |UNION ALL SELECT 'card', lang || ':' || source || '/n_chars', -1, -1, n_chars FROM cagg
+        |UNION ALL SELECT 'card', lang || ':' || source || '/dup_docs', -1, -1, dup_docs FROM cagg
+        |UNION ALL SELECT 'card', lang || ':' || source || '/quality_milli_sum', -1, -1, quality_milli_sum FROM cagg)
         |SELECT kind, name, doc_id, shard, pos FROM docrows
         |UNION ALL SELECT kind, name, doc_id, shard, pos FROM hrows
         |UNION ALL SELECT kind, name, doc_id, shard, pos FROM crows
@@ -1007,7 +1011,8 @@ object SparkEntry {
         |UNION ALL SELECT 'manifest', 'after_near_dedup', -1, -1, (SELECT count(*) FROM nr)
         |UNION ALL SELECT 'manifest', 'ppl_dropped', -1, -1, (SELECT count(*) FROM qual) - (SELECT count(*) FROM ppl)
         |UNION ALL SELECT 'manifest', 'decontaminated', -1, -1, (SELECT count(*) FROM ppl) - (SELECT count(*) FROM dec)
-        |UNION ALL SELECT 'manifest', 'final_kept', -1, -1, (SELECT count(*) FROM dec)
+        |UNION ALL SELECT 'manifest', 'quota_dropped', -1, -1, (SELECT count(*) FROM dec) - (SELECT count(*) FROM quo)
+        |UNION ALL SELECT 'manifest', 'final_kept', -1, -1, (SELECT count(*) FROM quo)
         |UNION ALL SELECT 'manifest', 'train', -1, -1, (SELECT count(*) FROM trn)
         |UNION ALL SELECT 'manifest', 'holdout', -1, -1, (SELECT count(*) FROM hld)
         |UNION ALL SELECT 'manifest', 'n_shards', -1, -1, 8

@@ -413,6 +413,7 @@ class PipelineSpec extends AnyFunSuite {
       rep("after_near_dedup"), "near-dup resolution idle")
     assert(rep("ppl_dropped") > 0, "ppl gate idle")
     assert(rep("decontaminated") > 0, "decontamination idle")
+    assert(rep("quota_dropped") > 0, "source quota idle")
     assert(rep("mixture_kept") < rep("train"), "mixture budget idle")
     // positions are dense 0..n-1 within each shard
     docs.groupBy(_.getInt(3)).foreach { case (shard, rs) =>
@@ -457,12 +458,12 @@ class PipelineSpec extends AnyFunSuite {
     val cardBack = rows.filter(_.getString(0) == "card")
       .map(r => r.getString(1) -> r.getLong(4)).toMap
     val direct = ops.LlmOps.datacardOf(cleaned.select(col("doc_id"),
-        col("lang"), lit("").as("source"), col("text"))).collect()
+        col("lang"), col("source"), col("text"))).collect()
     direct.foreach { r =>
-      val lang = r.getString(0)
-      assert(cardBack(s"$lang/n_docs") === r.getLong(2))
-      assert(cardBack(s"$lang/n_tokens") === r.getLong(3))
-      assert(cardBack(s"$lang/quality_milli_sum") === r.getLong(6))
+      val key = r.getString(0) + ":" + r.getString(1)
+      assert(cardBack(s"$key/n_docs") === r.getLong(2))
+      assert(cardBack(s"$key/n_tokens") === r.getLong(3))
+      assert(cardBack(s"$key/quality_milli_sum") === r.getLong(6))
     }
     // token counts on doc rows are the CLEANED text's counts (> 0)
     assert(docRows.forall(_.getLong(4) > 0L))

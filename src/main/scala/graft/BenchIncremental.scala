@@ -66,6 +66,33 @@ object BenchIncremental {
       }
     }
 
+    // -- streaming corpus-prep chain: the q125 stage sequence as a
+    // continuous ingest (Streaming.corpusPrepBatch — paragraph strip
+    // + LSH admission against BOTH growing persisted indexes, then
+    // the three stateless gates under pre-fit artifacts). Batch 0
+    // seeds both indexes untimed; batches 1..n-1 are the series a
+    // capacity planner wants: per-micro-batch seconds as the para
+    // AND dedup indexes accumulate all prior history.
+    val cpDocs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text")
+      .withColumn("__b", pmod(col("doc_id"), lit(nBatches.toLong)))
+      .localCheckpoint()
+    val (cpLm, cpOov) = LlmOps.fitUnigramLm(
+      cpDocs.filter(col("source") === "src0").select("text"), 4096)
+    val cpEval = LlmOps.shingles(
+        cpDocs.filter(col("doc_id") % 13 === 0).select("doc_id", "text"))
+      .select("shingle").distinct().localCheckpoint()
+    val cpRoot = s"$work/corpus_prep"
+    def cpBatch(b: Int): Unit =
+      graft.ops.Streaming.corpusPrepBatch(
+        cpDocs.filter(col("__b") === b).drop("__b", "source"), b.toLong,
+        cpRoot, cpLm, cpOov, cpEval, nearThreshold = 0.5, paraTokens = 20,
+        minTokens = 5, dupMilliMax = 300, topMilliMax = 200,
+        pplHeadBits = 4910000L, pplMidBits = 4940000L,
+        contaminationMilli = 700).count()
+    cpBatch(0) // seed both persisted indexes untimed
+    val corpusPrepTimes = (1 until nBatches).map(b => timed(cpBatch(b)))
+
     // -- quiesce-time seal cost: a batch-STAMPED twin of the ANN
     // index (the streaming-ingest layout) collapsed to flat — the
     // one-off compaction a quiesced stream pays, measured so the
@@ -97,6 +124,7 @@ object BenchIncremental {
     val json = s"""{"metric":"incremental_batch_sec","batches":${nBatches - 1},""" +
       s""""dedup":${arr(dedupTimes)},"dedup_last_over_first":${ratio(dedupTimes)},""" +
       s""""ann":${arr(annTimes)},"ann_last_over_first":${ratio(annTimes)},""" +
+      s""""corpus_prep":${arr(corpusPrepTimes)},"corpus_prep_last_over_first":${ratio(corpusPrepTimes)},""" +
       s""""ann_codes_bytes":$codesBytes,"ann_vectors_bytes":$vectorBytes,""" +
       s""""ann_seal_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sealSec)},""" +
       s""""canary":[${fmt(canaryBefore)},${fmt(canaryAfter)}],"sf":"$sfDir"}"""

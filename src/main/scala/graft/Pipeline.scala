@@ -714,8 +714,16 @@ object Pipeline {
     val manifest = (reportCounters(rep) :+ ("n_shards" -> nShards.toLong))
       .toDF("name", "value")
     releaseArtifacts(spark, cleaned, manifest, outPath, nShards)
+    // read-backs use EXPLICIT schemas: an all-dropped corpus writes a
+    // _SUCCESS-only directory (an empty partitioned write emits no
+    // data files), and schema inference would throw where the correct
+    // answer is zero rows of the released shape
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType),
+      StructField("__shard", IntegerType)))
     def docRows(path: String, kind: String, shardCol: Column) =
-      spark.read.parquet(path)
+      spark.read.schema(docSchema).parquet(path)
         .select(lit(kind).as("kind"), col("lang").as("name"),
           col("doc_id").cast("long").as("doc_id"),
           shardCol.cast("int").as("shard"),
@@ -723,7 +731,12 @@ object Pipeline {
     val shardDocs =
       docRows(s"$outPath/train_shards", "doc", col("__shard"))
     val holdoutDocs = docRows(s"$outPath/holdout", "holdout", lit(-1))
-    val cardBack = spark.read.parquet(s"$outPath/datacard")
+    val cardBack = spark.read.schema(StructType(Seq(
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_docs", LongType), StructField("n_tokens", LongType),
+        StructField("n_chars", LongType), StructField("dup_docs", LongType),
+        StructField("quality_milli_sum", LongType))))
+      .parquet(s"$outPath/datacard")
     val cardRows = Seq("n_docs", "n_tokens", "n_chars", "dup_docs",
         "quality_milli_sum").map { m =>
       cardBack.select(lit("card").as("kind"),

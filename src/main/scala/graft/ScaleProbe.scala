@@ -44,6 +44,10 @@ object ScaleProbe {
     "q08_join_shuffle_multiway" -> Seq("lineitem", "orders"),
     "q37_dedup_near_minhash" -> Seq("documents"),
     "q75_dedup_clusters_lsh" -> Seq("documents"),
+    "q86_dedup_paragraph" -> Seq("documents"),
+    "q94_dedup_paragraph_ingest" -> Seq("documents"),
+    "q87_dedup_ingest_batch" -> Seq("documents"),
+    "q119_dedup_ingest_sealed" -> Seq("documents"),
     "q43_simsearch_lsh_ann" -> Seq("embeddings"),
     "q49_simsearch_ivf" -> Seq("embeddings"),
     "q91_simsearch_pq" -> Seq("embeddings"),
@@ -83,8 +87,28 @@ object ScaleProbe {
   private final val HotUser = 1L
   private final val HotOrder = 1L
 
+  /** Documents-mode skew fixtures: the dedup family's two hot shapes.
+    * `HotPara` is ONE exact 20-token paragraph prepended to ~20% of
+    * the corpus (deterministic id gate) — para-hash dedup (q86/q94)
+    * then carries one duplicate group holding a fifth of all
+    * paragraph instances, the straggler shape of boilerplate at web
+    * scale. `HotTemplate` makes ~0.2% of the corpus ONE giant
+    * near-dup cluster (shared 100-token template + per-doc unique
+    * tail): LSH banding floods that cluster's buckets with
+    * QUADRATIC candidate pairs (~1M real pairs for a 1000-doc
+    * cluster at 10x — per-mille concentration is already the stress;
+    * a 20% cluster would be ~1e9 pairs, an adversarial DoS rather
+    * than a probe) and connected components gets one component
+    * spanning the whole cluster — template spam, the other real
+    * concentration mode. The gates nest (500 is a multiple of 5) so
+    * template docs are classified by the template branch first.
+    */
+  private final val HotPara = (1 to 20).map(t => s"hotpara$t").mkString(" ")
+  private final val HotTemplate = (1 to 100).map(t => s"hotdup$t").mkString(" ")
+
   def buildReplica(spark: SparkSession, src: String, dst: String, repl: Int,
-      tables: Set[String] = allFacts.toSet, hotKey: Boolean = false): Unit = {
+      tables: Set[String] = allFacts.toSet, hotKey: Boolean = false,
+      hotDocs: Boolean = false): Unit = {
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit =
       if (tables(name)) {
         val base = spark.read.parquet(s"$src/$name.parquet")
@@ -99,13 +123,28 @@ object ScaleProbe {
     replicate("events", (df, i) => df
       .withColumn("event_id", shift("event_id", i))
       .withColumn("user_id", hot("event_id", HotUser)(shift("user_id", i))))
-    replicate("documents", (df, i) => df
-      .withColumn("doc_id", shift("doc_id", i))
-      // suffix every token: within-replica similarity intact, zero
-      // cross-replica shingle collisions
-      .withColumn("text",
-        if (i == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+)", s"$$1x$i")))
+    replicate("documents", (df, i) => {
+      val base = df
+        .withColumn("doc_id", shift("doc_id", i))
+        // suffix every token: within-replica similarity intact, zero
+        // cross-replica shingle collisions
+        .withColumn("text",
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", s"$$1x$i"))
+      // hot rewrites go AFTER the replica suffix and use UNsuffixed
+      // fixture tokens — the hot paragraph/cluster must be identical
+      // ACROSS replicas, or each replica would get its own private
+      // hot spot and the probe would measure nothing. Gates use the
+      // BASE id (IdStride is a multiple of both moduli).
+      if (!hotDocs) base else base
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(500)) === 0,
+            concat(lit(HotTemplate), lit(" uniq"),
+              col("doc_id").cast("string")))
+          .when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(HotPara), lit(" "), col("text")))
+          .otherwise(col("text")))
+    })
     replicate("embeddings", (df, i) => df
       .withColumn("vec_id", shift("vec_id", i))
       .withColumn("embedding",
@@ -145,8 +184,16 @@ object ScaleProbe {
     // salted paths q57/q76, with q00's windowed sessionize riding
     // along as the watermark of unsalted per-key work).
     val skew = sys.env.get("SPARK_GRAFT_SKEW").contains("1")
+    // SPARK_GRAFT_SKEW=docs: documents-mode skew — one exact
+    // paragraph carried by ~20% of a replicated corpus plus one
+    // giant near-dup cluster at ~2% (see the HotPara/HotTemplate
+    // scaladoc). Hot shingle buckets, a fat paragraph-hash group and
+    // a giant CC component are the dedup family's skew story, which
+    // the events/lineitem hot-key mode cannot reach.
+    val skewDocs = sys.env.get("SPARK_GRAFT_SKEW").contains("docs")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      if (skew) "/tmp/graft_sf1_hot" else "/tmp/graft_sf1")
+      if (skewDocs) "/tmp/graft_sf1_hotdocs"
+      else if (skew) "/tmp/graft_sf1_hot" else "/tmp/graft_sf1")
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
@@ -155,7 +202,11 @@ object ScaleProbe {
     // names) — used by the 30× run to chase only the steepest curves
     val probes = sys.env.get("SPARK_GRAFT_PROBES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(if (skew) Seq(
+      .getOrElse(if (skewDocs) Seq(
+        "q37_dedup_near_minhash", "q75_dedup_clusters_lsh",
+        "q86_dedup_paragraph", "q94_dedup_paragraph_ingest",
+        "q87_dedup_ingest_batch", "q119_dedup_ingest_sealed")
+      else if (skew) Seq(
         "q00_flagship_sessionize", "q08_join_shuffle_multiway",
         "q12_agg_ordered_collect", "q57_skew_salted_agg",
         "q76_skew_salted_join")
@@ -177,11 +228,12 @@ object ScaleProbe {
     // rebuild, not silently time stale data and mislabel the curve —
     // and a build killed mid-write (no marker) is never trusted
     val marker = java.nio.file.Paths.get(
-      s"$dst/__repl_${repl}${if (skew) "_hot" else ""}")
+      s"$dst/__repl_${repl}${if (skewDocs) "_hotdocs" else if (skew) "_hot" else ""}")
     if (!java.nio.file.Files.exists(marker) || !needed.forall(t =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/$t.parquet")))) {
       System.err.println(s"[scaleprobe] building ${repl}x replica at $dst (${needed.mkString(",")})")
-      buildReplica(spark, src, dst, repl, needed, hotKey = skew)
+      buildReplica(spark, src, dst, repl, needed, hotKey = skew,
+        hotDocs = skewDocs)
       // the replica dir is REWRITTEN IN PLACE when the replication
       // factor changes — retire every persisted memo keyed to it
       // (cluster labels, the q118 serving index), or a probe would
@@ -229,7 +281,8 @@ object ScaleProbe {
     // default 10× run keeps the canonical artifact name; other
     // replication factors write alongside it instead of clobbering
     val outName =
-      if (skew) s"scale_probe_hot_x$repl.json"
+      if (skewDocs) s"scale_probe_hotdocs_x$repl.json"
+      else if (skew) s"scale_probe_hot_x$repl.json"
       else if (repl == 10) "scale_probe.json"
       else s"scale_probe_x$repl.json"
     // cumulative emission after every round (the kill-survivable

@@ -305,4 +305,52 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.bm25Indexed(spark, queries, idx)
       .as[(Long, Long, Int, Long)].collect().toSeq === direct)
   }
+
+  test("append guard survives cross-writer seal and overwrite rebuild (pin hygiene)") {
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // (a) a pinned stamped writer must still notice a seal performed
+    // by ANOTHER writer (whose invIndexSeal cleared only ITS OWN
+    // JVM-local pins): earn the stamped pin, flatten the layout via
+    // the raw seal primitive — the other JVM's footprint — and the
+    // next stamped append must abort instead of nesting a stamped
+    // directory depth under the flat one (round-11 advice)
+    val idxA = java.nio.file.Files
+      .createTempDirectory("graft_inv_pinseal").toString
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") < 100), idxA, 0L)
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") >= 100 &&
+      col("doc_id") < 200), idxA, 1L) // second append rides the pin
+    graft.ops.Sinks.sealBatchStamped(spark, s"$idxA/postings", Some("tb"))
+    graft.ops.Sinks.sealBatchStamped(spark, s"$idxA/stats", None)
+    intercept[IllegalArgumentException] {
+      Retrieval.invIndexAppendBatch(
+        docs.filter(col("doc_id") >= 200), idxA, 2L)
+    }
+    // the sealed index remains flat-appendable and probeable
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") >= 200), idxA,
+      mode = "append")
+    val q = docs.filter(col("doc_id") % 97 === 0).orderBy("doc_id").limit(4)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok")).distinct()
+    assert(Retrieval.bm25Indexed(spark, q, idxA).count() > 0)
+    // (b) overwrite rebuild with a NEW bucket count retires the old
+    // pin: an append at the rebuilt count must pass, one at the
+    // pinned old count must abort (pre-round-12 the stale pin did
+    // exactly the reverse)
+    val idxB = java.nio.file.Files
+      .createTempDirectory("graft_inv_pinrebuild").toString
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") < 100), idxB,
+      nBuckets = 64)
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") >= 100 &&
+      col("doc_id") < 200), idxB, nBuckets = 64, mode = "append") // pin 64
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") < 100), idxB,
+      nBuckets = 7) // rebuild under a different modulus
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") >= 100 &&
+      col("doc_id") < 200), idxB, nBuckets = 7, mode = "append")
+    intercept[IllegalArgumentException] {
+      Retrieval.invIndexWrite(docs.filter(col("doc_id") >= 200), idxB,
+        nBuckets = 64, mode = "append")
+    }
+    assert(Retrieval.bm25Indexed(spark, q, idxB).count() > 0)
+  }
 }

@@ -70,7 +70,8 @@ object ScaleProbe {
     "q124_vocab_decode" -> Seq("documents"),
     "q114_simsearch_sealed" -> Seq("embeddings"),
     "q120_simsearch_retrained" -> Seq("embeddings"),
-    "q125_corpus_pipeline" -> Seq("documents"))
+    "q125_corpus_pipeline" -> Seq("documents"),
+    "q126_corpus_release" -> Seq("documents"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")

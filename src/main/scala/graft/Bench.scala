@@ -24,11 +24,15 @@ import org.apache.spark.sql.SparkSession
   *
   * The budget stop is a FIRST-CLASS DEGRADED MODE with an explicit
   * record format, not a silent truncation: every emitted line carries
-  * `"full_rounds":N` — the number of COMPLETE interleaved passes the
-  * record's per-query minima draw from (a stop mid-round counts the
-  * partial round's fresh samples in the minima but not in N). A
-  * reader compares `full_rounds` against the configured rounds
-  * (`SPARK_GRAFT_BENCH_ROUNDS`, default 3): equal = the full
+  * `"full_rounds":N` — the number of COMPLETE interleaved passes
+  * (a stop mid-round counts the partial round's fresh samples in the
+  * minima but not in N) — and `"heavy_rounds":H`, the re-measurement
+  * cap for the heavy tier. A query's minimum therefore draws from
+  * min(full_rounds, heavy_rounds) samples when its best is >= the
+  * heavy threshold, full_rounds samples otherwise (and 1 when under
+  * the repeat threshold — re-timing below the noise floor buys
+  * nothing). A reader compares `full_rounds` against the configured
+  * rounds (`SPARK_GRAFT_BENCH_ROUNDS`, default 3): equal = the full
   * protocol ran; lower = budget-degraded, so single-round noise
   * (episodic host stalls, see BASELINE.md) is less attenuated and
   * regressions under ~1.5x should be read against the canary array
@@ -149,7 +153,7 @@ object Bench {
       val total = results.map(_._2).sum
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val canaryJson = canaries.map(fmt2).mkString("[", ",", "]")
-      val meta = s""""failed":$failedJson,"canary":$canaryJson,"full_rounds":$fullRounds,"measured":${results.size},"of":${order.size},"sf":"$sfDir""""
+      val meta = s""""failed":$failedJson,"canary":$canaryJson,"full_rounds":$fullRounds,"heavy_rounds":$HeavyRounds,"measured":${results.size},"of":${order.size},"sf":"$sfDir""""
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,$meta}"""

@@ -713,6 +713,19 @@ object Pipeline {
     fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
     val manifest = (reportCounters(rep) :+ ("n_shards" -> nShards.toLong))
       .toDF("name", "value")
+    // a failed write or read-back must not orphan the release tree
+    // under /tmp (the q106 no-leak rule — localizeAndDelete only
+    // cleans up on the SUCCESS path); delete-and-rethrow keeps
+    // repeated bench/probe retries from accumulating tmp state
+    try releaseAndReadBack(spark, cleaned, manifest, outPath, nShards)
+    catch { case t: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(outPath), true); throw t
+    }
+  }
+
+  private def releaseAndReadBack(
+      spark: org.apache.spark.sql.SparkSession, cleaned: DataFrame,
+      manifest: DataFrame, outPath: String, nShards: Int): DataFrame = {
     releaseArtifacts(spark, cleaned, manifest, outPath, nShards)
     // read-backs use EXPLICIT schemas: an all-dropped corpus writes a
     // _SUCCESS-only directory (an empty partitioned write emits no

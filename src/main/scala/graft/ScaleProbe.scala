@@ -187,7 +187,7 @@ object ScaleProbe {
     val skew = sys.env.get("SPARK_GRAFT_SKEW").contains("1")
     // SPARK_GRAFT_SKEW=docs: documents-mode skew — one exact
     // paragraph carried by ~20% of a replicated corpus plus one
-    // giant near-dup cluster at ~2% (see the HotPara/HotTemplate
+    // giant near-dup cluster at ~0.2% (see the HotPara/HotTemplate
     // scaladoc). Hot shingle buckets, a fat paragraph-hash group and
     // a giant CC component are the dedup family's skew story, which
     // the events/lineitem hot-key mode cannot reach.

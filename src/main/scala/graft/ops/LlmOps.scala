@@ -1425,15 +1425,21 @@ object LlmOps {
     * Staging dirs (`__tmp_*`) of stale memos match the same prefix
     * rule and are swept with them.
     *
-    * Stale candidates younger than [[MemoGcGraceMs]] are SKIPPED:
-    * "unreachable by construction" holds only for sessions that see
-    * the CURRENT corpus state — a concurrent session that resolved
-    * its memo path just before the corpus was regenerated can still
-    * be mid-read on a now-stale memo, and on HDFS/object stores a
-    * delete fails such a reader mid-stream (round-11 advice). The
-    * grace window (measured from the memo's last modification, i.e.
-    * its install) outlives any read that started before the
-    * regeneration; the next install after the window sweeps it.
+    * Stale candidates are swept TWO-PHASE: the first GC pass that
+    * sees one only drops a zero-byte tombstone marker beside it
+    * (`<memo>__stale_marker`, starting its grace clock); a later
+    * pass deletes the memo once the MARKER is older than
+    * [[MemoGcGraceMs]]. The clock must start at first-SEEN-stale,
+    * not at the memo's install mtime: "unreachable by construction"
+    * holds only for sessions that see the CURRENT corpus state — a
+    * concurrent session that resolved its memo path just before the
+    * corpus was regenerated can still be mid-read on a now-stale
+    * memo (however long ago it was installed), and on HDFS/object
+    * stores a delete fails such a reader mid-stream (round-11
+    * advice; the install-mtime shortcut left any memo older than the
+    * window exposed — round-12 review). A read that began before the
+    * regeneration finishes well inside marker-age + grace; markers
+    * orphaned by [[invalidateMemosFor]] are swept opportunistically.
     */
   private[graft] def gcStaleMemos(spark: SparkSession, familyPrefix: String,
       dir: String, table: String): Unit = {
@@ -1442,22 +1448,43 @@ object LlmOps {
     val tmp = System.getProperty("java.io.tmpdir")
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)
+    if (!fs.exists(root)) return
     val cutoff = System.currentTimeMillis() - MemoGcGraceMs
-    if (fs.exists(root)) {
-      fs.listStatus(root).filter { st =>
-        val n = st.getPath.getName
-        n.startsWith(stem) && (!n.startsWith(live) || isStaleFormat(n)) &&
-          st.getModificationTime < cutoff
-      }.foreach(st => fs.delete(st.getPath, true))
+    val entries = fs.listStatus(root).filter(
+      _.getPath.getName.startsWith(stem))
+    val names = entries.map(_.getPath.getName).toSet
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(StaleMarkerSuffix)) {
+        // orphan marker: its memo is already gone (invalidateMemosFor
+        // or a prior sweep's partial failure) — nothing to grace
+        if (!names.contains(n.stripSuffix(StaleMarkerSuffix)))
+          fs.delete(st.getPath, false)
+      } else if (!n.startsWith(live) || isStaleFormat(n)) {
+        val marker = new org.apache.hadoop.fs.Path(tmp,
+          n + StaleMarkerSuffix)
+        if (!names.contains(n + StaleMarkerSuffix)) {
+          fs.create(marker, true).close() // first sighting: clock starts
+        } else if (fs.getFileStatus(marker).getModificationTime < cutoff) {
+          fs.delete(st.getPath, true)
+          fs.delete(marker, false); ()
+        }
+      }
     }
   }
 
   /** Grace window for [[gcStaleMemos]]: a stale-signature memo is
-    * only swept once untouched this long, so a reader that resolved
-    * it against the PREVIOUS corpus state finishes before the delete
-    * lands. Sized generously above any single memo read.
+    * only swept once its tombstone marker (dropped at first sighting)
+    * is this old, so a reader that resolved it against the PREVIOUS
+    * corpus state finishes before the delete lands. Sized generously
+    * above any single memo read.
     */
   private[graft] val MemoGcGraceMs: Long = 15 * 60 * 1000L
+
+  /** Tombstone suffix [[gcStaleMemos]] drops beside a stale memo at
+    * first sighting; the marker's mtime is the grace clock.
+    */
+  private[graft] val StaleMarkerSuffix: String = "__stale_marker"
 
   /** A memo name carries a stale format tag iff it ends (before any
     * staging suffix) in `_f<digits>` that is not [[IndexMemoFormat]].

@@ -264,14 +264,12 @@ object Retrieval {
       counts.headOption
     }
 
-  /** stats written batch-stamped ([[invIndexAppendBatch]]) carry
-    * `__batch_id=` partition directories; flat writes
-    * ([[invIndexWrite]], or a sealed index) don't. The two directory
-    * depths cannot mix — parquet partition discovery requires one.
-    */
-  private def statsIsStamped(fs: org.apache.hadoop.fs.FileSystem,
-      statsPath: org.apache.hadoop.fs.Path): Boolean =
-    fs.listStatus(statsPath).exists(_.getPath.getName.startsWith("__batch_id="))
+  // stats written batch-stamped (invIndexAppendBatch) carry
+  // `__batch_id=` partition directories; flat writes (invIndexWrite,
+  // or a sealed index) don't. The two directory depths cannot mix —
+  // parquet partition discovery requires one. guardAppendBuckets
+  // checks this against its own single listing (one listStatus per
+  // append, not two).
 
   /** JVM-local (indexPath → validated bucket count): a long-lived
     * stream appends one stats file per micro-batch, so re-merge-
@@ -310,14 +308,19 @@ object Retrieval {
       // next append after re-creation revalidates from the new stats
       guardedBuckets.remove(pinKey); return
     }
-    // the layout check runs on EVERY append, pinned or not: the pin
-    // only amortizes the O(batches) stats-FOOTER read, never this one
-    // listStatus — another JVM may have sealed (or overwrite-rebuilt)
-    // the index since the pin was earned, and a stamped append landing
-    // on the now-flat layout mixes directory depths that break parquet
-    // partition discovery for every later probe (round-11 advice)
-    if (statsIsStamped(fs, statsPath) != stamped &&
-        fs.listStatus(statsPath).nonEmpty) {
+    // ONE listing per append, pinned or not — the pin only amortizes
+    // the O(batches) stats-FOOTER read, never this listStatus. The
+    // listing carries both cross-JVM invalidation signals: directory
+    // LAYOUT (another JVM may have sealed or rebuilt the index since
+    // the pin was earned — stamped appends onto a flat layout mix
+    // directory depths that break partition discovery) and the
+    // MODULUS SENTINEL (`__nb_<n>`, a zero-byte marker every writer
+    // maintains — an overwrite rebuild under a different bucket count
+    // keeps the layout but changes the sentinel, which a stale pin
+    // would otherwise never see; round-12 review).
+    val entries = fs.listStatus(statsPath)
+    if (entries.exists(_.getPath.getName.startsWith("__batch_id=")) != stamped &&
+        entries.nonEmpty) {
       guardedBuckets.remove(pinKey)
       throw new IllegalArgumentException(
         s"${if (stamped) "batch-stamped" else "flat"} append onto " +
@@ -325,12 +328,25 @@ object Retrieval {
           s"${if (stamped) "flat" else "batch-stamped"} — the directory " +
           "depths don't mix (seal the index or use the matching writer)")
     }
+    val sentinel = entries.map(_.getPath.getName)
+      .filter(_.startsWith("__nb_")).map(_.stripPrefix("__nb_").toInt)
+    if (sentinel.exists(_ != nBuckets)) {
+      guardedBuckets.remove(pinKey)
+      throw new IllegalArgumentException(
+        s"append with nBuckets=$nBuckets onto $indexPath whose postings " +
+          s"are hashed with ${sentinel.head} buckets — rebuild the index instead")
+    }
     val pinned = guardedBuckets.get(pinKey)
     if (pinned != null) {
       if (pinned.intValue != nBuckets) throw new IllegalArgumentException(
         s"append with nBuckets=$nBuckets onto $indexPath validated at " +
           s"$pinned buckets this session — one index, one hash modulus")
       return
+    }
+    // a matching sentinel IS a validation (it is written only after a
+    // write under that modulus): pin and skip the footer read
+    if (sentinel.nonEmpty) {
+      guardedBuckets.put(pinKey, Int.box(nBuckets)); return
     }
     val stDf =
       try spark.read.option("mergeSchema", "true").parquet(statsPath.toString)
@@ -379,6 +395,27 @@ object Retrieval {
       .coalesce(1).write
       .mode(if (mode == "append") "append" else "overwrite")
       .parquet(s"$indexPath/stats")
+    ensureModulusSentinel(spark, indexPath, nBuckets)
+  }
+
+  /** Maintain the `__nb_<n>` modulus sentinel in the stats dir — a
+    * zero-byte, underscore-prefixed marker (parquet-invisible: Spark
+    * hides `_`-led files WITHOUT an `=` in the name — an `=` would
+    * read as a partition value and break footer merges)
+    * every writer leaves after landing stats under modulus `n`. The
+    * append guard reads it from the ONE directory listing it already
+    * pays, so cross-JVM modulus validation costs no extra RPC and no
+    * stats-footer read — and an overwrite rebuild under a DIFFERENT
+    * bucket count (which keeps the directory layout and so would
+    * otherwise ride a stale JVM-local pin) is caught at the next
+    * append (round-12 review). Sentinels are recreated after any
+    * whole-dir rewrite (overwrite stats write, seal).
+    */
+  private def ensureModulusSentinel(spark: SparkSession,
+      indexPath: String, nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/stats/__nb_$nBuckets")
+    val fs = Sinks.fsFor(spark, p.toString)
+    if (!fs.exists(p)) { fs.create(p, true).close() }
   }
 
   /** Probe the [[invIndexWrite]] index with `queries` (query_id, tok —
@@ -498,6 +535,7 @@ object Retrieval {
       .coalesce(1).write
       .mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(s"$indexPath/stats")
+    ensureModulusSentinel(spark, indexPath, nBuckets)
   }
 
   /** Seal a streaming-ingested ([[invIndexAppendBatch]]) inverted
@@ -514,7 +552,12 @@ object Retrieval {
     // pins so the next append revalidates against the sealed layout
     guardedBuckets.remove(s"$indexPath|stamped=true")
     guardedBuckets.remove(s"$indexPath|stamped=false")
-    ()
+    // the seal rewrote the stats dir wholesale — restore the modulus
+    // sentinel from the sealed stats' own recorded count (one bounded
+    // read at quiesce time)
+    indexBucketCount(spark.read.option("mergeSchema", "true")
+        .parquet(s"$indexPath/stats"))
+      .foreach(n => ensureModulusSentinel(spark, indexPath, n))
   }
 
   /** #109 Batch twin of the streaming inverted-index ingest: split

@@ -1405,24 +1405,33 @@ class LlmOpsSpec extends AnyFunSuite {
     val stale = mkdir(staleName)
     val keepOther = mkdir(otherParams)
     val staleStaging = mkdir(staleName + "__tmp_app_123")
-    // a YOUNG stale sibling (mtime inside the grace window) must
-    // survive: a concurrent session that resolved its path against
-    // the previous corpus state may still be mid-read on it
-    val youngStale = mkdir(staleName.replaceFirst("deadbeef", "cafebabe"))
-    // age the sweep candidates past the grace window; youngStale
-    // keeps its fresh mtime
-    val aged = System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L
-    stale.setLastModified(aged); staleStaging.setLastModified(aged)
     new java.io.File(live).delete() // force a fresh install (runs GC)
     LlmOps.q61DedupClustersCached(spark, sf, t).collect()
     assert(new java.io.File(live).isDirectory)
-    assert(!stale.exists, "stale-signature sibling survived install GC")
-    assert(!staleStaging.exists, "stale staging dir survived install GC")
+    // TWO-PHASE sweep: the first GC pass only drops a tombstone
+    // marker (grace clock starts at first-SEEN-stale, so a concurrent
+    // reader that resolved its path against the previous corpus state
+    // — however old the memo — is never deleted mid-read); the memo
+    // itself must survive pass 1
+    def markerOf(d: java.io.File) =
+      new java.io.File(tmp, d.getName + LlmOps.StaleMarkerSuffix)
+    assert(stale.isDirectory, "stale sibling swept before its grace")
+    assert(staleStaging.isDirectory, "stale staging swept before its grace")
+    assert(markerOf(stale).exists, "no tombstone from GC pass 1")
+    assert(markerOf(staleStaging).exists, "no staging tombstone")
+    // age the MARKERS past the window; a second pass sweeps both
+    val aged = System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L
+    markerOf(stale).setLastModified(aged)
+    markerOf(staleStaging).setLastModified(aged)
+    LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
+    assert(!stale.exists, "stale-signature sibling survived aged GC")
+    assert(!staleStaging.exists, "stale staging dir survived aged GC")
+    assert(!markerOf(stale).exists, "tombstone not cleaned with its memo")
     assert(keepOther.isDirectory,
       "live-signature sibling under other params was wrongly deleted")
-    assert(youngStale.isDirectory,
-      "stale sibling inside the grace window was swept mid-grace")
-    keepOther.delete(); youngStale.delete()
+    assert(!markerOf(keepOther).exists,
+      "live sibling wrongly tombstoned")
+    keepOther.delete()
     // format-tagged families: a sibling with the CURRENT signature
     // but a stale _f<N> tag is dead code's bytes and goes too
     val annLive = graft.ops.LlmOps.annIndexMemoPathOf(spark, sf,
@@ -1431,11 +1440,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(annName.endsWith("_" + graft.ops.LlmOps.IndexMemoFormat))
     val oldFormat = mkdir(annName.stripSuffix(
       graft.ops.LlmOps.IndexMemoFormat) + "f0")
-    oldFormat.setLastModified(
+    graft.ops.LlmOps.gcStaleMemos(spark, "graft_ann_index_memo_", sf,
+      "embeddings") // pass 1: tombstone only
+    assert(oldFormat.isDirectory, "format sibling swept before grace")
+    val fmtMarker = new java.io.File(tmp,
+      oldFormat.getName + LlmOps.StaleMarkerSuffix)
+    assert(fmtMarker.exists, "no tombstone for stale-format sibling")
+    fmtMarker.setLastModified(
       System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L)
     graft.ops.LlmOps.gcStaleMemos(spark, "graft_ann_index_memo_", sf,
       "embeddings")
-    assert(!oldFormat.exists, "stale-format sibling survived GC")
+    assert(!oldFormat.exists, "stale-format sibling survived aged GC")
+    assert(!fmtMarker.exists, "format tombstone not cleaned")
   }
 
   test("dataMixtureOf == the plain per-lang budget window; invariant under input partitioning") {

@@ -1407,7 +1407,12 @@ object LlmOps {
     * the next same-family install ([[gcStaleMemos]]) or any
     * [[invalidateMemosFor]] on their dir.
     * f2: inverted-index stats gained the `n_buckets` column (probes
-    * read the hash modulus from the index, round-11).
+    * read the hash modulus from the index, round-11). The round-12
+    * `__nb_<n>` modulus sentinel is deliberately NOT a format bump:
+    * it is additive — old f2 memos stay byte-valid, readers ignore
+    * the extra file, and the append guard falls back to the stats
+    * footers when the sentinel is absent (recreating it on the next
+    * append).
     */
   private[graft] val IndexMemoFormat = "f2"
 

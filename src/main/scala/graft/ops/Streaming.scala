@@ -310,6 +310,15 @@ object Streaming {
     * contracts), stages 3-5 are per-doc deterministic against
     * external references, so a replayed batch reproduces exactly its
     * own admissions.
+    *
+    * The chain's GLOBAL stages — source quota (q105 top-N over the
+    * whole corpus), train gate + mixture budget walk (q63/q96) and
+    * shard/rank (q102) — are deliberately ABSENT here: each is a
+    * function of the FULL accumulated relation, not of a batch (a
+    * per-batch top-N or budget walk would admit different rows than
+    * the batch-declared chain, violating stream == batch). A real
+    * pipeline runs them at release time over the ingested sink —
+    * exactly what [[graft.Pipeline.releaseCorpus]]/q126 declare.
     */
   private[graft] def corpusPrepBatch(batch: DataFrame, batchId: Long,
       indexRoot: String, lm: DataFrame, oovBits: Long,

@@ -1474,6 +1474,13 @@ object LlmOps {
           fs.delete(st.getPath, true)
           fs.delete(marker, false); ()
         }
+      } else if (names.contains(n + StaleMarkerSuffix)) {
+        // a memo that is LIVE again (the corpus signature flip-flopped
+        // back to a prior state) must shed its old tombstone — left in
+        // place, the next genuine staleness would skip its grace and
+        // delete instantly under a reader
+        fs.delete(new org.apache.hadoop.fs.Path(tmp,
+          n + StaleMarkerSuffix), false); ()
       }
     }
   }

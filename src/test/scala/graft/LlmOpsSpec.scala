@@ -1431,6 +1431,16 @@ class LlmOpsSpec extends AnyFunSuite {
       "live-signature sibling under other params was wrongly deleted")
     assert(!markerOf(keepOther).exists,
       "live sibling wrongly tombstoned")
+    // a LIVE memo that carries a leftover tombstone (signature
+    // flip-flopped back to a prior corpus state) must shed it — an
+    // aged marker would otherwise skip the grace at the NEXT genuine
+    // staleness and delete under a reader
+    val leftover = markerOf(keepOther)
+    leftover.createNewFile()
+    leftover.setLastModified(aged)
+    LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
+    assert(keepOther.isDirectory, "live memo deleted via leftover marker")
+    assert(!leftover.exists, "live memo kept its stale tombstone")
     keepOther.delete()
     // format-tagged families: a sibling with the CURRENT signature
     // but a stale _f<N> tag is dead code's bytes and goes too

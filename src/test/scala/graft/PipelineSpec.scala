@@ -453,6 +453,13 @@ class PipelineSpec extends AnyFunSuite {
     val trainIds = cleaned.filter(col("is_train"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(docRows.map(_.getLong(2)).toSet === trainIds)
+    // cross-declaration consistency: q125's mixture-kept docs are a
+    // budgeted subset of the train split q126 releases — the two
+    // consumers of the one prepared corpus cannot disagree on it
+    val q125Docs = Pipeline.q125CorpusPipeline(spark, sf).collect()
+      .filter(_.getString(0) == "doc").map(_.getLong(2)).toSet
+    assert(q125Docs.subsetOf(trainIds),
+      "q125 mixture kept a doc q126 does not release")
     // the datacard read-back matches datacardOf recomputed over the
     // prepared corpus (the write→read round-trip loses nothing)
     val cardBack = rows.filter(_.getString(0) == "card")

@@ -333,9 +333,9 @@ class RetrievalSpec extends AnyFunSuite {
       .select(col("doc_id").as("query_id"),
         explode(slice(col("toks"), 1, 4)).as("tok")).distinct()
     assert(Retrieval.bm25Indexed(spark, q, idxA).count() > 0)
-    // (b) overwrite rebuild with a NEW bucket count retires the old
-    // pin: an append at the rebuilt count must pass, one at the
-    // pinned old count must abort (pre-round-12 the stale pin did
+    // (b) in-JVM overwrite rebuild with a NEW bucket count retires
+    // the old pin: an append at the rebuilt count must pass, one at
+    // the pinned old count must abort (pre-round-12 the stale pin did
     // exactly the reverse)
     val idxB = java.nio.file.Files
       .createTempDirectory("graft_inv_pinrebuild").toString
@@ -352,5 +352,30 @@ class RetrievalSpec extends AnyFunSuite {
         nBuckets = 64, mode = "append")
     }
     assert(Retrieval.bm25Indexed(spark, q, idxB).count() > 0)
+    // (c) CROSS-JVM rebuild: this JVM holds a live pin at 64 (earned
+    // above via invIndexAppendBatch is a different path — earn a
+    // FLAT pin here), then ANOTHER writer rebuilds the index at 13
+    // by hand (raw Spark writes + the sentinel the real writer
+    // maintains — this JVM's pins survive, exactly the round-12
+    // review scenario: same layout, different modulus). The pinned
+    // append at 64 must abort via the sentinel the guard reads from
+    // its per-append listing, never via the pin it would have ridden.
+    val idxC = java.nio.file.Files
+      .createTempDirectory("graft_inv_pincrossjvm").toString
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") < 100), idxC,
+      nBuckets = 64)
+    Retrieval.invIndexWrite(docs.filter(col("doc_id") >= 100 &&
+      col("doc_id") < 200), idxC, nBuckets = 64, mode = "append") // pin 64
+    // the other JVM's footprint: flat stats at modulus 13 + sentinel
+    val fsC = graft.ops.Sinks.fsFor(spark, idxC)
+    fsC.delete(new org.apache.hadoop.fs.Path(s"$idxC/stats"), true)
+    Seq((100L, 5000L, 13)).toDF("n_docs", "total_tokens", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idxC/stats")
+    fsC.create(new org.apache.hadoop.fs.Path(s"$idxC/stats/__nb_13"),
+      true).close()
+    intercept[IllegalArgumentException] {
+      Retrieval.invIndexWrite(docs.filter(col("doc_id") >= 200), idxC,
+        nBuckets = 64, mode = "append")
+    }
   }
 }

@@ -151,7 +151,8 @@ object SparkEntry {
     "q123_sql_session_events" -> ((s: SparkSession, d: String) => graft.Pipeline.q123SqlSessionEvents(s, d)),
     "q124_vocab_decode" -> ((s: SparkSession, d: String) => Features.q124VocabDecode(s, d)),
     "q125_corpus_pipeline" -> ((s: SparkSession, d: String) => graft.Pipeline.q125CorpusPipeline(s, d)),
-    "q126_corpus_release" -> ((s: SparkSession, d: String) => graft.Pipeline.q126CorpusRelease(s, d))
+    "q126_corpus_release" -> ((s: SparkSession, d: String) => graft.Pipeline.q126CorpusRelease(s, d)),
+    "q127_compact_roundtrip" -> ((s: SparkSession, d: String) => Relational.q127CompactRoundtrip(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -1017,6 +1018,14 @@ object SparkEntry {
         |UNION ALL SELECT 'manifest', 'holdout', -1, -1, (SELECT count(*) FROM hld)
         |UNION ALL SELECT 'manifest', 'n_shards', -1, -1, 8
         |ORDER BY kind, name, doc_id""".stripMargin),
+    // q127: compaction is row identity — the oracle recomputes the
+    // per-date aggregates from the RAW events relation; the Spark
+    // side computed them from the compacted files, so the hash gates
+    // the in-place rewrite byte-for-byte (the q02/q03/q126 sink rule).
+    "q127_compact_roundtrip" ->
+      """SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(event_id) AS BIGINT) AS sum_event_id, CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
     // q101: md5-bucketed DSIR weights — 256-bucket hashed unigram
     // models for target (src0) and raw (all docs); Δbits rounded once
     // per BUCKET (the difference, not each log) then integer-summed;

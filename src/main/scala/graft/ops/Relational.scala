@@ -97,6 +97,45 @@ object Relational {
       .orderBy("event_date")
   }
 
+  /** #127 In-place compaction round-trip — [[graft.ops.Sinks.compact]]
+    * (the count-validated park-rename small-file rewrite) under the
+    * hash gate: the q126 sink rule applied to the last in-place
+    * REWRITE path. Sink the events table partitioned by date with a
+    * DELIBERATE small-file fan-out (8 hash buckets per date — the
+    * #tasks×#dates explosion the operator exists to cure at 100 TB),
+    * compact to a count-derived file budget, then emit per-date
+    * integer aggregates (count + id sums) FROM THE COMPACTED FILES.
+    * Compaction is row identity, so the oracle recomputes the same
+    * aggregates from the raw events relation — a rewrite that loses,
+    * duplicates or misroutes any row moves a count or an id-sum. The
+    * file-count collapse itself is filesystem metadata (SinksSpec's
+    * assertion); what the gate adds every round is the BYTES: the
+    * swap-installed rewrite serves exactly the original rows. The
+    * app-scoped sink is deleted after localization (the q106 rule).
+    */
+  def q127CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q127_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    val staged = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    staged.repartition(8, col("event_id"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    // an all-empty source writes a file-less directory — nothing to
+    // compact, and the rewrite's schema inference would fail where
+    // zero rows is the correct answer (the q126 read-back rule)
+    if (staged.limit(1).count() > 0)
+      graft.ops.Sinks.compact(spark, out, "event_date")
+    graft.ops.Sinks.localizeAndDelete(spark,
+      spark.read.schema(staged.schema).parquet(out)
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").as("sum_event_id"),
+          sum("user_id").as("sum_user_id"))
+        .orderBy("event_date"),
+      out)
+  }
+
   /** Multi-format source round-trip (source breadth beyond the
     * reference's CSV/warehouse: JSON-lines and ORC through the same
     * DataFrameReader surface). Smoke-only sink+source op: writes the

@@ -152,7 +152,8 @@ object SparkEntry {
     "q124_vocab_decode" -> ((s: SparkSession, d: String) => Features.q124VocabDecode(s, d)),
     "q125_corpus_pipeline" -> ((s: SparkSession, d: String) => graft.Pipeline.q125CorpusPipeline(s, d)),
     "q126_corpus_release" -> ((s: SparkSession, d: String) => graft.Pipeline.q126CorpusRelease(s, d)),
-    "q127_compact_roundtrip" -> ((s: SparkSession, d: String) => Relational.q127CompactRoundtrip(s, d))
+    "q127_compact_roundtrip" -> ((s: SparkSession, d: String) => Relational.q127CompactRoundtrip(s, d)),
+    "q128_versioned_lifecycle" -> ((s: SparkSession, d: String) => Relational.q128VersionedLifecycle(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -1026,6 +1027,15 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n,
         |CAST(sum(event_id) AS BIGINT) AS sum_event_id, CAST(sum(user_id) AS BIGINT) AS sum_user_id
         |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
+    // q128: the manifest-resolved live version is the FULL slice —
+    // the oracle recomputes the aggregates from the raw slice, so a
+    // flip pointing at the superseded v1 halves a count, a prune that
+    // bites the live version empties one, a lossy compaction moves an
+    // id-sum (the q127 row-identity rule through the version pointer).
+    "q128_versioned_lifecycle" ->
+      """SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(event_id) AS BIGINT) AS sum_event_id, CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        |FROM events WHERE user_id % 8 = 0 GROUP BY event_date ORDER BY event_date""".stripMargin,
     // q101: md5-bucketed DSIR weights — 256-bucket hashed unigram
     // models for target (src0) and raw (all docs); Δbits rounded once
     // per BUCKET (the difference, not each log) then integer-summed;

@@ -136,6 +136,71 @@ object Relational {
       out)
   }
 
+  /** #128 Versioned-table lifecycle round-trip — the manifest-flip
+    * family ([[graft.ops.Sinks.commitVersion]] /
+    * [[graft.ops.Sinks.compactVersioned]] /
+    * [[graft.ops.Sinks.pruneVersions]], the object-store-safe sink
+    * whose readers never observe a rename gap) under the hash gate,
+    * completing the q127 program: every write/rewrite path the engine
+    * ships is now oracled. The declared run is one full lifecycle on
+    * a 12.5% slice of events: commit v1 = HALF the slice (a superseded
+    * state the gate must prove invisible), commit v2 = the full slice
+    * with a 4-way per-date fan-out, `compactVersioned` into v3
+    * (count-validated rewrite + manifest flip), `pruneVersions`
+    * (retire v1/v2; the live version must survive intact), then
+    * per-date integer aggregates read through the MANIFEST-resolved
+    * live directory. The oracle recomputes them from the raw slice:
+    * a flip that points at a stale/partial version halves a count; a
+    * prune that bites the live version empties one; a compaction that
+    * loses a row moves an id-sum. App-scoped root, deleted after
+    * localization (the q106 rule).
+    */
+  def q128VersionedLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q128_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    val fs = graft.ops.Sinks.fsFor(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val staged = Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(8)) === 0)
+      .withColumn("event_date", to_date(col("ts")))
+    // an all-empty slice has no version to commit (a file-less
+    // version dir cannot even be count-validated) and zero aggregate
+    // rows is the correct declared answer — the q127 empty rule
+    if (staged.limit(1).count() == 0)
+      return staged.groupBy("event_date")
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").as("sum_event_id"),
+          sum("user_id").as("sum_user_id"))
+        .orderBy("event_date")
+    try {
+      // v1: a superseded half-state (skipped if the half happens to
+      // be empty — a file-less version cannot be count-validated)
+      val half = staged.filter(pmod(col("event_id"), lit(2)) === 0)
+      if (half.limit(1).count() > 0)
+        graft.ops.Sinks.commitVersion(spark, root, half,
+          partCol = Some("event_date"))
+      graft.ops.Sinks.commitVersion(spark, root,
+        staged.repartition(4, col("event_id")),
+        partCol = Some("event_date"))
+      graft.ops.Sinks.compactVersioned(spark, root, "event_date")
+      graft.ops.Sinks.pruneVersions(spark, root)
+      val live = graft.ops.Sinks.liveVersion(spark, root).getOrElse(
+        throw new java.io.FileNotFoundException(s"no MANIFEST under $root"))
+      graft.ops.Sinks.localizeAndDelete(spark,
+        spark.read.schema(staged.schema)
+          .parquet(graft.ops.Sinks.versionDir(root, live))
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n"),
+            sum("event_id").as("sum_event_id"),
+            sum("user_id").as("sum_user_id"))
+          .orderBy("event_date"),
+        root)
+    } catch { case t: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(root), true); throw t
+    }
+  }
+
   /** Multi-format source round-trip (source breadth beyond the
     * reference's CSV/warehouse: JSON-lines and ORC through the same
     * DataFrameReader surface). Smoke-only sink+source op: writes the

@@ -1445,11 +1445,26 @@ object LlmOps {
     * window exposed — round-12 review). A read that began before the
     * regeneration finishes well inside marker-age + grace; markers
     * orphaned by [[invalidateMemosFor]] are swept opportunistically.
+    *
+    * The marker CARRIES the live signature it was dropped under, and
+    * the sweep deletes only when that signature still matches the
+    * current live one: a marker left behind by a signature FLIP-FLOP
+    * (memo went stale, corpus returned to its state, then moved on
+    * again — possibly with no GC pass while it was live) is thereby
+    * re-tombstoned instead of trusted, so the grace clock restarts
+    * for the NEW staleness context rather than deleting instantly
+    * under a reader (round-12 review; the residual hole needs two
+    * regenerations inside one grace window with no intervening
+    * same-family install, at which point the race contract's
+    * loser-reads-winner discipline is the backstop). Marker reads
+    * and deletes tolerate concurrent sweeps: a marker that vanishes
+    * between the listing and its read is re-dropped, not crashed on.
     */
   private[graft] def gcStaleMemos(spark: SparkSession, familyPrefix: String,
       dir: String, table: String): Unit = {
     val stem = s"$familyPrefix${memoDirKey(dir)}_s"
-    val live = stem + tableSignature(spark, dir, table)
+    val liveSig = tableSignature(spark, dir, table)
+    val live = stem + liveSig
     val tmp = System.getProperty("java.io.tmpdir")
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)
@@ -1458,6 +1473,26 @@ object LlmOps {
     val entries = fs.listStatus(root).filter(
       _.getPath.getName.startsWith(stem))
     val names = entries.map(_.getPath.getName).toSet
+    def dropMarker(marker: org.apache.hadoop.fs.Path): Unit = {
+      val out = fs.create(marker, true)
+      try out.write(liveSig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // (age, tombstoning-context signature) of a marker; None = the
+    // marker vanished under a concurrent sweep — treat as unseen
+    def readMarker(marker: org.apache.hadoop.fs.Path)
+        : Option[(Long, String)] =
+      try {
+        val mtime = fs.getFileStatus(marker).getModificationTime
+        val in = fs.open(marker)
+        val sig = try {
+          val buf = new Array[Byte](64)
+          val k = in.read(buf)
+          if (k <= 0) "" else new String(buf, 0, k,
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        } finally in.close()
+        Some((mtime, sig))
+      } catch { case _: java.io.FileNotFoundException => None }
     entries.foreach { st =>
       val n = st.getPath.getName
       if (n.endsWith(StaleMarkerSuffix)) {
@@ -1469,10 +1504,16 @@ object LlmOps {
         val marker = new org.apache.hadoop.fs.Path(tmp,
           n + StaleMarkerSuffix)
         if (!names.contains(n + StaleMarkerSuffix)) {
-          fs.create(marker, true).close() // first sighting: clock starts
-        } else if (fs.getFileStatus(marker).getModificationTime < cutoff) {
-          fs.delete(st.getPath, true)
-          fs.delete(marker, false); ()
+          dropMarker(marker) // first sighting: clock starts
+        } else readMarker(marker) match {
+          case Some((mtime, sig)) if sig == liveSig && mtime < cutoff =>
+            fs.delete(st.getPath, true)
+            fs.delete(marker, false); ()
+          case Some((_, sig)) if sig != liveSig =>
+            // stale-context marker (flip-flop leftover, or a pre-sig
+            // format): restart the grace clock under THIS context
+            dropMarker(marker)
+          case _ => () // mid-grace, or vanished under a peer's sweep
         }
       } else if (names.contains(n + StaleMarkerSuffix)) {
         // a memo that is LIVE again (the corpus signature flip-flopped

@@ -119,21 +119,31 @@ object Relational {
       spark.sparkContext.applicationId
     val staged = Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
-    staged.repartition(8, col("event_id"))
-      .write.mode("overwrite").partitionBy("event_date").parquet(out)
-    // an all-empty source writes a file-less directory — nothing to
-    // compact, and the rewrite's schema inference would fail where
-    // zero rows is the correct answer (the q126 read-back rule)
-    if (staged.limit(1).count() > 0)
-      graft.ops.Sinks.compact(spark, out, "event_date")
-    graft.ops.Sinks.localizeAndDelete(spark,
-      spark.read.schema(staged.schema).parquet(out)
-        .groupBy("event_date")
-        .agg(count(lit(1)).as("n"),
-          sum("event_id").as("sum_event_id"),
-          sum("user_id").as("sum_user_id"))
-        .orderBy("event_date"),
-      out)
+    // a failed compact or read-back must not orphan the events-sized
+    // sink (plus compact's __compact_tmp/old siblings) under /tmp —
+    // the q126 delete-and-rethrow rule
+    try {
+      staged.repartition(8, col("event_id"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      // an all-empty source writes a file-less directory — nothing to
+      // compact, and the rewrite's schema inference would fail where
+      // zero rows is the correct answer (the q126 read-back rule)
+      if (staged.limit(1).count() > 0)
+        graft.ops.Sinks.compact(spark, out, "event_date")
+      graft.ops.Sinks.localizeAndDelete(spark,
+        spark.read.schema(staged.schema).parquet(out)
+          .groupBy("event_date")
+          .agg(count(lit(1)).as("n"),
+            sum("event_id").as("sum_event_id"),
+            sum("user_id").as("sum_user_id"))
+          .orderBy("event_date"),
+        out)
+    } catch { case t: Throwable =>
+      val fs = graft.ops.Sinks.fsFor(spark, out)
+      Seq(out, out + "__compact_tmp", out + "__compact_old").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      throw t
+    }
   }
 
   /** #128 Versioned-table lifecycle round-trip — the manifest-flip
@@ -144,9 +154,11 @@ object Relational {
     * completing the q127 program: every write/rewrite path the engine
     * ships is now oracled. The declared run is one full lifecycle on
     * a 12.5% slice of events: commit v1 = HALF the slice (a superseded
-    * state the gate must prove invisible), commit v2 = the full slice
-    * with a 4-way per-date fan-out, `compactVersioned` into v3
-    * (count-validated rewrite + manifest flip), `pruneVersions`
+    * state the gate must prove invisible), commit v2 = the full
+    * slice, `compactVersioned` into v3 (count-validated rewrite into
+    * a NEW version + manifest flip — the multi-file merge itself is
+    * q127's gate; this one gates the versioned rewrite and the
+    * pointer), `pruneVersions`
     * (retire v1/v2; the live version must survive intact), then
     * per-date integer aggregates read through the MANIFEST-resolved
     * live directory. The oracle recomputes them from the raw slice:
@@ -180,8 +192,11 @@ object Relational {
       if (half.limit(1).count() > 0)
         graft.ops.Sinks.commitVersion(spark, root, half,
           partCol = Some("event_date"))
-      graft.ops.Sinks.commitVersion(spark, root,
-        staged.repartition(4, col("event_id")),
+      // no pre-fanout here: commitVersion repartitions by partCol
+      // itself (one file per date) — the multi-file-merge case is
+      // q127's gate; what THIS lifecycle's compactVersioned step
+      // gates is the rewrite-into-a-new-version + manifest flip
+      graft.ops.Sinks.commitVersion(spark, root, staged,
         partCol = Some("event_date"))
       graft.ops.Sinks.compactVersioned(spark, root, "event_date")
       graft.ops.Sinks.pruneVersions(spark, root)

@@ -554,10 +554,13 @@ object Retrieval {
     guardedBuckets.remove(s"$indexPath|stamped=false")
     // the seal rewrote the stats dir wholesale — restore the modulus
     // sentinel from the sealed stats' own recorded count (one bounded
-    // read at quiesce time)
-    indexBucketCount(spark.read.option("mergeSchema", "true")
+    // read at quiesce time). Guarded: sealing is contractually a
+    // no-op on an index that was never written (zero-batch stream),
+    // whose stats dir is missing or schema-less — nothing to restore
+    try indexBucketCount(spark.read.option("mergeSchema", "true")
         .parquet(s"$indexPath/stats"))
       .foreach(n => ensureModulusSentinel(spark, indexPath, n))
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
   /** #109 Batch twin of the streaming inverted-index ingest: split

@@ -1442,6 +1442,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(keepOther.isDirectory, "live memo deleted via leftover marker")
     assert(!leftover.exists, "live memo kept its stale tombstone")
     keepOther.delete()
+    // a STALE memo whose aged marker was dropped under a DIFFERENT
+    // live signature (a flip-flop the GC never observed while the
+    // memo was live) must be RE-tombstoned, not deleted: the grace
+    // clock restarts for the new staleness context
+    val stale2 = mkdir(staleName.replaceFirst("deadbeef", "0ddba11d"))
+    val m2 = markerOf(stale2)
+    java.nio.file.Files.writeString(m2.toPath, "not_the_live_signature")
+    m2.setLastModified(aged)
+    LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
+    assert(stale2.isDirectory,
+      "stale memo deleted on a wrong-context (flip-flop) marker")
+    assert(m2.exists && m2.lastModified > aged,
+      "wrong-context marker not re-tombstoned")
+    stale2.delete(); m2.delete()
     // format-tagged families: a sibling with the CURRENT signature
     // but a stale _f<N> tag is dead code's bytes and goes too
     val annLive = graft.ops.LlmOps.annIndexMemoPathOf(spark, sf,

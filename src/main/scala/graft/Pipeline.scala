@@ -206,12 +206,20 @@ object Pipeline {
     * ids are the OOV-aware 2-based kind, so an unseen trailing SKU
     * yields y = OovId − 1 = 0 — the `<UNK>` class, exactly what the
     * reference's `s[-1]-1` computes for an OOV tail.
+    *
+    * Pass `vocabRows` when the fit already knows the vocab size
+    * ([[fitVocabSized]]): that keeps this a pure plan builder —
+    * without it, [[encode]]'s counted broadcast gate localCheckpoints
+    * the vocab at CONSTRUCTION time (Spark jobs run and the vocab is
+    * pinned to executor storage merely by building the plan, and an
+    * executor loss later invalidates the non-reliable checkpoint;
+    * round-12 advice).
     */
   def featuresWithVocab(sessions: DataFrame, vocab: DataFrame,
-      maxLen: Int = 20): DataFrame = {
+      maxLen: Int = 20, vocabRows: Option[Long] = None): DataFrame = {
     val toks = sessions.select(col("session_id"), posexplode(col("interactions")))
       .withColumnRenamed("col", "sku")
-    val enc = encode(toks, vocab, "sku")
+    val enc = encode(toks, vocab, "sku", vocabRows)
       .groupBy("session_id")
       .agg(ops.Scalars.orderedCollect(col("pos"), col("id"), "id").as("ids"))
     enc.select(
@@ -311,7 +319,19 @@ object Pipeline {
       afterNearDedup: Long, afterQuality: Long, train: Long, holdout: Long,
       decontaminated: Long = 0L, paraDropped: Long = 0L,
       pplDropped: Long = 0L, dsirDropped: Long = 0L,
-      quotaDropped: Long = 0L)
+      quotaDropped: Long = 0L) {
+    /** The report in manifest long format — the ONE (name, value)
+      * layout every released manifest ships in (see
+      * [[releaseArtifacts]]).
+      */
+    def counters: Seq[(String, Long)] = Seq(
+      "input" -> input, "after_exact_dedup" -> afterExactDedup,
+      "para_dropped" -> paraDropped, "after_near_dedup" -> afterNearDedup,
+      "after_quality" -> afterQuality, "ppl_dropped" -> pplDropped,
+      "dsir_dropped" -> dsirDropped, "decontaminated" -> decontaminated,
+      "quota_dropped" -> quotaDropped, "train" -> train,
+      "holdout" -> holdout)
+  }
 
   /** The LLM-training-data preparation chain, composing the
     * north-star operators end to end over any (doc_id, text, ...)
@@ -562,17 +582,8 @@ object Pipeline {
       dir: String, maxDocs: Long = 5000): DataFrame = {
     import spark.implicits._
     val (cleaned, rep) = preparedCorpusCached(spark, dir, maxDocs)
-    val train = cleaned.filter(col("is_train"))
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val mixed = ops.LlmOps.dataMixtureOf(train, frac = 0.5,
-      enWeight = 0.4, otherWeight = 0.15).localCheckpoint()
-    val mixtureKept = mixed.count()
-    val docRows = ops.Layout.shardPositionsOf(
-        mixed.select("doc_id", "lang"), nShards = 8)
-      .select(lit("doc").as("kind"), col("lang").as("name"),
-        col("doc_id").cast("long").as("doc_id"),
-        col("shard").cast("int").as("shard"), col("pos"))
+    val (docRows, mixtureKept) = releaseTail(
+      cleaned.select("doc_id", "lang", "text"))
     val reportRows = (reportCounters(rep) :+
         ("mixture_kept" -> mixtureKept))
       .map { case (n, v) => ("report", n, v) }
@@ -580,6 +591,36 @@ object Pipeline {
       .select(col("kind"), col("name"), lit(-1L).as("doc_id"),
         lit(-1).cast("int").as("shard"), col("pos"))
     docRows.unionByName(reportRows).orderBy("kind", "name", "doc_id")
+  }
+
+  /** The q125 BACK HALF — deterministic train gate (the q63 md5 rule,
+    * identical to [[prepareCorpus]]'s `is_train`) → q96 mixture budget
+    * walk → q102 shard positions — factored to ONE definition shared
+    * by [[q125CorpusPipeline]] and the streaming release tick
+    * ([[ops.Streaming.corpusReleaseIngest]]), so "stream tick == q125
+    * tail on the same survivors" is structural, not a convention two
+    * copies must uphold. Input survivors: (doc_id, lang, text).
+    * Returns the (kind='doc', name=lang, doc_id, shard, pos) rows and
+    * the mixture's kept count. Every stage is a function of the FULL
+    * relation — which is exactly why the streaming chain runs this at
+    * release ticks over the accumulated sink, never per batch (the
+    * [[ops.Streaming.corpusPrepBatch]] argument).
+    */
+  private[graft] def releaseTail(cleaned: DataFrame, nShards: Int = 8,
+      frac: Double = 0.5, enWeight: Double = 0.4,
+      otherWeight: Double = 0.15): (DataFrame, Long) = {
+    val train = cleaned
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val mixed = ops.LlmOps.dataMixtureOf(train, frac = frac,
+      enWeight = enWeight, otherWeight = otherWeight).localCheckpoint()
+    val mixtureKept = mixed.count()
+    (ops.Layout.shardPositionsOf(mixed.select("doc_id", "lang"), nShards)
+      .select(lit("doc").as("kind"), col("lang").as("name"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("shard").cast("int").as("shard"), col("pos")),
+      mixtureKept)
   }
 
   /** The q125 memo's stage counters as (name, count) pairs in the
@@ -607,6 +648,53 @@ object Pipeline {
     * mixture + shard tail) and q126 (release artifact + read-back):
     * both declare the SAME chain, so they must read the same bytes.
     */
+  /** The q125-declared chain CONFIG run directly — the one
+    * prepareCorpus parameterization q125/q126 declare, factored out
+    * of [[preparedCorpusCached]] so the memo install and [[Bench]]'s
+    * `cold_chain` record (round-12 verdict: the memo-riding
+    * q125/q126 bench lines must never hide the fresh end-to-end
+    * cost) run the IDENTICAL chain. `nearLabelsCache = None` is the
+    * fully cold form — no prepared-corpus memo, no near-label memo:
+    * what a first session on a new corpus state pays.
+    */
+  private[graft] def preparedCorpusFresh(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxDocs: Long = 5000,
+      nearLabelsCache: Option[String] = None): (DataFrame, CorpusReport) = {
+    val full = Tables.documents(spark, dir)
+    // source rides the whole chain: the q105 quota stage groups by
+    // it, and the released datacard (q126) reports per-domain stats
+    val docs = full.filter(col("doc_id") < maxDocs)
+      .select("doc_id", "lang", "source", "text")
+    prepareCorpus(spark, docs,
+      nearThreshold = 0.5, minTokens = 5, dupMilliMax = 300,
+      topMilliMax = 200,
+      evalDocs = Some(full.filter(col("doc_id") % 13 === 0)
+        .select("doc_id", "text")),
+      // 700‰, not q81's 100‰ default: this synthetic corpus is
+      // template-heavy (the measured 3-shingle overlap of a typical
+      // doc against the %13 eval slice sits at 400-600‰ at sf0.1),
+      // so the leak threshold must sit ABOVE the template-
+      // similarity mass to isolate genuine leaks — eval members and
+      // their near-copies — instead of declaring the whole corpus
+      // contaminated. On a real corpus the q81 default is the
+      // starting point; the threshold is a config, not a constant.
+      contaminationMilli = 700,
+      exactNearDedup = true,
+      paraDedupTokens = Some(20),
+      perplexityRef = Some(full.filter(col("source") === "src0")
+        .select("text")),
+      nearLabelsCache = nearLabelsCache,
+      // q105 corpus balancing ON the gated chain (round-12): cap
+      // each source at its 12 best docs by the q103 quality integer
+      // — integer-exact top-N, so the composed oracle carries it as
+      // one more CTE. 12 sits just under the ~13-16 per-source
+      // survivor count the upstream gates leave at every SF, so the
+      // stage provably BITES (quota_dropped > 0 in the gated
+      // report) rather than riding along idle.
+      sourceQuotaCap = Some(12))
+  }
+
   private[graft] def preparedCorpusCached(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       maxDocs: Long): (DataFrame, org.apache.spark.sql.Row) = {
@@ -616,39 +704,9 @@ object Pipeline {
     val fs = ops.Sinks.fsFor(spark, memo)
     val dst = new org.apache.hadoop.fs.Path(memo)
     if (!fs.exists(dst)) {
-      val full = Tables.documents(spark, dir)
-      // source rides the whole chain: the q105 quota stage groups by
-      // it, and the released datacard (q126) reports per-domain stats
-      val docs = full.filter(col("doc_id") < maxDocs)
-        .select("doc_id", "lang", "source", "text")
-      val (cleaned0, report) = prepareCorpus(spark, docs,
-        nearThreshold = 0.5, minTokens = 5, dupMilliMax = 300,
-        topMilliMax = 200,
-        evalDocs = Some(full.filter(col("doc_id") % 13 === 0)
-          .select("doc_id", "text")),
-        // 700‰, not q81's 100‰ default: this synthetic corpus is
-        // template-heavy (the measured 3-shingle overlap of a typical
-        // doc against the %13 eval slice sits at 400-600‰ at sf0.1),
-        // so the leak threshold must sit ABOVE the template-
-        // similarity mass to isolate genuine leaks — eval members and
-        // their near-copies — instead of declaring the whole corpus
-        // contaminated. On a real corpus the q81 default is the
-        // starting point; the threshold is a config, not a constant.
-        contaminationMilli = 700,
-        exactNearDedup = true,
-        paraDedupTokens = Some(20),
-        perplexityRef = Some(full.filter(col("source") === "src0")
-          .select("text")),
+      val (cleaned0, report) = preparedCorpusFresh(spark, dir, maxDocs,
         nearLabelsCache = Some(ops.LlmOps.corpusLabelsMemoPathOf(
-          spark, dir, 0.5, maxDocs, 20, exactPairs = true)),
-        // q105 corpus balancing ON the gated chain (round-12): cap
-        // each source at its 12 best docs by the q103 quality integer
-        // — integer-exact top-N, so the composed oracle carries it as
-        // one more CTE. 12 sits just under the ~13-16 per-source
-        // survivor count the upstream gates leave at every SF, so the
-        // stage provably BITES (quota_dropped > 0 in the gated
-        // report) rather than riding along idle.
-        sourceQuotaCap = Some(12))
+          spark, dir, 0.5, maxDocs, 20, exactPairs = true)))
       val staging = new org.apache.hadoop.fs.Path(
         memo + "__tmp_" + spark.sparkContext.applicationId)
       fs.delete(staging, true)
@@ -711,13 +769,12 @@ object Pipeline {
       spark.sparkContext.applicationId
     val fs = ops.Sinks.fsFor(spark, outPath)
     fs.delete(new org.apache.hadoop.fs.Path(outPath), true)
-    val manifest = (reportCounters(rep) :+ ("n_shards" -> nShards.toLong))
-      .toDF("name", "value")
     // a failed write or read-back must not orphan the release tree
     // under /tmp (the q106 no-leak rule — localizeAndDelete only
     // cleans up on the SUCCESS path); delete-and-rethrow keeps
     // repeated bench/probe retries from accumulating tmp state
-    try releaseAndReadBack(spark, cleaned, manifest, outPath, nShards)
+    try releaseAndReadBack(spark, cleaned, reportCounters(rep), outPath,
+      nShards)
     catch { case t: Throwable =>
       fs.delete(new org.apache.hadoop.fs.Path(outPath), true); throw t
     }
@@ -725,8 +782,9 @@ object Pipeline {
 
   private def releaseAndReadBack(
       spark: org.apache.spark.sql.SparkSession, cleaned: DataFrame,
-      manifest: DataFrame, outPath: String, nShards: Int): DataFrame = {
-    releaseArtifacts(spark, cleaned, manifest, outPath, nShards)
+      counters: Seq[(String, Long)], outPath: String,
+      nShards: Int): DataFrame = {
+    releaseArtifacts(spark, cleaned, counters, outPath, nShards)
     // read-backs use EXPLICIT schemas: an all-dropped corpus writes a
     // _SUCCESS-only directory (an empty partitioned write emits no
     // data files), and schema inference would throw where the correct
@@ -828,16 +886,8 @@ object Pipeline {
       dsirTarget = dsirTarget, paraDedupTokens = paraDedupTokens,
       sourceQuotaCap = sourceQuotaCap)
     val cleaned = cleaned0.localCheckpoint()
-    val manifest = Seq((report.input, report.afterExactDedup,
-        report.afterNearDedup, report.afterQuality, report.train,
-        report.holdout, report.decontaminated, report.paraDropped,
-        report.pplDropped, report.dsirDropped, report.quotaDropped,
-        nShards))
-      .toDF("input", "after_exact_dedup", "after_near_dedup",
-        "after_quality", "train", "holdout", "decontaminated",
-        "para_dropped", "ppl_dropped", "dsir_dropped", "quota_dropped",
-        "n_shards")
-    val card = releaseArtifacts(spark, cleaned, manifest, outPath, nShards)
+    val card = releaseArtifacts(spark, cleaned, report.counters, outPath,
+      nShards)
     (report, card)
   }
 
@@ -847,10 +897,21 @@ object Pipeline {
     * memoized q125 prepared corpus (the memo-clone bench rule: the
     * chain's cost is q125's line; this query's line is the release
     * write + read-back it declares). Returns the datacard relation.
+    *
+    * The manifest is BUILT here, not by callers: one schema — long
+    * (name, value) rows, `n_shards` appended — whichever entry point
+    * releases, so q126's read-back gate covers the exact layout
+    * [[releaseCorpus]] ships (round-12 advice; previously q126 wrote
+    * long rows while releaseCorpus wrote a wide single-row table
+    * through the same writer).
     */
   private[graft] def releaseArtifacts(
       spark: org.apache.spark.sql.SparkSession, cleaned: DataFrame,
-      manifest: DataFrame, outPath: String, nShards: Int): DataFrame = {
+      counters: Seq[(String, Long)], outPath: String,
+      nShards: Int): DataFrame = {
+    import spark.implicits._
+    val manifest = (counters :+ ("n_shards" -> nShards.toLong))
+      .toDF("name", "value")
     def colOr(name: String) =
       (if (cleaned.columns.contains(name)) col(name) else lit("")).as(name)
     val train = cleaned.filter(col("is_train"))

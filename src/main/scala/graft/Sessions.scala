@@ -26,6 +26,13 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Respect the advisory partition size when coalescing instead
+      // of stopping at defaultParallelism (Spark's own docs recommend
+      // false): a KB-scale shuffle collapses to ONE task instead of
+      // 32 — on the many small index/lifecycle exchanges this removes
+      // pure scheduling overhead, and at 100 TB the advisory size
+      // (64 MB default) governs, which is the partitioning you want.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()

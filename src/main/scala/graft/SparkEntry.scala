@@ -153,7 +153,9 @@ object SparkEntry {
     "q125_corpus_pipeline" -> ((s: SparkSession, d: String) => graft.Pipeline.q125CorpusPipeline(s, d)),
     "q126_corpus_release" -> ((s: SparkSession, d: String) => graft.Pipeline.q126CorpusRelease(s, d)),
     "q127_compact_roundtrip" -> ((s: SparkSession, d: String) => Relational.q127CompactRoundtrip(s, d)),
-    "q128_versioned_lifecycle" -> ((s: SparkSession, d: String) => Relational.q128VersionedLifecycle(s, d))
+    "q128_versioned_lifecycle" -> ((s: SparkSession, d: String) => Relational.q128VersionedLifecycle(s, d)),
+    "q129_index_delete" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q129IndexDelete(s, d)),
+    "q130_perplexity_trigram" -> ((s: SparkSession, d: String) => LlmOps.q130PerplexityTrigram(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -1188,6 +1190,82 @@ object SparkEntry {
         |COALESCE(json_extract_string(props, '$.product_action'), '') AS product_action,
         |COALESCE(TRY_CAST(json_extract_string(props, '$.server_timestamp_epoch_ms') AS BIGINT), -1) AS payload_ts_ms,
         |CASE WHEN json_valid(props) THEN '' ELSE COALESCE(props, '') END AS corrupt_rec
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q129: deletion propagation — BM25 and exact-cosine top-k
+    // recomputed over the corpus MINUS the deleted ids (id % 5 = 2),
+    // queries still carved from the FULL corpus (takedown does not
+    // retract in-flight queries). The tombstone probe and the
+    // physically-compacted probe must BOTH equal this
+    // rebuild-without-deleted answer, so each family contributes two
+    // kinds of identical expected rows. The BM25 CTEs are the q104
+    // arithmetic over the surviving docs (N, avgdl, df all shift
+    // under deletion — a stale stats row or an unapplied tombstone
+    // moves the hash); the dense CTEs are q38's fixed-order cosine
+    // over the surviving vectors. Multi-referenced CTEs are
+    // MATERIALIZED (the oracle-authoring rule).
+    "q129_index_delete" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |surv AS MATERIALIZED (SELECT doc_id, toks FROM d WHERE doc_id % 5 <> 2),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total FROM surv),
+        |tf2 AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM surv) x GROUP BY doc_id, dl, tok),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+        |qd AS (SELECT doc_id AS query_id, toks FROM d WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 5),
+        |qt AS (SELECT DISTINCT query_id, unnest(toks[1:4]) AS tok FROM qd),
+        |m AS (SELECT qt.query_id, tf2.doc_id,
+        |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
+        |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc),
+        |bm AS MATERIALIZED (SELECT query_id, rank, doc_id AS id, CAST(score_micro AS DOUBLE) AS score FROM r WHERE rank <= 10),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |(sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) *
+        |sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS cos
+        |FROM embeddings e JOIN q ON e.vec_id <> q.query_id WHERE e.vec_id % 5 <> 2),
+        |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rnk FROM s),
+        |an AS MATERIALIZED (SELECT query_id, rnk AS rank, neighbor_id AS id, cos AS score FROM rr WHERE rnk <= 5)
+        |SELECT kind, query_id, rank, id, score FROM (
+        |SELECT 'bm25_tomb' AS kind, query_id, rank, id, score FROM bm
+        |UNION ALL SELECT 'bm25_compact' AS kind, query_id, rank, id, score FROM bm
+        |UNION ALL SELECT 'ann_tomb' AS kind, query_id, rank, id, score FROM an
+        |UNION ALL SELECT 'ann_compact' AS kind, query_id, rank, id, score FROM an) u
+        |ORDER BY kind, query_id, rank""".stripMargin,
+    // q130: q117's interpolated-LM gate one order up — trigram table
+    // = top 32768 triples whose (prev2, prev) context is an in-table
+    // bigram (P_tri < 1 by construction, the q117 in-vocab invariant
+    // lifted); per-token bits micro-rounded from the identical
+    // token-for-token float expression (only log2's libm ulp is
+    // engine code), integer-summed, integer bucket thresholds.
+    "q130_perplexity_trigram" ->
+      """WITH ref AS MATERIALIZED (SELECT string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'),
+        |rt AS (SELECT unnest(toks) AS tok FROM ref),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rt),
+        |voc AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 4096),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+        |bi AS MATERIALIZED (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM
+        |(SELECT toks[i] AS prev, toks[i + 1] AS cur FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM ref) x) y
+        |JOIN voc vv ON y.prev = vv.tok
+        |GROUP BY prev, cur ORDER BY cb DESC, prev ASC, cur ASC LIMIT 16384),
+        |tri AS MATERIALIZED (SELECT y.p2 AS p2, y.p1 AS p1, y.cur AS cur, CAST(count(*) AS BIGINT) AS ct FROM
+        |(SELECT toks[i] AS p2, toks[i + 1] AS p1, toks[i + 2] AS cur FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM ref) x) y
+        |JOIN bi bb ON y.p2 = bb.prev AND y.p1 = bb.cur
+        |GROUP BY y.p2, y.p1, y.cur ORDER BY ct DESC, y.p2 ASC, y.p1 ASC, y.cur ASC LIMIT 32768),
+        |tk AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks) + 1)) AS p FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) d),
+        |tok AS (SELECT doc_id, lang, toks[p] AS cur, CASE WHEN p > 1 THEN toks[p - 1] END AS prev, CASE WHEN p > 2 THEN toks[p - 2] END AS prev2 FROM tk),
+        |sc0 AS (SELECT doc_id, lang,
+        |CASE WHEN tok.prev IS NULL THEN CAST(round(-log2((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1)) * 1000000.0) AS BIGINT)
+        |WHEN tok.prev2 IS NULL THEN CAST(round(-log2(0.5 * ((COALESCE(bi.cb, 0) + 1.0) / (COALESCE(vp.c, 0) + v.v + 1)) + 0.5 * ((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1))) * 1000000.0) AS BIGINT)
+        |ELSE CAST(round(-log2((((COALESCE(tri.ct, 0) + 1.0) / (COALESCE(bc.cb, 0) + v.v + 1)) + ((COALESCE(bi.cb, 0) + 1.0) / (COALESCE(vp.c, 0) + v.v + 1)) + ((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1))) / 3.0) * 1000000.0) AS BIGINT) END AS bits
+        |FROM tok LEFT JOIN voc vc ON tok.cur = vc.tok LEFT JOIN voc vp ON tok.prev = vp.tok
+        |LEFT JOIN bi ON tok.prev = bi.prev AND tok.cur = bi.cur
+        |LEFT JOIN bi bc ON tok.prev2 = bc.prev AND tok.prev = bc.cur
+        |LEFT JOIN tri ON tok.prev2 = tri.p2 AND tok.prev = tri.p1 AND tok.cur = tri.cur, n, v),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS bits_micro FROM sc0 GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, bits_micro,
+        |CASE WHEN bits_micro < 4960000 * n_tokens THEN 'head'
+        |WHEN bits_micro < 4995000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

@@ -10,7 +10,13 @@ object Verify {
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset filter for local iteration (comma-separated full
+    // names or qNN prefixes). Unset = all queries — the driver's path.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.filter { case (name, _) =>
+      only.forall(s => s.contains(name) || s.contains(name.takeWhile(_ != '_')))
+    }.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // Harness contract: declared outputs are scalar-only — the

@@ -84,9 +84,34 @@ object LlmOps {
     * across bench/verify invocations. At cluster scale promote to a
     * reliable checkpoint (survives executor loss).
     */
-  def minhashPairsOf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minhashPairsOf(docs: DataFrame, threshold: Double = 0.8,
+      maxBucket: Int = 65536): DataFrame = {
     val withHs = shingleHashSets(docs).localCheckpoint()
-    val buckets = bandBuckets(withHs)
+    // pinned: the guard below and BOTH sides of the self-join read it
+    val buckets = bandBuckets(withHs).localCheckpoint()
+    // Fail-fast candidate-mass guard (round 13 — the q84 per-interval
+    // cap pattern): one (band, hash) bucket of m docs emits m(m−1)/2
+    // candidate pairs, so an m-member near-duplicate CLUSTER makes the
+    // declared all-pairs OUTPUT itself quadratic in m — intrinsic to
+    // pair enumeration, not a plan defect (the hot-docs 30× probe's
+    // steepest curve is exactly this candidate mass). Up to
+    // `maxBucket` the operator proceeds (65536² pairs within one
+    // bucket is still a bounded, shuffle-joinable set); beyond it the
+    // abort names the remedy: cluster-level dedup (q75/q61 connected
+    // components), which needs only a SPANNING candidate set per
+    // cluster, never all pairs.
+    val oversized = buckets.groupBy("band", "bh")
+      .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
+      .limit(1).collect()
+    if (oversized.nonEmpty) {
+      val r = oversized.head
+      throw new IllegalStateException(
+        s"minhashPairsOf: LSH bucket (band=${r.get(0)}, hash=${r.get(1)}) " +
+          s"holds ${r.getLong(2)} docs > maxBucket=$maxBucket — a duplicate " +
+          "cluster this size makes the all-pairs output quadratic in the " +
+          "cluster; run cluster-level dedup (dedupClustersLshOf / q75) " +
+          "instead, or raise maxBucket deliberately")
+    }
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -416,12 +441,18 @@ object LlmOps {
     * the cleaned documents in original order.
     *
     * Plan shape at 100 TB: segmentation is a map-side
-    * transform+posexplode; the keep decision is ONE window shuffle
-    * partitioned by paragraph (row_number over (doc_id, pos) — the
-    * partition is the duplicate group, bounded by the repeat count of
-    * one paragraph); reassembly is one groupBy doc_id whose
-    * collect_list is bounded by the document's own paragraph count.
-    * No corpus-wide sort, no cartesian anything.
+    * transform+posexplode; the keep decision is an ALGEBRAIC
+    * min(struct(doc_id, para_idx)) aggregate keyed by the paragraph's
+    * sha2 (narrow 32-byte shuffle keys — the q36/q103 hash-equality
+    * convention) joined back to the paragraph rows. Round 13 replaced
+    * the earlier per-paragraph row_number window: a window partition
+    * cannot be split, so a boilerplate paragraph repeated ~300k times
+    * sorted in ONE task (the measured 2.25× hot-docs straggler),
+    * whereas the aggregate map-side-combines the hot group to one row
+    * per input partition and the join back is AQE-skew-splittable.
+    * Reassembly is one groupBy doc_id whose collect_list is bounded
+    * by the document's own paragraph count. No corpus-wide sort, no
+    * cartesian anything.
     */
   def q86DedupParagraph(spark: SparkSession, dir: String,
       paraTokens: Int = 20): DataFrame =
@@ -433,9 +464,15 @@ object LlmOps {
     * pipeline stage share one semantics.
     */
   def dedupParagraphs(docs: DataFrame, paraTokens: Int = 20): DataFrame = {
-    val ranked = segmentParas(docs, paraTokens).withColumn("rn", row_number().over(
-      Window.partitionBy("para").orderBy("doc_id", "para_idx")))
-    reassembleParas(ranked, col("rn") === 1).orderBy("doc_id")
+    val paras = segmentParas(docs, paraTokens)
+      .withColumn("__ph", sha2(col("para"), 256))
+    val firsts = paras.groupBy("__ph")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
+    val flagged = paras.join(firsts, Seq("__ph"))
+    reassembleParas(flagged,
+      col("doc_id") === col("__first").getField("doc_id") &&
+        col("para_idx") === col("__first").getField("para_idx"))
+      .orderBy("doc_id")
   }
 
   /** Fixed-width paragraph segmentation shared by [[dedupParagraphs]]
@@ -548,12 +585,21 @@ object LlmOps {
               col("__ipos") === col("para_idx")))
           .drop("__idoc", "__ipos")
       }
-    // one window over the batch's paragraphs (partition = duplicate
-    // group); checkpoint once — the cleaned output and the index
-    // append both read it
-    val ranked = flagged.withColumn("rn", row_number().over(
-        Window.partitionBy("para").orderBy("doc_id", "para_idx")))
-      .withColumn("keep", !col("seen") && col("rn") === 1)
+    // in-batch first-occurrence rule as an algebraic min + join (the
+    // q86 hot-group shape — a window partition cannot be split, the
+    // aggregate map-side-combines a hot paragraph); grouping on
+    // (ph, para) keeps equality EXACT text equality. A seen group's
+    // min row is never unseen-shadowed: the only unseen row of a
+    // group is its own index identity (see the probe comment above).
+    // Checkpoint once — the cleaned output and the index append both
+    // read it.
+    val firsts = flagged.groupBy("ph", "para")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
+    val ranked = flagged.join(firsts, Seq("ph", "para"))
+      .withColumn("keep", !col("seen") &&
+        col("doc_id") === col("__first").getField("doc_id") &&
+        col("para_idx") === col("__first").getField("para_idx"))
+      .drop("__first")
       .localCheckpoint()
     ranked.filter(col("keep"))
       .select(col("ph"), col("para"), col("doc_id"), col("para_idx"))
@@ -1301,10 +1347,10 @@ object LlmOps {
     * and a 32-bit truncation here would reopen exactly the birthday
     * collision the signature widened away — two corpus roots
     * colliding on the key prefix cross-serve each other's memos
-    * (round-11 advice). Widening the key format orphans pre-widening
-    * memos (their names no longer match any stem the GC computes);
-    * they are tmp-scoped and bounded, and never *served* — lookups
-    * only ever resolve through this one definition.
+    * (round-11 advice). Pre-widening memos (8-hex names) are
+    * unreachable by any current lookup — lookups only ever resolve
+    * through this one definition — and [[gcStaleMemos]]'s legacy-stem
+    * sweep reclaims them (round-12 advice).
     */
   private def memoDirKey(dir: String): String = {
     val hi = scala.util.hashing.MurmurHash3.stringHash(dir) & 0xFFFFFFFFL
@@ -1469,9 +1515,37 @@ object LlmOps {
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)
     if (!fs.exists(root)) return
-    val cutoff = System.currentTimeMillis() - MemoGcGraceMs
-    val entries = fs.listStatus(root).filter(
-      _.getPath.getName.startsWith(stem))
+    // The grace clock compares MARKER mtimes, which the FILESYSTEM
+    // stamped — on HDFS/object stores (the exact concurrent-reader
+    // scenario the grace exists for) the server clock can skew from
+    // this client's, silently shrinking or inflating the window
+    // (round-12 advice). So "now" comes from the same filesystem: a
+    // freshly-created probe file's mtime. Lazy — sweeps that meet no
+    // marker never pay the round-trip.
+    lazy val cutoff: Long = {
+      val probe = new org.apache.hadoop.fs.Path(root,
+        ".graft_gc_clock_probe_" + java.util.UUID.randomUUID().toString)
+      val fsNow = try {
+        fs.create(probe, true).close()
+        fs.getFileStatus(probe).getModificationTime
+      } catch { case _: java.io.IOException => System.currentTimeMillis() }
+      finally { try fs.delete(probe, false) catch { case _: java.io.IOException => } }
+      fsNow - MemoGcGraceMs
+    }
+    // Legacy stem: memos written before memoDirKey widened to 16 hex
+    // (round 12) carry an 8-hex dir hash — unreachable by any current
+    // lookup (the key arithmetic changed), so they'd otherwise sit in
+    // tmp forever. Sweep them through the same two-phase tombstone
+    // path as stale-signature memos. Exactly 8 hex then `_s` cannot
+    // match a current 16-hex name (whose 9th hash char is hex, not
+    // `_`).
+    val legacyRe = (java.util.regex.Pattern.quote(
+      s"$familyPrefix${dir.replaceAll("[^a-zA-Z0-9]", "_")}_h") +
+      "[0-9a-f]{8}_s.*").r.pattern
+    val entries = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      n.startsWith(stem) || legacyRe.matcher(n).matches
+    }
     val names = entries.map(_.getPath.getName).toSet
     def dropMarker(marker: org.apache.hadoop.fs.Path): Unit = {
       val out = fs.create(marker, true)
@@ -2325,8 +2399,128 @@ object LlmOps {
     * [[Sinks.sealBatchStamped]] for the swap discipline.
     */
   def annIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+    // quiesce-time compaction applies pending tombstones FIRST (the
+    // q129 retention/takedown path), so a sealed index never carries
+    // a deletes/ dir
+    annIndexApplyDeletes(spark, indexPath)
     Sinks.sealBatchStamped(spark, s"$indexPath/vectors", Some("cell"))
     Sinks.sealBatchStamped(spark, s"$indexPath/codes", Some("cell"))
+  }
+
+  /** Explicit-schema read of an ANN index's tombstone directory —
+    * None when no delete was ever recorded. Explicit schema: a
+    * crash-orphaned file-less dir must read as zero tombstones, not
+    * throw at inference (the q126 read-back rule).
+    */
+  private def readAnnDeletes(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    if (!Sinks.fsFor(spark, indexPath).exists(p)) None
+    else Some(spark.read.schema(StructType(Seq(
+      StructField("vec_id", LongType)))).parquet(p.toString))
+  }
+
+  /** Anti-join `df` (carrying vec_id) against the index's tombstones,
+    * when any exist — the merge-on-read half of [[annIndexDelete]]
+    * every probe path applies. No tombstones ⇒ `df` unchanged (one
+    * fs.exists per probe).
+    */
+  private def minusAnnDeletes(spark: SparkSession, indexPath: String,
+      df: DataFrame): DataFrame =
+    readAnnDeletes(spark, indexPath)
+      .map(d => df.join(d, Seq("vec_id"), "left_anti")).getOrElse(df)
+
+  /** DELETE vectors from a persisted ANN index — the retention/
+    * takedown path the append-only ingest contract eventually forces
+    * (reference README.md:80: an append-only store still has to
+    * forget). Merge-on-read tombstones, the Delta-style design:
+    * recording a delete appends ONE bounded file under
+    * `indexPath/deletes/` (the only mutation — atomic per call via
+    * the committer's file rename), every probe anti-joins it
+    * ([[minusAnnDeletes]]), and the physical rewrite is deferred to
+    * [[annIndexApplyDeletes]] (run by [[annIndexSeal]] and subsumed
+    * by [[annIndexRetrain]]'s rotation). Already-tombstoned ids are
+    * not re-recorded (idempotent re-delete); ids absent from the
+    * index are recorded anyway (a delete must also cover in-flight
+    * or future replayed batches of that id — the tombstone masks
+    * them until a compaction makes it physical). Single-writer
+    * discipline like seal/retrain: concurrent delete calls on one
+    * index are the caller's race. Returns the count of NEWLY
+    * recorded ids.
+    */
+  def annIndexDelete(spark: SparkSession, indexPath: String,
+      vecIds: DataFrame): Long = {
+    val ids = vecIds
+      .select(col(vecIds.columns(0)).cast("long").as("vec_id")).distinct()
+    val fresh = (readAnnDeletes(spark, indexPath) match {
+      case Some(ex) => ids.join(ex, Seq("vec_id"), "left_anti")
+      case None => ids
+    }).localCheckpoint()
+    val n = fresh.count()
+    if (n > 0)
+      fresh.coalesce(1).write.mode("append")
+        .parquet(s"$indexPath/deletes")
+    n
+  }
+
+  /** Physically apply pending tombstones: rewrite `vectors/` and
+    * `codes/` WITHOUT the deleted ids (layout preserved — a stamped
+    * index stays stamped), then drop `deletes/`. Per-subdirectory
+    * count-validated park-rename swaps, vectors first: a crash
+    * between the two swaps leaves the tombstones in place, so
+    * merge-on-read probes stay exactly right and the next apply
+    * call finishes the job; a crash inside one swap is repaired by
+    * the entry [[Sinks.recoverInterrupted]]. A subdir emptied by the
+    * delete is REMOVED rather than installed file-less (probes treat
+    * a missing dir as "nothing indexed"; a file-less one would fail
+    * schema inference). No-op without tombstones. Returns whether a
+    * rewrite happened.
+    */
+  def annIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean = {
+    val fs = Sinks.fsFor(spark, indexPath)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    Seq("vectors", "codes").foreach(sub =>
+      Sinks.recoverInterrupted(fs, p(s"$indexPath/$sub"), "__del_old", "__del_tmp"))
+    val delsOpt = readAnnDeletes(spark, indexPath)
+    if (delsOpt.isEmpty) return false
+    val dels = delsOpt.get.localCheckpoint() // pinned: its dir is dropped below
+    if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
+    Seq("vectors", "codes").foreach { sub =>
+      val dir = s"$indexPath/$sub"
+      if (fs.exists(p(dir))) {
+        val df =
+          try spark.read.parquet(dir)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+              null // file-less: nothing to rewrite
+          }
+        if (df != null) {
+          val partCols = Seq("cell") ++
+            (if (df.columns.contains("__batch_id")) Seq("__batch_id") else Nil)
+          val kept = df.join(dels, Seq("vec_id"), "left_anti").localCheckpoint()
+          val expected = kept.count()
+          if (expected == 0) {
+            fs.delete(p(dir), true) // emptied: missing dir, not file-less
+          } else {
+            val tmp = dir + "__del_tmp"
+            kept.repartition(col("cell"))
+              .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+            val actual = spark.read.parquet(tmp).count()
+            if (actual != expected) {
+              fs.delete(p(tmp), true)
+              throw new java.io.IOException(
+                s"annIndexApplyDeletes: rewrite of $sub has $actual rows, " +
+                  s"expected $expected; aborted with $indexPath untouched")
+            }
+            Sinks.swapInstall(fs, p(tmp), p(dir), "__del_old")
+          }
+        }
+      }
+    }
+    fs.delete(p(s"$indexPath/deletes"), true)
+    true
   }
 
   /** Quantizer retrain rotation for a persisted ANN index — the drift
@@ -2377,7 +2571,11 @@ object LlmOps {
     // ride in the stored rows); pinned — the Lloyd loops, the
     // assignment pass and the count validation all replay it, and the
     // source directory is about to be parked away
-    val vecs = spark.read.parquet(s"$indexPath/vectors").localCheckpoint()
+    // pending tombstones (q129) are applied BY the rotation: the
+    // rewrite excludes them and the whole-root swap below installs a
+    // root without deletes/ — rotation doubles as compaction
+    val vecs = minusAnnDeletes(spark, indexPath,
+      spark.read.parquet(s"$indexPath/vectors")).localCheckpoint()
     val stamped = vecs.columns.contains("__batch_id")
     val expected = vecs.count()
     if (expected == 0) return
@@ -2527,8 +2725,9 @@ object LlmOps {
     }
     val probes = probeSeq.toDF("query_id", "qe", "qnsq", "cell")
     val probedCells = probeSeq.map(_._4).distinct
-    spark.read.parquet(s"$indexPath/vectors")
-      .filter(col("cell").isin(probedCells: _*))
+    minusAnnDeletes(spark, indexPath,
+      spark.read.parquet(s"$indexPath/vectors")
+        .filter(col("cell").isin(probedCells: _*)))
       .join(broadcast(probes), Seq("cell"))
       // self-exclusion only makes sense when queries ARE indexed
       // vectors (the q38/q49 shape); disable it for an external query
@@ -2606,6 +2805,45 @@ object LlmOps {
     // vector fetch read only probed cell=<c>/ directories
     // (LlmOpsSpec pins this with the q106 scan-metric technique).
     val probedCells = probeSeq.map(_._5).distinct
+    // Verified-lossless shortcut (round 13): the DECLARED q111/q113/
+    // q114/q120 probes run exhaustively — candFactor·k sized ≥ the
+    // indexed population — so the ADC rank keeps every candidate and
+    // its whole apparatus (per-row ADC cosine, a per-query rank
+    // exchange, a finalist broadcast, a second probed-cell scan)
+    // computes an identity. ONE cheap count over the probed cells'
+    // codes proves it (codes rows ≤ candFactor·k ⇒ every per-query
+    // candidate survives the arnk filter); when it holds, run the
+    // exact rerank directly over vectors ∩ codes. The codes scan
+    // STAYS load-bearing: candidate membership is codes ⋈ vectors in
+    // both forms (here a (cell, vec_id) semi-join), so a lost,
+    // duplicated or misrouted code moves the oracle hash exactly as
+    // the finalist path did. Realistic probes (candFactor·k <
+    // population) take the ADC prefilter path below unchanged.
+    // tombstones (q129): candidate membership is the CODES side in
+    // both probe forms, so the anti-join lands here once — the
+    // lossless shortcut's semi-join and the finalist path's inner
+    // joins both propagate it
+    val codesInProbed = minusAnnDeletes(spark, indexPath,
+      spark.read.parquet(s"$indexPath/codes")
+        .filter(col("cell").isin(probedCells: _*)))
+    if (codesInProbed.count() <= candFactor.toLong * k) {
+      return spark.read.parquet(s"$indexPath/vectors")
+        .filter(col("cell").isin(probedCells: _*))
+        .join(codesInProbed.select("cell", "vec_id"),
+          Seq("cell", "vec_id"), "left_semi")
+        .join(broadcast(probeRows.select("query_id", "qe", "qnsq", "cell")),
+          Seq("cell"))
+        .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosinePrenorm(dotProduct(col("qe"), col("embedding")),
+            col("qnsq"), col("nsq")), 6).as("cos"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+        .filter(col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos")
+        .orderBy("query_id", "rnk")
+    }
     // finalists carry ONLY narrow keys (query_id, cell, vec_id): the
     // broadcast is ≤ nQueries·candFactor·k rows × ~20 bytes — the
     // query vector + prenorm re-enter at the rerank via a SECOND
@@ -2613,8 +2851,7 @@ object LlmOps {
     // of riding a 64-float array on every finalist row (which at a
     // lossless candFactor — the q111/q113 exhaustive probe — would
     // have made the broadcast corpus-sized × 300 B/row)
-    val finalists = spark.read.parquet(s"$indexPath/codes")
-      .filter(col("cell").isin(probedCells: _*))
+    val finalists = codesInProbed
       .join(broadcast(probeRows), Seq("cell"))
       .filter(if (excludeQueryId) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("acos",
@@ -4128,6 +4365,133 @@ object LlmOps {
     scoreWithBigramLm(docs, fitBigramLm(ref, vocabCap, bigramCap),
       headBits, midBits).orderBy("doc_id")
 
+  /** #130 Interpolated-TRIGRAM LM perplexity gate — [[q117PerplexityBigram]]
+    * upgraded one more order toward CCNet's 5-gram KenLM (Wenzek et
+    * al. 2020 §4.3). Per token:
+    *
+    *   pos 0:  P_uni                          (no predecessor)
+    *   pos 1:  0.5·P_bi + 0.5·P_uni           (exactly q117's rule)
+    *   pos ≥2: (P_tri + P_bi + P_uni) / 3.0   (equal-weight interpolation)
+    *
+    *   P_tri(cur | prev2, prev) = (c_tri + 1) / (c_ctx + V + 1)
+    *
+    * where c_ctx is the CONTEXT bigram's (prev2, prev) table count.
+    * The trigram table keeps only trigrams whose context is an
+    * in-table bigram — the q117 in-vocab-prev invariant lifted one
+    * order: c_ctx ≥ c_tri always (every trigram occurrence contains a
+    * context-bigram occurrence, both counted over the same reference),
+    * so P_tri < 1 by construction and bits stay positive. All three
+    * model tables are TakeOrdered-BOUNDED (vocabCap/bigramCap/
+    * trigramCap) regardless of reference size; out-of-table lookups
+    * coalesce to count 0 — the add-one smoothing mass.
+    *
+    * Oracle parity: the q117 machinery verbatim — per-token bits
+    * micro-rounded in-plan from an expression written token-for-token
+    * as the DuckDB oracle writes it, integer-summed, integer bucket
+    * thresholds. Scale shape: trainer traffic is THREE TakeOrdered
+    * transfers; scoring is one posexplode + five broadcast hash
+    * probes (two against the unigram table, two against the bigram
+    * table under different key aliases, one trigram) + ONE
+    * doc_id-keyed partial-agg exchange. `headBits`/`midBits` cut near
+    * the measured terciles (the q117 convention).
+    */
+  def q130PerplexityTrigram(spark: SparkSession, dir: String,
+      refSource: String = "src0", vocabCap: Int = 4096,
+      bigramCap: Int = 16384, trigramCap: Int = 32768,
+      headBits: Long = 4960000L, midBits: Long = 4995000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    scoreWithTrigramLm(docs.select("doc_id", "lang", "text"),
+      fitTrigramLm(docs.filter(col("source") === refSource).select("text"),
+        vocabCap, bigramCap, trigramCap),
+      headBits, midBits).orderBy("doc_id")
+  }
+
+  /** Fitted interpolated-trigram model: the [[BigramLm]] tables plus
+    * the bounded (p2, p1, cur, ct) trigram table.
+    */
+  final case class TrigramLm(uni: DataFrame, bi: DataFrame,
+      tri: DataFrame, n: Long, v: Long)
+
+  /** Fit the q130 model on `ref` (text): [[fitBigramLm]]'s tables,
+    * then the top-`trigramCap` trigrams whose (prev2, prev) context
+    * is an in-table bigram (count desc, triple asc — the q64/q85
+    * top-V pattern). One extra reference scan + one TakeOrdered.
+    */
+  def fitTrigramLm(ref: DataFrame, vocabCap: Int, bigramCap: Int,
+      trigramCap: Int): TrigramLm = {
+    val base = fitBigramLm(ref, vocabCap, bigramCap)
+    val toks = ref.select(split(col("text"), " ").as("toks"))
+    val tripleType = "array<struct<p2:string,p1:string,cur:string>>"
+    val tris = toks.select(explode(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => struct(element_at(col("toks"), i + 1).as("p2"),
+              element_at(col("toks"), i + 2).as("p1"),
+              element_at(col("toks"), i + 3).as("cur"))))
+          .otherwise(array().cast(tripleType))).as("t"))
+      .select(col("t.p2").as("p2"), col("t.p1").as("p1"),
+        col("t.cur").as("cur"))
+    val tri = tris
+      .join(broadcast(base.bi.select(col("prev").as("p2"),
+        col("cur").as("p1"))), Seq("p2", "p1"))
+      .groupBy("p2", "p1", "cur").count()
+      .orderBy(col("count").desc, col("p2").asc, col("p1").asc,
+        col("cur").asc)
+      .limit(trigramCap)
+      .select(col("p2"), col("p1"), col("cur"), col("count").as("ct"))
+      .localCheckpoint()
+    TrigramLm(base.uni, base.bi, tri, base.n, base.v)
+  }
+
+  /** Score `docs` (doc_id, lang, text) under a [[fitTrigramLm]]
+    * model: posexplode, five broadcast probes, one doc-keyed
+    * partial-agg exchange, integer bucket thresholds (the
+    * [[scoreWithBigramLm]] contract, trigram edition).
+    */
+  def scoreWithTrigramLm(docs: DataFrame, lm: TrigramLm, headBits: Long,
+      midBits: Long): DataFrame = {
+    val denomUni = lit((lm.n + lm.v + 1).toDouble)
+    val tok = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "cur")))
+      .select(col("doc_id"), col("lang"), col("pos"), col("cur"),
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"),
+        when(col("pos") > 1, element_at(col("toks"), col("pos") - 1)).as("prev2"))
+    val joined = tok
+      .join(broadcast(lm.uni.select(col("tok").as("cur"), col("c").as("cu"))),
+        Seq("cur"), "left")
+      .join(broadcast(lm.uni.select(col("tok").as("prev"), col("c").as("cp"))),
+        Seq("prev"), "left")
+      .join(broadcast(lm.bi), Seq("prev", "cur"), "left")
+      .join(broadcast(lm.bi.select(col("prev").as("prev2"),
+        col("cur").as("prev"), col("cb").as("cbc"))),
+        Seq("prev2", "prev"), "left")
+      .join(broadcast(lm.tri.select(col("p2").as("prev2"),
+        col("p1").as("prev"), col("cur"), col("ct"))),
+        Seq("prev2", "prev", "cur"), "left")
+    // written token-for-token as the oracle SQL writes it
+    val puni = (coalesce(col("cu"), lit(0L)) + lit(1.0)) / denomUni
+    val pbi = (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cp"), lit(0L)) + lit(lm.v + 1))
+    val ptri = (coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cbc"), lit(0L)) + lit(lm.v + 1))
+    def clog2(c: Column): Column = org.apache.spark.sql.functions.log2(c)
+    val bits = when(col("prev").isNull,
+        round(-clog2(puni) * lit(1000000.0)).cast("long"))
+      .when(col("prev2").isNull,
+        round(-clog2(lit(0.5) * pbi + lit(0.5) * puni) * lit(1000000.0)).cast("long"))
+      .otherwise(
+        round(-clog2((ptri + pbi + puni) / lit(3.0)) * lit(1000000.0)).cast("long"))
+    joined
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits_micro"))
+      .withColumn("ppl_bucket",
+        when(col("bits_micro") < lit(headBits) * col("n_tokens"), "head")
+          .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
+          .otherwise("tail"))
+  }
+
   /** #121 Learned quality classifier — the reference-vs-corpus gate
     * of the big pipelines (GPT-3, Brown et al. 2020 Appendix A,
     * filters CommonCrawl with a linear classifier trained
@@ -4224,6 +4588,14 @@ object LlmOps {
     * (the NBSVM interpolation insight: NB weights are already a
     * strong linear model; GD then fits what NB's independence
     * assumption misses) and refined by full-batch gradient descent.
+    * The declared pass count is PINNED at 6 (round 13): the measured
+    * loss curve at sf0.1 is linear at ~0.005 nats/epoch with no
+    * plateau or inflection anywhere in the first 8 passes — the NB
+    * init carries the separation (the spec's planted law holds from
+    * epoch 0) and each extra pass buys the same marginal refinement,
+    * so the count is a budget knob, not a convergence requirement;
+    * 6 keeps the line interpretable (round-12 verdict) at ~25% less
+    * sequential-epoch latency than the previous 8.
     * `lr` < 4 is the provable descent region: frequencies sum to 1
     * per doc ⇒ ‖x‖₂ ≤ 1, and the bias rides as a constant-1 feature
     * coordinate ⇒ ‖[x,1]‖₂² ≤ 2 ⇒ the logistic loss Hessian is
@@ -4236,7 +4608,7 @@ object LlmOps {
     * determinism.
     */
   def q122QualityLrRefined(spark: SparkSession, dir: String,
-      refSource: String = "src0", nBuckets: Int = 4096, epochs: Int = 8,
+      refSource: String = "src0", nBuckets: Int = 4096, epochs: Int = 6,
       lr: Double = 2.0, minCount: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val labeled = docs.select(col("doc_id"), col("lang"), col("text"),
@@ -4263,10 +4635,11 @@ object LlmOps {
     * bucket-keyed class-count agg, ≤ nBuckets rows to the driver),
     * then full-batch GD with weights + bias driver-held (nBuckets+1
     * doubles — bounded), every distributed pass a partial aggregate.
-    * Returns (weights, bias, per-epoch training loss) — the loss
-    * rides the same margin pass as the residuals, so tracking it
-    * costs one extra 1-row agg per epoch, and the returned history
-    * lets callers (and the spec) verify descent.
+    * Each epoch is ONE distributed job: gradient, bias gradient and
+    * training loss all land in a single bucket-keyed aggregate (the
+    * bias as a synthetic constant-1 feature bucket). Returns
+    * (weights, bias, per-epoch training loss) — the history lets
+    * callers (and the spec) verify descent.
     */
   def fitHashedLr(docs: DataFrame, nBuckets: Int, epochs: Int,
       lr: Double, minCount: Int = 5): (Array[Double], Double, Array[Double]) = {
@@ -4274,7 +4647,7 @@ object LlmOps {
     import spark.implicits._
     val feats = hashedFreqFeatures(docs, nBuckets)
       .join(docs.select("doc_id", "label"), "doc_id")
-      .localCheckpoint() // replayed 3× per epoch
+      .localCheckpoint() // replayed twice per epoch job
     val n = docs.count()
     if (n == 0) return (new Array[Double](nBuckets), 0.0, Array.empty)
     // NB evidence lives at OCCURRENCE scale (Σ occ·w + prior) but the
@@ -4315,36 +4688,38 @@ object LlmOps {
       val wDf = w.toIndexedSeq.zipWithIndex
         .map { case (v, i) => (i.toLong, v) }.toDF("bucket", "w")
       // per-doc margin (broadcast weights, doc-keyed partial agg) →
-      // residual r = y − σ(margin) and log-loss per doc
-      val margin = feats
+      // residual r = y − σ(z) and per-doc log-loss (log(1+e^z) − y·z,
+      // the numerically-stable softplus form)
+      val perDoc = feats
         .join(broadcast(wDf), Seq("bucket"), "left")
         .groupBy("doc_id", "label")
         .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("dot"))
         .select(col("doc_id"), col("label"),
           (col("dot") + lit(bias)).as("z"))
-        .localCheckpoint() // read twice: residuals and gradient join
-      val resid = margin.select(col("doc_id"),
-        (col("label") - lit(1.0) / (lit(1.0) + exp(-col("z")))).as("r"))
-      // loss (log(1+e^z) − y·z, the numerically-stable softplus form)
-      // and the bias gradient Σr ride ONE 1-row aggregate — both are
-      // scalars of the margin relation, and splitting them cost a
-      // whole extra job per epoch
-      val scalars = margin
-        .agg(coalesce(sum(
-          when(col("z") > 0, col("z") + log(lit(1.0) + exp(-col("z"))))
+        .select(col("doc_id"),
+          (col("label") - lit(1.0) / (lit(1.0) + exp(-col("z")))).as("r"),
+          (when(col("z") > 0, col("z") + log(lit(1.0) + exp(-col("z"))))
             .otherwise(log(lit(1.0) + exp(col("z")))) -
-            col("label") * col("z")), lit(0.0)),
-          coalesce(sum(col("label") -
-            lit(1.0) / (lit(1.0) + exp(-col("z")))), lit(0.0)))
-        .head()
-      losses(e) = scalars.getDouble(0) / n
-      val gBias = scalars.getDouble(1)
-      // bucket-keyed gradient cells: ≤ nBuckets rows to the driver
-      val grad = feats.join(resid, "doc_id")
-        .groupBy("bucket").agg(sum(col("r") * col("x")).as("g"))
-        .collect().map(row => (row.getLong(0).toInt, row.getDouble(1)))
-      grad.foreach { case (bkt, g) => w(bkt) += lr * g / n }
-      bias += lr * gBias / n
+            col("label") * col("z")).as("loss"))
+      // The WHOLE epoch is ONE distributed job (round-13; was three —
+      // a margin checkpoint, a scalar agg and a gradient collect —
+      // and per-epoch job-launch overhead dominated the bench line):
+      // the bias rides as a synthetic bucket −1 with x = 1 (its
+      // gradient cell Σr·1 IS the bias gradient) and carries the
+      // per-doc loss, so one bucket-keyed aggregate — ≤ nBuckets+1
+      // rows to the driver — yields gradient, bias gradient and loss.
+      val cells = feats.join(perDoc, "doc_id")
+        .select(col("bucket"), col("x"), col("r"), lit(0.0).as("loss"))
+        .unionAll(perDoc.select(lit(-1L).as("bucket"), lit(1.0).as("x"),
+          col("r"), col("loss")))
+        .groupBy("bucket")
+        .agg(sum(col("r") * col("x")).as("g"), sum("loss").as("l"))
+        .collect()
+        .map(row => (row.getLong(0).toInt, row.getDouble(1), row.getDouble(2)))
+      cells.foreach { case (bkt, g, l) =>
+        if (bkt < 0) { bias += lr * g / n; losses(e) = l / n }
+        else w(bkt) += lr * g / n
+      }
     }
     (w, bias, losses)
   }

@@ -328,13 +328,27 @@ object Retrieval {
           s"${if (stamped) "flat" else "batch-stamped"} — the directory " +
           "depths don't mix (seal the index or use the matching writer)")
     }
-    val sentinel = entries.map(_.getPath.getName)
-      .filter(_.startsWith("__nb_")).map(_.stripPrefix("__nb_").toInt)
-    if (sentinel.exists(_ != nBuckets)) {
+    // digits-only: a stray non-numeric `__nb_*` file is NOT a
+    // sentinel this writer ever produced — corruption or foreign
+    // litter — so it fails the guard loudly instead of throwing a
+    // bare NumberFormatException (round-12 advice)
+    val nbNames = entries.map(_.getPath.getName).filter(_.startsWith("__nb_"))
+    val malformed = nbNames.filterNot(_.stripPrefix("__nb_").matches("[0-9]+"))
+    if (malformed.nonEmpty) {
+      guardedBuckets.remove(pinKey)
+      throw new IllegalArgumentException(
+        s"append onto $indexPath: unparsable bucket-count sentinel(s) " +
+          s"${malformed.mkString(", ")} in stats/ — the modulus cannot be " +
+          "validated; remove the stray file(s) or rebuild the index")
+    }
+    val sentinel = nbNames.map(_.stripPrefix("__nb_").toInt)
+    val mismatched = sentinel.filter(_ != nBuckets)
+    if (mismatched.nonEmpty) {
       guardedBuckets.remove(pinKey)
       throw new IllegalArgumentException(
         s"append with nBuckets=$nBuckets onto $indexPath whose postings " +
-          s"are hashed with ${sentinel.head} buckets — rebuild the index instead")
+          s"are hashed with ${mismatched.distinct.mkString("/")} buckets — " +
+          "rebuild the index instead")
     }
     val pinned = guardedBuckets.get(pinKey)
     if (pinned != null) {
@@ -443,17 +457,35 @@ object Retrieval {
     val stDf = spark.read.option("mergeSchema", "true")
       .parquet(s"$indexPath/stats")
     val st = stDf.agg(sum("n_docs"), sum("total_tokens")).head()
-    val nDocs = st.getLong(0)
+    // merge-on-read tombstones (q129): N and avgdl shed the deleted
+    // docs via ONE bounded aggregate over the tombstone file (dl
+    // rode in at delete time — never a postings scan here); df needs
+    // no correction because it is the row count of the anti-joined
+    // postings below. No tombstones ⇒ zero extra work.
+    val delsOpt = readInvDeletes(spark, indexPath)
+    val (delDocs, delTokens) = delsOpt match {
+      case None => (0L, 0L)
+      case Some(dels) =>
+        val c = dels.filter(col("dl").isNotNull)
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+        (c.getLong(0), c.getLong(1))
+    }
+    val nDocs = st.getLong(0) - delDocs
     // empty index: the postings dir holds no parquet files (an empty
     // partitioned write emits none), so don't even try to read it
-    if (nDocs == 0) return emptyResult(queries)
-    val avgdl = st.getLong(1).toDouble / nDocs
+    if (nDocs <= 0) return emptyResult(queries)
+    val avgdl = (st.getLong(1) - delTokens).toDouble / nDocs
     val nb: Int = indexBucketCount(stDf).getOrElse(nBuckets)
     val buckets = queries
       .select(pmod(xxhash64(col("tok")), lit(nb)).as("tb"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    val pruned = spark.read.parquet(s"$indexPath/postings")
+    val pruned0 = spark.read.parquet(s"$indexPath/postings")
       .filter(col("tb").isin(buckets: _*))
+    val pruned = delsOpt match {
+      case Some(dels) =>
+        pruned0.join(dels.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => pruned0
+    }
     // exact-term postings; df = posting row count per term (rows are
     // unique per (tok, doc) by the disjoint-batch write contract)
     scoreMatched(
@@ -545,7 +577,140 @@ object Retrieval {
     * per-batch stats rows keep summing at read), per-batch directory
     * fan-out gone, flat appends from here on.
     */
+  /** Explicit-schema read of the inverted index's tombstone dir —
+    * None when no delete was ever recorded. Rows are (doc_id, dl):
+    * the tombstone CARRIES the deleted doc's length (captured from
+    * its own postings at delete time, NULL for ids absent from the
+    * index), so probe-time stats correction is one bounded aggregate
+    * over this dir — never a postings scan.
+    */
+  private def readInvDeletes(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    if (!Sinks.fsFor(spark, indexPath).exists(p)) None
+    else Some(spark.read.schema(StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", LongType))))
+      .parquet(p.toString))
+  }
+
+  /** DELETE documents from a persisted inverted index — the
+    * retention/takedown path (the [[graft.ops.LlmOps.annIndexDelete]]
+    * contract applied to the lexical family). Merge-on-read: the ONE
+    * mutation is an appended bounded tombstone file under
+    * `indexPath/deletes/` — (doc_id, dl) rows, dl captured from the
+    * doc's own postings so probes can correct N/avgdl without
+    * touching postings (df needs no correction at all: it is the
+    * anti-joined posting row count). Physical rewrite is deferred to
+    * [[invIndexApplyDeletes]] (run by [[invIndexSeal]]). Idempotent
+    * re-delete (already-tombstoned ids are not re-recorded); absent
+    * ids are recorded with NULL dl — the tombstone must also mask a
+    * replayed batch that lands after the delete. Single-writer
+    * discipline like seal. Returns the count of newly recorded ids.
+    */
+  def invIndexDelete(spark: SparkSession, indexPath: String,
+      docIds: DataFrame): Long = {
+    val ids = docIds
+      .select(col(docIds.columns(0)).cast("long").as("doc_id")).distinct()
+    val fresh0 = readInvDeletes(spark, indexPath) match {
+      case Some(ex) => ids.join(ex, Seq("doc_id"), "left_anti")
+      case None => ids
+    }
+    // dl from the doc's own postings: dl is constant per doc (one
+    // (doc_id, dl) pair per doc by the postingsOf grouping), so max()
+    // is exact; docs with no postings keep NULL
+    val posted =
+      try spark.read.parquet(s"$indexPath/postings")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+          null
+      }
+    val withDl =
+      if (posted == null) fresh0.withColumn("dl", lit(null).cast("long"))
+      else fresh0.join(
+        posted.join(fresh0, Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(max("dl").as("dl")),
+        Seq("doc_id"), "left")
+    val rows = withDl.select("doc_id", "dl").localCheckpoint()
+    val n = rows.count()
+    if (n > 0)
+      rows.coalesce(1).write.mode("append").parquet(s"$indexPath/deletes")
+    n
+  }
+
+  /** Physically apply pending tombstones: rewrite postings WITHOUT
+    * the deleted docs and the stats as ONE corrected row, installed
+    * by a count-validated whole-root park-rename swap; `deletes/` is
+    * gone in the installed root. The rewrite flattens a stamped
+    * layout (this IS a compaction — the seal contract), so JVM
+    * append-guard pins are retired and the modulus sentinel is
+    * recreated. No-op without tombstones; an index emptied by the
+    * delete installs a postings-less root (probes read nDocs 0 and
+    * return empty). Crash between the two renames is repaired at the
+    * next call's entry recovery.
+    */
+  def invIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean = {
+    import spark.implicits._
+    val fs = Sinks.fsFor(spark, indexPath)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val root = p(indexPath)
+    Sinks.recoverInterrupted(fs, root, "__del_old", "__del_tmp")
+    val delsOpt = readInvDeletes(spark, indexPath)
+    if (delsOpt.isEmpty) return false
+    val dels = delsOpt.get.localCheckpoint() // pinned: root is parked below
+    if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
+    val stDf = spark.read.option("mergeSchema", "true")
+      .parquet(s"$indexPath/stats")
+    val st = stDf.agg(sum("n_docs"), sum("total_tokens")).head()
+    val corr = dels.filter(col("dl").isNotNull)
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    val nDocs = st.getLong(0) - corr.getLong(0)
+    val total = st.getLong(1) - corr.getLong(1)
+    val nb = indexBucketCount(stDf).getOrElse(throw new IllegalArgumentException(
+      s"invIndexApplyDeletes: $indexPath records no bucket count (pre-f2 " +
+        "layout) — rebuild the index instead"))
+    val posted =
+      try Some(spark.read.parquet(s"$indexPath/postings"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+          None
+      }
+    val kept = posted.map(
+      _.drop("__batch_id").join(dels.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint())
+    val expected = kept.map(_.count()).getOrElse(0L)
+    val tmp = indexPath + "__del_tmp"
+    if (expected > 0) {
+      kept.get.repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
+      val actual = spark.read.parquet(s"$tmp/postings").count()
+      if (actual != expected) {
+        fs.delete(p(tmp), true)
+        throw new java.io.IOException(
+          s"invIndexApplyDeletes: rewrite has $actual postings, expected " +
+            s"$expected; aborted with $indexPath untouched")
+      }
+    }
+    Seq((nDocs, total, nb)).toDF("n_docs", "total_tokens", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    Sinks.swapInstall(fs, p(tmp), root, "__del_old")
+    ensureModulusSentinel(spark, indexPath, nb)
+    // layout changed in place (flattened, postings rewritten): retire
+    // this JVM's append-guard pins, exactly as invIndexSeal does
+    guardedBuckets.remove(s"$indexPath|stamped=true")
+    guardedBuckets.remove(s"$indexPath|stamped=false")
+    true
+  }
+
   def invIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+    // quiesce-time compaction applies pending tombstones FIRST (the
+    // q129 retention/takedown path): a sealed index never carries a
+    // deletes/ dir. When tombstones existed, the apply already
+    // flattened postings AND stats — the stamped seals below then
+    // no-op on the flat layout.
+    invIndexApplyDeletes(spark, indexPath)
     Sinks.sealBatchStamped(spark, s"$indexPath/postings", Some("tb"))
     Sinks.sealBatchStamped(spark, s"$indexPath/stats", None)
     // the layout just changed in place: retire this JVM's append-guard
@@ -654,6 +819,97 @@ object Retrieval {
     probeAndClean(spark,
       bm25Indexed(spark, querySetOf(docs, nQueries, qLen), indexPath, k = k),
       indexPath)
+  }
+
+  /** #129 Index DELETION propagation — the retention/takedown
+    * lifecycle step the append-only contract eventually forces
+    * (reference README.md:80: the events store only ever grows, but
+    * a real deployment must also FORGET), gated on the oracle for
+    * BOTH persisted index families. The declared run: clone the flat
+    * serving indexes (the [[ensureInvIndexMemo]] /
+    * [[graft.ops.LlmOps.ensureServingIndexMemo]] bytes — their build
+    * paths are q106's/q111's gates; the memo-clone bench rule), then
+    * for each family: tombstone-delete every doc/vector with
+    * id ≡ `rem` (mod `every`) ([[invIndexDelete]] /
+    * [[graft.ops.LlmOps.annIndexDelete]] — merge-on-read, one
+    * appended bounded file), probe (the TOMBSTONE read path: postings
+    * anti-join + stats correction / codes anti-join), physically
+    * apply ([[invIndexApplyDeletes]] /
+    * [[graft.ops.LlmOps.annIndexApplyDeletes]] — count-validated
+    * park-rename swaps), probe again (the COMPACTED path). All four
+    * probe results ride one relation keyed by `kind`; the DuckDB
+    * oracle recomputes BM25 and exact cosine top-k over the corpus
+    * MINUS the deleted ids (queries still derive from the FULL
+    * corpus — a deleted doc's takedown does not retract queries
+    * already in flight), expecting tombstone == compacted == rebuild-
+    * without-deleted, row for row. N, avgdl and df all shift under
+    * deletion, so a stale stats row, an unapplied tombstone, or a
+    * compaction that loses a surviving posting each move the hash.
+    */
+  def q129IndexDelete(spark: SparkSession, dir: String, nQueries: Int = 5,
+      qLen: Int = 4, k: Int = 10, kAnn: Int = 5, every: Int = 5,
+      rem: Int = 2): DataFrame = {
+    val docs = tokenizedDocs(spark, dir)
+    val queries = querySetOf(docs, nQueries, qLen).localCheckpoint()
+    val sanitized = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val app = spark.sparkContext.applicationId
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    val lexPath = s"$tmpRoot/graft_q129_lex_${sanitized}_$app"
+    val annPath = s"$tmpRoot/graft_q129_ann_${sanitized}_$app"
+    val fs = Sinks.fsFor(spark, lexPath)
+    def pp(s: String) = new org.apache.hadoop.fs.Path(s)
+    Seq(lexPath, annPath).foreach(x => fs.delete(pp(x), true))
+    // each probe is localized (bounded nQueries·k rows) BEFORE the
+    // next lifecycle step mutates the files it read
+    def shaped(kind: String, df: DataFrame, rankCol: String,
+        idCol: String, scoreCol: Column): DataFrame =
+      df.select(lit(kind).as("kind"), col("query_id"),
+        col(rankCol).cast("int").as("rank"),
+        col(idCol).cast("long").as("id"),
+        scoreCol.cast("double").as("score")).localCheckpoint()
+    try {
+      Sinks.copyDir(fs, ensureInvIndexMemo(spark, dir), lexPath,
+        spark.sparkContext.hadoopConfiguration)
+      invIndexDelete(spark, lexPath,
+        Tables.documents(spark, dir).select("doc_id")
+          .filter(pmod(col("doc_id"), lit(every)) === rem))
+      val lexTomb = shaped("bm25_tomb",
+        bm25Indexed(spark, queries, lexPath, k = k), "rank", "doc_id",
+        col("score_micro"))
+      invIndexApplyDeletes(spark, lexPath)
+      val lexCompact = shaped("bm25_compact",
+        bm25Indexed(spark, queries, lexPath, k = k), "rank", "doc_id",
+        col("score_micro"))
+      val annRes = LlmOps.ensureServingIndexMemo(spark, dir) match {
+        case None => Nil // empty embedding corpus: no dense rows
+        case Some(memo) =>
+          Sinks.copyDir(fs, memo, annPath,
+            spark.sparkContext.hadoopConfiguration)
+          val emb = Tables.embeddings(spark, dir)
+          LlmOps.annIndexDelete(spark, annPath, emb.select("vec_id")
+            .filter(pmod(col("vec_id"), lit(every)) === rem))
+          val n = emb.count()
+          val annQueries = emb.filter(col("vec_id") < nQueries)
+            .select("vec_id", "embedding")
+          // exhaustive probe (the q111 argument): every cell, lossless
+          // prefilter — the result must equal brute cosine over the
+          // surviving vectors
+          val candFactor = (((n + kAnn - 1) / kAnn).toInt).max(1)
+          def probe() = LlmOps.annIncremental(spark, annQueries, annPath,
+            k = kAnn, nProbe = 16, excludeQueryId = true,
+            candFactor = candFactor)
+          val tomb = shaped("ann_tomb", probe(), "rnk", "neighbor_id",
+            col("cos"))
+          LlmOps.annIndexApplyDeletes(spark, annPath)
+          Seq(tomb, shaped("ann_compact", probe(), "rnk", "neighbor_id",
+            col("cos")))
+      }
+      (Seq(lexTomb, lexCompact) ++ annRes)
+        .reduce(_.unionByName(_))
+        .orderBy("kind", "query_id", "rank")
+    } finally {
+      Seq(lexPath, annPath).foreach(x => fs.delete(pp(x), true))
+    }
   }
 
   /** #108 Hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke

@@ -395,6 +395,79 @@ object Streaming {
       .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
       .start()
 
+  /** One release TICK — the q125 back half
+    * ([[graft.Pipeline.releaseTail]]: train gate → mixture → shard
+    * positions; the ONE definition q125 itself runs) evaluated over
+    * the FULL accumulated survivors sink and committed as a NEW
+    * VERSION of `releaseRoot` through the q128 manifest-flip
+    * ([[Sinks.commitVersion]], shard as the partition column): a
+    * reader resolving [[Sinks.liveVersion]] never observes a
+    * half-written release, and a crashed tick leaves the previous
+    * version live. Re-running a tick over the same accumulated sink
+    * commits a byte-identical new version (the tail is
+    * deterministic), so a replayed trigger is safe — the cost is a
+    * superseded version [[Sinks.pruneVersions]] retires. Returns the
+    * committed version, or None when the sink holds no survivors yet
+    * (nothing to release — the root is left untouched).
+    */
+  def releaseTick(spark: SparkSession, survivorsPath: String,
+      releaseRoot: String, nShards: Int = 8): Option[Long] = {
+    val surv =
+      try spark.read.parquet(survivorsPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") ||
+              String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") =>
+          return None
+      }
+    val (docRows, _) = graft.Pipeline.releaseTail(
+      surv.select("doc_id", "lang", "text"), nShards)
+    if (docRows.isEmpty) return None // all-gated corpus: nothing to ship
+    Some(Sinks.commitVersion(spark, releaseRoot, docRows,
+      partCol = Some("shard")))
+  }
+
+  /** Streaming corpus prep WITH the release tail — extends
+    * [[corpusPrepIngest]] past decontamination (the round-12 stop):
+    * every `releaseEvery`-th micro-batch, after the batch's survivors
+    * land, a [[releaseTick]] re-evaluates the q125 back half over the
+    * ACCUMULATED sink and flips `releaseRoot` to the new release.
+    * The quota/mixture/shard stages are functions of the FULL
+    * relation (the [[corpusPrepBatch]] scaladoc's argument), which is
+    * exactly why they run at tick time over the sink rather than per
+    * batch — and why each tick's output equals the batch-declared
+    * q125 tail over the same survivors (StreamingSpec pins it).
+    * Replay safety: the prep half is the corpusPrepIngest argument
+    * verbatim; the tick half is idempotent by determinism + the
+    * manifest flip.
+    */
+  def corpusReleaseIngest(docs: DataFrame, indexRoot: String,
+      outPath: String, releaseRoot: String, lm: DataFrame, oovBits: Long,
+      evalShingles: DataFrame, nearThreshold: Double = 0.5,
+      paraTokens: Int = 20, minTokens: Int = 5, dupMilliMax: Int = 300,
+      topMilliMax: Int = 200, pplHeadBits: Long = 4910000L,
+      pplMidBits: Long = 4940000L, contaminationMilli: Int = 700,
+      releaseEvery: Int = 1, nShards: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val kept = corpusPrepBatch(batch, batchId, indexRoot, lm, oovBits,
+          evalShingles, nearThreshold, paraTokens, minTokens, dupMilliMax,
+          topMilliMax, pplHeadBits, pplMidBits, contaminationMilli)
+        if (!kept.isEmpty)
+          kept.withColumn("__batch_id", lit(batchId))
+            .repartition(8, col("doc_id"))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id").parquet(outPath)
+        if ((batchId + 1) % releaseEvery.max(1) == 0)
+          releaseTick(spark, outPath, releaseRoot, nShards)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", outPath.stripSuffix("/") + "__checkpoint")
+      .start()
+
   /** Streaming inverted-index ingest — maintain the q106 BM25 index
     * incrementally: each micro-batch of (doc_id, text) documents
     * appends its postings batch-id-stamped

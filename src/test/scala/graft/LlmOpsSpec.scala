@@ -768,6 +768,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(neg === 0)
   }
 
+  test("q130 trigram LM separates shuffled text at least as well as the bigram; P_tri < 1 invariant holds") {
+    // the q117 law one order up: destroying word order must cost the
+    // trigram-interpolated model MORE bits than the original — and at
+    // least as much separation as the bigram tier (the trigram term
+    // only adds order evidence). Model-table bounds + the lifted
+    // in-table-context invariant (no negative bits) ride along.
+    val docsT = Tables.documents(spark, sf)
+    val docs = docsT.select(col("doc_id"), col("lang"), col("text"))
+    val ref = docsT.filter(col("source") === "src0").select("text")
+    val shuffled = docs.select(col("doc_id"), col("lang"),
+      concat_ws(" ", array_sort(split(col("text"), " "))).as("text"))
+    val lm = LlmOps.fitTrigramLm(ref, 4096, 16384, 32768)
+    def triBits(d: org.apache.spark.sql.DataFrame): Long =
+      LlmOps.scoreWithTrigramLm(d, lm, 1L, 2L)
+        .agg(sum("bits_micro")).head().getLong(0)
+    val tOrig = triBits(docs)
+    val tShuf = triBits(shuffled)
+    assert(tShuf > tOrig,
+      s"trigram bits on shuffled text ($tShuf) not above original ($tOrig)")
+    assert(lm.uni.count() <= 4096)
+    assert(lm.bi.count() <= 16384)
+    assert(lm.tri.count() <= 32768)
+    val neg = LlmOps.scoreWithTrigramLm(docs, lm, 1L, 2L)
+      .filter(col("bits_micro") < 0).count()
+    assert(neg === 0)
+    // run-twice determinism (TakeOrdered ties broken by triple asc)
+    val again = LlmOps.fitTrigramLm(ref, 4096, 16384, 32768)
+    assert(triBits(docs) === LlmOps.scoreWithTrigramLm(docs, again, 1L, 2L)
+      .agg(sum("bits_micro")).head().getLong(0))
+  }
+
   test("q120 retrained-index simsearch: ingest + rotation + probe == exact q38") {
     // the declared equality: rotation rewrites every quantizer-derived
     // byte but preserves the vector set, which is all the exhaustive
@@ -802,6 +833,45 @@ class LlmOpsSpec extends AnyFunSuite {
     val exact = LlmOps.q38SimilarityTopk(spark, sf)
       .collect().map(_.toString).toSeq
     assert(got === exact)
+  }
+
+  test("ANN deletion: tombstone probe == rebuild-without-deleted; apply and retrain both compact; idempotent") {
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val n = emb.count()
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    LlmOps.annIndexWrite(spark, emb, idx)
+    val delIds = emb.select("vec_id").filter(pmod(col("vec_id"), lit(5)) === 2)
+    assert(LlmOps.annIndexDelete(spark, idx, delIds) > 0L)
+    // re-delete records nothing (idempotent)
+    assert(LlmOps.annIndexDelete(spark, idx, delIds) === 0L)
+    val queries = emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val cf = (((n + 4) / 5).toInt).max(1)
+    def probe(path: String) = LlmOps.annIncremental(spark, queries, path,
+        k = 5, nProbe = 16, candFactor = cf)
+      .collect().map(_.toString).toSeq
+    // the ground truth: a FRESH index holding only the survivors
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ann_del_rebuild").toString
+    LlmOps.annIndexWrite(spark,
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 2), idx2)
+    val rebuilt = probe(idx2)
+    assert(rebuilt.nonEmpty)
+    // merge-on-read: tombstones mask without any rewrite
+    assert(probe(idx) === rebuilt)
+    // physical apply: deletes/ gone, answer unmoved
+    LlmOps.annIndexApplyDeletes(spark, idx)
+    val fs = graft.ops.Sinks.fsFor(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")))
+    assert(probe(idx) === rebuilt)
+    // rotation doubles as compaction: delete one more, retrain — the
+    // installed root carries no deletes/ and the probe reflects both
+    val extraDel = emb.select("vec_id").filter(col("vec_id") === 7L)
+    assert(LlmOps.annIndexDelete(spark, idx, extraDel) === 1L)
+    LlmOps.annIndexRetrain(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/deletes")))
+    val idx3 = java.nio.file.Files.createTempDirectory("graft_ann_del_rebuild2").toString
+    LlmOps.annIndexWrite(spark, emb.filter(
+      pmod(col("vec_id"), lit(5)) =!= 2 && col("vec_id") =!= 7L), idx3)
+    assert(probe(idx) === probe(idx3))
   }
 
   test("lifecycle composition: ingest -> retrain -> seal -> probe still answers exactly") {
@@ -1402,10 +1472,25 @@ class LlmOpsSpec extends AnyFunSuite {
     val staleName = liveName.substring(0, sigStart) + "deadbeefdeadbeef" +
       liveName.substring(sigEnd)
     val otherParams = liveName.substring(0, sigEnd) + "_t990000_d5000"
+    // HERMETIC ENTRY: a previous run of this test (crashed, killed, or
+    // concurrent) leaves fabricated memos, markers and Hadoop .crc
+    // sidecars under the SAME names — an aged leftover marker makes
+    // pass 1 delete the fresh fixture instantly instead of
+    // tombstoning it. Scrub every artifact this test ever fabricates,
+    // including the live memo (File.delete() below is a no-op on a
+    // non-empty dir) and hidden checksum sidecars.
+    def scrub(name: String): Unit = Seq(
+      name, name + LlmOps.StaleMarkerSuffix,
+      "." + name + LlmOps.StaleMarkerSuffix + ".crc").foreach { n =>
+      val f = new java.io.File(tmp, n)
+      if (f.isDirectory) f.listFiles().foreach(_.delete())
+      f.delete()
+    }
+    Seq(liveName, staleName, staleName + "__tmp_app_123", otherParams,
+      staleName.replaceFirst("deadbeef", "0ddba11d")).foreach(scrub)
     val stale = mkdir(staleName)
     val keepOther = mkdir(otherParams)
     val staleStaging = mkdir(staleName + "__tmp_app_123")
-    new java.io.File(live).delete() // force a fresh install (runs GC)
     LlmOps.q61DedupClustersCached(spark, sf, t).collect()
     assert(new java.io.File(live).isDirectory)
     // TWO-PHASE sweep: the first GC pass only drops a tombstone
@@ -1462,6 +1547,7 @@ class LlmOpsSpec extends AnyFunSuite {
       16, 3, 8, 16, 2)
     val annName = new java.io.File(annLive).getName
     assert(annName.endsWith("_" + graft.ops.LlmOps.IndexMemoFormat))
+    scrub(annName.stripSuffix(graft.ops.LlmOps.IndexMemoFormat) + "f0")
     val oldFormat = mkdir(annName.stripSuffix(
       graft.ops.LlmOps.IndexMemoFormat) + "f0")
     graft.ops.LlmOps.gcStaleMemos(spark, "graft_ann_index_memo_", sf,

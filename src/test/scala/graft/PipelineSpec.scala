@@ -217,11 +217,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(written.agg(sum("n_docs")).head().getLong(0) ===
       report.train + report.holdout)
     assert(written.collect().toSeq === card.collect().toSeq)
-    // manifest mirrors the report
-    val m = spark.read.parquet(s"$out/manifest").head()
-    assert(m.getAs[Long]("input") === report.input)
-    assert(m.getAs[Long]("train") === report.train)
-    assert(m.getAs[Int]("n_shards") === 4)
+    // manifest mirrors the report — long (name, value) rows, the ONE
+    // schema both release entry points ship (round-12 advice)
+    val m = spark.read.parquet(s"$out/manifest")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("input") === report.input)
+    assert(m("train") === report.train)
+    assert(m("n_shards") === 4L)
+    assert(m.keySet === (report.counters.map(_._1).toSet + "n_shards"))
     // the released schema is clean: the internal md5 shuffle gate is
     // sort-only and must NOT ship in the training shards
     assert(!shards.columns.contains("__gate"))

@@ -352,6 +352,20 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q130: all five model probes are broadcast hash joins; the only shuffle key is doc-level") {
+    // the q117 shape one order up: cur/prev unigram probes, bigram
+    // numerator + trigram-context denominator probes, trigram
+    // numerator probe — every one a bounded broadcast; a sort-merge
+    // join would shuffle one row PER TOKEN per table at corpus scale
+    val df = graft.ops.LlmOps.q130PerplexityTrigram(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q118: the serving probe scans are partition-pruned to the probed cells") {
     // build the memo index, then inspect the PROBE's executed plan:
     // both the code scan and the finalist vector fetch must carry

@@ -170,6 +170,64 @@ class RetrievalSpec extends AnyFunSuite {
     assert(viaSeal === direct)
   }
 
+  test("q129 index deletion: tombstone == compacted == rebuild-without-deleted; replay masked; idempotent") {
+    val res = Retrieval.q129IndexDelete(spark, SharedSpark.sfTiny)
+      .as[(String, Long, Int, Long, Double)].collect().toSeq
+    val byKind = res.groupBy(_._1)
+    def strip(rows: Seq[(String, Long, Int, Long, Double)]) =
+      rows.map(r => (r._2, r._3, r._4, r._5)).sorted
+    // merge-on-read (tombstone) probe == physically-compacted probe
+    assert(byKind.keySet === Set("bm25_tomb", "bm25_compact", "ann_tomb", "ann_compact"))
+    assert(byKind("bm25_tomb").nonEmpty && byKind("ann_tomb").nonEmpty)
+    assert(strip(byKind("bm25_tomb")) === strip(byKind("bm25_compact")))
+    assert(strip(byKind("ann_tomb")) === strip(byKind("ann_compact")))
+    // no deleted id may surface as a result
+    assert(res.forall(r => r._4 % 5 != 2))
+    // rebuild-without-deleted: a FRESH index over only the survivors
+    // must serve the identical BM25 answer (N/avgdl/df all shifted)
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_q129_rebuild").toString
+    Retrieval.invIndexWrite(docs.filter(pmod(col("doc_id"), lit(5)) =!= 2), idx)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(5)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok"))
+      .distinct()
+    val rebuilt = Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+      .map(r => (r._1, r._3, r._2, r._4.toDouble)).sorted
+    assert(strip(byKind("bm25_tomb")) === rebuilt)
+    // stamped index: a deleted doc's REPLAYED batch stays masked by
+    // the tombstone; re-delete records nothing; seal compacts the
+    // tombstones away and the answer never moves
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft_q129_stamped").toString
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") < 250), idx2, 0L)
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") >= 250), idx2, 1L)
+    val delIds = docs.select("doc_id").filter(pmod(col("doc_id"), lit(5)) === 2)
+    val n1 = Retrieval.invIndexDelete(spark, idx2, delIds)
+    assert(n1 > 0L)
+    val tomb = Retrieval.bm25Indexed(spark, queries, idx2)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+      .map(r => (r._1, r._3, r._2, r._4.toDouble)).sorted
+    assert(tomb === rebuilt)
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") < 250), idx2, 0L)
+    assert(Retrieval.invIndexDelete(spark, idx2, delIds) === 0L)
+    val replayed = Retrieval.bm25Indexed(spark, queries, idx2)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+      .map(r => (r._1, r._3, r._2, r._4.toDouble)).sorted
+    assert(replayed === rebuilt)
+    Retrieval.invIndexSeal(spark, idx2)
+    val fs = graft.ops.Sinks.fsFor(spark, idx2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx2/deletes")))
+    val sealedRows = Retrieval.bm25Indexed(spark, queries, idx2)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+      .map(r => (r._1, r._3, r._2, r._4.toDouble)).sorted
+    assert(sealedRows === rebuilt)
+  }
+
   test("q108 hybrid RRF == local fusion of brute BM25 and brute cosine lists") {
     val texts = Tables.documents(spark, SharedSpark.sfTiny)
       .select("doc_id", "text").as[(Long, String)].collect()

@@ -442,17 +442,21 @@ object LlmOps {
     *
     * Plan shape at 100 TB: segmentation is a map-side
     * transform+posexplode; the keep decision is an ALGEBRAIC
-    * min(struct(doc_id, para_idx)) aggregate keyed by the paragraph's
-    * sha2 (narrow 32-byte shuffle keys — the q36/q103 hash-equality
-    * convention) joined back to the paragraph rows. Round 13 replaced
-    * the earlier per-paragraph row_number window: a window partition
-    * cannot be split, so a boilerplate paragraph repeated ~300k times
-    * sorted in ONE task (the measured 2.25× hot-docs straggler),
-    * whereas the aggregate map-side-combines the hot group to one row
-    * per input partition and the join back is AQE-skew-splittable.
-    * Reassembly is one groupBy doc_id whose collect_list is bounded
-    * by the document's own paragraph count. No corpus-wide sort, no
-    * cartesian anything.
+    * min(struct(doc_id, para_idx)) aggregate whose OUTPUT row IS the
+    * keeper — the paragraph text is group-constant, so it rides the
+    * same aggregate as first(para) and there is NO join back to the
+    * paragraph rows at all. Round 13 replaced the earlier
+    * per-paragraph row_number window: a window partition cannot be
+    * split, so a boilerplate paragraph repeated ~300k times sorted in
+    * ONE task (the measured 2.25× hot-docs straggler); the aggregate
+    * map-side-combines that hot group to one row per input partition
+    * before any shuffle, so its reduce side sees ≤ #map-partitions
+    * rows however hot the paragraph. (A join-back variant was
+    * measured WORSE — its hot build partition sits under AQE's
+    * skew-split byte threshold and the text shuffles twice.)
+    * Reassembly is one groupBy doc_id over the KEPT rows only, plus a
+    * narrow per-doc paragraph-count aggregate for the dropped-to-
+    * empty docs. No corpus-wide sort, no cartesian anything.
     */
   def q86DedupParagraph(spark: SparkSession, dir: String,
       paraTokens: Int = 20): DataFrame =
@@ -464,15 +468,69 @@ object LlmOps {
     * pipeline stage share one semantics.
     */
   def dedupParagraphs(docs: DataFrame, paraTokens: Int = 20): DataFrame = {
-    val paras = segmentParas(docs, paraTokens)
-      .withColumn("__ph", sha2(col("para"), 256))
-    val firsts = paras.groupBy("__ph")
-      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
-    val flagged = paras.join(firsts, Seq("__ph"))
-    reassembleParas(flagged,
-      col("doc_id") === col("__first").getField("doc_id") &&
-        col("para_idx") === col("__first").getField("para_idx"))
-      .orderBy("doc_id")
+    val d = docs.select("doc_id", "text")
+    reassembleKeptParas(
+      paraKeepers(segmentParas(d, paraTokens), paraBounds(d, paraTokens)),
+      paraTotals(d, paraTokens)).orderBy("doc_id")
+  }
+
+  /** (max paragraphs per doc, max doc_id) of a corpus WITHOUT
+    * segmenting — n_paras = ceil(tokens/paraTokens) by the
+    * segmentParas construction, so the bound comes from one map-side
+    * scan of the raw docs (no explode). Feeds [[paraKeepers]]'
+    * packing, so the single segmentation pass is the keeper aggregate
+    * itself.
+    */
+  private def paraBounds(docs: DataFrame, paraTokens: Int): (Long, Long) = {
+    val r = docs.agg(
+      coalesce(max(ceil(size(split(col("text"), " ")) /
+        lit(paraTokens.toDouble)).cast("long")), lit(1L)),
+      coalesce(max("doc_id"), lit(0L))).head()
+    (math.max(r.getLong(0), 1L), r.getLong(1))
+  }
+
+  /** (doc_id, n_paras) per doc WITHOUT segmenting — identical to
+    * segmentParas' per-doc row count by construction (split() is
+    * never empty, so every doc emits ≥ 1 paragraph). Map-side.
+    */
+  private def paraTotals(docs: DataFrame, paraTokens: Int): DataFrame =
+    docs.select(col("doc_id"),
+      ceil(size(split(col("text"), " ")) / lit(paraTokens.toDouble))
+        .cast("long").as("n_paras"))
+
+  /** The min-(doc_id, para_idx) keeper row per DISTINCT paragraph, as
+    * ONE all-primitive HashAggregate keyed by the paragraph text: the
+    * pair is packed into a single long (doc_id·K + para_idx, K =
+    * the corpus' max per-doc paragraph count from [[paraBounds]] —
+    * lexicographic order preserved because para_idx < K;
+    * driver-checked overflow fail-fast). A struct-typed min would
+    * fall back to SortAggregate — a per-partition SORT of text-keyed
+    * rows — while the packed long keeps the hash path, whose map-side
+    * combine collapses a hot paragraph to one row per input partition
+    * before any shuffle: a window partition cannot be split at all,
+    * and a join back would shuffle the text twice (both measured
+    * worse under the 30× hot-docs probe). The text is group-constant,
+    * so the keeper row needs no join back. Optional extra packed
+    * fields (q94's `seen`) ride as trailing low bits via `extraBit`.
+    */
+  private def paraKeepers(paras: DataFrame, bounds: (Long, Long),
+      extraBit: Option[Column] = None): DataFrame = {
+    val (k, maxDoc) = bounds
+    val span = if (extraBit.isDefined) 2L else 1L
+    require(maxDoc <= (Long.MaxValue / span - k) / k,
+      s"paraKeepers: doc_id $maxDoc too large to pack against " +
+        s"paragraph-index bound $k — raise the packing width")
+    val packed0 = col("doc_id") * lit(k) + col("para_idx")
+    val packed = extraBit match {
+      case Some(b) => packed0 * lit(2L) + b.cast("long")
+      case None => packed0
+    }
+    paras.groupBy("para").agg(min(packed).as("__pk"))
+      .select(col("para"),
+        expr(s"__pk DIV ${k * span}").as("doc_id"),
+        (pmod(col("__pk"), lit(k * span)) / lit(span)).cast("int")
+          .as("para_idx"),
+        pmod(col("__pk"), lit(span)).as("__bit"))
   }
 
   /** Fixed-width paragraph segmentation shared by [[dedupParagraphs]]
@@ -490,24 +548,28 @@ object LlmOps {
       .select(col("doc_id"), col("pos").as("para_idx"), col("col").as("para"))
   }
 
-  /** Reassemble cleaned documents from per-paragraph rows under a
-    * keep condition — the shared output shape of q86 and q94: every
-    * doc with its paragraph count, kept count and in-order cleaned
-    * text. collect_list skips the null structs of dropped paragraphs;
-    * struct sort orders by para_idx (unique within doc); per-doc
-    * group size is bounded by the document's own paragraph count.
+  /** Reassemble cleaned documents from the KEPT paragraph rows plus
+    * the [[paraTotals]] relation — the shared output shape of q86,
+    * q94 and q95: every doc with its paragraph count, kept count and
+    * in-order cleaned text. The collect_list groups only over keepers
+    * (bounded by the doc's own kept count); docs whose every
+    * paragraph was dropped still appear, via the map-side totals they
+    * right-join from.
     */
-  private def reassembleParas(paras: DataFrame, keep: Column): DataFrame =
-    paras.groupBy("doc_id")
+  private def reassembleKeptParas(keepers: DataFrame,
+      totals: DataFrame): DataFrame =
+    keepers.groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_paras"),
-        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(when(keep,
-              struct(col("para_idx"), col("para"))))),
+            array_sort(collect_list(struct(col("para_idx"), col("para")))),
             x => x.getField("para")),
           " ").as("clean_text"))
+      .join(totals, Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
 
   /** One paragraph-dedup ingest step — the paragraph-granular member
     * of the incremental-index family (the C4 boilerplate strip run
@@ -585,29 +647,32 @@ object LlmOps {
               col("__ipos") === col("para_idx")))
           .drop("__idoc", "__ipos")
       }
-    // in-batch first-occurrence rule as an algebraic min + join (the
-    // q86 hot-group shape — a window partition cannot be split, the
-    // aggregate map-side-combines a hot paragraph); grouping on
-    // (ph, para) keeps equality EXACT text equality. A seen group's
-    // min row is never unseen-shadowed: the only unseen row of a
-    // group is its own index identity (see the probe comment above).
-    // Checkpoint once — the cleaned output and the index append both
-    // read it.
-    val firsts = flagged.groupBy("ph", "para")
-      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
-    val ranked = flagged.join(firsts, Seq("ph", "para"))
-      .withColumn("keep", !col("seen") &&
-        col("doc_id") === col("__first").getField("doc_id") &&
-        col("para_idx") === col("__first").getField("para_idx"))
-      .drop("__first")
+    // in-batch first-occurrence rule as the packed-long keeper
+    // aggregate ([[paraKeepers]] — the q86 hot-group shape; a window
+    // partition cannot be split, the hash aggregate map-side-combines
+    // a hot paragraph to one row per input partition). `seen` rides
+    // as the packed low bit — tiebreak-inert, because (doc_id,
+    // para_idx) is unique within a group, so the min row carries its
+    // OWN seen: a group is admitted iff its min row is unseen — and a
+    // seen group's min row is never unseen-shadowed, because the only
+    // unseen row of a group is its own index identity (see the probe
+    // comment above), which is the originally-admitted — hence
+    // minimal — occurrence. Checkpoint the keepers once — the cleaned
+    // output and the index append both read them.
+    val keepers = paraKeepers(flagged,
+        paraBounds(batch.select("doc_id", "text"), paraTokens),
+        Some(col("seen")))
+      .filter(col("__bit") === 0L)
+      .select(xxhash64(col("para")).as("ph"), col("para"),
+        col("doc_id"), col("para_idx"))
       .localCheckpoint()
-    ranked.filter(col("keep"))
-      .select(col("ph"), col("para"), col("doc_id"), col("para_idx"))
+    keepers
       .withColumn("__batch_id", lit(batchId))
       .repartition(col("__batch_id"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(s"$indexPath/paras")
-    reassembleParas(ranked, col("keep"))
+    reassembleKeptParas(keepers,
+      paraTotals(batch.select("doc_id", "text"), paraTokens))
   }
 
   /** #94 Declared batch twin of the streaming paragraph-dedup ingest:
@@ -3639,8 +3704,8 @@ object LlmOps {
     * territory, not cross-corpus boilerplate.
     *
     * Segmentation and reassembly are q86's own ([[segmentParas]] /
-    * [[reassembleParas]]) — one paragraph rule corpus-wide, so the
-    * keep-first and drop-everywhere cleaners cannot drift.
+    * [[reassembleKeptParas]]) — one paragraph rule corpus-wide, so
+    * the keep-first and drop-everywhere cleaners cannot drift.
     */
   def q95BoilerplateFreq(spark: SparkSession, dir: String,
       paraTokens: Int = 20, maxDocs: Int = 1): DataFrame =
@@ -3648,22 +3713,26 @@ object LlmOps {
       Tables.documents(spark, dir).select("doc_id", "text"), paraTokens, maxDocs)
 
   /** DataFrame core of [[q95BoilerplateFreq]] over any (doc_id, text)
-    * relation. The distinct-document count per paragraph is computed
-    * with two window functions over the SAME partition key — the
-    * paragraph — so Catalyst plans ONE exchange (dense_rank over
-    * doc_id numbers the distinct documents; max broadcasts the final
-    * count back to every occurrence within the partition). Partition
-    * size is bounded by one paragraph's repeat count; no
-    * groupBy-then-self-join round trip, no corpus-wide sort — the
-    * same single-shuffle shape as q86, keyed the same way.
+    * relation. The distinct-document count per paragraph is a
+    * two-phase AGGREGATE (round 13 — previously a per-paragraph
+    * window pair, whose hot partition cannot be split; the
+    * aggregate's (para, doc_id) dedup map-side-combines a boilerplate
+    * paragraph before any shuffle). The boilerplate set (n_docs >
+    * maxDocs) is by definition the repeated tail — small relative to
+    * the corpus — and kept occurrences are its anti-join, a
+    * broadcast-able build side at realistic thresholds. No
+    * corpus-wide sort, no per-paragraph sort task.
     */
   def stripBoilerplate(docs: DataFrame, paraTokens: Int = 20,
       maxDocs: Int = 1): DataFrame = {
-    val byPara = Window.partitionBy("para")
-    val counted = segmentParas(docs, paraTokens)
-      .withColumn("dr", dense_rank().over(byPara.orderBy("doc_id")))
-      .withColumn("n_docs", max(col("dr")).over(byPara))
-    reassembleParas(counted, col("n_docs") <= maxDocs).orderBy("doc_id")
+    val paras = segmentParas(docs, paraTokens)
+    val bp = paras.groupBy("para")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("para")
+    val kept = paras.join(bp, Seq("para"), "left_anti")
+    reassembleKeptParas(kept, paraTotals(docs, paraTokens))
+      .orderBy("doc_id")
   }
 
   /** #96 Token-budget mixture sampling — the data-mixing step that

@@ -456,26 +456,52 @@ object Retrieval {
     // reverts to the parameter against a differently-hashed layout
     val stDf = spark.read.option("mergeSchema", "true")
       .parquet(s"$indexPath/stats")
-    val st = stDf.agg(sum("n_docs"), sum("total_tokens")).head()
-    // merge-on-read tombstones (q129): N and avgdl shed the deleted
-    // docs via ONE bounded aggregate over the tombstone file (dl
-    // rode in at delete time — never a postings scan here); df needs
-    // no correction because it is the row count of the anti-joined
-    // postings below. No tombstones ⇒ zero extra work.
+    // ONE aggregate job carries everything the probe needs from the
+    // stats relation (round 13; previously the sums and the modulus
+    // validation were separate jobs): N, total tokens, the distinct
+    // recorded-modulus set (count-distinct + max reconstructs
+    // indexBucketCount's single-modulus check exactly — >1 distinct
+    // or a NULL row next to recorded rows is the same mixed-
+    // provenance abort) — and the q129 tombstone correction rides the
+    // SAME job as a unioned negative contribution (dl was captured at
+    // delete time, so this is a bounded file, never a postings scan;
+    // df needs no correction — it is the row count of the anti-joined
+    // postings below). No tombstones ⇒ no union branch.
+    val hasNb = stDf.columns.contains("n_buckets")
+    val statRows = stDf.select(col("n_docs"), col("total_tokens"),
+      (if (hasNb) col("n_buckets") else lit(null).cast("int")).as("nb"))
     val delsOpt = readInvDeletes(spark, indexPath)
-    val (delDocs, delTokens) = delsOpt match {
-      case None => (0L, 0L)
-      case Some(dels) =>
-        val c = dels.filter(col("dl").isNotNull)
-          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-        (c.getLong(0), c.getLong(1))
+    val unioned = delsOpt match {
+      case None => statRows
+      case Some(dels) => statRows.unionByName(
+        dels.filter(col("dl").isNotNull)
+          .select(lit(-1L).as("n_docs"), (-col("dl")).as("total_tokens"),
+            // a tombstone row must not look like a pre-f2 NULL-modulus
+            // stats row to the provenance check — give it the max nb
+            // marker by keeping it NULL and excluding it below via
+            // n_docs < 0
+            lit(null).cast("int").as("nb")))
     }
-    val nDocs = st.getLong(0) - delDocs
+    val st = unioned.agg(
+      coalesce(sum("n_docs"), lit(0L)),
+      coalesce(sum("total_tokens"), lit(0L)),
+      countDistinct(col("nb")),
+      max(col("nb")),
+      coalesce(sum(when(col("nb").isNull && col("n_docs") >= 0, 1L)), lit(0L)))
+      .head()
+    val nDocs = st.getLong(0)
     // empty index: the postings dir holds no parquet files (an empty
     // partitioned write emits none), so don't even try to read it
     if (nDocs <= 0) return emptyResult(queries)
-    val avgdl = (st.getLong(1) - delTokens).toDouble / nDocs
-    val nb: Int = indexBucketCount(stDf).getOrElse(nBuckets)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val nbDistinct = st.getLong(2)
+    val nbNulls = st.getLong(4)
+    if (nbDistinct > 1 || (nbDistinct == 1 && nbNulls > 0))
+      throw new IllegalStateException(
+        "inverted index mixes bucket provenance (recorded moduli: " +
+          s"$nbDistinct distinct${if (nbNulls > 0) " + unrecorded pre-f2 writes" else ""}) — " +
+          "one index, one hash modulus; rebuild the index")
+    val nb: Int = if (nbDistinct == 1) st.getInt(3) else nBuckets
     val buckets = queries
       .select(pmod(xxhash64(col("tok")), lit(nb)).as("tb"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq

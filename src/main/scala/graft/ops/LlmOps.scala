@@ -173,7 +173,9 @@ object LlmOps {
       mode: String = "overwrite"): Unit = {
     val withHs = shingleHashSets(docs).localCheckpoint()
     bandBuckets(withHs)
-      .repartition(col("band"))
+      // one writer task per band (the ANN cell-write note: AQE would
+      // coalesce this KB-scale exchange to one serial task)
+      .repartition(16, col("band"))
       .write.mode(mode).option("partitionOverwriteMode", "dynamic")
       .partitionBy("band").parquet(s"$indexPath/buckets")
     withHs.write.mode(mode).parquet(s"$indexPath/hs")
@@ -199,7 +201,7 @@ object LlmOps {
     val withHs = shingleHashSets(docs)
     bandBuckets(withHs)
       .withColumn("__batch_id", lit(batchId))
-      .repartition(col("band"))
+      .repartition(16, col("band"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("band", "__batch_id").parquet(s"$indexPath/buckets")
     withHs.withColumn("__batch_id", lit(batchId))
@@ -269,7 +271,7 @@ object LlmOps {
   private def dedupIndexAppendFlat(docs: DataFrame, indexPath: String): Unit = {
     val withHs = shingleHashSets(docs)
     bandBuckets(withHs)
-      .repartition(col("band"))
+      .repartition(16, col("band"))
       .write.mode("append").partitionBy("band").parquet(s"$indexPath/buckets")
     withHs.write.mode("append").parquet(s"$indexPath/hs")
   }
@@ -2299,12 +2301,13 @@ object LlmOps {
       assigned
         .select(col("vec_id"), col("cell"), col("__batch_id"),
           graft.functions.PqEncode.codes(col("embedding"), cb).as("code"))
-        .repartition(col("cell"))
+        // one writer task per cell (see annIndexRetrain's write note)
+        .repartition(nCells, col("cell"))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "__batch_id").parquet(s"$indexPath/codes")
     }
     assigned
-      .repartition(col("cell"))
+      .repartition(nCells, col("cell"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "__batch_id").parquet(s"$indexPath/vectors")
   }
@@ -2663,11 +2666,15 @@ object LlmOps {
         .select((Seq(col("vec_id"), col("cell")) ++
           (if (stamped) Seq(col("__batch_id")) else Nil) :+
           graft.functions.PqEncode.codes(col("embedding"), c).as("code")): _*)
-        .repartition(col("cell"))
+        // one writer task per cell (explicit numPartitions: AQE would
+        // otherwise coalesce this KB-scale exchange to ONE task that
+        // writes every cell directory serially; at scale one-task-
+        // per-cell is also the layout you want)
+        .repartition(nCells, col("cell"))
         .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/codes")
     }
     assigned
-      .repartition(col("cell"))
+      .repartition(nCells, col("cell"))
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/vectors")
     val actual = spark.read.parquet(s"$tmp/vectors").count()
     if (actual != expected) {

@@ -398,7 +398,9 @@ object Retrieval {
       guardedBuckets.remove(s"$indexPath|stamped=true")
       guardedBuckets.remove(s"$indexPath|stamped=false")
     }
-    postingsOf(docs, nBuckets).repartition(col("tb"))
+    // one writer task per bucket (explicit numPartitions — the ANN
+    // cell-write note: AQE coalesces a KB-scale exchange to one task)
+    postingsOf(docs, nBuckets).repartition(nBuckets, col("tb"))
       .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
     val (n, total) = statsOf(docs)
     // n_buckets rides the stats table so probes read the bucket count
@@ -584,7 +586,7 @@ object Retrieval {
     guardAppendBuckets(spark, indexPath, nBuckets, stamped = true)
     postingsOf(docs, nBuckets)
       .withColumn("__batch_id", lit(batchId))
-      .repartition(col("tb"))
+      .repartition(nBuckets, col("tb"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "__batch_id").parquet(s"$indexPath/postings")
     val (n, total) = statsOf(docs)
@@ -709,7 +711,7 @@ object Retrieval {
     val expected = kept.map(_.count()).getOrElse(0L)
     val tmp = indexPath + "__del_tmp"
     if (expected > 0) {
-      kept.get.repartition(col("tb"))
+      kept.get.repartition(nb, col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
       val actual = spark.read.parquet(s"$tmp/postings").count()
       if (actual != expected) {

@@ -19,12 +19,16 @@ object Sinks {
     * scale: a failed/replayed day never duplicates rows and never
     * clobbers other days.
     *
-    * The pre-write `repartition(partCol)` co-locates each partition
-    * value so a day writes one file, not #tasks files; at 100 TB use
-    * `repartition(n, partCol)` to bound file size per day instead.
+    * The pre-write `repartition(n, partCol)` co-locates each partition
+    * value so a day writes one file, not #tasks files — with an
+    * EXPLICIT task count (defaultParallelism): a bare column
+    * repartition lets AQE coalesce a small exchange to ONE task that
+    * writes every partition directory serially (round-13 measured).
+    * At 100 TB size n to bound file size per day instead.
     */
   def overwritePartitions(df: DataFrame, path: String, partCol: String): Unit =
-    df.repartition(col(partCol))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(partCol))
       .write.mode("overwrite")
       // per-write option, not session conf: concurrent writers on the
       // same session keep their own overwrite semantics
@@ -69,7 +73,11 @@ object Sinks {
       .withColumn("__shard", pmod(
         conv(substring(md5(col(shardKey).cast("string")), 1, 2), 16, 10)
           .cast("int"), lit(nShards)))
-      .repartition(col("__shard"))
+      // EXACTLY nShards partitions — one writer per shard, one file
+      // per shard dir (the declared layout); explicit count so AQE
+      // neither coalesces the shards into one serial writer nor
+      // splits a shard across files
+      .repartition(nShards, col("__shard"))
       .sortWithinPartitions(("__shard" +: orderCols).map(col): _*)
     dropCols.foldLeft(sorted)(_ drop _)
       .write.mode("overwrite").partitionBy("__shard").parquet(path)
@@ -151,7 +159,8 @@ object Sinks {
     df.join(broadcast(counts), partCol)
       .withColumn("__files", ceil(col("cnt").cast("double") / lit(targetRowsPerFile.toDouble)).cast("int"))
       .withColumn("__bucket", pmod(rowHash, col("__files").cast("long")))
-      .repartition(col(partCol), col("__bucket"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(partCol), col("__bucket"))
       .drop("cnt", "__files", "__bucket")
       .write.mode("overwrite").partitionBy(partCol).parquet(dest)
     // coalesce: sum over zero partitions is NULL (empty dataset)
@@ -278,7 +287,8 @@ object Sinks {
     val expected = flat.count()
     val tmp = staleTmp.toString
     leadingPart match {
-      case Some(c) => flat.repartition(col(c))
+      case Some(c) => flat
+        .repartition(spark.sparkContext.defaultParallelism, col(c))
         .write.mode("overwrite").partitionBy(c).parquet(tmp)
       case None => flat.write.mode("overwrite").parquet(tmp)
     }
@@ -529,7 +539,9 @@ object Sinks {
     val pinned = df.localCheckpoint()
     val expected = pinned.count()
     partCol match {
-      case Some(p) => pinned.repartition(col(p)).write.partitionBy(p).parquet(dir)
+      case Some(p) => pinned
+        .repartition(spark.sparkContext.defaultParallelism, col(p))
+        .write.partitionBy(p).parquet(dir)
       case None => pinned.write.parquet(dir)
     }
     val actual = spark.read.parquet(dir).count()

@@ -896,44 +896,57 @@ object Retrieval {
         col(idCol).cast("long").as("id"),
         scoreCol.cast("double").as("score")).localCheckpoint()
     try {
-      Sinks.copyDir(fs, ensureInvIndexMemo(spark, dir), lexPath,
-        spark.sparkContext.hadoopConfiguration)
-      invIndexDelete(spark, lexPath,
-        Tables.documents(spark, dir).select("doc_id")
-          .filter(pmod(col("doc_id"), lit(every)) === rem))
-      val lexTomb = shaped("bm25_tomb",
-        bm25Indexed(spark, queries, lexPath, k = k), "rank", "doc_id",
-        col("score_micro"))
-      invIndexApplyDeletes(spark, lexPath)
-      val lexCompact = shaped("bm25_compact",
-        bm25Indexed(spark, queries, lexPath, k = k), "rank", "doc_id",
-        col("score_micro"))
-      val annRes = LlmOps.ensureServingIndexMemo(spark, dir) match {
-        case None => Nil // empty embedding corpus: no dense rows
-        case Some(memo) =>
-          Sinks.copyDir(fs, memo, annPath,
-            spark.sparkContext.hadoopConfiguration)
-          val emb = Tables.embeddings(spark, dir)
-          LlmOps.annIndexDelete(spark, annPath, emb.select("vec_id")
-            .filter(pmod(col("vec_id"), lit(every)) === rem))
-          val n = emb.count()
-          val annQueries = emb.filter(col("vec_id") < nQueries)
-            .select("vec_id", "embedding")
-          // exhaustive probe (the q111 argument): every cell, lossless
-          // prefilter — the result must equal brute cosine over the
-          // surviving vectors
-          val candFactor = (((n + kAnn - 1) / kAnn).toInt).max(1)
-          def probe() = LlmOps.annIncremental(spark, annQueries, annPath,
-            k = kAnn, nProbe = 16, excludeQueryId = true,
-            candFactor = candFactor)
-          val tomb = shaped("ann_tomb", probe(), "rnk", "neighbor_id",
-            col("cos"))
-          LlmOps.annIndexApplyDeletes(spark, annPath)
-          Seq(tomb, shaped("ann_compact", probe(), "rnk", "neighbor_id",
-            col("cos")))
+      // The two family lifecycles are fully INDEPENDENT (disjoint
+      // paths, disjoint reads), so they run as CONCURRENT job chains
+      // from two driver threads — standard Spark multi-threaded job
+      // submission; each chain's steps stay sequential within itself.
+      // Wall cost is max(lex, ann) instead of their sum — the same
+      // concurrency a production takedown job would use.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val lexF = Future {
+        Sinks.copyDir(fs, ensureInvIndexMemo(spark, dir), lexPath,
+          spark.sparkContext.hadoopConfiguration)
+        invIndexDelete(spark, lexPath,
+          Tables.documents(spark, dir).select("doc_id")
+            .filter(pmod(col("doc_id"), lit(every)) === rem))
+        val tomb = shaped("bm25_tomb",
+          bm25Indexed(spark, queries, lexPath, k = k), "rank", "doc_id",
+          col("score_micro"))
+        invIndexApplyDeletes(spark, lexPath)
+        Seq(tomb, shaped("bm25_compact",
+          bm25Indexed(spark, queries, lexPath, k = k), "rank", "doc_id",
+          col("score_micro")))
       }
-      (Seq(lexTomb, lexCompact) ++ annRes)
-        .reduce(_.unionByName(_))
+      val annF = Future {
+        LlmOps.ensureServingIndexMemo(spark, dir) match {
+          case None => Nil // empty embedding corpus: no dense rows
+          case Some(memo) =>
+            Sinks.copyDir(fs, memo, annPath,
+              spark.sparkContext.hadoopConfiguration)
+            val emb = Tables.embeddings(spark, dir)
+            LlmOps.annIndexDelete(spark, annPath, emb.select("vec_id")
+              .filter(pmod(col("vec_id"), lit(every)) === rem))
+            val n = emb.count()
+            val annQueries = emb.filter(col("vec_id") < nQueries)
+              .select("vec_id", "embedding")
+            // exhaustive probe (the q111 argument): every cell,
+            // lossless prefilter — the result must equal brute cosine
+            // over the surviving vectors
+            val candFactor = (((n + kAnn - 1) / kAnn).toInt).max(1)
+            def probe() = LlmOps.annIncremental(spark, annQueries,
+              annPath, k = kAnn, nProbe = 16, excludeQueryId = true,
+              candFactor = candFactor)
+            val tomb = shaped("ann_tomb", probe(), "rnk", "neighbor_id",
+              col("cos"))
+            LlmOps.annIndexApplyDeletes(spark, annPath)
+            Seq(tomb, shaped("ann_compact", probe(), "rnk",
+              "neighbor_id", col("cos")))
+        }
+      }
+      val parts = Await.result(
+        lexF.zipWith(annF)(_ ++ _), scala.concurrent.duration.Duration.Inf)
+      parts.reduce(_.unionByName(_))
         .orderBy("kind", "query_id", "rank")
     } finally {
       Seq(lexPath, annPath).foreach(x => fs.delete(pp(x), true))

@@ -2471,8 +2471,9 @@ object LlmOps {
     // q129 retention/takedown path), so a sealed index never carries
     // a deletes/ dir
     annIndexApplyDeletes(spark, indexPath)
-    Sinks.sealBatchStamped(spark, s"$indexPath/vectors", Some("cell"))
-    Sinks.sealBatchStamped(spark, s"$indexPath/codes", Some("cell"))
+    Sinks.sealBatchStampedAll(spark, Seq(
+      s"$indexPath/vectors" -> Some("cell"),
+      s"$indexPath/codes" -> Some("cell")))
   }
 
   /** Explicit-schema read of an ANN index's tombstone directory —
@@ -2691,8 +2692,9 @@ object LlmOps {
     * [[annIndexSeal]] contract).
     */
   def dedupIndexSeal(spark: SparkSession, indexPath: String): Unit = {
-    Sinks.sealBatchStamped(spark, s"$indexPath/buckets", Some("band"))
-    Sinks.sealBatchStamped(spark, s"$indexPath/hs", None)
+    Sinks.sealBatchStampedAll(spark, Seq(
+      s"$indexPath/buckets" -> Some("band"),
+      s"$indexPath/hs" -> None))
   }
 
   /** Localize a BOUNDED probe result, then delete the demonstration

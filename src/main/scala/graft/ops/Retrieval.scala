@@ -739,8 +739,9 @@ object Retrieval {
     // flattened postings AND stats — the stamped seals below then
     // no-op on the flat layout.
     invIndexApplyDeletes(spark, indexPath)
-    Sinks.sealBatchStamped(spark, s"$indexPath/postings", Some("tb"))
-    Sinks.sealBatchStamped(spark, s"$indexPath/stats", None)
+    Sinks.sealBatchStampedAll(spark, Seq(
+      s"$indexPath/postings" -> Some("tb"),
+      s"$indexPath/stats" -> None))
     // the layout just changed in place: retire this JVM's append-guard
     // pins so the next append revalidates against the sealed layout
     guardedBuckets.remove(s"$indexPath|stamped=true")

@@ -328,6 +328,24 @@ object Sinks {
     true
   }
 
+
+  /** Seal several INDEPENDENT batch-stamped directories concurrently
+    * (two driver threads submitting Spark jobs — the q129 concurrency
+    * note): each [[sealBatchStamped]] swap owns its own directory, so
+    * nothing is shared between the seals and wall cost is the slowest
+    * one instead of the sum. Exceptions from either seal propagate.
+    */
+  def sealBatchStampedAll(spark: SparkSession,
+      targets: Seq[(String, Option[String])]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(targets.map { case (path, part) =>
+        Future { sealBatchStamped(spark, path, part) }
+      }), scala.concurrent.duration.Duration.Inf)
+    ()
+  }
+
   /** Park-rename install of a fully-built replacement directory —
     * the [[compact]]/[[sealBatchStamped]] swap discipline factored for
     * whole-directory replacements (the ANN retrain rotation): park the

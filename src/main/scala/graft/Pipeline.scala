@@ -172,15 +172,15 @@ object Pipeline {
     * gate (plain shuffle join above it): distinct-token count is
     * DATA-bound on an LLM corpus, and an unconditional hint is an
     * OOM past the broadcast limit. Pass `vocabRows` when the caller
-    * already knows the size ([[fitVocabSized]]) — that path stays
-    * fully lazy. Without it the gate needs a count, and counting an
-    * UNCACHED vocab would execute its full upstream aggregation (a
-    * corpus-sized scan + shuffle) once for the count and again for
-    * the join — so the fallback localCheckpoints the vocab first:
-    * one upstream execution total, the count and the join both read
-    * the materialized blocks. The checkpoint makes the 2-arg form
-    * eager and stores the vocab on executor storage; callers that
-    * need a plan-only builder pass `vocabRows`.
+    * already knows the size ([[fitVocabSized]]) — the counted gate
+    * then decides the hint at plan time. Without it the join is left
+    * UN-HINTED and AQE's runtime sizing makes the call instead: after
+    * the vocab side's map stage AQE converts the join to broadcast
+    * when the vocab proves small, and keeps the shuffle join when it
+    * doesn't — same safety as the counted gate, and the 2-arg form
+    * stays a pure plan builder (no count job, no localCheckpoint
+    * pinning the vocab to executor storage at construction time;
+    * round-12/13 advice).
     */
   def encode(toks: DataFrame, vocab: DataFrame, tokenCol: String = "token",
       vocabRows: Option[Long] = None): DataFrame = {
@@ -189,13 +189,11 @@ object Pipeline {
     // USING join resolves
     val aligned = vocab.select(
       col(vocab.columns(0)).as(tokenCol), col(vocab.columns(1)).as("id"))
-    val (v, n) = vocabRows match {
-      case Some(r) => (aligned, r)
-      case None =>
-        val cp = aligned.localCheckpoint(true)
-        (cp, cp.count())
+    val hinted = vocabRows match {
+      case Some(r) => ops.Features.sizeGatedBroadcast(aligned, r)
+      case None => aligned // un-hinted: AQE decides at runtime
     }
-    toks.join(ops.Features.sizeGatedBroadcast(v, n), Seq(tokenCol), "left")
+    toks.join(hinted, Seq(tokenCol), "left")
       .withColumn("id", coalesce(col("id"), lit(OovId)))
   }
 
@@ -208,12 +206,10 @@ object Pipeline {
     * reference's `s[-1]-1` computes for an OOV tail.
     *
     * Pass `vocabRows` when the fit already knows the vocab size
-    * ([[fitVocabSized]]): that keeps this a pure plan builder —
-    * without it, [[encode]]'s counted broadcast gate localCheckpoints
-    * the vocab at CONSTRUCTION time (Spark jobs run and the vocab is
-    * pinned to executor storage merely by building the plan, and an
-    * executor loss later invalidates the non-reliable checkpoint;
-    * round-12 advice).
+    * ([[fitVocabSized]]): the broadcast hint is then decided at plan
+    * time. Without it [[encode]] leaves the vocab join un-hinted and
+    * AQE's runtime sizing picks broadcast vs shuffle — either way
+    * this is a pure plan builder (no construction-time jobs).
     */
   def featuresWithVocab(sessions: DataFrame, vocab: DataFrame,
       maxLen: Int = 20, vocabRows: Option[Long] = None): DataFrame = {

@@ -472,7 +472,13 @@ object Retrieval {
     val hasNb = stDf.columns.contains("n_buckets")
     val statRows = stDf.select(col("n_docs"), col("total_tokens"),
       (if (hasNb) col("n_buckets") else lit(null).cast("int")).as("nb"))
-    val delsOpt = readInvDeletes(spark, indexPath)
+    // NULL-dl tombstones (deleted-before-ingest docs that have since
+    // been appended) are resolved against current postings BEFORE the
+    // correction, so the probe's N/avgdl match rebuild-without-deleted
+    // even in the delete-then-append case; ids for the anti-join below
+    // are unaffected by resolution
+    val delsOpt = readInvDeletes(spark, indexPath).map(d =>
+      resolveTombstoneDl(spark, indexPath, d, readPostings(spark, indexPath)))
     val unioned = delsOpt match {
       case None => statRows
       case Some(dels) => statRows.unionByName(
@@ -622,6 +628,46 @@ object Retrieval {
       .parquet(p.toString))
   }
 
+  /** Explicit-None read of the postings dir — None when the index has
+    * no postings files yet (an empty partitioned write emits none, so
+    * schema inference fails rather than yielding an empty frame).
+    */
+  private def readPostings(spark: SparkSession,
+      indexPath: String): Option[DataFrame] =
+    try Some(spark.read.parquet(s"$indexPath/postings"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+        None
+    }
+
+  /** Resolve NULL-dl tombstones against CURRENT postings. A NULL dl
+    * means the doc was ABSENT from the index at delete time; if a
+    * replayed/late batch appends it afterwards, its postings are
+    * correctly anti-joined out but its stats row still counts toward
+    * N/avgdl — so the correction must re-capture dl from the postings
+    * that exist NOW, or tombstone-masked and rebuild-without-deleted
+    * answers diverge in exactly the delete-before-ingest case
+    * (round-13 review, medium). The common paths stay cheap: no
+    * tombstone file ⇒ this is never called; tombstones all carrying
+    * dl ⇒ one bounded-file limit(1) probe and no postings read; only
+    * the rare NULL-dl case pays one broadcast-filtered postings pass.
+    */
+  private def resolveTombstoneDl(spark: SparkSession, indexPath: String,
+      dels: DataFrame, posted: => Option[DataFrame]): DataFrame = {
+    val nullIds = dels.filter(col("dl").isNull).select("doc_id")
+    if (nullIds.isEmpty) return dels
+    posted match {
+      case None => dels
+      case Some(p) =>
+        val found = p.join(broadcast(nullIds), Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(max("dl").as("__dl_now"))
+        dels.join(found, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("dl"), col("__dl_now")).as("dl"))
+    }
+  }
+
   /** DELETE documents from a persisted inverted index — the
     * retention/takedown path (the [[graft.ops.LlmOps.annIndexDelete]]
     * contract applied to the lexical family). Merge-on-read: the ONE
@@ -633,8 +679,11 @@ object Retrieval {
     * [[invIndexApplyDeletes]] (run by [[invIndexSeal]]). Idempotent
     * re-delete (already-tombstoned ids are not re-recorded); absent
     * ids are recorded with NULL dl — the tombstone must also mask a
-    * replayed batch that lands after the delete. Single-writer
-    * discipline like seal. Returns the count of newly recorded ids.
+    * replayed batch that lands after the delete, and probe/apply
+    * re-resolve NULL dl against current postings so the stats
+    * correction covers that late-append too ([[resolveTombstoneDl]]).
+    * Single-writer discipline like seal. Returns the count of newly
+    * recorded ids.
     */
   def invIndexDelete(spark: SparkSession, indexPath: String,
       docIds: DataFrame): Long = {
@@ -647,19 +696,13 @@ object Retrieval {
     // dl from the doc's own postings: dl is constant per doc (one
     // (doc_id, dl) pair per doc by the postingsOf grouping), so max()
     // is exact; docs with no postings keep NULL
-    val posted =
-      try spark.read.parquet(s"$indexPath/postings")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
-          null
-      }
-    val withDl =
-      if (posted == null) fresh0.withColumn("dl", lit(null).cast("long"))
-      else fresh0.join(
+    val withDl = readPostings(spark, indexPath) match {
+      case None => fresh0.withColumn("dl", lit(null).cast("long"))
+      case Some(posted) => fresh0.join(
         posted.join(fresh0, Seq("doc_id"), "left_semi")
           .groupBy("doc_id").agg(max("dl").as("dl")),
         Seq("doc_id"), "left")
+    }
     val rows = withDl.select("doc_id", "dl").localCheckpoint()
     val n = rows.count()
     if (n > 0)
@@ -691,20 +734,18 @@ object Retrieval {
     val stDf = spark.read.option("mergeSchema", "true")
       .parquet(s"$indexPath/stats")
     val st = stDf.agg(sum("n_docs"), sum("total_tokens")).head()
-    val corr = dels.filter(col("dl").isNotNull)
+    val posted = readPostings(spark, indexPath)
+    // NULL-dl tombstones are resolved against the postings that exist
+    // NOW (delete-before-ingest docs appended since the delete must be
+    // subtracted from the compacted stats — see resolveTombstoneDl)
+    val corr = resolveTombstoneDl(spark, indexPath, dels, posted)
+      .filter(col("dl").isNotNull)
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
     val nDocs = st.getLong(0) - corr.getLong(0)
     val total = st.getLong(1) - corr.getLong(1)
     val nb = indexBucketCount(stDf).getOrElse(throw new IllegalArgumentException(
       s"invIndexApplyDeletes: $indexPath records no bucket count (pre-f2 " +
         "layout) — rebuild the index instead"))
-    val posted =
-      try Some(spark.read.parquet(s"$indexPath/postings"))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
-          None
-      }
     val kept = posted.map(
       _.drop("__batch_id").join(dels.select("doc_id"), Seq("doc_id"), "left_anti")
         .localCheckpoint())
@@ -945,8 +986,20 @@ object Retrieval {
               "neighbor_id", col("cos")))
         }
       }
-      val parts = Await.result(
-        lexF.zipWith(annF)(_ ++ _), scala.concurrent.duration.Duration.Inf)
+      // Await BOTH chains to COMPLETION (not zipWith, which fails
+      // fast): if one chain throws while the sibling is mid-write, the
+      // finally below would delete the tmp roots under an in-flight
+      // parquet write — which can recreate the deleted directory and
+      // orphan tmp state on exactly the failure path the finally
+      // exists to clean (round-13 review). Rethrow the first failure
+      // only after both chains have stopped touching the roots.
+      import scala.concurrent.duration.Duration
+      import scala.util.{Failure, Success}
+      val done = Seq(lexF, annF).map(f => Await.ready(f, Duration.Inf).value.get)
+      val parts = done.map {
+        case Success(p) => p
+        case Failure(e) => throw e
+      }.reduce(_ ++ _)
       parts.reduce(_.unionByName(_))
         .orderBy("kind", "query_id", "rank")
     } finally {

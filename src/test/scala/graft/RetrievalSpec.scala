@@ -228,6 +228,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(sealedRows === rebuilt)
   }
 
+  test("delete-BEFORE-ingest: a NULL-dl tombstone still corrects N/avgdl once the doc lands") {
+    // the round-13 medium finding: a doc tombstoned while ABSENT from
+    // the index carries dl=NULL; when a late/replayed batch appends it
+    // afterwards, its postings are anti-joined out but its stats row
+    // still counts — probe and apply must re-resolve dl from current
+    // postings or tombstone/compacted answers diverge from
+    // rebuild-without-deleted in exactly this ordering
+    val docs = Tables.documents(spark, SharedSpark.sfTiny)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id").limit(5)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, 4)).as("tok"))
+      .distinct()
+    val delIds = docs.select("doc_id").filter(pmod(col("doc_id"), lit(5)) === 2)
+    // rebuild-without-deleted ground truth over the FULL corpus
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft_del_before_ref").toString
+    Retrieval.invIndexWrite(docs.filter(pmod(col("doc_id"), lit(5)) =!= 2), ref)
+    val rebuilt = Retrieval.bm25Indexed(spark, queries, ref)
+      .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    // batch 0 ingested, WHOLE delete set tombstoned (ids >= 250 are
+    // absent -> NULL dl), THEN batch 1 lands
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_del_before_idx").toString
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") < 250), idx, 0L)
+    assert(Retrieval.invIndexDelete(spark, idx, delIds) > 0L)
+    Retrieval.invIndexAppendBatch(docs.filter(col("doc_id") >= 250), idx, 1L)
+    val tomb = Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    assert(tomb === rebuilt)
+    // physical apply must bake the SAME corrected stats in
+    assert(Retrieval.invIndexApplyDeletes(spark, idx))
+    val compacted = Retrieval.bm25Indexed(spark, queries, idx)
+      .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    assert(compacted === rebuilt)
+  }
+
   test("q108 hybrid RRF == local fusion of brute BM25 and brute cosine lists") {
     val texts = Tables.documents(spark, SharedSpark.sfTiny)
       .select("doc_id", "text").as[(Long, String)].collect()

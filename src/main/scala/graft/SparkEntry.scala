@@ -155,7 +155,9 @@ object SparkEntry {
     "q127_compact_roundtrip" -> ((s: SparkSession, d: String) => Relational.q127CompactRoundtrip(s, d)),
     "q128_versioned_lifecycle" -> ((s: SparkSession, d: String) => Relational.q128VersionedLifecycle(s, d)),
     "q129_index_delete" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q129IndexDelete(s, d)),
-    "q130_perplexity_trigram" -> ((s: SparkSession, d: String) => LlmOps.q130PerplexityTrigram(s, d))
+    "q130_perplexity_trigram" -> ((s: SparkSession, d: String) => LlmOps.q130PerplexityTrigram(s, d)),
+    "q131_dedup_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q131DedupIndexDelete(s, d)),
+    "q132_para_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q132ParaIndexDelete(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -1266,6 +1268,59 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, bits_micro,
         |CASE WHEN bits_micro < 4960000 * n_tokens THEN 'head'
         |WHEN bits_micro < 4995000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
-        |FROM sc ORDER BY doc_id""".stripMargin
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // q131: the LSH-dedup takedown lifecycle. Three legs share the
+    // one fingerprint construction (q87's identical-shingle-set rule
+    // at threshold 1.0): 'ingest' is q87's oracle verbatim; 'tomb'
+    // and 'compact' are the SAME probe answer twice — the deleted
+    // docs' content re-submitted under shifted ids is admitted iff no
+    // SURVIVING admitted doc holds its fingerprint (ghost suppression:
+    // without the delete every one of these is blocked) and it is the
+    // probe batch's own min-id occurrence. Deletion semantics are a
+    // rebuild over the surviving INDEXED set — an index of first
+    // occurrences cannot resurrect docs it dropped for a now-deleted
+    // keeper (see the q131 scaladoc).
+    "q131_dedup_index_delete" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |fp AS MATERIALIZED (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |array_to_string(list_sort(list_distinct(list_transform(range(1, len(t) - 1),
+        |i -> array_to_string(t[CAST(i AS INTEGER):(CAST(i AS INTEGER) + 2)], ' ')))), chr(31)) END AS f
+        |FROM toks),
+        |keep AS (SELECT doc_id, f, CASE WHEN f IS NULL THEN doc_id ELSE min(doc_id) OVER (PARTITION BY f) END AS keeper FROM fp),
+        |adm AS MATERIALIZED (SELECT doc_id, f FROM keep WHERE doc_id = keeper),
+        |b AS (SELECT COALESCE(max(doc_id), -1) // 3 + 1 AS sz FROM documents),
+        |ingest AS (SELECT 'ingest' AS kind, doc_id, CAST(doc_id // (SELECT GREATEST(sz, 1) FROM b) AS BIGINT) AS batch_id FROM adm),
+        |surv AS (SELECT f FROM adm WHERE doc_id % 5 <> 2 AND f IS NOT NULL),
+        |probe AS (SELECT doc_id + 10000000 AS doc_id, f FROM fp WHERE doc_id % 5 = 2),
+        |unblocked AS (SELECT doc_id, f FROM probe WHERE f IS NULL OR f NOT IN (SELECT f FROM surv)),
+        |padm AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, CASE WHEN f IS NULL THEN doc_id ELSE min(doc_id) OVER (PARTITION BY f) END AS k FROM unblocked) z WHERE doc_id = k)
+        |SELECT kind, doc_id, batch_id FROM ingest
+        |UNION ALL SELECT 'tomb' AS kind, doc_id, CAST(-1 AS BIGINT) AS batch_id FROM padm
+        |UNION ALL SELECT 'compact' AS kind, doc_id, CAST(-1 AS BIGINT) AS batch_id FROM padm
+        |ORDER BY kind, doc_id""".stripMargin,
+    // q132: the paragraph-index takedown lifecycle (q131 at paragraph
+    // granularity, q86's segmentation + global first-occurrence
+    // rule): a probe paragraph — the deleted docs' content under
+    // shifted ids — is kept iff its q86 keeper doc SURVIVES the
+    // delete... i.e. is NOT kept iff a surviving keeper holds it, and
+    // it must be the probe batch's own first occurrence. tomb ==
+    // compacted, cleaned text included.
+    "q132_para_index_delete" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS para_idx,
+        |array_to_string(t[(CAST(i AS INTEGER) * 20 + 1):(CAST(i AS INTEGER) * 20 + 20)], ' ') AS para
+        |FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i FROM toks) x),
+        |ranked AS (SELECT doc_id, para_idx, para, row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras),
+        |surv AS MATERIALIZED (SELECT DISTINCT para FROM ranked WHERE rn = 1 AND doc_id % 5 <> 2),
+        |bp AS (SELECT doc_id + 10000000 AS doc_id, para_idx, para FROM paras WHERE doc_id % 5 = 2),
+        |br AS (SELECT doc_id, para_idx, para, row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM bp),
+        |bk AS (SELECT doc_id, para_idx, para, (rn = 1 AND para NOT IN (SELECT para FROM surv)) AS kept FROM br),
+        |o AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |CAST(COALESCE(SUM(CASE WHEN kept THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |COALESCE(string_agg(CASE WHEN kept THEN para END, ' ' ORDER BY para_idx), '') AS clean_text
+        |FROM bk GROUP BY doc_id)
+        |SELECT 'tomb' AS kind, doc_id, n_paras, n_kept, clean_text FROM o
+        |UNION ALL SELECT 'compact' AS kind, doc_id, n_paras, n_kept, clean_text FROM o
+        |ORDER BY kind, doc_id""".stripMargin
   )
 }

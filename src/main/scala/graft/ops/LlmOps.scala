@@ -231,33 +231,48 @@ object LlmOps {
   def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, batchId: Long, threshold: Double,
       flatAppend: Boolean = false): DataFrame = {
-    // existence check through the path's own FileSystem — a
-    // java.io.File test is local-FS-only and on an object store
-    // would silently take the "no index" branch forever. "Exists"
-    // means HAS DATA FILES: an all-dropped or empty prior batch
-    // leaves a _SUCCESS-only directory whose schema can't be
-    // inferred, and an index with no rows has no history to probe
-    // anyway — the self-dedup branch is the correct one.
-    val indexExists = {
-      val fs = Sinks.fsFor(spark, indexPath)
-      val p = new org.apache.hadoop.fs.Path(s"$indexPath/buckets")
-      fs.exists(p) && {
-        val it = fs.listFiles(p, true)
-        var found = false
-        while (!found && it.hasNext)
-          found = it.next().getPath.getName.endsWith(".parquet")
-        found
-      }
-    }
-    val dropIds =
-      (if (indexExists) dedupIncremental(spark, batch, indexPath, threshold)
-       else minhashPairsOf(batch, threshold))
-        .select(col("doc_b").as("doc_id")).distinct()
-    val admitted = batch.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val admitted = batch
+      .join(dedupDropIds(spark, batch, indexPath, threshold),
+        Seq("doc_id"), "left_anti").localCheckpoint()
     if (flatAppend) dedupIndexAppendFlat(admitted, indexPath)
     else dedupIndexAppendBatch(admitted, indexPath, batchId)
     admitted
   }
+
+  /** Existence check through the path's own FileSystem — a
+    * java.io.File test is local-FS-only and on an object store
+    * would silently take the "no index" branch forever. "Exists"
+    * means HAS DATA FILES: an all-dropped or empty prior batch
+    * leaves a _SUCCESS-only directory whose schema can't be
+    * inferred, and an index with no rows has no history to probe
+    * anyway — the self-dedup branch is the correct one.
+    */
+  private def indexHasData(spark: SparkSession, dir: String): Boolean = {
+    val fs = Sinks.fsFor(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  /** The duplicate doc ids a batch would DROP — against the persisted
+    * index when one exists, within itself otherwise: the admission
+    * rule of [[dedupIngestBatch]] factored probe-only, so the
+    * deletion gate ([[q131DedupIndexDelete]]) can evaluate admission
+    * on the tombstoned and the compacted index states WITHOUT
+    * appending (the probe must not mutate what the second probe
+    * reads).
+    */
+  def dedupDropIds(spark: SparkSession, batch: DataFrame,
+      indexPath: String, threshold: Double): DataFrame =
+    (if (indexHasData(spark, s"$indexPath/buckets"))
+       dedupIncremental(spark, batch, indexPath, threshold)
+     else minhashPairsOf(batch, threshold))
+      .select(col("doc_b").as("doc_id")).distinct()
 
   /** Flat (unstamped) append without [[dedupIndexWrite]]'s
     * checkpoint — the post-seal writer [[dedupIngestBatch]] uses:
@@ -607,29 +622,63 @@ object LlmOps {
     */
   def paraIngestBatch(spark: SparkSession, batch: DataFrame,
       indexPath: String, batchId: Long, paraTokens: Int = 20): DataFrame = {
+    val keepers = paraProbeKeepers(spark, batch, indexPath, paraTokens)
+    keepers
+      .withColumn("__batch_id", lit(batchId))
+      .repartition(col("__batch_id"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(s"$indexPath/paras")
+    reassembleKeptParas(keepers,
+      paraTotals(batch.select("doc_id", "text"), paraTokens))
+  }
+
+  /** The PROBE half of [[paraIngestBatch]] — the admitted
+    * first-occurrence keeper rows of `batch` against the index's
+    * current (tombstone-masked) content, WITHOUT appending: the
+    * deletion gate ([[q132ParaIndexDelete]]) evaluates admission on
+    * the tombstoned and compacted index states and must not mutate
+    * what its second probe reads. Checkpointed — ingest reads it for
+    * the append and the cleaned output, the probe-only caller for
+    * two shaped outputs.
+    */
+  private def paraProbeKeepers(spark: SparkSession, batch: DataFrame,
+      indexPath: String, paraTokens: Int): DataFrame = {
     val paras = segmentParas(batch.select("doc_id", "text"), paraTokens)
       .withColumn("ph", xxhash64(col("para")))
-    val indexExists = {
-      val fs = Sinks.fsFor(spark, indexPath)
-      val p = new org.apache.hadoop.fs.Path(s"$indexPath/paras")
-      fs.exists(p) && {
-        val it = fs.listFiles(p, true)
-        var found = false
-        while (!found && it.hasNext)
-          found = it.next().getPath.getName.endsWith(".parquet")
-        found
-      }
-    }
     val flagged =
-      if (!indexExists) paras.withColumn("seen", lit(false))
+      if (!indexHasData(spark, s"$indexPath/paras"))
+        paras.withColumn("seen", lit(false))
       else {
-        val bloomOpt = {
-          val phs = paras.select("ph").distinct().localCheckpoint()
-          val n = phs.count()
-          if (n == 0) None
-          else Some(phs.stat.bloomFilter("ph", n, 0.01))
-        }
-        val idx = spark.read.parquet(s"$indexPath/paras")
+        // Fail-fast batch-mass cap (round 13 — the q37 maxBucket
+        // pattern): the probe join's output is one row per BATCH
+        // paragraph occurrence (the index side is unique per
+        // paragraph by construction), so its mass is bounded by the
+        // micro-batch, not by history — but ONLY if the micro-batch
+        // is actually bounded. This enforces the scaladoc's "bounded
+        // in real streaming" argument in code: a trigger misconfigured
+        // to swallow an unbounded backlog aborts with the remedy
+        // named instead of melting the probe join. One aggregate
+        // supplies the cap count AND the Bloom sizing.
+        val st = paras.agg(count(lit(1)), countDistinct("ph")).head()
+        val (total, nDistinct) = (st.getLong(0), st.getLong(1))
+        if (total > MaxBatchParas)
+          throw new IllegalStateException(
+            s"paraIngestBatch: micro-batch carries $total paragraph " +
+              s"occurrences > MaxBatchParas=$MaxBatchParas — the probe " +
+              "join's output is batch-occurrence-bounded by design; " +
+              "split the micro-batch (smaller trigger / " +
+              "maxFilesPerTrigger) or run the global batch form " +
+              "(dedupParagraphs/q86) for a backfill this size")
+        val bloomOpt =
+          if (nDistinct == 0) None
+          else Some(paras.select("ph").distinct()
+            .stat.bloomFilter("ph", nDistinct, 0.01))
+        // tombstones (q132): a taken-down doc's admitted paragraphs
+        // must stop blocking re-arrivals of the same content —
+        // merge-on-read anti-join, physical rewrite deferred to
+        // [[paraIndexApplyDeletes]]
+        val idx = minusDocDeletes(spark, indexPath,
+            spark.read.parquet(s"$indexPath/paras"))
           .select(col("ph"), col("para"),
             col("doc_id").as("__idoc"), col("para_idx").as("__ipos"))
         val prefiltered = bloomOpt.fold(idx)(b =>
@@ -661,20 +710,13 @@ object LlmOps {
     // comment above), which is the originally-admitted — hence
     // minimal — occurrence. Checkpoint the keepers once — the cleaned
     // output and the index append both read them.
-    val keepers = paraKeepers(flagged,
+    paraKeepers(flagged,
         paraBounds(batch.select("doc_id", "text"), paraTokens),
         Some(col("seen")))
       .filter(col("__bit") === 0L)
       .select(xxhash64(col("para")).as("ph"), col("para"),
         col("doc_id"), col("para_idx"))
       .localCheckpoint()
-    keepers
-      .withColumn("__batch_id", lit(batchId))
-      .repartition(col("__batch_id"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch_id").parquet(s"$indexPath/paras")
-    reassembleKeptParas(keepers,
-      paraTotals(batch.select("doc_id", "text"), paraTokens))
   }
 
   /** #94 Declared batch twin of the streaming paragraph-dedup ingest:
@@ -734,8 +776,13 @@ object LlmOps {
       indexPath: String, threshold: Double = 0.8): DataFrame = {
     val newHs = shingleHashSets(newDocs).localCheckpoint()
     val newBuckets = bandBuckets(newHs)
-    val idxBuckets = spark.read.parquet(s"$indexPath/buckets")
-    val idxHs = spark.read.parquet(s"$indexPath/hs")
+    // tombstones (q131): taken-down docs must stop blocking admits of
+    // re-arriving content — merge-on-read anti-joins on BOTH index
+    // relations; one fs.exists when no delete was ever recorded
+    val idxBuckets = minusDocDeletes(spark, indexPath,
+      spark.read.parquet(s"$indexPath/buckets"))
+    val idxHs = minusDocDeletes(spark, indexPath,
+      spark.read.parquet(s"$indexPath/hs"))
     val histCand = idxBuckets.as("a").join(newBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -1248,8 +1295,14 @@ object LlmOps {
     * trainer; above it, per-iteration training cost is constant in
     * corpus size (the 100 TB property the 10×/30× probes check).
     */
-  private def trainerSample(emb: DataFrame, cap: Int): DataFrame = {
-    val n = emb.count()
+  private def trainerSample(emb: DataFrame, cap: Int): DataFrame =
+    trainerSampleOf(emb, emb.count(), cap)
+
+  /** [[trainerSample]] with the corpus count supplied by a caller that
+    * already paid for it — saves one count job on paths (retrain) that
+    * validate row counts anyway.
+    */
+  private def trainerSampleOf(emb: DataFrame, n: Long, cap: Int): DataFrame = {
     val stride = n / math.max(1, cap)
     if (stride <= 1) emb
     else emb.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
@@ -1263,46 +1316,92 @@ object LlmOps {
     */
   private val TrainerSampleCap = 4096
 
+  /** Fail-fast bound on a paragraph-ingest micro-batch's segmented
+    * occurrence count ([[paraIngestBatch]]): 2^24 paragraph rows ≈
+    * tens of GB of batch text — far beyond any sane trigger, so the
+    * cap only fires on a misconfigured unbounded backlog (see the
+    * probe-join mass note at the check site).
+    */
+  private val MaxBatchParas = 1L << 24
+
   /** Lloyd-refined coarse-quantizer centroids. Init = first `nCells`
-    * vectors, then `iters` rounds of: map-side best-cell assignment →
-    * distributed per-(cell, dim) mean via posexplode + partial agg →
-    * driver collect of the BOUNDED nCells×dims mean table (16×64 rows
-    * here) re-entering the next round as literals. The corpus never
-    * leaves the executors; per-iteration driver traffic is constant
-    * in N — and per-iteration COMPUTE is too, because refinement runs
-    * over [[trainerSample]] (assignment of the full corpus happens
-    * once, map-side, at the call sites that need it, not per Lloyd
-    * round). Cells that lose all members keep their previous
-    * centroid. Cosine scoring is scale-invariant, so plain coordinate
-    * means need no re-normalization between rounds.
+    * vectors, then `iters` rounds of best-cell assignment →
+    * per-(cell, dim) mean — run DRIVER-SIDE over the collected
+    * [[trainerSample]]: the sample is BOUNDED by construction
+    * (~[[TrainerSampleCap]] rows ≈ 1 MB at 64 dims — same class as
+    * the other bounded collects), so one collect replaces one Spark
+    * job PER LLOYD ROUND, and training cost is zero cluster
+    * round-trips at any corpus size (the FAISS-style train-on-sample
+    * / encode-distributed split; assignment of the full corpus stays
+    * map-side at the call sites that need it). Round 14: the previous
+    * shape ran each round as a distributed posexplode+agg whose fixed
+    * job latency dominated every fit. Cells that lose all members
+    * keep their previous centroid; assignment scoring matches the
+    * distributed [[bestCellOf]] rule (cosine, ties to lowest cid).
+    * Cosine scoring is scale-invariant, so plain coordinate means
+    * need no re-normalization between rounds. Deterministic: fixed
+    * iteration order over the id-sorted sample.
     */
   def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int,
-      trainCap: Int = TrainerSampleCap): Array[(Int, Array[Float])] = {
-    val train = trainerSample(emb, trainCap)
-    // seed from the nCells smallest vec_ids (deterministic, id-range
-    // agnostic — `vec_id < nCells` would silently yield ZERO seeds on
-    // a corpus whose ids don't start at 0), relabelled to dense cids
-    var cents = train.select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(nCells).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+      trainCap: Int = TrainerSampleCap): Array[(Int, Array[Float])] =
+    kmeansRefine(collectTrainerSample(trainerSample(emb, trainCap)),
+      nCells, iters)
+
+  /** The bounded trainer sample, collected and id-sorted — ONE pass
+    * shared by seed selection and both refine loops (and between both
+    * quantizers on the [[annIndexRetrain]] path).
+    */
+  private def collectTrainerSample(train: DataFrame): Array[(Long, Array[Float])] =
+    train.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (longOf(r.get(0)), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Driver-side cosine argmax matching [[bestCellOf]]'s distributed
+    * rule: best (-cos, cid) lexicographically — NaN scores (zero
+    * norms) sort WORST, ties go to the lowest cid.
+    */
+  private def bestCellLocal(v: Array[Float],
+      cents: Array[(Int, Array[Float])]): Int = {
+    val nsq = { var s = 0.0; var i = 0; while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }; s }
+    var best = -1; var bestNeg = 0.0
+    cents.foreach { case (cid, c) =>
+      var dot = 0.0; var cn = 0.0; var i = 0
+      while (i < c.length) { dot += v(i).toDouble * c(i); cn += c(i).toDouble * c(i); i += 1 }
+      val neg = -(dot / (math.sqrt(nsq) * math.sqrt(cn)))
+      if (best < 0 || java.lang.Double.compare(neg, bestNeg) < 0) {
+        best = cid; bestNeg = neg
+      }
+    }
+    best
+  }
+
+  /** The Lloyd refinement stage of [[kmeansCentroids]] over the
+    * collected sample (seeds = the first `nCells` id-sorted rows —
+    * deterministic and id-range agnostic; `vec_id < nCells` would
+    * silently yield ZERO seeds on a corpus whose ids don't start
+    * at 0).
+    */
+  private def kmeansRefine(sample: Array[(Long, Array[Float])],
+      nCells: Int, iters: Int): Array[(Int, Array[Float])] = {
+    var cents = sample.take(nCells).map(_._2).zipWithIndex
+      .map { case (v, i) => (i, v) }
     // empty corpus: no seeds, nothing to refine — callers handle the
     // zero-centroid case (an assignment expression over an empty
     // centroid array cannot even be typed)
     if (cents.isEmpty) return cents
+    val dims = cents.head._2.length
     for (_ <- 0 until iters) {
-      val assigned = train.withColumn("cell", bestCellOf(centroidScores(cents)))
-      val means = assigned.select(col("cell"), posexplode(col("embedding")))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1)
-        .map { case (cid, xs) =>
-          val dims = xs.map(_._2).max + 1
-          val v = new Array[Float](dims)
-          xs.foreach { case (_, pos, m) => v(pos) = m.toFloat }
-          cid -> v
-        }
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { case (_, v) =>
+        val c = bestCellLocal(v, cents)
+        counts(c) += 1
+        var i = 0; while (i < dims) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = cents.map { case (cid, old) =>
+        if (counts(cid) == 0) (cid, old)
+        else (cid, Array.tabulate(dims)(i => (sums(cid)(i) / counts(cid)).toFloat))
+      }
     }
     cents
   }
@@ -1526,8 +1625,13 @@ object LlmOps {
     * the extra file, and the append guard falls back to the stats
     * footers when the sentinel is absent (recreating it on the next
     * append).
+    * f3: the quantizer refine loops moved driver-side over the
+    * collected bounded sample (round 14) — summation order changed,
+    * so persisted ANN memos built under the distributed trainers
+    * carry (harmlessly but confusingly) different centroid floats;
+    * the bump rebuilds them under the one live trainer.
     */
-  private[graft] val IndexMemoFormat = "f2"
+  private[graft] val IndexMemoFormat = "f3"
 
   /** Garbage-collect STALE siblings of a memo family for `dir` at
     * install time: every memo of the same family and corpus dir
@@ -1786,38 +1890,59 @@ object LlmOps {
     * sites.
     */
   def pqCodebooks(emb: DataFrame, m: Int, kCodes: Int, subDim: Int,
-      iters: Int, trainCap: Int = TrainerSampleCap): Option[graft.functions.Pq.Codebooks] = {
-    val train = trainerSample(emb, trainCap)
-    val seeds = train.select("vec_id", "embedding").orderBy("vec_id")
-      .limit(kCodes).collect()
-      .map(_.getSeq[Float](1).toArray)
+      iters: Int, trainCap: Int = TrainerSampleCap): Option[graft.functions.Pq.Codebooks] =
+    pqRefine(collectTrainerSample(trainerSample(emb, trainCap)),
+      m, kCodes, subDim, iters)
+
+  /** The k-means-per-subspace refinement stage of [[pqCodebooks]] —
+    * driver-side over the collected bounded sample, like
+    * [[kmeansRefine]] (round 14: the distributed form paid one job
+    * per round in fixed latency; seeds = first `kCodes` id-sorted
+    * sample rows; L2 sub-distance ties assign to the LOWEST code id,
+    * the distributed array_position-of-min rule; sub-cells that lose
+    * all members keep their previous centroid).
+    */
+  private def pqRefine(sample: Array[(Long, Array[Float])], m: Int,
+      kCodes: Int, subDim: Int,
+      iters: Int): Option[graft.functions.Pq.Codebooks] = {
+    val seeds = sample.take(kCodes).map(_._2)
     if (seeds.isEmpty) return None
     val k = seeds.length
     val flat = new Array[Float](m * k * subDim)
     for (mi <- 0 until m; ki <- 0 until k; d <- 0 until subDim)
       flat((mi * k + ki) * subDim + d) = seeds(ki)(mi * subDim + d)
     for (_ <- 0 until iters) {
-      val cbLit = array((0 until m).map(mi =>
-        array((0 until k).map(ki =>
-          array((0 until subDim).map(d =>
-            lit(flat((mi * k + ki) * subDim + d))): _*)): _*)): _*)
-      val sub = train.select(col("vec_id"), posexplode(
-          transform(sequence(lit(0), lit(m - 1)),
-            i => slice(col("embedding"), i * subDim + 1, lit(subDim)))))
-        .toDF("vec_id", "mi", "sub")
-      val dists = transform(element_at(cbLit, col("mi") + 1),
-        c => aggregate(zip_with(col("sub"), c,
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, v) => acc + v))
-      val assigned = sub
-        .withColumn("cell", (array_position(dists, array_min(dists)) - 1).cast("int"))
-        .select(col("mi"), col("cell"), posexplode(col("sub")))
-        .toDF("mi", "cell", "d", "v")
-      val means = assigned.groupBy("mi", "cell", "d").agg(avg("v").as("mean"))
-        .collect()
-      means.foreach { r =>
-        flat((r.getInt(0) * k + r.getInt(1)) * subDim + r.getInt(2)) =
-          r.getDouble(3).toFloat
+      val sums = new Array[Double](m * k * subDim)
+      val counts = new Array[Long](m * k)
+      sample.foreach { case (_, v) =>
+        var mi = 0
+        while (mi < m) {
+          var best = 0; var bestD = java.lang.Double.MAX_VALUE
+          var ki = 0
+          while (ki < k) {
+            var dist = 0.0; var d = 0
+            while (d < subDim) {
+              val diff = v(mi * subDim + d).toDouble -
+                flat((mi * k + ki) * subDim + d)
+              dist += diff * diff; d += 1
+            }
+            if (dist < bestD) { bestD = dist; best = ki }
+            ki += 1
+          }
+          counts(mi * k + best) += 1
+          var d = 0
+          while (d < subDim) {
+            sums((mi * k + best) * subDim + d) += v(mi * subDim + d)
+            d += 1
+          }
+          mi += 1
+        }
+      }
+      for (mi <- 0 until m; ki <- 0 until k; d <- 0 until subDim) {
+        val n = counts(mi * k + ki)
+        if (n > 0)
+          flat((mi * k + ki) * subDim + d) =
+            (sums((mi * k + ki) * subDim + d) / n).toFloat
       }
     }
     Some(new graft.functions.Pq.Codebooks(m, k, subDim, flat))
@@ -2555,6 +2680,12 @@ object LlmOps {
     if (delsOpt.isEmpty) return false
     val dels = delsOpt.get.localCheckpoint() // pinned: its dir is dropped below
     if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
+    // cell cardinality for pinned write parallelism below (one bounded
+    // read, shared by both subdir rewrites); None on a centroid-less
+    // index — then the kept rows' own distinct cells are counted
+    val centroidCells: Option[Int] =
+      try Some(spark.read.parquet(s"$indexPath/centroids").count().toInt)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     Seq("vectors", "codes").foreach { sub =>
       val dir = s"$indexPath/$sub"
       if (fs.exists(p(dir))) {
@@ -2574,7 +2705,14 @@ object LlmOps {
             fs.delete(p(dir), true) // emptied: missing dir, not file-less
           } else {
             val tmp = dir + "__del_tmp"
-            kept.repartition(col("cell"))
+            // pinned numPartitions: with AQE coalescing set to
+            // parallelismFirst=false, a bare repartition(col) shrinks
+            // this KB-scale exchange to ONE task and serializes the
+            // per-cell directory writes — the same write-parallelism
+            // fix every other cell/band/bucket write got (round 13)
+            val nCells = centroidCells
+              .getOrElse(kept.select("cell").distinct().count().toInt).max(1)
+            kept.repartition(nCells, col("cell"))
               .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
             val actual = spark.read.parquet(tmp).count()
             if (actual != expected) {
@@ -2602,6 +2740,11 @@ object LlmOps {
     * index size beyond one assignment/encode pass), re-assigns every
     * vector to its new cell, re-encodes every code, and installs the
     * rotated index via the park-rename swap ([[Sinks.swapInstall]]).
+    * Both refits share ONE collected sample pass (driver-side Lloyd —
+    * see [[kmeansRefine]]); the vectors/ and codes/ rewrites run as
+    * CONCURRENT driver-thread chains (disjoint tmp subdirs over one
+    * pinned assignment) — wall cost is max(), not sum() (round-13
+    * verdict item 2).
     *
     * What is PRESERVED: batch stamps. A stamped index stays stamped —
     * every vector keeps its `__batch_id`, so at-least-once replay of a
@@ -2626,6 +2769,18 @@ object LlmOps {
     * append (single-writer discipline; appends resume — and replays
     * re-land — once the swap is installed).
     */
+  /** Barrier over concurrent driver-thread job chains that rethrows
+    * only after EVERY chain has stopped running — Await.result/zipWith
+    * fail fast and would let a caller's cleanup race a sibling chain's
+    * in-flight write (the q129 rule). First failure wins the rethrow.
+    */
+  private def awaitAllOrThrow(fs: Seq[scala.concurrent.Future[_]]): Unit = {
+    import scala.concurrent.duration.Duration
+    val done = fs.map(f =>
+      scala.concurrent.Await.ready(f, Duration.Inf).value.get)
+    done.foreach { case scala.util.Failure(e) => throw e; case _ => () }
+  }
+
   def annIndexRetrain(spark: SparkSession, indexPath: String,
       nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
       kCodes: Int = 16, pqIters: Int = 2): Unit = {
@@ -2648,35 +2803,58 @@ object LlmOps {
     val stamped = vecs.columns.contains("__batch_id")
     val expected = vecs.count()
     if (expected == 0) return
-    val cents = kmeansCentroids(vecs, nCells, kmeansIters)
+    // ONE shared training-sample pass for BOTH quantizer refits
+    // (round-13 verdict): the bounded sample is collected once (the
+    // count is already paid above, so no extra count job) and both
+    // driver-side refine loops read it — kmeans seeds from its first
+    // nCells id-sorted rows, PQ from the first kCodes, exactly the
+    // prefixes the trainers would draw independently.
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sample = collectTrainerSample(
+      trainerSampleOf(vecs, expected, TrainerSampleCap))
+    val cents = kmeansRefine(sample, nCells, kmeansIters)
     val cb =
-      if (!hadPq || cents.isEmpty) None
-      else pqCodebooks(vecs, m, kCodes, cents.head._2.length / m, pqIters)
+      if (!hadPq || sample.isEmpty) None
+      else pqRefine(sample, m, kCodes, sample.head._2.length / m, pqIters)
     val tmp = indexPath + "__retrain_tmp"
     import spark.implicits._
-    cents.toSeq.toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    cb.foreach(writePqCodebooks(spark, tmp, _))
+    // the quantizer-state writes depend only on the fits; the two big
+    // rewrites below depend on `assigned` — so the tiny writes overlap
+    // the assignment checkpoint, then codes/ and vectors/ (disjoint
+    // subdirs, shared pinned input) rewrite concurrently. On any
+    // failure the tmp root is left for the next entry's
+    // recoverInterrupted, same as the sequential form.
+    val quantF = Future {
+      cents.toSeq.toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      cb.foreach(writePqCodebooks(spark, tmp, _))
+    }
     val partCols = if (stamped) Seq("cell", "__batch_id") else Seq("cell")
     val assigned = vecs
       .drop("cell")
       .withColumn("cell", bestCellOf(centroidScores(cents)))
       .localCheckpoint() // consumed by both writes below
-    cb.foreach { c =>
-      assigned
-        .select((Seq(col("vec_id"), col("cell")) ++
-          (if (stamped) Seq(col("__batch_id")) else Nil) :+
-          graft.functions.PqEncode.codes(col("embedding"), c).as("code")): _*)
-        // one writer task per cell (explicit numPartitions: AQE would
-        // otherwise coalesce this KB-scale exchange to ONE task that
-        // writes every cell directory serially; at scale one-task-
-        // per-cell is also the layout you want)
-        .repartition(nCells, col("cell"))
-        .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/codes")
+    val codesF = Future {
+      cb.foreach { c =>
+        assigned
+          .select((Seq(col("vec_id"), col("cell")) ++
+            (if (stamped) Seq(col("__batch_id")) else Nil) :+
+            graft.functions.PqEncode.codes(col("embedding"), c).as("code")): _*)
+          // one writer task per cell (explicit numPartitions: AQE would
+          // otherwise coalesce this KB-scale exchange to ONE task that
+          // writes every cell directory serially; at scale one-task-
+          // per-cell is also the layout you want)
+          .repartition(nCells, col("cell"))
+          .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/codes")
+      }
     }
-    assigned
-      .repartition(nCells, col("cell"))
-      .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/vectors")
+    val vecsF = Future {
+      assigned
+        .repartition(nCells, col("cell"))
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/vectors")
+    }
+    awaitAllOrThrow(Seq(quantF, codesF, vecsF))
     val actual = spark.read.parquet(s"$tmp/vectors").count()
     if (actual != expected) {
       fs.delete(p(tmp), true)
@@ -2692,9 +2870,354 @@ object LlmOps {
     * [[annIndexSeal]] contract).
     */
   def dedupIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+    // quiesce-time compaction applies pending tombstones FIRST (the
+    // annIndexSeal rule) — a sealed index never carries a deletes/ dir
+    dedupIndexApplyDeletes(spark, indexPath)
     Sinks.sealBatchStampedAll(spark, Seq(
       s"$indexPath/buckets" -> Some("band"),
       s"$indexPath/hs" -> None))
+  }
+
+  /** Explicit-schema read of a doc-keyed index tombstone directory
+    * (the [[readAnnDeletes]] contract for the LSH-dedup and paragraph
+    * index families, which both key state by `doc_id`).
+    */
+  private[graft] def readDocDeletes(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
+    if (!Sinks.fsFor(spark, indexPath).exists(p)) None
+    else Some(spark.read.schema(StructType(Seq(
+      StructField("doc_id", LongType)))).parquet(p.toString))
+  }
+
+  /** Anti-join `df` (carrying doc_id) against the index's tombstones
+    * when any exist — the merge-on-read half every probe of a
+    * doc-keyed index applies ([[minusAnnDeletes]] for doc ids).
+    */
+  private[graft] def minusDocDeletes(spark: SparkSession, indexPath: String,
+      df: DataFrame): DataFrame =
+    readDocDeletes(spark, indexPath)
+      .map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
+
+  /** Record doc-id tombstones for a doc-keyed index — the
+    * [[annIndexDelete]] contract (merge-on-read; ONE bounded appended
+    * file; idempotent re-delete; absent ids recorded anyway to mask
+    * late/replayed batches). Returns the count of newly recorded ids.
+    */
+  private[graft] def docIndexDelete(spark: SparkSession, indexPath: String,
+      docIds: DataFrame): Long = {
+    val ids = docIds
+      .select(col(docIds.columns(0)).cast("long").as("doc_id")).distinct()
+    val fresh = (readDocDeletes(spark, indexPath) match {
+      case Some(ex) => ids.join(ex, Seq("doc_id"), "left_anti")
+      case None => ids
+    }).localCheckpoint()
+    val n = fresh.count()
+    if (n > 0)
+      fresh.coalesce(1).write.mode("append").parquet(s"$indexPath/deletes")
+    n
+  }
+
+  /** Physically apply a doc-keyed index's pending tombstones — the
+    * [[annIndexApplyDeletes]] machinery generalized over the family's
+    * subdirectories: per-subdir count-validated park-rename swaps
+    * (`shape` supplies each subdir's write repartitioning and
+    * partition columns from the kept rows), a subdir emptied by the
+    * delete is REMOVED rather than installed file-less, deletes/ is
+    * dropped last — a crash at any point leaves tombstones in place
+    * so merge-on-read probes stay exactly right and the next apply
+    * finishes the job. Returns whether a rewrite happened.
+    */
+  private def applyDocDeletes(spark: SparkSession, indexPath: String,
+      subs: Seq[String],
+      shape: (String, DataFrame) => (DataFrame, Seq[String])): Boolean = {
+    val fs = Sinks.fsFor(spark, indexPath)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    subs.foreach(sub =>
+      Sinks.recoverInterrupted(fs, p(s"$indexPath/$sub"), "__del_old", "__del_tmp"))
+    val delsOpt = readDocDeletes(spark, indexPath)
+    if (delsOpt.isEmpty) return false
+    val dels = delsOpt.get.localCheckpoint() // pinned: its dir is dropped below
+    if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
+    subs.foreach { sub =>
+      val dir = s"$indexPath/$sub"
+      if (fs.exists(p(dir))) {
+        val df =
+          try spark.read.parquet(dir)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+              null // file-less: nothing to rewrite
+          }
+        if (df != null) {
+          val kept = df.join(dels, Seq("doc_id"), "left_anti").localCheckpoint()
+          val expected = kept.count()
+          if (expected == 0) {
+            fs.delete(p(dir), true) // emptied: missing dir, not file-less
+          } else {
+            val tmp = dir + "__del_tmp"
+            val (shaped, partCols) = shape(sub, kept)
+            (if (partCols.isEmpty) shaped.write
+             else shaped.write.partitionBy(partCols: _*))
+              .mode("overwrite").parquet(tmp)
+            val actual = spark.read.parquet(tmp).count()
+            if (actual != expected) {
+              fs.delete(p(tmp), true)
+              throw new java.io.IOException(
+                s"applyDocDeletes: rewrite of $sub has $actual rows, " +
+                  s"expected $expected; aborted with $indexPath untouched")
+            }
+            Sinks.swapInstall(fs, p(tmp), p(dir), "__del_old")
+          }
+        }
+      }
+    }
+    fs.delete(p(s"$indexPath/deletes"), true)
+    true
+  }
+
+  /** DELETE documents from a persisted LSH dedup index — q129's
+    * retention/takedown contract applied to the dedup family
+    * (reference README.md:80: the store only grows, but a deployment
+    * must also forget): tombstoned docs stop blocking future admits
+    * that collide with their (now taken down) content. Merge-on-read;
+    * probes mask via [[dedupIncremental]]'s anti-joins; physical
+    * rewrite deferred to [[dedupIndexApplyDeletes]] (run by
+    * [[dedupIndexSeal]]).
+    */
+  def dedupIndexDelete(spark: SparkSession, indexPath: String,
+      docIds: DataFrame): Long =
+    docIndexDelete(spark, indexPath, docIds)
+
+  /** Physically apply pending LSH-dedup tombstones: rewrite buckets/
+    * (band-partitioned, one writer task per band — the pinned
+    * write-parallelism rule) and hs/ without the deleted docs, then
+    * drop deletes/. Layout preserved — a stamped index stays stamped.
+    */
+  def dedupIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
+    applyDocDeletes(spark, indexPath, Seq("buckets", "hs"), {
+      case ("buckets", kept) =>
+        val stamped = kept.columns.contains("__batch_id")
+        (kept.repartition(16, col("band")),
+          Seq("band") ++ (if (stamped) Seq("__batch_id") else Nil))
+      case (_, kept) =>
+        val stamped = kept.columns.contains("__batch_id")
+        if (stamped) (kept.repartition(col("__batch_id")), Seq("__batch_id"))
+        else (kept, Nil)
+    })
+
+  /** DELETE documents from a persisted paragraph-dedup index — the
+    * dedup-family takedown contract ([[dedupIndexDelete]]) at
+    * paragraph granularity: the deleted doc's ADMITTED first
+    * occurrences stop marking re-arrivals of the same paragraphs as
+    * seen (the ghost-suppression case). Merge-on-read; probes mask in
+    * [[paraIngestBatch]]'s flagging join; physical rewrite deferred
+    * to [[paraIndexApplyDeletes]].
+    */
+  def paraIndexDelete(spark: SparkSession, indexPath: String,
+      docIds: DataFrame): Long =
+    docIndexDelete(spark, indexPath, docIds)
+
+  /** Physically apply pending paragraph-index tombstones (the
+    * [[dedupIndexApplyDeletes]] contract for paras/ — batch-stamped
+    * layout preserved, writer parallelism pinned to the batch-dir
+    * count).
+    */
+  def paraIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
+    applyDocDeletes(spark, indexPath, Seq("paras"), { case (_, kept) =>
+      if (kept.columns.contains("__batch_id")) {
+        val nb = kept.select("__batch_id").distinct().count().toInt.max(1)
+        (kept.repartition(nb, col("__batch_id")), Seq("__batch_id"))
+      } else (kept, Nil)
+    })
+
+  /** Ensure the FULL-ingest LSH index memo for `dir` (index state +
+    * admitted rows after ALL `nBatches` stamped batches — the
+    * [[dedupPrefixMemoPathOf]] family at prefix = nBatches; its build
+    * path is exactly the loop q87's oracle gates fresh): q131 clones
+    * it per run and pays only the declared delete lifecycle.
+    */
+  private def ensureDedupFullMemo(spark: SparkSession, dir: String,
+      nBatches: Int, threshold: Double): String = {
+    val memo = dedupPrefixMemoPathOf(spark, dir, nBatches, nBatches, threshold)
+    val fs = Sinks.fsFor(spark, memo)
+    val memoRoot = new org.apache.hadoop.fs.Path(memo)
+    if (!fs.exists(memoRoot)) {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
+        case null => -1L
+        case l: Long => l
+        case i: Int => i.toLong
+      }
+      val bSize = math.max(1L, maxId / nBatches + 1)
+      val staging = new org.apache.hadoop.fs.Path(
+        memo + "__tmp_" + spark.sparkContext.applicationId)
+      fs.delete(staging, true)
+      val admitted = (0 until nBatches).map { b =>
+        dedupIngestBatch(spark,
+          docs.filter(expr(s"doc_id DIV $bSize") === b),
+          s"$staging/index", b.toLong, threshold)
+          .select(col("doc_id"), lit(b.toLong).as("batch_id"))
+      }
+      admitted.reduce(_.unionByName(_)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/admitted")
+      Sinks.installMemo(fs, staging, memoRoot)
+      gcStaleMemos(spark, "graft_dedup_prefix_memo_", dir, "documents")
+    } else Sinks.repairNestedStaging(fs, memoRoot)
+    memo
+  }
+
+  /** #131 Deletion through the persisted LSH dedup index — the q129
+    * retention/takedown lifecycle for the dedup family (reference
+    * README.md:80: the append-only store made forgettable), with the
+    * proof q129 cannot express: GHOST SUPPRESSION. A dedup index
+    * whose taken-down content lingers silently blocks every future
+    * admit that collides with the ghost; after a delete, the SAME
+    * content re-arriving under NEW doc ids must be admitted again.
+    *
+    * Lifecycle: clone the full-ingest index memo (build path = q87's
+    * gate), tombstone every doc with id ≡ `rem` (mod `every`)
+    * ([[dedupIndexDelete]] — merge-on-read, one bounded appended
+    * file), probe-admit a batch of the DELETED docs' content under
+    * shifted ids against the TOMBSTONED index ([[dedupDropIds]] —
+    * no append, so the second probe sees identical state), physically
+    * apply ([[dedupIndexApplyDeletes]] — count-validated park-rename
+    * swaps per subdir), probe-admit again (the COMPACTED path).
+    *
+    * Declared semantics — and the honest scope of dedup deletion: the
+    * post-delete index equals a rebuild over the SURVIVING INDEXED
+    * set (admitted minus deleted), NOT over corpus-minus-deleted: an
+    * index cannot resurrect a doc it dropped in favor of a
+    * now-deleted keeper — it only stores first occurrences.
+    * Re-admission happens when content REARRIVES, which is exactly
+    * the declared probe. The DuckDB oracle recomputes all three
+    * legs — ingest (q87's rule), and the probe batch's admission
+    * against surviving fingerprints with the in-batch min-id rule —
+    * expecting tombstone == compacted, row for row.
+    */
+  def q131DedupIndexDelete(spark: SparkSession, dir: String,
+      nBatches: Int = 3, threshold: Double = 1.0, every: Int = 5,
+      rem: Int = 2, shift: Long = 10000000L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val memo = ensureDedupFullMemo(spark, dir, nBatches, threshold)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q131_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    val fs = Sinks.fsFor(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    fs.delete(root, true)
+    try {
+      Sinks.copyDir(fs, s"$memo/index", indexPath,
+        spark.sparkContext.hadoopConfiguration)
+      val ingest = spark.read.parquet(s"$memo/admitted")
+        .select(lit("ingest").as("kind"), col("doc_id"),
+          col("batch_id").cast("long").as("batch_id"))
+      dedupIndexDelete(spark, indexPath,
+        docs.select("doc_id").filter(pmod(col("doc_id"), lit(every)) === rem))
+      // re-arrival of the deleted CONTENT under fresh ids — the ghost
+      // case: without the delete these would all be blocked
+      val probe = docs.filter(pmod(col("doc_id"), lit(every)) === rem)
+        .withColumn("doc_id", col("doc_id") + shift)
+      def admittedAs(kind: String): DataFrame = probe
+        .join(dedupDropIds(spark, probe, indexPath, threshold),
+          Seq("doc_id"), "left_anti")
+        .select(lit(kind).as("kind"), col("doc_id"),
+          lit(-1L).as("batch_id"))
+        .localCheckpoint() // localized BEFORE the next step mutates the index
+      val tomb = admittedAs("tomb")
+      dedupIndexApplyDeletes(spark, indexPath)
+      val compact = admittedAs("compact")
+      ingest.unionByName(tomb).unionByName(compact)
+        .orderBy("kind", "doc_id").localCheckpoint()
+    } finally fs.delete(root, true)
+  }
+
+  /** Memo path of the q132 full paragraph-index ingest (the
+    * [[dedupPrefixMemoPathOf]] convention for the paragraph family).
+    */
+  private[graft] def paraFullMemoPathOf(spark: SparkSession, dir: String,
+      nBatches: Int, paraTokens: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_para_full_memo_" +
+      memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
+      s"_b${nBatches}_w${paraTokens}_$IndexMemoFormat"
+
+  /** Ensure the full-ingest paragraph index memo for `dir` — the
+    * build path is exactly q94's oracle-gated loop; its cleaned
+    * outputs are q94's gate, only the index state is memoized here.
+    */
+  private def ensureParaFullMemo(spark: SparkSession, dir: String,
+      nBatches: Int, paraTokens: Int): String = {
+    val memo = paraFullMemoPathOf(spark, dir, nBatches, paraTokens)
+    val fs = Sinks.fsFor(spark, memo)
+    val memoRoot = new org.apache.hadoop.fs.Path(memo)
+    if (!fs.exists(memoRoot)) {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
+        case null => -1L
+        case l: Long => l
+        case i: Int => i.toLong
+      }
+      val bSize = math.max(1L, maxId / nBatches + 1)
+      val staging = new org.apache.hadoop.fs.Path(
+        memo + "__tmp_" + spark.sparkContext.applicationId)
+      fs.delete(staging, true)
+      (0 until nBatches).foreach { b =>
+        // the index append inside is the eager action; the returned
+        // cleaned frame is q94's declared output, not needed here
+        paraIngestBatch(spark,
+          docs.filter(expr(s"doc_id DIV $bSize") === b),
+          s"$staging/index", b.toLong, paraTokens)
+      }
+      Sinks.installMemo(fs, staging, memoRoot)
+      gcStaleMemos(spark, "graft_para_full_memo_", dir, "documents")
+    } else Sinks.repairNestedStaging(fs, memoRoot)
+    memo
+  }
+
+  /** #132 Deletion through the persisted paragraph-dedup index — the
+    * [[q131DedupIndexDelete]] lifecycle at paragraph granularity: a
+    * taken-down doc's admitted first occurrences must stop marking
+    * re-arrivals of the same paragraphs as boilerplate. Clone the
+    * full-ingest memo (build = q94's gate), tombstone id ≡ rem (mod
+    * every) ([[paraIndexDelete]]), probe-clean the deleted docs'
+    * content under shifted ids against the tombstoned index
+    * (probe-only — no append), apply ([[paraIndexApplyDeletes]]),
+    * probe-clean again. Oracle: a probe paragraph is kept iff no
+    * SURVIVING keeper (q86's global rule, keeper doc not deleted)
+    * holds it and it is the probe batch's own first occurrence —
+    * tombstone == compacted, row for row, cleaned text included.
+    */
+  def q132ParaIndexDelete(spark: SparkSession, dir: String,
+      nBatches: Int = 3, paraTokens: Int = 20, every: Int = 5,
+      rem: Int = 2, shift: Long = 10000000L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val memo = ensureParaFullMemo(spark, dir, nBatches, paraTokens)
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q132_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    val fs = Sinks.fsFor(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    fs.delete(root, true)
+    try {
+      Sinks.copyDir(fs, s"$memo/index", indexPath,
+        spark.sparkContext.hadoopConfiguration)
+      paraIndexDelete(spark, indexPath,
+        docs.select("doc_id").filter(pmod(col("doc_id"), lit(every)) === rem))
+      val probe = docs.filter(pmod(col("doc_id"), lit(every)) === rem)
+        .withColumn("doc_id", col("doc_id") + shift)
+      def cleanedAs(kind: String): DataFrame =
+        reassembleKeptParas(
+          paraProbeKeepers(spark, probe, indexPath, paraTokens),
+          paraTotals(probe, paraTokens))
+          .select(lit(kind).as("kind"), col("doc_id"), col("n_paras"),
+            col("n_kept"), col("clean_text"))
+          .localCheckpoint()
+      val tomb = cleanedAs("tomb")
+      paraIndexApplyDeletes(spark, indexPath)
+      val compact = cleanedAs("compact")
+      tomb.unionByName(compact).orderBy("kind", "doc_id").localCheckpoint()
+    } finally fs.delete(root, true)
   }
 
   /** Localize a BOUNDED probe result, then delete the demonstration
@@ -2889,9 +3412,15 @@ object LlmOps {
     // candidate survives the arnk filter); when it holds, run the
     // exact rerank directly over vectors ∩ codes. The codes scan
     // STAYS load-bearing: candidate membership is codes ⋈ vectors in
-    // both forms (here a (cell, vec_id) semi-join), so a lost,
-    // duplicated or misrouted code moves the oracle hash exactly as
-    // the finalist path did. Realistic probes (candFactor·k <
+    // both forms (here a (cell, vec_id) semi-join), so a LOST or
+    // MISROUTED code moves the oracle hash exactly as the finalist
+    // path did. A DUPLICATED code row is the one divergence: the
+    // semi-join is duplicate-insensitive, while on the finalist path
+    // dup rows consume arnk candidate slots — outputs stay correct
+    // either way (the finalist path's dropDuplicates absorbs them
+    // too), but this shortcut's gate is strictly weaker against dup
+    // corruption; dup rows still inflate the count probe above, which
+    // is what bounds the weakness. Realistic probes (candFactor·k <
     // population) take the ADC prefilter path below unchanged.
     // tombstones (q129): candidate membership is the CODES side in
     // both probe forms, so the anti-join lands here once — the

@@ -432,8 +432,57 @@ object Sinks {
     val s = new org.apache.hadoop.fs.Path(src)
     val d = new org.apache.hadoop.fs.Path(dst)
     fs.delete(d, true)
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d, false, conf))
-      throw new java.io.IOException(s"copyDir: copy $src -> $dst failed")
+    // local-FS fast path: a partitioned index is hundreds of KB-scale
+    // files and every Hadoop LocalFileSystem call pays ~10 ms of
+    // checksum/stat overhead (a 68-file memo clone measured 0.65 s in
+    // listFiles alone, ~1 s in FileUtil.copy — vs 13 ms for the same
+    // tree via raw file ops). java.nio copies the tree, .crc shadows
+    // included (bytes identical ⇒ checksums stay valid), in one walk.
+    if (fs.getScheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val sp = Paths.get(s.toUri.getPath)
+      val dp = Paths.get(d.toUri.getPath)
+      if (!Files.exists(sp)) return
+      val walk = Files.walk(sp)
+      try walk.forEach { p =>
+        val to = dp.resolve(sp.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(to)
+        else Files.copy(p, to, StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+      return
+    }
+    // remote stores: the copy is per-file-LATENCY-bound, not
+    // byte-bound — enumerate once, copy with a bounded thread pool
+    // (FileUtil.copy walks sequentially). Await ALL tasks before
+    // rethrowing so no copy is mid-flight when a caller's failure
+    // cleanup deletes dst.
+    val files = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      val it = fs.listFiles(s, true)
+      while (it.hasNext) buf += it.next().getPath
+      buf.toSeq
+    }
+    val srcUri = s.toUri.getPath
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fts = files.map { f =>
+        scala.concurrent.Future {
+          val rel = f.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+          val to = new org.apache.hadoop.fs.Path(d, rel)
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, to, false, conf))
+            throw new java.io.IOException(s"copyDir: copy $f -> $to failed")
+        }
+      }
+      val done = fts.map(f => scala.concurrent.Await.ready(
+        f, scala.concurrent.duration.Duration.Inf).value.get)
+      done.foreach { case scala.util.Failure(e) => throw e; case _ => () }
+      // empty directories (e.g. a bucket family with no hs/ rows yet)
+      // must still exist at the destination for exists()-gated readers
+      if (files.isEmpty && fs.exists(s)) fs.mkdirs(d)
+    } finally pool.shutdown()
   }
 
   /** Read-side companion of [[installMemo]]: drop any `__tmp_`-named

@@ -290,6 +290,140 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select("doc_id").distinct().count() === 5)
   }
 
+  test("streaming takedown tick: mid-stream delete unblocks re-arriving content; sink compacts; emptied partition removed") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_takedown").toString
+    val idx = s"$base/index"
+    val out = s"$base/clean"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    def text(tag: String, last: String = "end") =
+      ((0 until 39).map(i => s"${tag}_t$i") :+ last).mkString(" ")
+    def nearCopy(tag: String) = text(tag, "CHANGED")
+    def stage(name: String, rows: Seq[(Long, String)], offsetMs: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + offsetMs))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      graft.ops.Streaming.dedupIngest(src, idx, out).awaitTermination()
+    }
+    // batch 0: d2 near-copy of d1 (dropped), d3 distinct -> {1, 3}
+    stage("b0", Seq((1L, text("a")), (2L, nearCopy("a")), (3L, text("b"))), 0)
+    runOnce()
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L))
+    // WITHOUT a takedown, a re-arrival of d1's content is blocked —
+    // the ghost-suppression baseline
+    val rearrival = Seq((10L, nearCopy("a")))
+    assert(graft.ops.LlmOps.dedupIncremental(spark,
+      rearrival.toDF("doc_id", "text"), idx).count() === 1L)
+    // mid-stream takedown of d1 (between triggers — the declared
+    // single-writer discipline)
+    assert(graft.ops.Streaming.takedownTick(spark, out,
+      Seq(1L).toDF("doc_id"), dedupIndexPath = Some(idx)) === 1L)
+    // batch 1: the SAME content re-arrives under a new id — now
+    // ADMITTED (q131's tombstone-probe answer), plus a distinct doc
+    stage("b1", rearrival ++ Seq((11L, text("c"))), 2000)
+    runOnce()
+    assert(spark.read.parquet(out).filter(col("__batch_id") === 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(10L, 11L))
+    // physical sink compaction: batch 0's partition is rewritten
+    // without d1; tombstones drop; re-apply is a no-op
+    assert(graft.ops.Streaming.applySinkDeletes(spark, out))
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(3L, 10L, 11L))
+    assert(!graft.ops.Streaming.applySinkDeletes(spark, out))
+    // a takedown that empties a whole batch partition removes the
+    // directory (dynamic overwrite can't — zero rows never rewrite)
+    graft.ops.Streaming.takedownTick(spark, out, Seq(3L).toDF("doc_id"))
+    assert(graft.ops.Streaming.applySinkDeletes(spark, out))
+    assert(!new java.io.File(s"$out/__batch_id=0").exists())
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 11L))
+  }
+
+  test("release tick masks sink takedown tombstones; compaction preserves the release") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rel_tomb").toString
+    val out = s"$base/out"
+    val rel = s"$base/release"
+    val surv = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").filter(col("doc_id") < 60)
+    // batch-stamped sink, the ingest writers' layout
+    surv.withColumn("__batch_id", pmod(col("doc_id"), lit(2)))
+      .repartition(2, col("doc_id"))
+      .write.partitionBy("__batch_id").parquet(out)
+    val dels = surv.select("doc_id").filter(pmod(col("doc_id"), lit(5)) === 2)
+    graft.ops.Streaming.takedownTick(spark, out, dels)
+    // the tick's release == the batch release tail over survivors
+    // MINUS the takedown — q129's rebuild-without-deleted shape
+    val v1 = graft.ops.Streaming.releaseTick(spark, out, rel).get
+    def releaseRows(v: Long) =
+      spark.read.parquet(graft.ops.Sinks.versionDir(rel, v))
+        .select(col("kind"), col("name"), col("doc_id"),
+          col("shard").cast("int"), col("pos"))
+        .as[(String, String, Long, Int, Long)].collect().toSeq.sorted
+    val got = releaseRows(v1)
+    val (want, _) = Pipeline.releaseTail(
+      surv.join(dels, Seq("doc_id"), "left_anti"))
+    assert(got === want.select(col("kind"), col("name"), col("doc_id"),
+        col("shard").cast("int"), col("pos"))
+      .as[(String, String, Long, Int, Long)].collect().toSeq.sorted)
+    assert(got.nonEmpty)
+    // physical compaction changes nothing the release can observe
+    assert(graft.ops.Streaming.applySinkDeletes(spark, out))
+    val v2 = graft.ops.Streaming.releaseTick(spark, out, rel).get
+    assert(releaseRows(v2) === got)
+  }
+
+  test("streaming paragraph takedown: deleted doc's paragraphs re-admit under a new id") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_para_takedown").toString
+    val idx = s"$base/index"
+    val out = s"$base/clean"
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    // one paragraph = 20 tokens; P is d1's sole (and d2's leading)
+    def para(tag: String) = (0 until 20).map(i => s"${tag}_w$i").mkString(" ")
+    def stage(name: String, rows: Seq[(Long, String)], offsetMs: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + offsetMs))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      graft.ops.Streaming.paraDedupIngest(src, idx, out).awaitTermination()
+    }
+    stage("b0", Seq((1L, para("P")), (2L, para("Q"))), 0)
+    runOnce()
+    // takedown d1: its admitted paragraph P must stop reading as seen
+    graft.ops.Streaming.takedownTick(spark, out, Seq(1L).toDF("doc_id"),
+      paraIndexPath = Some(idx))
+    stage("b1", Seq((30L, para("P") + " " + para("Q"))), 2000)
+    runOnce()
+    // P re-admits under doc 30 (ghost suppressed); Q still blocks
+    // (its keeper d2 survives) — q132's tombstone-probe answer
+    val row = spark.read.parquet(out).filter(col("doc_id") === 30L)
+      .select("n_paras", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(row === Seq((2L, 1L, para("P"))))
+  }
+
   test("streaming paragraph ingest: cross/within-batch paragraph dups stripped, == q86 global, replay-safe") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_para_ingest").toString

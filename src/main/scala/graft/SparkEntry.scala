@@ -157,7 +157,8 @@ object SparkEntry {
     "q129_index_delete" -> ((s: SparkSession, d: String) => graft.ops.Retrieval.q129IndexDelete(s, d)),
     "q130_perplexity_trigram" -> ((s: SparkSession, d: String) => LlmOps.q130PerplexityTrigram(s, d)),
     "q131_dedup_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q131DedupIndexDelete(s, d)),
-    "q132_para_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q132ParaIndexDelete(s, d))
+    "q132_para_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q132ParaIndexDelete(s, d)),
+    "q133_perplexity_backoff" -> ((s: SparkSession, d: String) => LlmOps.q133PerplexityBackoff(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -255,6 +256,29 @@ object SparkEntry {
       |CAST(round(ln((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * (tf2.tf * (1.2 + 1.0)) / (tf2.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf2.dl) / (CAST(st.total AS DOUBLE) / st.n_docs))) * 1000000.0) AS BIGINT) AS contrib
       |FROM tf2 JOIN qt USING (tok) JOIN dft USING (tok), st),
       |sc AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro FROM m GROUP BY query_id, doc_id)""".stripMargin
+
+  /** Shared trigram-LM CTE chain (reference token stream, the three
+    * TakeOrdered-bounded tables voc/bi/tri, the scored corpus's
+    * per-token (cur, prev, prev2) stream) — ONE definition composed
+    * by the q130 (interpolated) and q133 (stupid-backoff) oracles, so
+    * the two scoring declarations share exactly one model fit.
+    */
+  private val trigramLmOracleCtes: String =
+    """WITH ref AS MATERIALIZED (SELECT string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'),
+      |rt AS (SELECT unnest(toks) AS tok FROM ref),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rt),
+      |voc AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 4096),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+      |bi AS MATERIALIZED (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM
+      |(SELECT toks[i] AS prev, toks[i + 1] AS cur FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM ref) x) y
+      |JOIN voc vv ON y.prev = vv.tok
+      |GROUP BY prev, cur ORDER BY cb DESC, prev ASC, cur ASC LIMIT 16384),
+      |tri AS MATERIALIZED (SELECT y.p2 AS p2, y.p1 AS p1, y.cur AS cur, CAST(count(*) AS BIGINT) AS ct FROM
+      |(SELECT toks[i] AS p2, toks[i + 1] AS p1, toks[i + 2] AS cur FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM ref) x) y
+      |JOIN bi bb ON y.p2 = bb.prev AND y.p1 = bb.cur
+      |GROUP BY y.p2, y.p1, y.cur ORDER BY ct DESC, y.p2 ASC, y.p1 ASC, y.cur ASC LIMIT 32768),
+      |tk AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks) + 1)) AS p FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) d),
+      |tok AS (SELECT doc_id, lang, toks[p] AS cur, CASE WHEN p > 1 THEN toks[p - 1] END AS prev, CASE WHEN p > 2 THEN toks[p - 2] END AS prev2 FROM tk)""".stripMargin
 
   private val bm25Oracle: String = bm25OracleCtes + ",\n" +
     """r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
@@ -1240,23 +1264,8 @@ object SparkEntry {
     // lifted); per-token bits micro-rounded from the identical
     // token-for-token float expression (only log2's libm ulp is
     // engine code), integer-summed, integer bucket thresholds.
-    "q130_perplexity_trigram" ->
-      """WITH ref AS MATERIALIZED (SELECT string_split(text, ' ') AS toks FROM documents WHERE source = 'src0'),
-        |rt AS (SELECT unnest(toks) AS tok FROM ref),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rt),
-        |voc AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 4096),
-        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
-        |bi AS MATERIALIZED (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb FROM
-        |(SELECT toks[i] AS prev, toks[i + 1] AS cur FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM ref) x) y
-        |JOIN voc vv ON y.prev = vv.tok
-        |GROUP BY prev, cur ORDER BY cb DESC, prev ASC, cur ASC LIMIT 16384),
-        |tri AS MATERIALIZED (SELECT y.p2 AS p2, y.p1 AS p1, y.cur AS cur, CAST(count(*) AS BIGINT) AS ct FROM
-        |(SELECT toks[i] AS p2, toks[i + 1] AS p1, toks[i + 2] AS cur FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM ref) x) y
-        |JOIN bi bb ON y.p2 = bb.prev AND y.p1 = bb.cur
-        |GROUP BY y.p2, y.p1, y.cur ORDER BY ct DESC, y.p2 ASC, y.p1 ASC, y.cur ASC LIMIT 32768),
-        |tk AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks) + 1)) AS p FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) d),
-        |tok AS (SELECT doc_id, lang, toks[p] AS cur, CASE WHEN p > 1 THEN toks[p - 1] END AS prev, CASE WHEN p > 2 THEN toks[p - 2] END AS prev2 FROM tk),
-        |sc0 AS (SELECT doc_id, lang,
+    "q130_perplexity_trigram" -> (trigramLmOracleCtes + ",\n" +
+      """sc0 AS (SELECT doc_id, lang,
         |CASE WHEN tok.prev IS NULL THEN CAST(round(-log2((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1)) * 1000000.0) AS BIGINT)
         |WHEN tok.prev2 IS NULL THEN CAST(round(-log2(0.5 * ((COALESCE(bi.cb, 0) + 1.0) / (COALESCE(vp.c, 0) + v.v + 1)) + 0.5 * ((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1))) * 1000000.0) AS BIGINT)
         |ELSE CAST(round(-log2((((COALESCE(tri.ct, 0) + 1.0) / (COALESCE(bc.cb, 0) + v.v + 1)) + ((COALESCE(bi.cb, 0) + 1.0) / (COALESCE(vp.c, 0) + v.v + 1)) + ((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1))) / 3.0) * 1000000.0) AS BIGINT) END AS bits
@@ -1268,7 +1277,27 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, bits_micro,
         |CASE WHEN bits_micro < 4960000 * n_tokens THEN 'head'
         |WHEN bits_micro < 4995000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |FROM sc ORDER BY doc_id""".stripMargin),
+    // q133: stupid backoff over the SAME fitted tables (shared CTEs —
+    // the ONE trainer definition, so q130's and q133's models cannot
+    // drift): in-table orders score as exact relative frequencies
+    // c_tri/c_ctx and c_bi/c_prev; a miss backs off with alpha = 0.4;
+    // the unigram base keeps the add-one shape (the declared OOV
+    // deviation — see the q133 scaladoc).
+    "q133_perplexity_backoff" -> (trigramLmOracleCtes + ",\n" +
+      """sc0 AS (SELECT doc_id, lang,
+        |CASE WHEN tok.prev IS NULL THEN CAST(round(-log2((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1)) * 1000000.0) AS BIGINT)
+        |WHEN tok.prev2 IS NULL THEN CAST(round(-log2(CASE WHEN bi.cb IS NOT NULL THEN CAST(bi.cb AS DOUBLE) / vp.c ELSE 0.4 * ((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1)) END) * 1000000.0) AS BIGINT)
+        |ELSE CAST(round(-log2(CASE WHEN tri.ct IS NOT NULL THEN CAST(tri.ct AS DOUBLE) / bc.cb ELSE 0.4 * (CASE WHEN bi.cb IS NOT NULL THEN CAST(bi.cb AS DOUBLE) / vp.c ELSE 0.4 * ((COALESCE(vc.c, 0) + 1.0) / (n.n + v.v + 1)) END) END) * 1000000.0) AS BIGINT) END AS bits
+        |FROM tok LEFT JOIN voc vc ON tok.cur = vc.tok LEFT JOIN voc vp ON tok.prev = vp.tok
+        |LEFT JOIN bi ON tok.prev = bi.prev AND tok.cur = bi.cur
+        |LEFT JOIN bi bc ON tok.prev2 = bc.prev AND tok.prev = bc.cur
+        |LEFT JOIN tri ON tok.prev2 = tri.p2 AND tok.prev = tri.p1 AND tok.cur = tri.cur, n, v),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS bits_micro FROM sc0 GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, bits_micro,
+        |CASE WHEN bits_micro < 6050000 * n_tokens THEN 'head'
+        |WHEN bits_micro < 6250000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin),
     // q131: the LSH-dedup takedown lifecycle. Three legs share the
     // one fingerprint construction (q87's identical-shingle-set rule
     // at threshold 1.0): 'ingest' is q87's oracle verbatim; 'tomb'

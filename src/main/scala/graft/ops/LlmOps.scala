@@ -5058,25 +5058,7 @@ object LlmOps {
   def scoreWithTrigramLm(docs: DataFrame, lm: TrigramLm, headBits: Long,
       midBits: Long): DataFrame = {
     val denomUni = lit((lm.n + lm.v + 1).toDouble)
-    val tok = docs
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("lang"), col("toks"),
-        posexplode(col("toks")).as(Seq("pos", "cur")))
-      .select(col("doc_id"), col("lang"), col("pos"), col("cur"),
-        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"),
-        when(col("pos") > 1, element_at(col("toks"), col("pos") - 1)).as("prev2"))
-    val joined = tok
-      .join(broadcast(lm.uni.select(col("tok").as("cur"), col("c").as("cu"))),
-        Seq("cur"), "left")
-      .join(broadcast(lm.uni.select(col("tok").as("prev"), col("c").as("cp"))),
-        Seq("prev"), "left")
-      .join(broadcast(lm.bi), Seq("prev", "cur"), "left")
-      .join(broadcast(lm.bi.select(col("prev").as("prev2"),
-        col("cur").as("prev"), col("cb").as("cbc"))),
-        Seq("prev2", "prev"), "left")
-      .join(broadcast(lm.tri.select(col("p2").as("prev2"),
-        col("p1").as("prev"), col("cur"), col("ct"))),
-        Seq("prev2", "prev", "cur"), "left")
+    val joined = trigramProbeJoin(docs, lm)
     // written token-for-token as the oracle SQL writes it
     val puni = (coalesce(col("cu"), lit(0L)) + lit(1.0)) / denomUni
     val pbi = (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
@@ -5090,6 +5072,104 @@ object LlmOps {
         round(-clog2(lit(0.5) * pbi + lit(0.5) * puni) * lit(1000000.0)).cast("long"))
       .otherwise(
         round(-clog2((ptri + pbi + puni) / lit(3.0)) * lit(1000000.0)).cast("long"))
+    joined
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits_micro"))
+      .withColumn("ppl_bucket",
+        when(col("bits_micro") < lit(headBits) * col("n_tokens"), "head")
+          .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
+          .otherwise("tail"))
+  }
+
+  /** The five-probe broadcast join every trigram-model scorer reads —
+    * ONE definition shared by the interpolated (q130) and
+    * stupid-backoff (q133) scorers, so the probe shape PlanSpec pins
+    * cannot drift between them: posexplode into (pos, cur, prev,
+    * prev2), then broadcast hash probes against the unigram table
+    * (twice, under cur/prev aliases), the bigram table (twice — the
+    * scored bigram and the trigram CONTEXT bigram), and the trigram
+    * table.
+    */
+  private def trigramProbeJoin(docs: DataFrame, lm: TrigramLm): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "cur")))
+      .select(col("doc_id"), col("lang"), col("pos"), col("cur"),
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"),
+        when(col("pos") > 1, element_at(col("toks"), col("pos") - 1)).as("prev2"))
+    tok
+      .join(broadcast(lm.uni.select(col("tok").as("cur"), col("c").as("cu"))),
+        Seq("cur"), "left")
+      .join(broadcast(lm.uni.select(col("tok").as("prev"), col("c").as("cp"))),
+        Seq("prev"), "left")
+      .join(broadcast(lm.bi), Seq("prev", "cur"), "left")
+      .join(broadcast(lm.bi.select(col("prev").as("prev2"),
+        col("cur").as("prev"), col("cb").as("cbc"))),
+        Seq("prev2", "prev"), "left")
+      .join(broadcast(lm.tri.select(col("p2").as("prev2"),
+        col("p1").as("prev"), col("cur"), col("ct"))),
+        Seq("prev2", "prev", "cur"), "left")
+  }
+
+  /** #133 Stupid-backoff LM perplexity gate — the scoring rule CCNet's
+    * scale-tier actually ships (Brants et al. 2007 §4: no normalized
+    * smoothing, just relative frequencies with a fixed backoff
+    * penalty), run over the SAME three fitted tables as q130 (no new
+    * trainer pass — the declared step past equal-weight
+    * interpolation). Per token:
+    *
+    *   S(cur | p2, p1) = c_tri / c_ctx            trigram in table
+    *                   | α · S(cur | p1)          else
+    *   S(cur | p1)     = c_bi / c_prev            bigram in table
+    *                   | α · S(cur)               else
+    *   S(cur)          = (c_uni + 1) / (N + V + 1)
+    *
+    * with α = 0.4 (the published constant). The unigram base keeps
+    * q100's add-one shape — pure stupid backoff leaves an OOV token
+    * at S = 0 (−log2 undefined); the smoothed base is the one
+    * deviation, declared here, that keeps bits finite while the
+    * higher orders stay exact relative frequencies. Both in-table
+    * ratios are ≤ 1 by the fit invariants (a trigram's context
+    * bigram and a bigram's prev unigram are counted over the same
+    * reference), so bits stay non-negative. Same oracle-parity
+    * discipline as q117/q130: per-token bits micro-rounded from an
+    * expression written token-for-token as the DuckDB oracle writes
+    * it, integer-summed, integer bucket thresholds. Plan shape is
+    * [[trigramProbeJoin]] — five broadcast probes, one doc-keyed
+    * exchange — identical to q130's PlanSpec-pinned shape.
+    */
+  def q133PerplexityBackoff(spark: SparkSession, dir: String,
+      refSource: String = "src0", vocabCap: Int = 4096,
+      bigramCap: Int = 16384, trigramCap: Int = 32768,
+      headBits: Long = 6050000L, midBits: Long = 6250000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    scoreWithBackoffLm(docs.select("doc_id", "lang", "text"),
+      fitTrigramLm(docs.filter(col("source") === refSource).select("text"),
+        vocabCap, bigramCap, trigramCap),
+      headBits, midBits).orderBy("doc_id")
+  }
+
+  /** Score `docs` under a [[fitTrigramLm]] model with stupid backoff
+    * (the [[scoreWithTrigramLm]] contract, q133's rule).
+    */
+  def scoreWithBackoffLm(docs: DataFrame, lm: TrigramLm, headBits: Long,
+      midBits: Long): DataFrame = {
+    val denomUni = lit((lm.n + lm.v + 1).toDouble)
+    val joined = trigramProbeJoin(docs, lm)
+    // written token-for-token as the oracle SQL writes it
+    val sUni = (coalesce(col("cu"), lit(0L)) + lit(1.0)) / denomUni
+    val sBi = when(col("cb").isNotNull,
+      col("cb").cast("double") / col("cp")).otherwise(lit(0.4) * sUni)
+    val sTri = when(col("ct").isNotNull,
+      col("ct").cast("double") / col("cbc")).otherwise(lit(0.4) * sBi)
+    def clog2(c: Column): Column = org.apache.spark.sql.functions.log2(c)
+    val bits = when(col("prev").isNull,
+        round(-clog2(sUni) * lit(1000000.0)).cast("long"))
+      .when(col("prev2").isNull,
+        round(-clog2(sBi) * lit(1000000.0)).cast("long"))
+      .otherwise(
+        round(-clog2(sTri) * lit(1000000.0)).cast("long"))
     joined
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits_micro"))

@@ -366,6 +366,19 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q133: backoff scoring shares q130's probe shape — broadcast-only, one doc-keyed shuffle") {
+    // stupid backoff changes only the bits EXPRESSION; the five-probe
+    // broadcast join is the shared trigramProbeJoin definition, so
+    // this pins that the backoff branch (extra CASE nesting) cannot
+    // regress the join strategy
+    val df = graft.ops.LlmOps.q133PerplexityBackoff(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q118: the serving probe scans are partition-pruned to the probed cells") {
     // build the memo index, then inspect the PROBE's executed plan:
     // both the code scan and the finalist vector fetch must carry

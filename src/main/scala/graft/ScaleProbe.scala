@@ -71,7 +71,12 @@ object ScaleProbe {
     "q114_simsearch_sealed" -> Seq("embeddings"),
     "q120_simsearch_retrained" -> Seq("embeddings"),
     "q125_corpus_pipeline" -> Seq("documents"),
-    "q126_corpus_release" -> Seq("documents"))
+    "q126_corpus_release" -> Seq("documents"),
+    "q129_index_delete" -> Seq("documents", "embeddings"),
+    "q130_perplexity_trigram" -> Seq("documents"),
+    "q131_dedup_index_delete" -> Seq("documents"),
+    "q132_para_index_delete" -> Seq("documents"),
+    "q133_perplexity_backoff" -> Seq("documents"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")

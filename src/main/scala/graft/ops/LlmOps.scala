@@ -172,13 +172,18 @@ object LlmOps {
   def dedupIndexWrite(docs: DataFrame, indexPath: String,
       mode: String = "overwrite"): Unit = {
     val withHs = shingleHashSets(docs).localCheckpoint()
-    bandBuckets(withHs)
-      // one writer task per band (the ANN cell-write note: AQE would
-      // coalesce this KB-scale exchange to one serial task)
-      .repartition(16, col("band"))
-      .write.mode(mode).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("band").parquet(s"$indexPath/buckets")
-    withHs.write.mode(mode).parquet(s"$indexPath/hs")
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    awaitAllOrThrow(Seq(
+      Future {
+        bandBuckets(withHs)
+          // one writer task per band (the ANN cell-write note: AQE would
+          // coalesce this KB-scale exchange to one serial task)
+          .repartition(16, col("band"))
+          .write.mode(mode).option("partitionOverwriteMode", "dynamic")
+          .partitionBy("band").parquet(s"$indexPath/buckets")
+      },
+      Future { withHs.write.mode(mode).parquet(s"$indexPath/hs") }))
   }
 
   /** [[dedupIndexWrite]] stamped with an ingest batch id — the
@@ -197,17 +202,28 @@ object LlmOps {
     // already-materialized admitted batch, so recomputing the
     // map-side shingle+hash transform for the second write is one
     // extra embarrassingly-parallel scan — cheaper at every scale
-    // than materializing TB-class hash-set blocks per micro-batch
+    // than materializing TB-class hash-set blocks per micro-batch.
+    // The two index relations live in DISJOINT subdirs off one input,
+    // so they write as CONCURRENT driver-thread jobs (the q129/q120
+    // rule) — per-batch wall cost is max(), not sum(), of the writes,
+    // and at local scale the fixed per-job latency stops stacking.
     val withHs = shingleHashSets(docs)
-    bandBuckets(withHs)
-      .withColumn("__batch_id", lit(batchId))
-      .repartition(16, col("band"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("band", "__batch_id").parquet(s"$indexPath/buckets")
-    withHs.withColumn("__batch_id", lit(batchId))
-      .repartition(col("__batch_id"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch_id").parquet(s"$indexPath/hs")
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    awaitAllOrThrow(Seq(
+      Future {
+        bandBuckets(withHs)
+          .withColumn("__batch_id", lit(batchId))
+          .repartition(16, col("band"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("band", "__batch_id").parquet(s"$indexPath/buckets")
+      },
+      Future {
+        withHs.withColumn("__batch_id", lit(batchId))
+          .repartition(col("__batch_id"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(s"$indexPath/hs")
+      }))
   }
 
   /** One dedup-ingest step — the shared core of the streaming
@@ -285,10 +301,15 @@ object LlmOps {
     */
   private def dedupIndexAppendFlat(docs: DataFrame, indexPath: String): Unit = {
     val withHs = shingleHashSets(docs)
-    bandBuckets(withHs)
-      .repartition(16, col("band"))
-      .write.mode("append").partitionBy("band").parquet(s"$indexPath/buckets")
-    withHs.write.mode("append").parquet(s"$indexPath/hs")
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    awaitAllOrThrow(Seq(
+      Future {
+        bandBuckets(withHs)
+          .repartition(16, col("band"))
+          .write.mode("append").partitionBy("band").parquet(s"$indexPath/buckets")
+      },
+      Future { withHs.write.mode("append").parquet(s"$indexPath/hs") }))
   }
 
   /** #87 Declared batch twin of the streaming dedup ingest: process

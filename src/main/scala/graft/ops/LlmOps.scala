@@ -2790,17 +2790,11 @@ object LlmOps {
     * append (single-writer discipline; appends resume — and replays
     * re-land — once the swap is installed).
     */
-  /** Barrier over concurrent driver-thread job chains that rethrows
-    * only after EVERY chain has stopped running — Await.result/zipWith
-    * fail fast and would let a caller's cleanup race a sibling chain's
-    * in-flight write (the q129 rule). First failure wins the rethrow.
+  /** [[Sinks.awaitAllOrThrow]] — re-exported for this file's many
+    * concurrent write/fit sites.
     */
-  private def awaitAllOrThrow(fs: Seq[scala.concurrent.Future[_]]): Unit = {
-    import scala.concurrent.duration.Duration
-    val done = fs.map(f =>
-      scala.concurrent.Await.ready(f, Duration.Inf).value.get)
-    done.foreach { case scala.util.Failure(e) => throw e; case _ => () }
-  }
+  private def awaitAllOrThrow(fs: Seq[scala.concurrent.Future[_]]): Unit =
+    Sinks.awaitAllOrThrow(fs)
 
   def annIndexRetrain(spark: SparkSession, indexPath: String,
       nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,

@@ -590,17 +590,32 @@ object Retrieval {
     // pays one stats read; later ones hit the session pin — a
     // replayed batch trivially passes, it recorded this count itself)
     guardAppendBuckets(spark, indexPath, nBuckets, stamped = true)
-    postingsOf(docs, nBuckets)
-      .withColumn("__batch_id", lit(batchId))
-      .repartition(nBuckets, col("tb"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("tb", "__batch_id").parquet(s"$indexPath/postings")
-    val (n, total) = statsOf(docs)
-    Seq((n, total, nBuckets, batchId))
-      .toDF("n_docs", "total_tokens", "n_buckets", "__batch_id")
-      .coalesce(1).write
-      .mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch_id").parquet(s"$indexPath/stats")
+    // postings/ and stats/ are disjoint subdirs off one batch, with
+    // NO commit-order contract between them (contrast the ANN
+    // codes-before-vectors ordering): a crash window leaving either
+    // relation without its sibling is replay-repaired — dynamic
+    // overwrite rewrites exactly this batch's directories — and the
+    // interim probe merely mis-weights one batch either way. So the
+    // big postings write and the stats aggregate+write run as
+    // concurrent driver-thread jobs (the dedup-append rule).
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Sinks.awaitAllOrThrow(Seq(
+      Future {
+        postingsOf(docs, nBuckets)
+          .withColumn("__batch_id", lit(batchId))
+          .repartition(nBuckets, col("tb"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tb", "__batch_id").parquet(s"$indexPath/postings")
+      },
+      Future {
+        val (n, total) = statsOf(docs)
+        Seq((n, total, nBuckets, batchId))
+          .toDF("n_docs", "total_tokens", "n_buckets", "__batch_id")
+          .coalesce(1).write
+          .mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(s"$indexPath/stats")
+      }))
     ensureModulusSentinel(spark, indexPath, nBuckets)
   }
 

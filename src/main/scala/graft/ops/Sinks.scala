@@ -426,6 +426,18 @@ object Sinks {
     * DECLARED query can exercise mutation without destroying shared
     * memo state.
     */
+  /** Barrier over concurrent driver-thread job chains that rethrows
+    * only after EVERY chain has stopped running — Await.result/zipWith
+    * fail fast and would let a caller's cleanup race a sibling chain's
+    * in-flight write (the q129 rule). First failure wins the rethrow.
+    */
+  private[graft] def awaitAllOrThrow(fs: Seq[scala.concurrent.Future[_]]): Unit = {
+    import scala.concurrent.duration.Duration
+    val done = fs.map(f =>
+      scala.concurrent.Await.ready(f, Duration.Inf).value.get)
+    done.foreach { case scala.util.Failure(e) => throw e; case _ => () }
+  }
+
   private[graft] def copyDir(fs: org.apache.hadoop.fs.FileSystem,
       src: String, dst: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
@@ -442,7 +454,11 @@ object Sinks {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val sp = Paths.get(s.toUri.getPath)
       val dp = Paths.get(d.toUri.getPath)
-      if (!Files.exists(sp)) return
+      // missing source is a caller bug (cloning a memo that was never
+      // ensured) — throw like FileUtil.copy did, never silently
+      // install an empty clone
+      if (!Files.exists(sp))
+        throw new java.io.FileNotFoundException(s"copyDir: source $src")
       val walk = Files.walk(sp)
       try walk.forEach { p =>
         val to = dp.resolve(sp.relativize(p))

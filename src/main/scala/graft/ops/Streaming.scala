@@ -474,6 +474,13 @@ object Streaming {
     * a partition absent from its input). Tombstones drop last, so a
     * crash anywhere leaves merge-on-read masking intact and the next
     * apply finishes the job. Returns whether a rewrite happened.
+    *
+    * Quiesce contract (the annIndexApplyDeletes/seal rule): run when
+    * ingest is quiesced and the source's replay window is retired — a
+    * PRE-takedown batch replayed AFTER compaction re-admits
+    * taken-down content, because the tombstones are precisely what
+    * masks replays (that is why [[takedownTick]] records absent ids
+    * too). Until compaction, replays are safe at any point.
     */
   def applySinkDeletes(spark: SparkSession, outPath: String): Boolean = {
     val tombPath = sinkTombPathOf(outPath)

@@ -452,16 +452,25 @@ object Streaming {
     * [[applySinkDeletes]] later compacts physically. Pass the index
     * paths the pipeline actually maintains ([[corpusReleaseIngest]]'s
     * layout is `indexRoot/para` + `indexRoot/dedup`; [[dedupIngest]]
-    * has only its LSH index). Idempotent re-delete; returns the count
-    * of sink tombstones newly recorded. An incremental deployment no
-    * longer drops to batch to process a takedown (round-13 verdict
-    * item 4).
+    * has only its LSH index; [[bm25IndexIngest]]/[[annIndexIngest]]
+    * maintain the lexical and dense families — the ANN index is
+    * VEC-keyed, so pass `vecIds` when the embedding id space differs
+    * from doc ids; it defaults to `docIds`). Idempotent re-delete;
+    * returns the count of sink tombstones newly recorded. An
+    * incremental deployment no longer drops to batch to process a
+    * takedown (round-13 verdict item 4).
     */
   def takedownTick(spark: SparkSession, outPath: String,
       docIds: DataFrame, paraIndexPath: Option[String] = None,
-      dedupIndexPath: Option[String] = None): Long = {
+      dedupIndexPath: Option[String] = None,
+      invIndexPath: Option[String] = None,
+      annIndexPath: Option[String] = None,
+      vecIds: Option[DataFrame] = None): Long = {
     paraIndexPath.foreach(p => LlmOps.paraIndexDelete(spark, p, docIds))
     dedupIndexPath.foreach(p => LlmOps.dedupIndexDelete(spark, p, docIds))
+    invIndexPath.foreach(p => Retrieval.invIndexDelete(spark, p, docIds))
+    annIndexPath.foreach(p =>
+      LlmOps.annIndexDelete(spark, p, vecIds.getOrElse(docIds)))
     LlmOps.docIndexDelete(spark, sinkTombPathOf(outPath), docIds)
   }
 

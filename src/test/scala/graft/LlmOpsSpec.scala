@@ -427,6 +427,32 @@ class LlmOpsSpec extends AnyFunSuite {
     reprobe.foreach { case (a, b) => assert(a != b) }
   }
 
+  test("dedup index delete-before-ingest: tombstone masks a late-landing batch; apply compacts; re-delete idempotent") {
+    def text(tag: String) = (0 until 40).map(i => s"${tag}_t$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_del").toString
+    LlmOps.dedupIndexAppendBatch(
+      Seq((1L, text("a")), (3L, text("b"))).toDF("doc_id", "text"), idx, 0L)
+    // doc 5 is tombstoned while ABSENT (the q129 delete-before-ingest
+    // ordering); its batch then lands late/replayed
+    assert(LlmOps.dedupIndexDelete(spark, idx, Seq(5L).toDF("doc_id")) === 1L)
+    assert(LlmOps.dedupIndexDelete(spark, idx, Seq(5L).toDF("doc_id")) === 0L) // idempotent
+    LlmOps.dedupIndexAppendBatch(Seq((5L, text("c"))).toDF("doc_id", "text"), idx, 1L)
+    // the masked rows must not block a re-arrival of doc 5's content
+    def probe() = LlmOps.dedupIncremental(spark,
+      Seq((100L, text("c"))).toDF("doc_id", "text"), idx, 0.8).count()
+    assert(probe() === 0L) // tombstone read path
+    // ...while surviving content still blocks
+    assert(LlmOps.dedupIncremental(spark,
+      Seq((100L, text("a"))).toDF("doc_id", "text"), idx, 0.8).count() === 1L)
+    assert(LlmOps.dedupIndexApplyDeletes(spark, idx))
+    assert(probe() === 0L) // compacted path, same answer
+    assert(!new java.io.File(s"$idx/deletes").exists())
+    assert(!LlmOps.dedupIndexApplyDeletes(spark, idx)) // no-op re-apply
+    // physical state: doc 5's rows are gone from both relations
+    assert(spark.read.parquet(s"$idx/hs").filter(col("doc_id") === 5L).count() === 0L)
+    assert(spark.read.parquet(s"$idx/buckets").filter(col("doc_id") === 5L).count() === 0L)
+  }
+
   test("persisted IVF index: incremental probe has decent recall; append extends it") {
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     val emb = Tables.embeddings(spark, sf)

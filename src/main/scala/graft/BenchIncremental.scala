@@ -122,6 +122,25 @@ object BenchIncremental {
     val corpusPrepTimes = cpPairs.map(_._1)
     val releaseTickTimes = cpPairs.map(_._2)
 
+    // -- mid-stream takedown: the deletion path a live deployment
+    // pays (Streaming.takedownTick over both corpus-chain index
+    // families + the survivors sink, then the masked release, then
+    // the physical sink compaction) — measured so "streaming deletes
+    // don't drop to batch" has a number attached
+    val tdIds = cpDocs.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select("doc_id")
+    val takedownSec = timed {
+      graft.ops.Streaming.takedownTick(spark, cpSink, tdIds,
+        paraIndexPath = Some(s"$cpRoot/para"),
+        dedupIndexPath = Some(s"$cpRoot/dedup"))
+    }
+    val takedownReleaseSec = timed {
+      graft.ops.Streaming.releaseTick(spark, cpSink, cpRel)
+    }
+    val takedownApplySec = timed {
+      graft.ops.Streaming.applySinkDeletes(spark, cpSink)
+    }
+
     // -- quiesce-time seal cost: a batch-STAMPED twin of the ANN
     // index (the streaming-ingest layout) collapsed to flat — the
     // one-off compaction a quiesced stream pays, measured so the
@@ -157,6 +176,8 @@ object BenchIncremental {
       s""""release_tick":${arr(releaseTickTimes)},"release_tick_last_over_first":${ratio(releaseTickTimes)},""" +
       s""""ann_codes_bytes":$codesBytes,"ann_vectors_bytes":$vectorBytes,""" +
       s""""ann_seal_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, sealSec)},""" +
+      s""""takedown_sec":${fmt(takedownSec)},"takedown_release_sec":${fmt(takedownReleaseSec)},""" +
+      s""""takedown_apply_sec":${fmt(takedownApplySec)},""" +
       s""""canary":[${fmt(canaryBefore)},${fmt(canaryAfter)}],"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_incremental.json"), json + "\n")

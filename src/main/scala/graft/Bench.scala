@@ -131,7 +131,8 @@ object Bench {
     // budget even in a slow window. Round 1 is exempt as before —
     // every query needs one sample for "value" to mean anything.
     val ColdChainReserveSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_RESERVE_S", "20").toDouble
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_CHAIN", "1") != "1") 0.0
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_RESERVE_S", "20").toDouble
     val startNanos = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {

@@ -1320,7 +1320,7 @@ object SparkEntry {
         |b AS (SELECT COALESCE(max(doc_id), -1) // 3 + 1 AS sz FROM documents),
         |ingest AS (SELECT 'ingest' AS kind, doc_id, CAST(doc_id // (SELECT GREATEST(sz, 1) FROM b) AS BIGINT) AS batch_id FROM adm),
         |surv AS (SELECT f FROM adm WHERE doc_id % 5 <> 2 AND f IS NOT NULL),
-        |probe AS (SELECT doc_id + 10000000 AS doc_id, f FROM fp WHERE doc_id % 5 = 2),
+        |probe AS (SELECT doc_id + GREATEST(10000000, (SELECT COALESCE(max(doc_id), -1) + 1 FROM documents)) AS doc_id, f FROM fp WHERE doc_id % 5 = 2),
         |unblocked AS (SELECT doc_id, f FROM probe WHERE f IS NULL OR f NOT IN (SELECT f FROM surv)),
         |padm AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, CASE WHEN f IS NULL THEN doc_id ELSE min(doc_id) OVER (PARTITION BY f) END AS k FROM unblocked) z WHERE doc_id = k)
         |SELECT kind, doc_id, batch_id FROM ingest
@@ -1341,7 +1341,7 @@ object SparkEntry {
         |FROM (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i FROM toks) x),
         |ranked AS (SELECT doc_id, para_idx, para, row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras),
         |surv AS MATERIALIZED (SELECT DISTINCT para FROM ranked WHERE rn = 1 AND doc_id % 5 <> 2),
-        |bp AS (SELECT doc_id + 10000000 AS doc_id, para_idx, para FROM paras WHERE doc_id % 5 = 2),
+        |bp AS (SELECT doc_id + GREATEST(10000000, (SELECT COALESCE(max(doc_id), -1) + 1 FROM documents)) AS doc_id, para_idx, para FROM paras WHERE doc_id % 5 = 2),
         |br AS (SELECT doc_id, para_idx, para, row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM bp),
         |bk AS (SELECT doc_id, para_idx, para, (rn = 1 AND para NOT IN (SELECT para FROM surv)) AS kept FROM br),
         |o AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,

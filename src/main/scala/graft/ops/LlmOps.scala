@@ -275,6 +275,17 @@ object LlmOps {
     }
   }
 
+  /** max(doc_id) of a corpus as Long (−1 when empty; fixture ids have
+    * shipped as both INT32 and INT64 — the [[longOf]] rule), shared by
+    * every batch-arithmetic and id-shift site.
+    */
+  private def docMaxId(docs: DataFrame): Long =
+    docs.agg(max("doc_id")).head().getAs[Any](0) match {
+      case null => -1L
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+
   /** The duplicate doc ids a batch would DROP — against the persisted
     * index when one exists, within itself otherwise: the admission
     * rule of [[dedupIngestBatch]] factored probe-only, so the
@@ -381,11 +392,7 @@ object LlmOps {
       nBatches: Int, threshold: Double, seal: Boolean,
       tag: String, reusePrefixMemo: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
-      case null => -1L
-      case l: Long => l
-      case i: Int => i.toLong
-    }
+    val maxId = docMaxId(docs)
     // same arithmetic as the oracle: bSize = max(doc_id) DIV n + 1
     val bSize = math.max(1L, maxId / nBatches + 1)
     // Keyed by data dir AND Spark application id: two sessions
@@ -678,9 +685,12 @@ object LlmOps {
         // is actually bounded. This enforces the scaladoc's "bounded
         // in real streaming" argument in code: a trigger misconfigured
         // to swallow an unbounded backlog aborts with the remedy
-        // named instead of melting the probe join. One aggregate
-        // supplies the cap count AND the Bloom sizing.
-        val st = paras.agg(count(lit(1)), countDistinct("ph")).head()
+        // named instead of melting the probe join. The narrow ph
+        // column is checkpointed ONCE and feeds the cap aggregate and
+        // the Bloom build — segmentation itself runs twice per batch
+        // total (here and in the flagged join), as before the cap.
+        val phs = paras.select("ph").localCheckpoint()
+        val st = phs.agg(count(lit(1)), countDistinct("ph")).head()
         val (total, nDistinct) = (st.getLong(0), st.getLong(1))
         if (total > MaxBatchParas)
           throw new IllegalStateException(
@@ -692,8 +702,7 @@ object LlmOps {
               "(dedupParagraphs/q86) for a backfill this size")
         val bloomOpt =
           if (nDistinct == 0) None
-          else Some(paras.select("ph").distinct()
-            .stat.bloomFilter("ph", nDistinct, 0.01))
+          else Some(phs.distinct().stat.bloomFilter("ph", nDistinct, 0.01))
         // tombstones (q132): a taken-down doc's admitted paragraphs
         // must stop blocking re-arrivals of the same content —
         // merge-on-read anti-join, physical rewrite deferred to
@@ -758,11 +767,7 @@ object LlmOps {
   def q94DedupParagraphIngest(spark: SparkSession, dir: String,
       nBatches: Int = 3, paraTokens: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
-      case null => -1L
-      case l: Long => l
-      case i: Int => i.toLong
-    }
+    val maxId = docMaxId(docs)
     val bSize = math.max(1L, maxId / nBatches + 1)
     // per-invocation index path (dir + application id): two sessions
     // on the same dir get disjoint ingest state (the q87 rule)
@@ -798,12 +803,13 @@ object LlmOps {
     val newHs = shingleHashSets(newDocs).localCheckpoint()
     val newBuckets = bandBuckets(newHs)
     // tombstones (q131): taken-down docs must stop blocking admits of
-    // re-arriving content — merge-on-read anti-joins on BOTH index
-    // relations; one fs.exists when no delete was ever recorded
-    val idxBuckets = minusDocDeletes(spark, indexPath,
-      spark.read.parquet(s"$indexPath/buckets"))
-    val idxHs = minusDocDeletes(spark, indexPath,
-      spark.read.parquet(s"$indexPath/hs"))
+    // re-arriving content — ONE tombstone-dir resolution, anti-joined
+    // against BOTH index relations
+    val dels = readDocDeletes(spark, indexPath)
+    def masked(df: DataFrame): DataFrame =
+      dels.map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
+    val idxBuckets = masked(spark.read.parquet(s"$indexPath/buckets"))
+    val idxHs = masked(spark.read.parquet(s"$indexPath/hs"))
     val histCand = idxBuckets.as("a").join(newBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -2628,13 +2634,8 @@ object LlmOps {
     * throw at inference (the q126 read-back rule).
     */
   private def readAnnDeletes(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
-    import org.apache.spark.sql.types._
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
-    if (!Sinks.fsFor(spark, indexPath).exists(p)) None
-    else Some(spark.read.schema(StructType(Seq(
-      StructField("vec_id", LongType)))).parquet(p.toString))
-  }
+      indexPath: String): Option[DataFrame] =
+    readIdDeletes(spark, indexPath, "vec_id")
 
   /** Anti-join `df` (carrying vec_id) against the index's tombstones,
     * when any exist — the merge-on-read half of [[annIndexDelete]]
@@ -2643,8 +2644,7 @@ object LlmOps {
     */
   private def minusAnnDeletes(spark: SparkSession, indexPath: String,
       df: DataFrame): DataFrame =
-    readAnnDeletes(spark, indexPath)
-      .map(d => df.join(d, Seq("vec_id"), "left_anti")).getOrElse(df)
+    minusIdDeletes(spark, indexPath, "vec_id", df)
 
   /** DELETE vectors from a persisted ANN index — the retention/
     * takedown path the append-only ingest contract eventually forces
@@ -2665,19 +2665,8 @@ object LlmOps {
     * recorded ids.
     */
   def annIndexDelete(spark: SparkSession, indexPath: String,
-      vecIds: DataFrame): Long = {
-    val ids = vecIds
-      .select(col(vecIds.columns(0)).cast("long").as("vec_id")).distinct()
-    val fresh = (readAnnDeletes(spark, indexPath) match {
-      case Some(ex) => ids.join(ex, Seq("vec_id"), "left_anti")
-      case None => ids
-    }).localCheckpoint()
-    val n = fresh.count()
-    if (n > 0)
-      fresh.coalesce(1).write.mode("append")
-        .parquet(s"$indexPath/deletes")
-    n
-  }
+      vecIds: DataFrame): Long =
+    idIndexDelete(spark, indexPath, "vec_id", vecIds)
 
   /** Physically apply pending tombstones: rewrite `vectors/` and
     * `codes/` WITHOUT the deleted ids (layout preserved — a stamped
@@ -2693,63 +2682,31 @@ object LlmOps {
     * rewrite happened.
     */
   def annIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean = {
-    val fs = Sinks.fsFor(spark, indexPath)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    Seq("vectors", "codes").foreach(sub =>
-      Sinks.recoverInterrupted(fs, p(s"$indexPath/$sub"), "__del_old", "__del_tmp"))
-    val delsOpt = readAnnDeletes(spark, indexPath)
-    if (delsOpt.isEmpty) return false
-    val dels = delsOpt.get.localCheckpoint() // pinned: its dir is dropped below
-    if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
-    // cell cardinality for pinned write parallelism below (one bounded
-    // read, shared by both subdir rewrites); None on a centroid-less
-    // index — then the kept rows' own distinct cells are counted
-    val centroidCells: Option[Int] =
+    // cell cardinality for pinned write parallelism (one bounded read,
+    // shared lazily by both subdir rewrites); None on a centroid-less
+    // index — then the kept rows' own distinct cells are counted.
+    // Pinned numPartitions because with AQE coalescing set to
+    // parallelismFirst=false a bare repartition(col) shrinks the
+    // KB-scale exchange to ONE task that writes every cell directory
+    // serially — the fix every cell/band/bucket write got (round 13).
+    lazy val centroidCells: Option[Int] =
       try Some(spark.read.parquet(s"$indexPath/centroids").count().toInt)
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    Seq("vectors", "codes").foreach { sub =>
-      val dir = s"$indexPath/$sub"
-      if (fs.exists(p(dir))) {
-        val df =
-          try spark.read.parquet(dir)
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
-              null // file-less: nothing to rewrite
-          }
-        if (df != null) {
-          val partCols = Seq("cell") ++
-            (if (df.columns.contains("__batch_id")) Seq("__batch_id") else Nil)
-          val kept = df.join(dels, Seq("vec_id"), "left_anti").localCheckpoint()
-          val expected = kept.count()
-          if (expected == 0) {
-            fs.delete(p(dir), true) // emptied: missing dir, not file-less
-          } else {
-            val tmp = dir + "__del_tmp"
-            // pinned numPartitions: with AQE coalescing set to
-            // parallelismFirst=false, a bare repartition(col) shrinks
-            // this KB-scale exchange to ONE task and serializes the
-            // per-cell directory writes — the same write-parallelism
-            // fix every other cell/band/bucket write got (round 13)
-            val nCells = centroidCells
-              .getOrElse(kept.select("cell").distinct().count().toInt).max(1)
-            kept.repartition(nCells, col("cell"))
-              .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
-            val actual = spark.read.parquet(tmp).count()
-            if (actual != expected) {
-              fs.delete(p(tmp), true)
-              throw new java.io.IOException(
-                s"annIndexApplyDeletes: rewrite of $sub has $actual rows, " +
-                  s"expected $expected; aborted with $indexPath untouched")
-            }
-            Sinks.swapInstall(fs, p(tmp), p(dir), "__del_old")
-          }
-        }
-      }
-    }
-    fs.delete(p(s"$indexPath/deletes"), true)
-    true
+    applyIdDeletes(spark, indexPath, "vec_id", Seq("vectors", "codes"), {
+      case (_, kept) =>
+        val nCells = centroidCells
+          .getOrElse(kept.select("cell").distinct().count().toInt).max(1)
+        (kept.repartition(nCells, col("cell")),
+          Seq("cell") ++
+            (if (kept.columns.contains("__batch_id")) Seq("__batch_id") else Nil))
+    })
   }
+
+  /** [[Sinks.awaitAllOrThrow]] — re-exported for this file's many
+    * concurrent write/fit sites.
+    */
+  private def awaitAllOrThrow(fs: Seq[scala.concurrent.Future[_]]): Unit =
+    Sinks.awaitAllOrThrow(fs)
 
   /** Quantizer retrain rotation for a persisted ANN index — the drift
     * fix for long-lived ingest: [[annIndexAppendBatch]] seeds
@@ -2790,12 +2747,6 @@ object LlmOps {
     * append (single-writer discipline; appends resume — and replays
     * re-land — once the swap is installed).
     */
-  /** [[Sinks.awaitAllOrThrow]] — re-exported for this file's many
-    * concurrent write/fit sites.
-    */
-  private def awaitAllOrThrow(fs: Seq[scala.concurrent.Future[_]]): Unit =
-    Sinks.awaitAllOrThrow(fs)
-
   def annIndexRetrain(spark: SparkSession, indexPath: String,
       nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
       kCodes: Int = 16, pqIters: Int = 2): Unit = {
@@ -2893,39 +2844,47 @@ object LlmOps {
       s"$indexPath/hs" -> None))
   }
 
-  /** Explicit-schema read of a doc-keyed index tombstone directory
-    * (the [[readAnnDeletes]] contract for the LSH-dedup and paragraph
-    * index families, which both key state by `doc_id`).
+  /** Explicit-schema read of an index tombstone directory, keyed by
+    * the family's id column — ONE definition for all four tombstone
+    * families (ANN vec_id; LSH-dedup, paragraph and survivors-sink
+    * doc_id). None when no delete was ever recorded; explicit schema
+    * so a crash-orphaned file-less dir reads as zero tombstones, not
+    * a schema-inference throw (the q126 read-back rule).
     */
-  private[graft] def readDocDeletes(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
+  private def readIdDeletes(spark: SparkSession, indexPath: String,
+      keyCol: String): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/deletes")
     if (!Sinks.fsFor(spark, indexPath).exists(p)) None
     else Some(spark.read.schema(StructType(Seq(
-      StructField("doc_id", LongType)))).parquet(p.toString))
+      StructField(keyCol, LongType)))).parquet(p.toString))
   }
 
-  /** Anti-join `df` (carrying doc_id) against the index's tombstones
-    * when any exist — the merge-on-read half every probe of a
-    * doc-keyed index applies ([[minusAnnDeletes]] for doc ids).
+  /** Anti-join `df` against the index's tombstones when any exist —
+    * the merge-on-read half every probe applies. One fs.exists when
+    * no delete was ever recorded.
     */
-  private[graft] def minusDocDeletes(spark: SparkSession, indexPath: String,
-      df: DataFrame): DataFrame =
-    readDocDeletes(spark, indexPath)
-      .map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
+  private def minusIdDeletes(spark: SparkSession, indexPath: String,
+      keyCol: String, df: DataFrame): DataFrame =
+    readIdDeletes(spark, indexPath, keyCol)
+      .map(d => df.join(d, Seq(keyCol), "left_anti")).getOrElse(df)
 
-  /** Record doc-id tombstones for a doc-keyed index — the
-    * [[annIndexDelete]] contract (merge-on-read; ONE bounded appended
-    * file; idempotent re-delete; absent ids recorded anyway to mask
-    * late/replayed batches). Returns the count of newly recorded ids.
+  /** Record id tombstones for an index — merge-on-read, the
+    * Delta-style design shared by all four families: ONE bounded file
+    * appended per call (atomic via the committer's rename), probes
+    * anti-join it, the physical rewrite is deferred to the family's
+    * apply. Idempotent re-delete (already-tombstoned ids are not
+    * re-recorded); ids absent from the index are recorded anyway — a
+    * delete must also mask in-flight or future replayed batches of
+    * that id. Single-writer discipline like seal/retrain. Returns the
+    * count of NEWLY recorded ids.
     */
-  private[graft] def docIndexDelete(spark: SparkSession, indexPath: String,
-      docIds: DataFrame): Long = {
-    val ids = docIds
-      .select(col(docIds.columns(0)).cast("long").as("doc_id")).distinct()
-    val fresh = (readDocDeletes(spark, indexPath) match {
-      case Some(ex) => ids.join(ex, Seq("doc_id"), "left_anti")
+  private def idIndexDelete(spark: SparkSession, indexPath: String,
+      keyCol: String, delIds: DataFrame): Long = {
+    val ids = delIds
+      .select(col(delIds.columns(0)).cast("long").as(keyCol)).distinct()
+    val fresh = (readIdDeletes(spark, indexPath, keyCol) match {
+      case Some(ex) => ids.join(ex, Seq(keyCol), "left_anti")
       case None => ids
     }).localCheckpoint()
     val n = fresh.count()
@@ -2934,24 +2893,25 @@ object LlmOps {
     n
   }
 
-  /** Physically apply a doc-keyed index's pending tombstones — the
-    * [[annIndexApplyDeletes]] machinery generalized over the family's
-    * subdirectories: per-subdir count-validated park-rename swaps
+  /** Physically apply an index's pending tombstones — ONE machinery
+    * for every family: per-subdir count-validated park-rename swaps
     * (`shape` supplies each subdir's write repartitioning and
     * partition columns from the kept rows), a subdir emptied by the
-    * delete is REMOVED rather than installed file-less, deletes/ is
-    * dropped last — a crash at any point leaves tombstones in place
-    * so merge-on-read probes stay exactly right and the next apply
-    * finishes the job. Returns whether a rewrite happened.
+    * delete is REMOVED rather than installed file-less (probes treat
+    * a missing dir as "nothing indexed"; a file-less one would fail
+    * schema inference), deletes/ is dropped last — a crash at any
+    * point leaves tombstones in place so merge-on-read probes stay
+    * exactly right and the next apply finishes the job. Returns
+    * whether a rewrite happened.
     */
-  private def applyDocDeletes(spark: SparkSession, indexPath: String,
-      subs: Seq[String],
+  private def applyIdDeletes(spark: SparkSession, indexPath: String,
+      keyCol: String, subs: Seq[String],
       shape: (String, DataFrame) => (DataFrame, Seq[String])): Boolean = {
     val fs = Sinks.fsFor(spark, indexPath)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     subs.foreach(sub =>
       Sinks.recoverInterrupted(fs, p(s"$indexPath/$sub"), "__del_old", "__del_tmp"))
-    val delsOpt = readDocDeletes(spark, indexPath)
+    val delsOpt = readIdDeletes(spark, indexPath, keyCol)
     if (delsOpt.isEmpty) return false
     val dels = delsOpt.get.localCheckpoint() // pinned: its dir is dropped below
     if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
@@ -2966,7 +2926,7 @@ object LlmOps {
               null // file-less: nothing to rewrite
           }
         if (df != null) {
-          val kept = df.join(dels, Seq("doc_id"), "left_anti").localCheckpoint()
+          val kept = df.join(dels, Seq(keyCol), "left_anti").localCheckpoint()
           val expected = kept.count()
           if (expected == 0) {
             fs.delete(p(dir), true) // emptied: missing dir, not file-less
@@ -2980,7 +2940,7 @@ object LlmOps {
             if (actual != expected) {
               fs.delete(p(tmp), true)
               throw new java.io.IOException(
-                s"applyDocDeletes: rewrite of $sub has $actual rows, " +
+                s"applyIdDeletes: rewrite of $sub has $actual rows, " +
                   s"expected $expected; aborted with $indexPath untouched")
             }
             Sinks.swapInstall(fs, p(tmp), p(dir), "__del_old")
@@ -2991,6 +2951,21 @@ object LlmOps {
     fs.delete(p(s"$indexPath/deletes"), true)
     true
   }
+
+  /** [[readIdDeletes]]/[[minusIdDeletes]]/[[idIndexDelete]] at doc_id —
+    * the LSH-dedup, paragraph and survivors-sink families' key.
+    */
+  private[graft] def readDocDeletes(spark: SparkSession,
+      indexPath: String): Option[DataFrame] =
+    readIdDeletes(spark, indexPath, "doc_id")
+
+  private[graft] def minusDocDeletes(spark: SparkSession, indexPath: String,
+      df: DataFrame): DataFrame =
+    minusIdDeletes(spark, indexPath, "doc_id", df)
+
+  private[graft] def docIndexDelete(spark: SparkSession, indexPath: String,
+      docIds: DataFrame): Long =
+    idIndexDelete(spark, indexPath, "doc_id", docIds)
 
   /** DELETE documents from a persisted LSH dedup index — q129's
     * retention/takedown contract applied to the dedup family
@@ -3011,7 +2986,7 @@ object LlmOps {
     * drop deletes/. Layout preserved — a stamped index stays stamped.
     */
   def dedupIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
-    applyDocDeletes(spark, indexPath, Seq("buckets", "hs"), {
+    applyIdDeletes(spark, indexPath, "doc_id", Seq("buckets", "hs"), {
       case ("buckets", kept) =>
         val stamped = kept.columns.contains("__batch_id")
         (kept.repartition(16, col("band")),
@@ -3040,7 +3015,7 @@ object LlmOps {
     * count).
     */
   def paraIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
-    applyDocDeletes(spark, indexPath, Seq("paras"), { case (_, kept) =>
+    applyIdDeletes(spark, indexPath, "doc_id", Seq("paras"), { case (_, kept) =>
       if (kept.columns.contains("__batch_id")) {
         val nb = kept.select("__batch_id").distinct().count().toInt.max(1)
         (kept.repartition(nb, col("__batch_id")), Seq("__batch_id"))
@@ -3060,11 +3035,7 @@ object LlmOps {
     val memoRoot = new org.apache.hadoop.fs.Path(memo)
     if (!fs.exists(memoRoot)) {
       val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
-        case null => -1L
-        case l: Long => l
-        case i: Int => i.toLong
-      }
+      val maxId = docMaxId(docs)
       val bSize = math.max(1L, maxId / nBatches + 1)
       val staging = new org.apache.hadoop.fs.Path(
         memo + "__tmp_" + spark.sparkContext.applicationId)
@@ -3131,9 +3102,15 @@ object LlmOps {
       dedupIndexDelete(spark, indexPath,
         docs.select("doc_id").filter(pmod(col("doc_id"), lit(every)) === rem))
       // re-arrival of the deleted CONTENT under fresh ids — the ghost
-      // case: without the delete these would all be blocked
+      // case: without the delete these would all be blocked. The
+      // effective shift clears max(doc_id) (matching the oracle's
+      // GREATEST): a fixed shift could collide a probe id with a REAL
+      // surviving id on a wide-id corpus, and dedupIncremental's
+      // id-inequality join would then silently admit what the
+      // id-agnostic oracle blocks.
+      val eff = math.max(shift, docMaxId(docs) + 1)
       val probe = docs.filter(pmod(col("doc_id"), lit(every)) === rem)
-        .withColumn("doc_id", col("doc_id") + shift)
+        .withColumn("doc_id", col("doc_id") + eff)
       def admittedAs(kind: String): DataFrame = probe
         .join(dedupDropIds(spark, probe, indexPath, threshold),
           Seq("doc_id"), "left_anti")
@@ -3168,11 +3145,7 @@ object LlmOps {
     val memoRoot = new org.apache.hadoop.fs.Path(memo)
     if (!fs.exists(memoRoot)) {
       val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      val maxId = docs.agg(max("doc_id")).head().getAs[Any](0) match {
-        case null => -1L
-        case l: Long => l
-        case i: Int => i.toLong
-      }
+      val maxId = docMaxId(docs)
       val bSize = math.max(1L, maxId / nBatches + 1)
       val staging = new org.apache.hadoop.fs.Path(
         memo + "__tmp_" + spark.sparkContext.applicationId)
@@ -3219,8 +3192,10 @@ object LlmOps {
         spark.sparkContext.hadoopConfiguration)
       paraIndexDelete(spark, indexPath,
         docs.select("doc_id").filter(pmod(col("doc_id"), lit(every)) === rem))
+      // effective shift clears max(doc_id) — the q131 collision rule
+      val eff = math.max(shift, docMaxId(docs) + 1)
       val probe = docs.filter(pmod(col("doc_id"), lit(every)) === rem)
-        .withColumn("doc_id", col("doc_id") + shift)
+        .withColumn("doc_id", col("doc_id") + eff)
       def cleanedAs(kind: String): DataFrame =
         reassembleKeptParas(
           paraProbeKeepers(spark, probe, indexPath, paraTokens),

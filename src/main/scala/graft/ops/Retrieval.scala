@@ -466,8 +466,10 @@ object Retrieval {
     // or a NULL row next to recorded rows is the same mixed-
     // provenance abort) — and the q129 tombstone correction rides the
     // SAME job as a unioned negative contribution (dl was captured at
-    // delete time, so this is a bounded file, never a postings scan;
-    // df needs no correction — it is the row count of the anti-joined
+    // delete time, so the common case stays a bounded-file read; the
+    // rare NULL-dl tombstone pays resolveTombstoneDl's one
+    // broadcast-filtered postings pass first — see its scaladoc; df
+    // needs no correction — it is the row count of the anti-joined
     // postings below). No tombstones ⇒ no union branch.
     val hasNb = stDf.columns.contains("n_buckets")
     val statRows = stDf.select(col("n_docs"), col("total_tokens"),

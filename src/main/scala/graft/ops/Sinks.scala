@@ -417,15 +417,6 @@ object Sinks {
         s"installMemo: could not install $dst (rename failed, no concurrent winner)")
   }
 
-  /** Recursive directory copy (src must exist; dst must not) — the
-    * clone step of the memo-reusing lifecycle queries: a seal/retrain
-    * demonstration MUTATES its index, so it works on a filesystem
-    * copy of the shared read-only ingest memo rather than on the memo
-    * itself. Local-FS cheap at demo scale; at 100 TB a real pipeline
-    * seals its own index in place — the clone exists only so a
-    * DECLARED query can exercise mutation without destroying shared
-    * memo state.
-    */
   /** Barrier over concurrent driver-thread job chains that rethrows
     * only after EVERY chain has stopped running — Await.result/zipWith
     * fail fast and would let a caller's cleanup race a sibling chain's
@@ -438,6 +429,15 @@ object Sinks {
     done.foreach { case scala.util.Failure(e) => throw e; case _ => () }
   }
 
+  /** Recursive directory copy (src must exist; dst must not) — the
+    * clone step of the memo-reusing lifecycle queries: a seal/retrain
+    * demonstration MUTATES its index, so it works on a filesystem
+    * copy of the shared read-only ingest memo rather than on the memo
+    * itself. Local-FS cheap at demo scale; at 100 TB a real pipeline
+    * seals its own index in place — the clone exists only so a
+    * DECLARED query can exercise mutation without destroying shared
+    * memo state.
+    */
   private[graft] def copyDir(fs: org.apache.hadoop.fs.FileSystem,
       src: String, dst: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {

@@ -523,12 +523,24 @@ object Streaming {
             .partitionBy("__batch_id").parquet(outPath)
         affected.filterNot(keptBatches).foreach(b =>
           fs.delete(p(s"$outPath/__batch_id=$b"), true))
-        val actual = spark.read.parquet(outPath)
-          .join(dels, Seq("doc_id"), "left_semi").count()
-        if (actual != 0)
+        // count-validated read-back of the AFFECTED partitions: the
+        // kept rows must all have landed AND no tombstoned row may
+        // survive. Dynamic overwrite replaces partitions at job
+        // commit (each replaced directory is complete), so a partial
+        // commit leaves some partitions un-replaced — caught here as
+        // actual > expected. On ANY mismatch the throw leaves the
+        // tombstones in place: merge-on-read keeps masking and the
+        // next apply finishes the job.
+        val after = spark.read.parquet(outPath)
+          .filter(col("__batch_id").isin(affected.toIndexedSeq: _*))
+          .localCheckpoint()
+        val actual = after.count()
+        val ghost = after.join(dels, Seq("doc_id"), "left_semi").count()
+        if (actual != expected || ghost != 0)
           throw new java.io.IOException(
-            s"applySinkDeletes: $actual tombstoned rows survive in $outPath; " +
-              "tombstones left in place (merge-on-read still masks)")
+            s"applySinkDeletes: affected partitions hold $actual rows " +
+              s"(expected $expected) with $ghost tombstoned survivors in " +
+              s"$outPath; tombstones left in place (merge-on-read still masks)")
       }
     }
     fs.delete(p(tombPath), true)

@@ -799,8 +799,13 @@ object LlmOps {
     * dup, doc_b = new doc, jaccard).
     */
   def dedupIncremental(spark: SparkSession, newDocs: DataFrame,
-      indexPath: String, threshold: Double = 0.8): DataFrame = {
+      indexPath: String, threshold: Double = 0.8,
+      maxCandidates: Long = MaxProbeCandidates): DataFrame = {
     val newHs = shingleHashSets(newDocs).localCheckpoint()
+    // not checkpointed: the mass guard and both candidate joins each
+    // recompute this map-side signature pass from the checkpointed
+    // hash sets — cheaper at every scale than materializing a second
+    // batch-sized relation per probe
     val newBuckets = bandBuckets(newHs)
     // tombstones (q131): taken-down docs must stop blocking admits of
     // re-arriving content — ONE tombstone-dir resolution, anti-joined
@@ -810,6 +815,47 @@ object LlmOps {
       dels.map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
     val idxBuckets = masked(spark.read.parquet(s"$indexPath/buckets"))
     val idxHs = masked(spark.read.parquet(s"$indexPath/hs"))
+    // Fail-fast candidate-mass guard on the INCREMENTAL path (the q37
+    // maxBucket rule where it matters most — a long-lived ingest): a
+    // hot template cluster makes the history×batch candidate join
+    // quadratic-in-cluster (measured 20×+ at the 30× hot-docs probe),
+    // and without a bound a single poisoned micro-batch melts the
+    // probe. EXACT mass in ONE cheap aggregate BEFORE any pair
+    // materializes: per-bucket batch multiplicities are bounded by
+    // the micro-batch (broadcast), one pass over the pruned index
+    // bucket rows sums idx×batch per bucket; the batch's own
+    // self-pair mass Σ nb·(nb−1)/2 rides the same bounded frame.
+    import spark.implicits._
+    val bkRows = newBuckets.groupBy("band", "bh")
+      .agg(count(lit(1)).as("nb"))
+      .as[(Int, Long, Long)].collect() // bounded: ≤ batch docs × bands
+    val selfMass = bkRows.map { case (_, _, nb) => nb * (nb - 1) / 2 }.sum
+    // The history-side mass term Σ idxCount·batchCount is only
+    // QUADRATIC-class when the BATCH side concentrates (batchCount ≥
+    // 2 somewhere): with every batch bucket holding one doc, the term
+    // equals the pruned index rows the verification join must read
+    // anyway — linear, the declared unavoidable work. So the
+    // index-side aggregate (one extra pruned scan) runs only when the
+    // batch shows real concentration; ordinary batches pay one
+    // bounded driver-side collect and nothing else.
+    val batchConcentrated =
+      bkRows.nonEmpty && bkRows.map(_._3).max > GuardBucketK
+    val histMass =
+      if (!batchConcentrated) 0L
+      else idxBuckets
+        .join(broadcast(bkRows.toSeq.toDF("band", "bh", "nb")),
+          Seq("band", "bh"))
+        .agg(coalesce(sum("nb"), lit(0L))).head().getLong(0)
+    val mass = histMass + selfMass
+    if (mass > maxCandidates)
+      throw new IllegalStateException(
+        s"dedupIncremental: this batch generates $mass LSH candidate " +
+          s"pairs > maxCandidates=$maxCandidates against $indexPath — a " +
+          "near-duplicate cluster concentrated in history×batch makes " +
+          "pair verification quadratic in the cluster; run the " +
+          "boilerplate/paragraph strip ahead of near-dup admission " +
+          "(the prepareCorpus stage order), use cluster-level dedup " +
+          "(dedupClustersLshOf/q75), or raise maxCandidates deliberately")
     val histCand = idxBuckets.as("a").join(newBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -822,6 +868,24 @@ object LlmOps {
     val self = verifyJaccard(selfCand.distinct(), newHs, newHs, threshold)
     hist.unionByName(self).orderBy("doc_a", "doc_b")
   }
+
+  /** Default incremental-probe candidate-mass bound: 2^26 pairs ≈ the
+    * largest set the exact-Jaccard verification join should ever be
+    * asked to absorb in one micro-batch; far above any sane trigger
+    * (the 30× hot-docs stress peaks ~4×10^7 only when a fifth of a
+    * replicated corpus shares one template), so the cap fires on
+    * concentration pathology, not on scale.
+    */
+  private val MaxProbeCandidates = 1L << 26
+
+  /** Batch-bucket multiplicity above which the incremental probe's
+    * guard pays the index-side mass aggregate: ordinary same-batch
+    * duplicates sit at 2-5 per bucket; a template cluster puts
+    * hundreds+ of batch docs in one bucket. 64 clears every sane
+    * batch while catching concentration an order of magnitude before
+    * the cap region.
+    */
+  private val GuardBucketK = 64L
 
   /** Exact shingle Jaccard for an explicit pair list: intersection via
     * a shingle-equijoin restricted to the candidate pairs, union by

@@ -134,7 +134,7 @@ object LlmOps {
     * two-level loop (functions.MinHashSignature), banded 16×4.
     */
   private def bandBuckets(withHs: DataFrame,
-      nSeeds: Int = 64, bands: Int = 16): DataFrame = {
+      nSeeds: Int = 64, bands: Int = DedupBands): DataFrame = {
     val rowsPerBand = nSeeds / bands
     val sig = withHs.select(col("doc_id"),
       graft.functions.MinHashSignature.signature(col("hs"), nSeeds).as("sig"))
@@ -800,7 +800,8 @@ object LlmOps {
     */
   def dedupIncremental(spark: SparkSession, newDocs: DataFrame,
       indexPath: String, threshold: Double = 0.8,
-      maxCandidates: Long = MaxProbeCandidates): DataFrame = {
+      maxCandidates: Long = MaxProbeCandidates,
+      maxBatchDocs: Long = MaxBatchDocs): DataFrame = {
     val newHs = shingleHashSets(newDocs).localCheckpoint()
     // not checkpointed: the mass guard and both candidate joins each
     // recompute this map-side signature pass from the checkpointed
@@ -820,30 +821,46 @@ object LlmOps {
     // hot template cluster makes the history×batch candidate join
     // quadratic-in-cluster (measured 20×+ at the 30× hot-docs probe),
     // and without a bound a single poisoned micro-batch melts the
-    // probe. EXACT mass in ONE cheap aggregate BEFORE any pair
-    // materializes: per-bucket batch multiplicities are bounded by
-    // the micro-batch (broadcast), one pass over the pruned index
-    // bucket rows sums idx×batch per bucket; the batch's own
-    // self-pair mass Σ nb·(nb−1)/2 rides the same bounded frame.
-    import spark.implicits._
-    val bkRows = newBuckets.groupBy("band", "bh")
+    // probe. NOTHING batch-proportional ever reaches the driver: one
+    // executor-side two-level aggregate (the MaxBatchParas pattern,
+    // one row to the driver) yields the batch's self-pair mass
+    // Σ nb·(nb−1)/2, its max bucket multiplicity, and its size — and
+    // the size cap fires BEFORE the concentrated-case broadcast join
+    // below can materialize anything batch-sized.
+    val bCounts = newBuckets.groupBy("band", "bh")
       .agg(count(lit(1)).as("nb"))
-      .as[(Int, Long, Long)].collect() // bounded: ≤ batch docs × bands
-    val selfMass = bkRows.map { case (_, _, nb) => nb * (nb - 1) / 2 }.sum
+    val g = bCounts.agg(
+      coalesce(sum("nb"), lit(0L)),
+      coalesce(sum(expr("nb * (nb - 1) DIV 2")), lit(0L)),
+      coalesce(max("nb"), lit(0L))).head()
+    val (bucketRows, selfMass, maxNb) =
+      (g.getLong(0), g.getLong(1), g.getLong(2))
+    // bandBuckets emits exactly DedupBands rows per signable doc, so
+    // bucketRows IS the batch size; a trigger misconfigured to
+    // swallow an unbounded backlog aborts with the remedy named
+    // instead of feeding an unbounded broadcast/probe.
+    if (bucketRows > maxBatchDocs * DedupBands)
+      throw new IllegalStateException(
+        s"dedupIncremental: micro-batch carries ${bucketRows / DedupBands} " +
+          s"docs > maxBatchDocs=$maxBatchDocs — split the micro-batch " +
+          "(smaller trigger / maxFilesPerTrigger) or run the global " +
+          "batch form (dedupNearMinhash/q37 + dedupIndexWrite rebuild) " +
+          "for a backfill this size")
     // The history-side mass term Σ idxCount·batchCount is only
     // QUADRATIC-class when the BATCH side concentrates (batchCount ≥
-    // 2 somewhere): with every batch bucket holding one doc, the term
-    // equals the pruned index rows the verification join must read
-    // anyway — linear, the declared unavoidable work. So the
-    // index-side aggregate (one extra pruned scan) runs only when the
-    // batch shows real concentration; ordinary batches pay one
-    // bounded driver-side collect and nothing else.
-    val batchConcentrated =
-      bkRows.nonEmpty && bkRows.map(_._3).max > GuardBucketK
+    // 2 somewhere): with batch multiplicities ≤ GuardBucketK the term
+    // is bounded by GuardBucketK × the pruned index rows the
+    // verification join must read anyway — the declared linear-class
+    // work (the same bound the maxNb ≤ GuardBucketK skip already
+    // accepts). So the index-side aggregate runs only on real
+    // concentration, and its probe side broadcasts ONLY the
+    // concentrated buckets (≤ bucketRows/GuardBucketK rows, never the
+    // whole batch): ordinary batches pay one 1-row aggregate and
+    // nothing else.
     val histMass =
-      if (!batchConcentrated) 0L
+      if (maxNb <= GuardBucketK) 0L
       else idxBuckets
-        .join(broadcast(bkRows.toSeq.toDF("band", "bh", "nb")),
+        .join(broadcast(bCounts.filter(col("nb") > GuardBucketK)),
           Seq("band", "bh"))
         .agg(coalesce(sum("nb"), lit(0L))).head().getLong(0)
     val mass = histMass + selfMass
@@ -877,6 +894,20 @@ object LlmOps {
     * concentration pathology, not on scale.
     */
   private val MaxProbeCandidates = 1L << 26
+
+  /** Incremental-probe batch-size bound (docs per micro-batch): 2^21
+    * is ~70× the largest backfill leg the harness ever probes and far
+    * above any sane trigger, so — like [[MaxBatchParas]] — it fires
+    * on a misconfigured unbounded backlog, not on scale. It also
+    * hard-bounds the guard's concentrated-bucket broadcast at
+    * maxBatchDocs·DedupBands/GuardBucketK rows.
+    */
+  private val MaxBatchDocs = 1L << 21
+
+  /** LSH band count shared by [[bandBuckets]] and the guard's
+    * rows-per-doc arithmetic (64 minhash seeds banded 16×4).
+    */
+  private val DedupBands = 16
 
   /** Batch-bucket multiplicity above which the incremental probe's
     * guard pays the index-side mass aggregate: ordinary same-batch

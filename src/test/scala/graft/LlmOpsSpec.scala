@@ -427,6 +427,34 @@ class LlmOpsSpec extends AnyFunSuite {
     reprobe.foreach { case (a, b) => assert(a != b) }
   }
 
+  test("incremental dedup guards: candidate-mass and batch-size caps fail fast; benign batch unaffected") {
+    def text(tag: String) = (0 until 40).map(i => s"${tag}_t$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_guard").toString
+    LlmOps.dedupIndexWrite(Seq((1L, text("tmpl"))).toDF("doc_id", "text"), idx)
+    // one template cluster: 80 identical docs land every band bucket at
+    // multiplicity 80 > GuardBucketK, so the concentrated-bucket
+    // broadcast join runs and the EXACT mass (16·80·79/2 self +
+    // 16·80 hist = 51 840) trips a 10k cap before any pair join
+    val hot = (100L until 180L).map(i => (i, text("tmpl"))).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      LlmOps.dedupIncremental(spark, hot, idx, 0.8, maxCandidates = 10000L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+    // batch-size cap fires first (before the mass join or any
+    // batch-proportional work), remedy named
+    val e2 = intercept[IllegalStateException] {
+      LlmOps.dedupIncremental(spark, hot, idx, 0.8,
+        maxCandidates = 10000L, maxBatchDocs = 4L)
+    }
+    assert(e2.getMessage.contains("maxBatchDocs=4"))
+    // the same 80 docs with DISTINCT content sail through both
+    // default caps and still flag the one true historical dup
+    val cold = (100L until 180L).map(i =>
+      (i, if (i == 150L) text("tmpl") else text(s"d$i"))).toDF("doc_id", "text")
+    val pairs = LlmOps.dedupIncremental(spark, cold, idx).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 150L)))
+  }
+
   test("dedup index delete-before-ingest: tombstone masks a late-landing batch; apply compacts; re-delete idempotent") {
     def text(tag: String) = (0 until 40).map(i => s"${tag}_t$i").mkString(" ")
     val idx = java.nio.file.Files.createTempDirectory("graft_lsh_del").toString

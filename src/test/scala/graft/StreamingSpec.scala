@@ -349,6 +349,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$out/__batch_id=0").exists())
     assert(spark.read.parquet(out).select("doc_id").as[Long]
       .collect().sorted.toSeq === Seq(10L, 11L))
+    // a takedown that empties the ENTIRE sink: every partition dir
+    // drops and the count-validated read-back accepts the file-less
+    // directory (expected == 0) instead of crashing on schema
+    // inference — the legit right-to-be-forgotten endgame
+    graft.ops.Streaming.takedownTick(spark, out, Seq(10L, 11L).toDF("doc_id"))
+    assert(graft.ops.Streaming.applySinkDeletes(spark, out))
+    assert(!new java.io.File(s"$out/__batch_id=1").exists())
+    assert(!graft.ops.Streaming.applySinkDeletes(spark, out)) // tombstones dropped
   }
 
   test("release tick masks sink takedown tombstones; compaction preserves the release") {

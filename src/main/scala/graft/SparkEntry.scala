@@ -158,7 +158,8 @@ object SparkEntry {
     "q130_perplexity_trigram" -> ((s: SparkSession, d: String) => LlmOps.q130PerplexityTrigram(s, d)),
     "q131_dedup_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q131DedupIndexDelete(s, d)),
     "q132_para_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q132ParaIndexDelete(s, d)),
-    "q133_perplexity_backoff" -> ((s: SparkSession, d: String) => LlmOps.q133PerplexityBackoff(s, d))
+    "q133_perplexity_backoff" -> ((s: SparkSession, d: String) => LlmOps.q133PerplexityBackoff(s, d)),
+    "q134_perplexity_kneser_ney" -> ((s: SparkSession, d: String) => LlmOps.q134PerplexityKneserNey(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -1297,6 +1298,34 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, bits_micro,
         |CASE WHEN bits_micro < 6050000 * n_tokens THEN 'head'
         |WHEN bits_micro < 6250000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin),
+    // q134: Kneser–Ney discounting (fixed D = 0.75) over the SAME
+    // fitted tables (shared CTEs — the one trainer definition for all
+    // three trigram-order gates): discounted in-table heads plus
+    // continuation-count backoff, with the aux stats (n1b/f1/f2/B)
+    // derived as integer counts over the bounded tables themselves;
+    // the add-one continuation base is the declared OOV deviation
+    // (the q133 rule). See the q134 scaladoc for the (0,1) proofs.
+    "q134_perplexity_kneser_ney" -> (trigramLmOracleCtes + ",\n" +
+      """nb AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1b FROM bi GROUP BY cur),
+        |f1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS f1 FROM bi GROUP BY prev),
+        |f2 AS (SELECT p2, p1, CAST(count(*) AS BIGINT) AS f2 FROM tri GROUP BY p2, p1),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+        |sc0 AS (SELECT doc_id, lang,
+        |CASE WHEN tok.prev IS NULL THEN CAST(round(-log2((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) * 1000000.0) AS BIGINT)
+        |WHEN tok.prev2 IS NULL THEN CAST(round(-log2(CASE WHEN bi.cb IS NOT NULL THEN (bi.cb - 0.75) / vp.c + (0.75 * f1.f1 / vp.c) * ((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) WHEN f1.f1 IS NOT NULL THEN (0.75 * f1.f1 / vp.c) * ((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) ELSE (COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1) END) * 1000000.0) AS BIGINT)
+        |ELSE CAST(round(-log2(CASE WHEN tri.ct IS NOT NULL THEN (tri.ct - 0.75) / bc.cb + (0.75 * f2.f2 / bc.cb) * (CASE WHEN bi.cb IS NOT NULL THEN (bi.cb - 0.75) / vp.c + (0.75 * f1.f1 / vp.c) * ((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) WHEN f1.f1 IS NOT NULL THEN (0.75 * f1.f1 / vp.c) * ((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) ELSE (COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1) END) WHEN f2.f2 IS NOT NULL THEN (0.75 * f2.f2 / bc.cb) * (CASE WHEN bi.cb IS NOT NULL THEN (bi.cb - 0.75) / vp.c + (0.75 * f1.f1 / vp.c) * ((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) WHEN f1.f1 IS NOT NULL THEN (0.75 * f1.f1 / vp.c) * ((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) ELSE (COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1) END) ELSE (CASE WHEN bi.cb IS NOT NULL THEN (bi.cb - 0.75) / vp.c + (0.75 * f1.f1 / vp.c) * ((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) WHEN f1.f1 IS NOT NULL THEN (0.75 * f1.f1 / vp.c) * ((COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)) ELSE (COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1) END) END) * 1000000.0) AS BIGINT) END AS bits
+        |FROM tok LEFT JOIN voc vc ON tok.cur = vc.tok LEFT JOIN voc vp ON tok.prev = vp.tok
+        |LEFT JOIN bi ON tok.prev = bi.prev AND tok.cur = bi.cur
+        |LEFT JOIN bi bc ON tok.prev2 = bc.prev AND tok.prev = bc.cur
+        |LEFT JOIN tri ON tok.prev2 = tri.p2 AND tok.prev = tri.p1 AND tok.cur = tri.cur
+        |LEFT JOIN nb ON tok.cur = nb.cur
+        |LEFT JOIN f1 ON tok.prev = f1.prev
+        |LEFT JOIN f2 ON tok.prev2 = f2.p2 AND tok.prev = f2.p1, v, bt),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS bits_micro FROM sc0 GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, bits_micro,
+        |CASE WHEN bits_micro < 5390000 * n_tokens THEN 'head'
+        |WHEN bits_micro < 5520000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM sc ORDER BY doc_id""".stripMargin),
     // q131: the LSH-dedup takedown lifecycle. Three legs share the
     // one fingerprint construction (q87's identical-shingle-set rule

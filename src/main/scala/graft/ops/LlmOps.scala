@@ -170,12 +170,13 @@ object LlmOps {
     * per corpus and extended per batch, never recomputed.
     */
   def dedupIndexWrite(docs: DataFrame, indexPath: String,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite"): Unit =
+    Sinks.withWriterLease(docs.sparkSession, indexPath, "dedup-index-write") {
     val withHs = shingleHashSets(docs).localCheckpoint()
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     awaitAllOrThrow(Seq(
-      Future {
+      Sinks.bFuture {
         bandBuckets(withHs)
           // one writer task per band (the ANN cell-write note: AQE would
           // coalesce this KB-scale exchange to one serial task)
@@ -183,7 +184,7 @@ object LlmOps {
           .write.mode(mode).option("partitionOverwriteMode", "dynamic")
           .partitionBy("band").parquet(s"$indexPath/buckets")
       },
-      Future { withHs.write.mode(mode).parquet(s"$indexPath/hs") }))
+      Sinks.bFuture { withHs.write.mode(mode).parquet(s"$indexPath/hs") }))
   }
 
   /** [[dedupIndexWrite]] stamped with an ingest batch id — the
@@ -197,7 +198,9 @@ object LlmOps {
     * FIRST batch — the layouts of the two writers don't mix.
     */
   def dedupIndexAppendBatch(docs: DataFrame, indexPath: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    Sinks.withWriterLease(docs.sparkSession, indexPath,
+      "dedup-index-append") {
     // no checkpoint here (unlike dedupIndexWrite): callers pass an
     // already-materialized admitted batch, so recomputing the
     // map-side shingle+hash transform for the second write is one
@@ -211,14 +214,14 @@ object LlmOps {
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     awaitAllOrThrow(Seq(
-      Future {
+      Sinks.bFuture {
         bandBuckets(withHs)
           .withColumn("__batch_id", lit(batchId))
           .repartition(16, col("band"))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("band", "__batch_id").parquet(s"$indexPath/buckets")
       },
-      Future {
+      Sinks.bFuture {
         withHs.withColumn("__batch_id", lit(batchId))
           .repartition(col("__batch_id"))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -310,17 +313,19 @@ object LlmOps {
     * flat edition — dedupIndexWrite keeps its checkpoint because its
     * build-from-scratch callers pass UNmaterialized corpora).
     */
-  private def dedupIndexAppendFlat(docs: DataFrame, indexPath: String): Unit = {
+  private def dedupIndexAppendFlat(docs: DataFrame, indexPath: String): Unit =
+    Sinks.withWriterLease(docs.sparkSession, indexPath,
+      "dedup-index-append") {
     val withHs = shingleHashSets(docs)
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     awaitAllOrThrow(Seq(
-      Future {
+      Sinks.bFuture {
         bandBuckets(withHs)
           .repartition(16, col("band"))
           .write.mode("append").partitionBy("band").parquet(s"$indexPath/buckets")
       },
-      Future { withHs.write.mode("append").parquet(s"$indexPath/hs") }))
+      Sinks.bFuture { withHs.write.mode("append").parquet(s"$indexPath/hs") }))
   }
 
   /** #87 Declared batch twin of the streaming dedup ingest: process
@@ -400,7 +405,7 @@ object LlmOps {
     // so one can't delete/rewrite the index the other is mid-probe on
     // (within one session the ingest loop below is sequential by
     // construction — batches are a driver-side fold over the index).
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_index_" +
+    val indexPath = s"${Sinks.indexRoot}/graft_${tag}_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + spark.sparkContext.applicationId
     // a fresh ingest run must not probe a previous run's index
     val fs = Sinks.fsFor(spark, indexPath)
@@ -472,7 +477,7 @@ object LlmOps {
   private[graft] def dedupPrefixMemoPathOf(spark: SparkSession,
       dir: String, nBatches: Int, prefix: Int,
       threshold: Double): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_prefix_memo_" +
+    s"${Sinks.indexRoot}/graft_dedup_prefix_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
       s"_b${nBatches}_p${prefix}_t${(threshold * 1e6).round}_$IndexMemoFormat"
 
@@ -649,7 +654,8 @@ object LlmOps {
     * construction and the probe join cannot fan out.
     */
   def paraIngestBatch(spark: SparkSession, batch: DataFrame,
-      indexPath: String, batchId: Long, paraTokens: Int = 20): DataFrame = {
+      indexPath: String, batchId: Long, paraTokens: Int = 20): DataFrame =
+    Sinks.withWriterLease(spark, indexPath, "para-ingest-append") {
     val keepers = paraProbeKeepers(spark, batch, indexPath, paraTokens)
     keepers
       .withColumn("__batch_id", lit(batchId))
@@ -771,7 +777,7 @@ object LlmOps {
     val bSize = math.max(1L, maxId / nBatches + 1)
     // per-invocation index path (dir + application id): two sessions
     // on the same dir get disjoint ingest state (the q87 rule)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q94_index_" +
+    val indexPath = s"${Sinks.indexRoot}/graft_q94_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + spark.sparkContext.applicationId
     val fs = Sinks.fsFor(spark, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
@@ -1693,7 +1699,7 @@ object LlmOps {
     */
   private[graft] def clusterMemoPathOf(spark: SparkSession, dir: String,
       threshold: Double, maxDocs: Long): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_memo_" +
+    s"${Sinks.indexRoot}/graft_cluster_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
       s"_t${(threshold * 1e6).round}_d$maxDocs"
 
@@ -1727,7 +1733,7 @@ object LlmOps {
     */
   private[graft] def corpusPrepMemoPathOf(spark: SparkSession,
       dir: String, maxDocs: Long, cfgTag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_corpus_prep_memo_" +
+    s"${Sinks.indexRoot}/graft_corpus_prep_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
       s"_d${maxDocs}_$cfgTag"
 
@@ -1804,7 +1810,7 @@ object LlmOps {
     val stem = s"$familyPrefix${memoDirKey(dir)}_s"
     val liveSig = tableSignature(spark, dir, table)
     val live = stem + liveSig
-    val tmp = System.getProperty("java.io.tmpdir")
+    val tmp = Sinks.indexRoot
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)
     if (!fs.exists(root)) return
@@ -1922,7 +1928,7 @@ object LlmOps {
   private[graft] def annIndexMemoPathOf(spark: SparkSession, dir: String,
       nCells: Int, kmeansIters: Int, m: Int, kCodes: Int,
       pqIters: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_memo_" +
+    s"${Sinks.indexRoot}/graft_ann_index_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "embeddings") +
       s"_c${nCells}i${kmeansIters}m${m}k${kCodes}p${pqIters}_$IndexMemoFormat"
 
@@ -1934,7 +1940,7 @@ object LlmOps {
   private[graft] def stampedAnnMemoPathOf(spark: SparkSession, dir: String,
       nBatches: Int, nCells: Int, kmeansIters: Int, m: Int, kCodes: Int,
       pqIters: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_stamped_memo_" +
+    s"${Sinks.indexRoot}/graft_ann_stamped_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "embeddings") +
       s"_b${nBatches}_c${nCells}i${kmeansIters}m${m}k${kCodes}p${pqIters}_$IndexMemoFormat"
 
@@ -1983,7 +1989,7 @@ object LlmOps {
     */
   def invalidateMemosFor(spark: SparkSession, dir: String): Unit = {
     val key = memoDirKey(dir)
-    val tmp = System.getProperty("java.io.tmpdir")
+    val tmp = Sinks.indexRoot
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(root)) {
@@ -2402,7 +2408,8 @@ object LlmOps {
       mode: String = "overwrite", m: Int = 8, kCodes: Int = 16,
       pqIters: Int = 2, writePq: Boolean = true,
       centsPre: Option[Array[(Int, Array[Float])]] = None,
-      cbPre: Option[graft.functions.Pq.Codebooks] = None): Unit = {
+      cbPre: Option[graft.functions.Pq.Codebooks] = None): Unit =
+    Sinks.withWriterLease(spark, indexPath, "ann-index-write") {
     val emb = embeddings
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
@@ -2493,7 +2500,8 @@ object LlmOps {
   def annIndexAppendBatch(spark: SparkSession, embeddings: DataFrame,
       indexPath: String, batchId: Long, nCells: Int = 16,
       kmeansIters: Int = 3, m: Int = 8, kCodes: Int = 16,
-      pqIters: Int = 2): Unit = {
+      pqIters: Int = 2): Unit =
+    Sinks.withWriterLease(spark, indexPath, "ann-index-append") {
     val emb = embeddings
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
@@ -2662,7 +2670,7 @@ object LlmOps {
           path, b.toLong, nCells, kmeansIters, m, kCodes, pqIters)
       }
     // app-scoped work path + per-run state (the q87/q106 rule)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_index_" +
+    val indexPath = s"${Sinks.indexRoot}/graft_${tag}_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     val fs = Sinks.fsFor(spark, indexPath)
@@ -2713,7 +2721,8 @@ object LlmOps {
     * append world (`annIndexWrite(mode = "append")`). See
     * [[Sinks.sealBatchStamped]] for the swap discipline.
     */
-  def annIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+  def annIndexSeal(spark: SparkSession, indexPath: String): Unit =
+    Sinks.withWriterLease(spark, indexPath, "ann-index-seal") {
     // quiesce-time compaction applies pending tombstones FIRST (the
     // q129 retention/takedown path), so a sealed index never carries
     // a deletes/ dir
@@ -2761,7 +2770,9 @@ object LlmOps {
     */
   def annIndexDelete(spark: SparkSession, indexPath: String,
       vecIds: DataFrame): Long =
-    idIndexDelete(spark, indexPath, "vec_id", vecIds)
+    Sinks.withWriterLease(spark, indexPath, "ann-index-delete") {
+      idIndexDelete(spark, indexPath, "vec_id", vecIds)
+    }
 
   /** Physically apply pending tombstones: rewrite `vectors/` and
     * `codes/` WITHOUT the deleted ids (layout preserved — a stamped
@@ -2776,7 +2787,8 @@ object LlmOps {
     * schema inference). No-op without tombstones. Returns whether a
     * rewrite happened.
     */
-  def annIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean = {
+  def annIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
+    Sinks.withWriterLease(spark, indexPath, "ann-index-apply") {
     // cell cardinality for pinned write parallelism (one bounded read,
     // shared lazily by both subdir rewrites); None on a centroid-less
     // index — then the kept rows' own distinct cells are counted.
@@ -2844,7 +2856,8 @@ object LlmOps {
     */
   def annIndexRetrain(spark: SparkSession, indexPath: String,
       nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
-      kCodes: Int = 16, pqIters: Int = 2): Unit = {
+      kCodes: Int = 16, pqIters: Int = 2): Unit =
+    Sinks.withWriterLease(spark, indexPath, "ann-index-retrain") {
     val fs = Sinks.fsFor(spark, indexPath)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val root = p(indexPath)
@@ -2886,7 +2899,7 @@ object LlmOps {
     // subdirs, shared pinned input) rewrite concurrently. On any
     // failure the tmp root is left for the next entry's
     // recoverInterrupted, same as the sequential form.
-    val quantF = Future {
+    val quantF = Sinks.bFuture {
       cents.toSeq.toDF("cid", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
       cb.foreach(writePqCodebooks(spark, tmp, _))
@@ -2896,7 +2909,7 @@ object LlmOps {
       .drop("cell")
       .withColumn("cell", bestCellOf(centroidScores(cents)))
       .localCheckpoint() // consumed by both writes below
-    val codesF = Future {
+    val codesF = Sinks.bFuture {
       cb.foreach { c =>
         assigned
           .select((Seq(col("vec_id"), col("cell")) ++
@@ -2910,7 +2923,7 @@ object LlmOps {
           .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/codes")
       }
     }
-    val vecsF = Future {
+    val vecsF = Sinks.bFuture {
       assigned
         .repartition(nCells, col("cell"))
         .write.mode("overwrite").partitionBy(partCols: _*).parquet(s"$tmp/vectors")
@@ -2930,7 +2943,8 @@ object LlmOps {
     * index into [[dedupIndexWrite]]'s flat layout (the
     * [[annIndexSeal]] contract).
     */
-  def dedupIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+  def dedupIndexSeal(spark: SparkSession, indexPath: String): Unit =
+    Sinks.withWriterLease(spark, indexPath, "dedup-index-seal") {
     // quiesce-time compaction applies pending tombstones FIRST (the
     // annIndexSeal rule) — a sealed index never carries a deletes/ dir
     dedupIndexApplyDeletes(spark, indexPath)
@@ -3010,7 +3024,15 @@ object LlmOps {
     if (delsOpt.isEmpty) return false
     val dels = delsOpt.get.localCheckpoint() // pinned: its dir is dropped below
     if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
-    subs.foreach { sub =>
+    // the subdir rewrites are DISJOINT (buckets/hs, vectors/codes) —
+    // they run as concurrent driver-thread job chains (the
+    // dedup-append rule; round-14 verdict item 8). Failure contract
+    // unchanged: awaitAllOrThrow rethrows only after every chain has
+    // stopped, and tombstones drop only below — so a chain that
+    // already swapped is a valid partial apply (its rewrite excludes
+    // exactly the tombstoned rows) and the next apply finishes the
+    // rest, the same window the sequential form had between two swaps.
+    Sinks.awaitAllOrThrow(subs.map { sub => Sinks.bFuture {
       val dir = s"$indexPath/$sub"
       if (fs.exists(p(dir))) {
         val df =
@@ -3042,7 +3064,7 @@ object LlmOps {
           }
         }
       }
-    }
+    }})
     fs.delete(p(s"$indexPath/deletes"), true)
     true
   }
@@ -3073,7 +3095,9 @@ object LlmOps {
     */
   def dedupIndexDelete(spark: SparkSession, indexPath: String,
       docIds: DataFrame): Long =
-    docIndexDelete(spark, indexPath, docIds)
+    Sinks.withWriterLease(spark, indexPath, "dedup-index-delete") {
+      docIndexDelete(spark, indexPath, docIds)
+    }
 
   /** Physically apply pending LSH-dedup tombstones: rewrite buckets/
     * (band-partitioned, one writer task per band — the pinned
@@ -3081,6 +3105,7 @@ object LlmOps {
     * drop deletes/. Layout preserved — a stamped index stays stamped.
     */
   def dedupIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
+    Sinks.withWriterLease(spark, indexPath, "dedup-index-apply") {
     applyIdDeletes(spark, indexPath, "doc_id", Seq("buckets", "hs"), {
       case ("buckets", kept) =>
         val stamped = kept.columns.contains("__batch_id")
@@ -3091,6 +3116,7 @@ object LlmOps {
         if (stamped) (kept.repartition(col("__batch_id")), Seq("__batch_id"))
         else (kept, Nil)
     })
+    }
 
   /** DELETE documents from a persisted paragraph-dedup index — the
     * dedup-family takedown contract ([[dedupIndexDelete]]) at
@@ -3102,7 +3128,9 @@ object LlmOps {
     */
   def paraIndexDelete(spark: SparkSession, indexPath: String,
       docIds: DataFrame): Long =
-    docIndexDelete(spark, indexPath, docIds)
+    Sinks.withWriterLease(spark, indexPath, "para-index-delete") {
+      docIndexDelete(spark, indexPath, docIds)
+    }
 
   /** Physically apply pending paragraph-index tombstones (the
     * [[dedupIndexApplyDeletes]] contract for paras/ — batch-stamped
@@ -3110,12 +3138,14 @@ object LlmOps {
     * count).
     */
   def paraIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
+    Sinks.withWriterLease(spark, indexPath, "para-index-apply") {
     applyIdDeletes(spark, indexPath, "doc_id", Seq("paras"), { case (_, kept) =>
       if (kept.columns.contains("__batch_id")) {
         val nb = kept.select("__batch_id").distinct().count().toInt.max(1)
         (kept.repartition(nb, col("__batch_id")), Seq("__batch_id"))
       } else (kept, Nil)
     })
+    }
 
   /** Ensure the FULL-ingest LSH index memo for `dir` (index state +
     * admitted rows after ALL `nBatches` stamped batches — the
@@ -3182,7 +3212,7 @@ object LlmOps {
       rem: Int = 2, shift: Long = 10000000L): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val memo = ensureDedupFullMemo(spark, dir, nBatches, threshold)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q131_index_" +
+    val indexPath = s"${Sinks.indexRoot}/graft_q131_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     val fs = Sinks.fsFor(spark, indexPath)
@@ -3225,7 +3255,7 @@ object LlmOps {
     */
   private[graft] def paraFullMemoPathOf(spark: SparkSession, dir: String,
       nBatches: Int, paraTokens: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_para_full_memo_" +
+    s"${Sinks.indexRoot}/graft_para_full_memo_" +
       memoDirKey(dir) + "_s" + tableSignature(spark, dir, "documents") +
       s"_b${nBatches}_w${paraTokens}_$IndexMemoFormat"
 
@@ -3276,7 +3306,7 @@ object LlmOps {
       rem: Int = 2, shift: Long = 10000000L): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val memo = ensureParaFullMemo(spark, dir, nBatches, paraTokens)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q132_index_" +
+    val indexPath = s"${Sinks.indexRoot}/graft_q132_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     val fs = Sinks.fsFor(spark, indexPath)
@@ -3609,7 +3639,7 @@ object LlmOps {
     val n = emb.count()
     if (n == 0) return emptyAnnResult(emb.select(col("vec_id"), col("embedding")))
     // app-scoped throwaway index per run (the q87/q106 rule)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q111_index_" +
+    val indexPath = s"${Sinks.indexRoot}/graft_q111_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     val (cents, cbPre) = cachedIndexFits(dir, emb, nCells, kmeansIters,
@@ -5255,6 +5285,107 @@ object LlmOps {
         round(-clog2(sBi) * lit(1000000.0)).cast("long"))
       .otherwise(
         round(-clog2(sTri) * lit(1000000.0)).cast("long"))
+    joined
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits_micro"))
+      .withColumn("ppl_bucket",
+        when(col("bits_micro") < lit(headBits) * col("n_tokens"), "head")
+          .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
+          .otherwise("tail"))
+  }
+
+  /** #134 Kneser–Ney LM perplexity gate — the smoother KenLM actually
+    * ships (Kneser & Ney 1995; Chen & Goodman 1999 §2.7; Heafield
+    * 2011), closing the declared gap between q130/q133 and the CCNet
+    * citation (Wenzek et al. 2020 §4.3): absolute discounting with a
+    * FIXED D = 0.75 plus continuation-count backoff, over the SAME
+    * three fitted tables as q130/q133 (no new trainer pass). Per
+    * token, with table lookups c_tri/c_ctx/c_bi/c_prev and the
+    * aux stats derived from the fitted tables themselves —
+    * N1(•,cur) = n1b (distinct in-table predecessors of cur),
+    * N1(prev,•) = f1 (distinct in-table continuations of prev),
+    * N1(p2 p1,•) = f2 (distinct in-table trigram continuations),
+    * B = bigram TYPES in table:
+    *
+    *   P_cont(cur)      = (n1b + 1) / (B + V + 1)
+    *   P_bi(cur|prev)   = (c_bi − D)/c_prev + (D·f1/c_prev)·P_cont   bigram in table
+    *                    | (D·f1/c_prev)·P_cont                        prev has table bigrams
+    *                    | P_cont                                      else
+    *   P_tri(cur|p2,p1) = (c_tri − D)/c_ctx + (D·f2/c_ctx)·P_bi      trigram in table
+    *                    | (D·f2/c_ctx)·P_bi                           ctx has table trigrams
+    *                    | P_bi                                        else
+    *
+    * Every branch lies in (0, 1): c_bi + D·(f1 − 1) ≤ c_prev because
+    * each of prev's f1 distinct in-table continuations contributes
+    * ≥ 1 occurrence to c_prev (counted over the same reference, and
+    * the capped table only shrinks f1) — so the discounted head plus
+    * the backoff mass stays under 1 while c_bi ≥ 1 > D keeps it
+    * positive; the trigram level repeats the argument against c_ctx;
+    * P_cont's add-one base keeps an OOV token finite (the q133
+    * declared deviation) and n1b ≤ B bounds it under 1. Bits are
+    * therefore positive at every position — pos 0 scores under
+    * P_cont itself (KN's base distribution IS the continuation
+    * distribution), pos 1 under P_bi, pos ≥ 2 under P_tri.
+    *
+    * Oracle parity: the q117/q130/q133 discipline verbatim — all
+    * aux stats are deterministic integer counts over the bounded
+    * tables, the per-token float expression is written
+    * token-for-token as the DuckDB oracle writes it, bits
+    * micro-round in-plan and integer-sum. Plan shape:
+    * [[trigramProbeJoin]]'s five broadcast probes plus THREE more
+    * bounded broadcasts (n1b/f1/f2 — each a groupBy of an
+    * already-bounded table), still one doc-keyed exchange.
+    */
+  def q134PerplexityKneserNey(spark: SparkSession, dir: String,
+      refSource: String = "src0", vocabCap: Int = 4096,
+      bigramCap: Int = 16384, trigramCap: Int = 32768,
+      headBits: Long = 5390000L, midBits: Long = 5520000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    scoreWithKneserNeyLm(docs.select("doc_id", "lang", "text"),
+      fitTrigramLm(docs.filter(col("source") === refSource).select("text"),
+        vocabCap, bigramCap, trigramCap),
+      headBits, midBits).orderBy("doc_id")
+  }
+
+  /** Score `docs` under a [[fitTrigramLm]] model with fixed-discount
+    * Kneser–Ney (the [[scoreWithTrigramLm]] contract, q134's rule).
+    */
+  def scoreWithKneserNeyLm(docs: DataFrame, lm: TrigramLm,
+      headBits: Long, midBits: Long): DataFrame = {
+    // aux continuation stats from the FITTED tables — three bounded
+    // groupBys plus one count over checkpointed broadcast-sized
+    // relations, not a reference scan
+    val n1b = lm.bi.groupBy("cur").agg(count(lit(1)).as("n1b"))
+    val f1 = lm.bi.groupBy("prev").agg(count(lit(1)).as("f1"))
+    val f2 = lm.tri.groupBy("p2", "p1").agg(count(lit(1)).as("f2"))
+      .select(col("p2").as("prev2"), col("p1").as("prev"), col("f2"))
+    val b = lm.bi.count()
+    val joined = trigramProbeJoin(docs, lm)
+      .join(broadcast(n1b), Seq("cur"), "left")
+      .join(broadcast(f1), Seq("prev"), "left")
+      .join(broadcast(f2), Seq("prev2", "prev"), "left")
+    // written token-for-token as the oracle SQL writes it
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1.0)) /
+      lit((b + lm.v + 1).toDouble)
+    val pbi = when(col("cb").isNotNull,
+        (col("cb") - lit(0.75)) / col("cp") +
+          (lit(0.75) * col("f1") / col("cp")) * pcont)
+      .when(col("f1").isNotNull,
+        (lit(0.75) * col("f1") / col("cp")) * pcont)
+      .otherwise(pcont)
+    val ptri = when(col("ct").isNotNull,
+        (col("ct") - lit(0.75)) / col("cbc") +
+          (lit(0.75) * col("f2") / col("cbc")) * pbi)
+      .when(col("f2").isNotNull,
+        (lit(0.75) * col("f2") / col("cbc")) * pbi)
+      .otherwise(pbi)
+    def clog2(c: Column): Column = org.apache.spark.sql.functions.log2(c)
+    val bits = when(col("prev").isNull,
+        round(-clog2(pcont) * lit(1000000.0)).cast("long"))
+      .when(col("prev2").isNull,
+        round(-clog2(pbi) * lit(1000000.0)).cast("long"))
+      .otherwise(
+        round(-clog2(ptri) * lit(1000000.0)).cast("long"))
     joined
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits_micro"))

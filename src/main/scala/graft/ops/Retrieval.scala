@@ -384,7 +384,8 @@ object Retrieval {
   }
 
   def invIndexWrite(docs: DataFrame, indexPath: String,
-      nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
+      nBuckets: Int = 64, mode: String = "overwrite"): Unit =
+    Sinks.withWriterLease(docs.sparkSession, indexPath, "inv-index-write") {
     val spark = docs.sparkSession
     import spark.implicits._
     if (mode == "append")
@@ -544,7 +545,7 @@ object Retrieval {
     val docs = tokenizedDocs(spark, dir)
     // app-scoped path: two sessions on the same dir can't clobber
     // each other's index mid-probe (the q87 rule)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_q106_index_" +
+    val indexPath = s"${Sinks.indexRoot}/graft_q106_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     invIndexWrite(docs, indexPath)
@@ -585,7 +586,8 @@ object Retrieval {
     * partition discovery requires a consistent directory depth.
     */
   def invIndexAppendBatch(docs: DataFrame, indexPath: String,
-      batchId: Long, nBuckets: Int = 64): Unit = {
+      batchId: Long, nBuckets: Int = 64): Unit =
+    Sinks.withWriterLease(docs.sparkSession, indexPath, "inv-index-append") {
     val spark = docs.sparkSession
     import spark.implicits._
     // same modulus guard as the flat append (first append per JVM
@@ -603,14 +605,14 @@ object Retrieval {
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     Sinks.awaitAllOrThrow(Seq(
-      Future {
+      Sinks.bFuture {
         postingsOf(docs, nBuckets)
           .withColumn("__batch_id", lit(batchId))
           .repartition(nBuckets, col("tb"))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("tb", "__batch_id").parquet(s"$indexPath/postings")
       },
-      Future {
+      Sinks.bFuture {
         val (n, total) = statsOf(docs)
         Seq((n, total, nBuckets, batchId))
           .toDF("n_docs", "total_tokens", "n_buckets", "__batch_id")
@@ -703,7 +705,8 @@ object Retrieval {
     * recorded ids.
     */
   def invIndexDelete(spark: SparkSession, indexPath: String,
-      docIds: DataFrame): Long = {
+      docIds: DataFrame): Long =
+    Sinks.withWriterLease(spark, indexPath, "inv-index-delete") {
     val ids = docIds
       .select(col(docIds.columns(0)).cast("long").as("doc_id")).distinct()
     val fresh0 = readInvDeletes(spark, indexPath) match {
@@ -738,7 +741,8 @@ object Retrieval {
     * return empty). Crash between the two renames is repaired at the
     * next call's entry recovery.
     */
-  def invIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean = {
+  def invIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
+    Sinks.withWriterLease(spark, indexPath, "inv-index-apply") {
     import spark.implicits._
     val fs = Sinks.fsFor(spark, indexPath)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -790,7 +794,8 @@ object Retrieval {
     true
   }
 
-  def invIndexSeal(spark: SparkSession, indexPath: String): Unit = {
+  def invIndexSeal(spark: SparkSession, indexPath: String): Unit =
+    Sinks.withWriterLease(spark, indexPath, "inv-index-seal") {
     // quiesce-time compaction applies pending tombstones FIRST (the
     // q129 retention/takedown path): a sealed index never carries a
     // deletes/ dir. When tombstones existed, the apply already
@@ -869,7 +874,7 @@ object Retrieval {
     }
     val bSize = math.max(1L, maxId / nBatches + 1)
     // app-scoped path + per-run state (the q87/q106 rule)
-    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_index_" +
+    val indexPath = s"${Sinks.indexRoot}/graft_${tag}_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       spark.sparkContext.applicationId
     val fs = Sinks.fsFor(spark, indexPath)
@@ -887,7 +892,7 @@ object Retrieval {
       // query's bench line times its own declared lifecycle step (the
       // seal), not a re-payment of q109's ingest (the
       // LlmOps.simsearchIngestProbe memo-clone pattern).
-      val memo = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_stamped_memo_" +
+      val memo = s"${Sinks.indexRoot}/graft_bm25_stamped_memo_" +
         LlmOps.memoKeyFor(spark, dir, "documents") +
         s"_b${nBatches}_${LlmOps.IndexMemoFormat}"
       val memoRoot = new org.apache.hadoop.fs.Path(memo)
@@ -940,7 +945,7 @@ object Retrieval {
     val queries = querySetOf(docs, nQueries, qLen).localCheckpoint()
     val sanitized = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val app = spark.sparkContext.applicationId
-    val tmpRoot = System.getProperty("java.io.tmpdir")
+    val tmpRoot = Sinks.indexRoot
     val lexPath = s"$tmpRoot/graft_q129_lex_${sanitized}_$app"
     val annPath = s"$tmpRoot/graft_q129_ann_${sanitized}_$app"
     val fs = Sinks.fsFor(spark, lexPath)
@@ -963,7 +968,7 @@ object Retrieval {
       // concurrency a production takedown job would use.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      val lexF = Future {
+      val lexF = Sinks.bFuture {
         Sinks.copyDir(fs, ensureInvIndexMemo(spark, dir), lexPath,
           spark.sparkContext.hadoopConfiguration)
         invIndexDelete(spark, lexPath,
@@ -977,7 +982,7 @@ object Retrieval {
           bm25Indexed(spark, queries, lexPath, k = k), "rank", "doc_id",
           col("score_micro")))
       }
-      val annF = Future {
+      val annF = Sinks.bFuture {
         LlmOps.ensureServingIndexMemo(spark, dir) match {
           case None => Nil // empty embedding corpus: no dense rows
           case Some(memo) =>
@@ -1109,7 +1114,7 @@ object Retrieval {
     */
   private[graft] def ensureInvIndexMemo(spark: SparkSession, dir: String,
       nBuckets: Int = 64): String = {
-    val memo = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_memo_" +
+    val memo = s"${Sinks.indexRoot}/graft_bm25_index_memo_" +
       LlmOps.memoKeyFor(spark, dir, "documents") +
       s"_n${nBuckets}_${LlmOps.IndexMemoFormat}"
     val fs = Sinks.fsFor(spark, memo)

@@ -341,7 +341,7 @@ object Sinks {
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(
       Future.sequence(targets.map { case (path, part) =>
-        Future { sealBatchStamped(spark, path, part) }
+        bFuture { sealBatchStamped(spark, path, part) }
       }), scala.concurrent.duration.Duration.Inf)
     ()
   }
@@ -417,6 +417,19 @@ object Sinks {
         s"installMemo: could not install $dst (rename failed, no concurrent winner)")
   }
 
+  /** Future on the global pool with a `blocking` marker — every
+    * concurrent driver-thread job chain in this library BLOCKS on a
+    * Spark action, and the fixed-size global fork-join pool must be
+    * told so (ManagedBlocker grows it); without the marker, a chain
+    * submitted from code already running on the pool (the hybrid
+    * probe's lex/ann legs) can starve or deadlock on low-core
+    * machines (round-14 advice).
+    */
+  private[graft] def bFuture[T](body: => T): scala.concurrent.Future[T] = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    scala.concurrent.Future(scala.concurrent.blocking(body))
+  }
+
   /** Barrier over concurrent driver-thread job chains that rethrows
     * only after EVERY chain has stopped running — Await.result/zipWith
     * fail fast and would let a caller's cleanup race a sibling chain's
@@ -428,6 +441,134 @@ object Sinks {
       scala.concurrent.Await.ready(f, Duration.Inf).value.get)
     done.foreach { case scala.util.Failure(e) => throw e; case _ => () }
   }
+
+  /** Root directory for PERSISTED index and memo state — every
+    * `graft_*_index_` / `graft_*_memo_` path builder and the
+    * signature-keyed memo GC resolve against this one root, so a real
+    * deployment can point it at durable shared storage
+    * (`SPARK_GRAFT_INDEX_ROOT`, or the `graft.index.root` system
+    * property for in-JVM overrides/tests) while the default —
+    * `java.io.tmpdir` — keeps the harness behavior unchanged. The
+    * reference keeps the equivalent state inside its warehouse
+    * (reference: metaflow_intent/snowflake_client.py:22-30); an index
+    * that must survive reboots and be shared across drivers cannot
+    * live under a JVM's tmpdir.
+    */
+  private[graft] def indexRoot: String =
+    sys.props.get("graft.index.root")
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_ROOT"))
+      .filter(_.nonEmpty)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .stripSuffix("/")
+
+  /** Thread-local set of lease paths held by the CURRENT thread —
+    * reentrancy support for [[withWriterLease]]: a seal's internal
+    * apply-deletes re-enters the seal's own lease instead of
+    * deadlocking on it.
+    */
+  private val heldLeases = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Where a root's writer lease lives — BESIDE the root (the
+    * `__tomb` convention), so a retrain's whole-root [[swapInstall]]
+    * cannot park-rename the lease away mid-hold.
+    */
+  private[graft] def leasePathOf(root: String): String =
+    root.stripSuffix("/") + "__lease"
+
+  /** Fail-loud single-writer lease over an index/sink root — the
+    * stand-in for the transactional layer the reference delegates to
+    * its warehouse (reference: metaflow_intent/snowflake_client.py:32-46,
+    * where concurrent DDL serializes inside Snowflake). Every
+    * lifecycle MUTATION of persisted index/sink state — ingest
+    * append, seal, retrain, takedown tombstone, physical apply,
+    * versioned commit — runs under `withWriterLease(root)`; a second
+    * writer's acquisition THROWS naming the holder instead of
+    * silently interleaving park-rename swaps (two interleaved
+    * [[swapInstall]]s can otherwise resurrect a parked directory).
+    * Readers never take the lease: every mutation here is
+    * crash-consistent behind a rename, so merge-on-read probes stay
+    * lock-free.
+    *
+    * Acquisition is an atomic create-exclusive: CREATE_NEW via
+    * java.nio on the local scheme (Hadoop's LocalFileSystem
+    * create(overwrite=false) is check-then-act), HDFS-atomic
+    * `create(p, false)` elsewhere. Reentrant per thread. The lease is
+    * released in a finally — an operation that THREW releases too
+    * (its state contract is crash-consistency, not the lease); only a
+    * killed JVM orphans one, and that must be broken EXPLICITLY with
+    * [[breakWriterLease]] after confirming the holder is dead —
+    * fail-loud is the contract, this helper cannot tell dead from
+    * slow.
+    */
+  def withWriterLease[T](spark: SparkSession, root: String, op: String)(
+      body: => T): T =
+    withWriterLease(fsFor(spark, leasePathOf(root)), root, op)(body)
+
+  /** FileSystem-core of [[withWriterLease]] — also the entry point
+    * for Spark-less lease holders (the cross-JVM race spec's worker).
+    */
+  private[graft] def withWriterLease[T](
+      fs: org.apache.hadoop.fs.FileSystem, root: String, op: String)(
+      body: => T): T = {
+    val lp = leasePathOf(root)
+    if (heldLeases.get.contains(lp)) return body // reentrant
+    val p = new org.apache.hadoop.fs.Path(lp)
+    val holder = s"op=$op pid=${ProcessHandle.current().pid()} " +
+      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"since=${java.time.Instant.now()}"
+    val acquired =
+      if (fs.getScheme == "file") {
+        try {
+          val f = java.nio.file.Paths.get(
+            p.toUri.getPath match { case null => lp; case path => path })
+          Option(f.getParent)
+            .foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.write(f, holder.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          val out = fs.create(p, false)
+          out.write(holder.getBytes("UTF-8")); out.close(); true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException if fs.exists(p) => false
+        }
+      }
+    if (!acquired) {
+      val existing =
+        try {
+          val in = fs.open(p)
+          val s = new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          in.close(); s
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      throw new IllegalStateException(
+        s"writer lease on $root is held [$existing] while '$op' wants " +
+          "it — lifecycle mutations are single-writer; wait for the " +
+          "holder to finish, or break a lease orphaned by a DEAD JVM " +
+          "with Sinks.breakWriterLease")
+    }
+    heldLeases.set(heldLeases.get + lp)
+    try body
+    finally {
+      heldLeases.set(heldLeases.get - lp)
+      fs.delete(p, false)
+    }
+  }
+
+  /** Manual recovery for a lease orphaned by a crashed holder (see
+    * [[withWriterLease]]). Returns whether a lease file was removed.
+    */
+  def breakWriterLease(spark: SparkSession, root: String): Boolean =
+    fsFor(spark, root).delete(
+      new org.apache.hadoop.fs.Path(leasePathOf(root)), false)
 
   /** Recursive directory copy (src must exist; dst must not) — the
     * clone step of the memo-reusing lifecycle queries: a seal/retrain
@@ -472,13 +613,26 @@ object Sinks {
     // (FileUtil.copy walks sequentially). Await ALL tasks before
     // rethrowing so no copy is mid-flight when a caller's failure
     // cleanup deletes dst.
-    val files = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
-      val it = fs.listFiles(s, true)
-      while (it.hasNext) buf += it.next().getPath
-      buf.toSeq
-    }
+    // enumerate DIRECTORIES as well as files (listStatus recursion):
+    // FileUtil.copy creates a file's parents, but an empty
+    // subdirectory inside an otherwise non-empty tree (an hs/ or
+    // stats/ dir with no files yet) has no file to ride on and
+    // exists()-gated readers would see a different state after the
+    // clone (round-14 advice)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) { dirs += st.getPath; walk(st.getPath) }
+        else files += st.getPath
+      }
+    walk(s)
     val srcUri = s.toUri.getPath
+    fs.mkdirs(d)
+    dirs.foreach { dir =>
+      val rel = dir.toUri.getPath.stripPrefix(srcUri).stripPrefix("/")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(d, rel))
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, files.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -495,9 +649,6 @@ object Sinks {
       val done = fts.map(f => scala.concurrent.Await.ready(
         f, scala.concurrent.duration.Duration.Inf).value.get)
       done.foreach { case scala.util.Failure(e) => throw e; case _ => () }
-      // empty directories (e.g. a bucket family with no hs/ rows yet)
-      // must still exist at the destination for exists()-gated readers
-      if (files.isEmpty && fs.exists(s)) fs.mkdirs(d)
     } finally pool.shutdown()
   }
 
@@ -612,7 +763,8 @@ object Sinks {
     * pointer, never a broken table.
     */
   def commitVersion(spark: SparkSession, root: String, df: DataFrame,
-      partCol: Option[String] = None): Long = {
+      partCol: Option[String] = None): Long =
+    withWriterLease(spark, root, "commit-version") {
     val v = nextVersion(spark, root)
     val dir = versionDir(root, v)
     // pin the plan ONCE: count and write must see the same rows for
@@ -644,7 +796,8 @@ object Sinks {
     * `v=N/` until [[pruneVersions]]. Returns the new version.
     */
   def compactVersioned(spark: SparkSession, root: String, partCol: String,
-      targetRowsPerFile: Long = 1000000L): Long = {
+      targetRowsPerFile: Long = 1000000L): Long =
+    withWriterLease(spark, root, "compact-versioned") {
     val live = liveVersion(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no MANIFEST under $root"))
     val v = nextVersion(spark, root)
@@ -666,12 +819,13 @@ object Sinks {
     * reader grace window — e.g. the max query runtime — has passed).
     * Unreferenced directories from aborted commits are removed too.
     */
-  def pruneVersions(spark: SparkSession, root: String): Unit = {
-    val live = liveVersion(spark, root).getOrElse(return)
-    val fs = fsFor(spark, root)
-    fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("v=") && p.getName != s"v=$live")
-      .foreach(fs.delete(_, true))
-  }
+  def pruneVersions(spark: SparkSession, root: String): Unit =
+    withWriterLease(spark, root, "prune-versions") {
+      val live = liveVersion(spark, root).getOrElse(return)
+      val fs = fsFor(spark, root)
+      fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") && p.getName != s"v=$live")
+        .foreach(fs.delete(_, true))
+    }
 }

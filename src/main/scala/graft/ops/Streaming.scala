@@ -469,9 +469,47 @@ object Streaming {
     paraIndexPath.foreach(p => LlmOps.paraIndexDelete(spark, p, docIds))
     dedupIndexPath.foreach(p => LlmOps.dedupIndexDelete(spark, p, docIds))
     invIndexPath.foreach(p => Retrieval.invIndexDelete(spark, p, docIds))
-    annIndexPath.foreach(p =>
-      LlmOps.annIndexDelete(spark, p, vecIds.getOrElse(docIds)))
-    LlmOps.docIndexDelete(spark, sinkTombPathOf(outPath), docIds)
+    annIndexPath.foreach { p =>
+      // id-space footgun guard (round-14 verdict item 7): the ANN
+      // index is VEC-keyed; when the caller lets `vecIds` default to
+      // `docIds` against an index whose id space differs, every
+      // tombstone misses and the "delete" is a silent no-op — the one
+      // failure mode of this API a caller cannot see. So a DEFAULTED
+      // id set that intersects a non-empty index in ZERO ids aborts
+      // before recording anything. An EXPLICIT vecIds set is trusted
+      // as-is: recording absent ids is the delete-before-ingest
+      // contract (they mask in-flight/replayed batches).
+      if (vecIds.isEmpty) {
+        val ids = docIds
+          .select(col(docIds.columns(0)).cast("long").as("vec_id"))
+          .localCheckpoint()
+        val member =
+          try spark.read.parquet(s"$p/vectors")
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") ||
+                  String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") =>
+              null // unseeded index: nothing to miss against
+          }
+        if (member != null && ids.limit(1).count() > 0 &&
+            member.limit(1).count() > 0 &&
+            member.join(broadcast(ids), Seq("vec_id"), "left_semi")
+              .limit(1).count() == 0)
+          throw new IllegalArgumentException(
+            s"takedownTick: none of the doc ids to take down exist in the " +
+              s"ANN index at $p — its id space is vec-keyed and likely " +
+              "differs from doc_id; pass vecIds explicitly (nothing was " +
+              "recorded). For deliberate delete-before-ingest of future " +
+              "vec ids, call annIndexDelete directly or pass them as vecIds")
+      }
+      LlmOps.annIndexDelete(spark, p, vecIds.getOrElse(docIds))
+    }
+    // the sink tombstone takes the SINK's lease (not the tomb dir's):
+    // a takedown racing an applySinkDeletes on the same survivors
+    // sink must serialize or abort — they mutate the same state
+    Sinks.withWriterLease(spark, outPath, "sink-takedown") {
+      LlmOps.docIndexDelete(spark, sinkTombPathOf(outPath), docIds)
+    }
   }
 
   /** Physically apply a survivors sink's pending takedown tombstones
@@ -491,7 +529,8 @@ object Streaming {
     * masks replays (that is why [[takedownTick]] records absent ids
     * too). Until compaction, replays are safe at any point.
     */
-  def applySinkDeletes(spark: SparkSession, outPath: String): Boolean = {
+  def applySinkDeletes(spark: SparkSession, outPath: String): Boolean =
+    Sinks.withWriterLease(spark, outPath, "sink-apply-deletes") {
     val tombPath = sinkTombPathOf(outPath)
     val delsOpt = LlmOps.readDocDeletes(spark, tombPath)
     if (delsOpt.isEmpty) return false

@@ -379,6 +379,19 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q134: Kneser-Ney scoring keeps the broadcast-only probe shape (five shared + three aux)") {
+    // the KN aux stats (n1b/f1/f2) are groupBys of already-bounded
+    // tables — three MORE broadcasts on top of trigramProbeJoin's
+    // five, never a shuffle; this pins that the extra probes cannot
+    // regress the join strategy
+    val df = graft.ops.LlmOps.q134PerplexityKneserNey(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q118: the serving probe scans are partition-pruned to the probed cells") {
     // build the memo index, then inspect the PROBE's executed plan:
     // both the code scan and the finalist vector fetch must carry

@@ -18,6 +18,26 @@ class SinksSpec extends AnyFunSuite {
     d.resolve("data").toString
   }
 
+  test("configurable durable index root: persisted index/memo state lands under it, queries unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_durable_root")
+      .toString
+    // graft.index.root is the in-JVM override of SPARK_GRAFT_INDEX_ROOT
+    // (one resolution order, Sinks.indexRoot)
+    System.setProperty("graft.index.root", base)
+    try {
+      assert(Sinks.indexRoot === base)
+      // a memo-building declared query: its persisted index memo must
+      // land under the configured root (nothing under tmpdir is
+      // consulted — the fresh root forces a clean build), and the
+      // result stays correct
+      val r = graft.ops.LlmOps.q118SimsearchServing(spark, SharedSpark.sfTiny)
+      assert(r.count() > 0)
+      val landed = new java.io.File(base).listFiles().map(_.getName)
+      assert(landed.exists(_.startsWith("graft_")), landed.toSeq)
+    } finally System.clearProperty("graft.index.root")
+    assert(Sinks.indexRoot !== base) // override cleared for later suites
+  }
+
   test("overwritePartitions replaces only the touched partitions and is idempotent") {
     val path = tmpDir("dyn")
     val day1 = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),

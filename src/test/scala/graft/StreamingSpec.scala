@@ -390,6 +390,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ops.Streaming.applySinkDeletes(spark, out))
     val v2 = graft.ops.Streaming.releaseTick(spark, out, rel).get
     assert(releaseRows(v2) === got)
+    // right-to-be-forgotten END STATE (the full composition):
+    // takedownTick -> releaseTick -> pruneVersions leaves NO
+    // taken-down doc in ANY on-disk version directory — v1 (committed
+    // pre-takedown masking, so already clean) and every older
+    // artifact are gone, and the surviving live version carries none
+    // of the deleted ids
+    graft.ops.Sinks.pruneVersions(spark, rel)
+    val vdirs = new java.io.File(rel).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSeq
+    assert(vdirs === Seq(s"v=$v2"))
+    val delIds = dels.as[Long].collect().toSet
+    val ghosts = spark.read.parquet(graft.ops.Sinks.versionDir(rel, v2))
+      .filter(col("doc_id").isin(delIds.toSeq: _*)).count()
+    assert(ghosts === 0L)
+  }
+
+  test("takedownTick ANN id-space guard: defaulted vecIds missing the whole index abort loud; explicit vecIds trusted") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vec_guard").toString
+    val idx = s"$base/ann"
+    val out = s"$base/clean"
+    // a vec-keyed id space DISJOINT from doc ids — the footgun case
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("vec_id", col("vec_id") + 1000)
+    graft.ops.LlmOps.annIndexWrite(spark, emb, idx)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Streaming.takedownTick(spark, out,
+        Seq(1L, 2L).toDF("doc_id"), annIndexPath = Some(idx))
+    }
+    assert(e.getMessage.contains("vecIds"))
+    // aborted BEFORE recording anything: no ANN tombstones, no sink
+    // tombstones
+    assert(!new java.io.File(s"$idx/deletes").exists())
+    assert(!new java.io.File(s"${out}__tomb").exists())
+    // an explicit vecIds set is trusted (delete-before-ingest stays
+    // expressible) and the tick completes, recording the sink tomb
+    assert(graft.ops.Streaming.takedownTick(spark, out,
+      Seq(1L).toDF("doc_id"), annIndexPath = Some(idx),
+      vecIds = Some(Seq(1001L).toDF("vec_id"))) === 1L)
+    assert(new java.io.File(s"$idx/deletes").exists())
+    // a defaulted set that DOES intersect the index passes the guard
+    assert(graft.ops.Streaming.takedownTick(spark, out,
+      Seq(1002L).toDF("doc_id"), annIndexPath = Some(idx)) === 1L)
   }
 
   test("streaming paragraph takedown: deleted doc's paragraphs re-admit under a new id") {

@@ -76,7 +76,8 @@ object ScaleProbe {
     "q130_perplexity_trigram" -> Seq("documents"),
     "q131_dedup_index_delete" -> Seq("documents"),
     "q132_para_index_delete" -> Seq("documents"),
-    "q133_perplexity_backoff" -> Seq("documents"))
+    "q133_perplexity_backoff" -> Seq("documents"),
+    "q134_perplexity_kneser_ney" -> Seq("documents"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")

@@ -5089,7 +5089,9 @@ object LlmOps {
 
   /** #130 Interpolated-TRIGRAM LM perplexity gate — [[q117PerplexityBigram]]
     * upgraded one more order toward CCNet's 5-gram KenLM (Wenzek et
-    * al. 2020 §4.3). Per token:
+    * al. 2020 §4.3; KenLM's SMOOTHER — Kneser–Ney — is the q134 tier,
+    * [[q134PerplexityKneserNey]]; order here stays 3, the declared
+    * stop of this ladder at harness scale). Per token:
     *
     *   pos 0:  P_uni                          (no predecessor)
     *   pos 1:  0.5·P_bi + 0.5·P_uni           (exactly q117's rule)

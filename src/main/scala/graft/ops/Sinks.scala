@@ -549,6 +549,20 @@ object Sinks {
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
           in.close(); s
         } catch { case _: java.io.IOException => "<unreadable>" }
+      // SAME-HOST dead-holder auto-reclaim: a JVM killed mid-mutation
+      // orphans its lease, and without this a plain stream RESTART on
+      // the same machine would fail loud until a manual
+      // breakWriterLease — even though every mutation is
+      // crash-consistent and the replay is exactly what should run.
+      // Liveness is only checkable for a pid on THIS host
+      // (ProcessHandle); a foreign host's lease always fails loud.
+      // The reclaim is race-safe: the lease is first RENAMED to a
+      // reclaimer-unique name (atomic — two concurrent reclaimers
+      // cannot both win), its content is re-verified to be the same
+      // orphan that was diagnosed (never a newer holder's lease),
+      // then dropped; acquisition retries once either way.
+      if (reclaimIfDead(fs, p, existing))
+        return withWriterLease(fs, root, op)(body)
       throw new IllegalStateException(
         s"writer lease on $root is held [$existing] while '$op' wants " +
           "it — lifecycle mutations are single-writer; wait for the " +
@@ -560,6 +574,43 @@ object Sinks {
     finally {
       heldLeases.set(heldLeases.get - lp)
       fs.delete(p, false)
+    }
+  }
+
+  /** [[withWriterLease]]'s dead-holder check: true iff `existing`
+    * names a pid on THIS host that is no longer alive AND this
+    * process won the atomic rename-reclaim of exactly that lease
+    * file. Any parse failure, foreign host, live pid, or lost rename
+    * leaves the lease alone and returns false.
+    */
+  private def reclaimIfDead(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, existing: String): Boolean = {
+    val pidR = "pid=([0-9]+)".r.findFirstMatchIn(existing).map(_.group(1))
+    val hostR = "host=([^ ]+)".r.findFirstMatchIn(existing).map(_.group(1))
+    val localHost = java.net.InetAddress.getLocalHost.getHostName
+    val deadLocal = (pidR, hostR) match {
+      case (Some(pid), Some(h)) if h == localHost =>
+        !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+      case _ => false
+    }
+    if (!deadLocal) return false
+    val claim = new org.apache.hadoop.fs.Path(
+      p.toString + s".__reclaim_${ProcessHandle.current().pid()}")
+    fs.delete(claim, false) // stale claim from a prior attempt of OURS
+    if (!(try fs.rename(p, claim) catch { case _: java.io.IOException => false }))
+      return false // someone else reclaimed, or the holder released
+    val claimed =
+      try {
+        val in = fs.open(claim)
+        val s = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        in.close(); s
+      } catch { case _: java.io.IOException => "<unreadable>" }
+    if (claimed == existing) { fs.delete(claim, false); true }
+    else {
+      // the rename grabbed a NEWER lease written between our read and
+      // the rename — put it back untouched
+      fs.rename(claim, p); false
     }
   }
 

@@ -99,6 +99,35 @@ class LeaseRaceSpec extends AnyFunSuite {
       Seq(1L).toDF("doc_id")) === 1L)
   }
 
+  test("orphaned lease from a DEAD same-host pid self-heals; a live pid still blocks") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lease_heal").toString
+    val idx = s"$base/index"
+    graft.ops.LlmOps.dedupIndexWrite(
+      Seq((1L, text("a"))).toDF("doc_id", "text"), idx)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val lease = java.nio.file.Paths.get(graft.ops.Sinks.leasePathOf(idx))
+    // a genuinely dead local pid: a short-lived child, waited out
+    val child = new ProcessBuilder("sh", "-c", "exit 0").start()
+    child.waitFor()
+    java.nio.file.Files.write(lease,
+      s"op=ingest-append pid=${child.pid()} host=$host since=crash".getBytes("UTF-8"))
+    // the restart scenario: the next mutation reclaims the dead
+    // holder's lease and proceeds — no manual breakWriterLease
+    assert(graft.ops.LlmOps.dedupIndexDelete(spark, idx,
+      Seq(1L).toDF("doc_id")) === 1L)
+    assert(!java.nio.file.Files.exists(lease)) // released normally after
+    assert(!new java.io.File(base).listFiles()
+      .exists(_.getName.contains("__reclaim_"))) // no claim debris
+    // a LIVE same-host pid (this JVM's own) still blocks loud
+    java.nio.file.Files.write(lease,
+      s"op=ingest-append pid=${ProcessHandle.current().pid()} host=$host".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      graft.ops.LlmOps.dedupIndexDelete(spark, idx, Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("writer lease"))
+    assert(graft.ops.Sinks.breakWriterLease(spark, idx))
+  }
+
   test("lease is reentrant per thread and contended across threads") {
     val base = java.nio.file.Files.createTempDirectory("graft_lease_thr").toString
     val root = s"$base/root"

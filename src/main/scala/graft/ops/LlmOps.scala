@@ -3035,13 +3035,8 @@ object LlmOps {
     Sinks.awaitAllOrThrow(subs.map { sub => Sinks.bFuture {
       val dir = s"$indexPath/$sub"
       if (fs.exists(p(dir))) {
-        val df =
-          try spark.read.parquet(dir)
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
-              null // file-less: nothing to rewrite
-          }
+        val df = Sinks.readParquetIfAny(spark, dir)
+          .orNull // file-less: nothing to rewrite
         if (df != null) {
           val kept = df.join(dels, Seq(keyCol), "left_anti").localCheckpoint()
           val expected = kept.count()

@@ -653,12 +653,7 @@ object Retrieval {
     */
   private def readPostings(spark: SparkSession,
       indexPath: String): Option[DataFrame] =
-    try Some(spark.read.parquet(s"$indexPath/postings"))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
-        None
-    }
+    Sinks.readParquetIfAny(spark, s"$indexPath/postings")
 
   /** Resolve NULL-dl tombstones against CURRENT postings. A NULL dl
     * means the doc was ABSENT from the index at delete time; if a

@@ -453,13 +453,41 @@ object Sinks {
     * (reference: metaflow_intent/snowflake_client.py:22-30); an index
     * that must survive reboots and be shared across drivers cannot
     * live under a JVM's tmpdir.
+    *
+    * Scope note: the DECLARED demo queries also build app-scoped
+    * throwaway indexes (`graft_*_index_<dir>_<appId>`) under this
+    * root; they delete themselves per run, but a killed JVM orphans
+    * its tree (and, rarely, a `__lease`/`__reclaim` file) with no GC
+    * beyond tmpdir's OS cleanup — a deployment pointing this at
+    * durable storage runs its REAL indexes at caller-chosen paths
+    * through the library APIs and should sweep `*_<appId>` debris of
+    * dead applications on its own retention schedule (app-scoped
+    * paths are never revisited, so sweeping them is always safe).
     */
   private[graft] def indexRoot: String =
-    sys.props.get("graft.index.root")
-      .orElse(sys.env.get("SPARK_GRAFT_INDEX_ROOT"))
-      .filter(_.nonEmpty)
+    // each source filtered for emptiness BEFORE orElse — an empty
+    // -Dgraft.index.root= (a wrapper interpolating an unset shell
+    // var) must not shadow a valid env var into the tmpdir fallback
+    sys.props.get("graft.index.root").filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_ROOT").filter(_.nonEmpty))
       .getOrElse(System.getProperty("java.io.tmpdir"))
       .stripSuffix("/")
+
+  /** Read a parquet relation that may not exist yet (or may be a
+    * file-less crash-orphaned directory) — None in both cases, the
+    * one tolerated read failure of every merge-on-read/validation
+    * path. ONE definition so the tolerated error classes cannot
+    * drift between call sites.
+    */
+  private[graft] def readParquetIfAny(spark: SparkSession,
+      path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") ||
+            String.valueOf(e.getMessage).contains("PATH_NOT_FOUND") =>
+        None
+    }
 
   /** Thread-local set of lease paths held by the CURRENT thread —
     * reentrancy support for [[withWriterLease]]: a seal's internal
@@ -548,7 +576,14 @@ object Sinks {
           val s = new String(
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
           in.close(); s
-        } catch { case _: java.io.IOException => "<unreadable>" }
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            // the holder RELEASED between our failed create-exclusive
+            // and this read — the lease is free now; retry instead of
+            // throwing "held" about a lease that no longer exists
+            return withWriterLease(fs, root, op)(body)
+          case _: java.io.IOException => "<unreadable>"
+        }
       // SAME-HOST dead-holder auto-reclaim: a JVM killed mid-mutation
       // orphans its lease, and without this a plain stream RESTART on
       // the same machine would fail loud until a manual
@@ -573,7 +608,19 @@ object Sinks {
     try body
     finally {
       heldLeases.set(heldLeases.get - lp)
-      fs.delete(p, false)
+      // release ONLY our own acquisition (the holder string carries a
+      // per-acquisition timestamp, so content equality identifies it):
+      // if a misdiagnosing reclaimer snatched our lease and a third
+      // writer acquired meanwhile, a blind delete here would free THAT
+      // holder's lease and cascade the race — verify-then-delete
+      // confines the damage to the reclaim window itself.
+      try {
+        val in = fs.open(p)
+        val cur = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        in.close()
+        if (cur == holder) fs.delete(p, false)
+      } catch { case _: java.io.IOException => () } // already gone
     }
   }
 
@@ -594,9 +641,26 @@ object Sinks {
       case _ => false
     }
     if (!deadLocal) return false
+    // re-read immediately before the rename: a concurrent reclaimer
+    // may have already reclaimed AND a new holder acquired since our
+    // caller's read — never rename a lease that no longer matches the
+    // diagnosed orphan (shrinks the live-snatch window to the
+    // read→rename instruction gap; the release-side verify-then-
+    // delete confines whatever remains)
+    val recheck =
+      try {
+        val in = fs.open(p)
+        val s = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        in.close(); s
+      } catch { case _: java.io.IOException => return false }
+    if (recheck != existing) return false
+    // claim name unique PER ATTEMPT (pid + thread + nanos): two
+    // threads of one JVM reclaiming concurrently must not share a
+    // claim file, or one's delete destroys the other's mid-verify
     val claim = new org.apache.hadoop.fs.Path(
-      p.toString + s".__reclaim_${ProcessHandle.current().pid()}")
-    fs.delete(claim, false) // stale claim from a prior attempt of OURS
+      p.toString + s".__reclaim_${ProcessHandle.current().pid()}_" +
+        s"${Thread.currentThread().getId}_${System.nanoTime()}")
     if (!(try fs.rename(p, claim) catch { case _: java.io.IOException => false }))
       return false // someone else reclaimed, or the holder released
     val claimed =

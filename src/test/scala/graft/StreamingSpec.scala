@@ -406,7 +406,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(ghosts === 0L)
   }
 
-  test("takedownTick ANN id-space guard: defaulted vecIds missing the whole index abort loud; explicit vecIds trusted") {
+  test("takedownTick ANN id-space guard: defaulted vecIds missing the whole index warn loud; replay stays idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft_vec_guard").toString
     val idx = s"$base/ann"
     val out = s"$base/clean"
@@ -414,24 +414,37 @@ class StreamingSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
       .withColumn("vec_id", col("vec_id") + 1000)
     graft.ops.LlmOps.annIndexWrite(spark, emb, idx)
-    val e = intercept[IllegalArgumentException] {
-      graft.ops.Streaming.takedownTick(spark, out,
-        Seq(1L, 2L).toDF("doc_id"), annIndexPath = Some(idx))
+    def tick(ids: Seq[Long], vec: Option[Seq[Long]] = None): (Long, String) = {
+      val buf = new java.io.ByteArrayOutputStream
+      val n = Console.withErr(buf) {
+        graft.ops.Streaming.takedownTick(spark, out, ids.toDF("doc_id"),
+          annIndexPath = Some(idx),
+          vecIds = vec.map(v => v.toDF("vec_id")))
+      }
+      (n, buf.toString("UTF-8"))
     }
-    assert(e.getMessage.contains("vecIds"))
-    // aborted BEFORE recording anything: no ANN tombstones, no sink
-    // tombstones
-    assert(!new java.io.File(s"$idx/deletes").exists())
-    assert(!new java.io.File(s"${out}__tomb").exists())
-    // an explicit vecIds set is trusted (delete-before-ingest stays
-    // expressible) and the tick completes, recording the sink tomb
-    assert(graft.ops.Streaming.takedownTick(spark, out,
-      Seq(1L).toDF("doc_id"), annIndexPath = Some(idx),
-      vecIds = Some(Seq(1001L).toDF("vec_id"))) === 1L)
-    assert(new java.io.File(s"$idx/deletes").exists())
-    // a defaulted set that DOES intersect the index passes the guard
-    assert(graft.ops.Streaming.takedownTick(spark, out,
-      Seq(1002L).toDF("doc_id"), annIndexPath = Some(idx)) === 1L)
+    // defaulted vecIds that miss the WHOLE index: loud warning naming
+    // the remedy, but the tick COMPLETES and records tombstones —
+    // throwing here would break takedown replay (see next block)
+    val (n1, w1) = tick(Seq(1L, 2L))
+    assert(n1 === 2L)
+    assert(w1.contains("vecIds"), w1)
+    assert(new java.io.File(s"$idx/deletes").exists()) // recorded anyway
+    // an explicit vecIds set is trusted SILENTLY
+    val (n2, w2) = tick(Seq(3L), vec = Some(Seq(1001L)))
+    assert(n2 === 1L && w2.isEmpty, w2)
+    // a defaulted set that DOES intersect the index passes silently
+    val (n3, w3) = tick(Seq(1002L))
+    assert(n3 === 1L && w3.isEmpty, w3)
+    // REPLAY idempotence — the reason the guard cannot throw: apply
+    // the deletes physically (1002's vector drops out), then replay
+    // the same takedown; its ids now intersect NOTHING, the warning
+    // fires again, and the tick still succeeds (re-recording is the
+    // replay-safety contract)
+    assert(graft.ops.LlmOps.annIndexApplyDeletes(spark, idx))
+    val (n4, w4) = tick(Seq(1002L))
+    assert(n4 === 0L) // sink tombstone already present: idempotent
+    assert(w4.contains("vecIds"), w4)
   }
 
   test("streaming paragraph takedown: deleted doc's paragraphs re-admit under a new id") {

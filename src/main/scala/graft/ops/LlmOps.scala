@@ -1805,11 +1805,25 @@ object LlmOps {
     * and deletes tolerate concurrent sweeps: a marker that vanishes
     * between the listing and its read is re-dropped, not crashed on.
     */
+  /** [[gcStaleMemos]]'s per-JVM sweep memo (family stem + live
+    * signature → already swept this session).
+    */
+  private val gcSweptFamilies =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def gcStaleMemos(spark: SparkSession, familyPrefix: String,
       dir: String, table: String): Unit = {
     val stem = s"$familyPrefix${memoDirKey(dir)}_s"
     val liveSig = tableSignature(spark, dir, table)
     val live = stem + liveSig
+    // ONE sweep per (family, dir, live signature) per JVM: the sweep
+    // lists the WHOLE memo root, and Hadoop LocalFileSystem stats
+    // every entry (~ms each) — on a root that has accumulated
+    // hundreds of scratch dirs across runs, re-sweeping on every
+    // ensure call was measured to add tens of seconds to a full
+    // bench. Within one JVM the table signature is stable, so a
+    // repeat sweep can never find new garbage for this family.
+    if (!gcSweptFamilies.add(s"$stem|$liveSig")) return
     val tmp = Sinks.indexRoot
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)

@@ -780,6 +780,7 @@ class LlmOpsSpec extends AnyFunSuite {
   test("invalidateMemosFor retires a corpus dir's persisted memos by name") {
     val t = 0.52 // this test's own memo key
     val memo = graft.ops.LlmOps.clusterMemoPathOf(spark, sf, t, 5000)
+    LlmOps.gcSweepReset() // each trigger below must sweep NOW, not throttle
     LlmOps.q61DedupClustersCached(spark, sf, t).collect()
     assert(new java.io.File(memo).isDirectory)
     // the cross-session form: retire by corpus dir, not by JVM-local
@@ -1545,6 +1546,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val stale = mkdir(staleName)
     val keepOther = mkdir(otherParams)
     val staleStaging = mkdir(staleName + "__tmp_app_123")
+    LlmOps.gcSweepReset() // each trigger below must sweep NOW, not throttle
     LlmOps.q61DedupClustersCached(spark, sf, t).collect()
     assert(new java.io.File(live).isDirectory)
     // TWO-PHASE sweep: the first GC pass only drops a tombstone
@@ -1562,6 +1564,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val aged = System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L
     markerOf(stale).setLastModified(aged)
     markerOf(staleStaging).setLastModified(aged)
+    LlmOps.gcSweepReset()
     LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
     assert(!stale.exists, "stale-signature sibling survived aged GC")
     assert(!staleStaging.exists, "stale staging dir survived aged GC")
@@ -1577,6 +1580,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val leftover = markerOf(keepOther)
     leftover.createNewFile()
     leftover.setLastModified(aged)
+    LlmOps.gcSweepReset()
     LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
     assert(keepOther.isDirectory, "live memo deleted via leftover marker")
     assert(!leftover.exists, "live memo kept its stale tombstone")
@@ -1589,6 +1593,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val m2 = markerOf(stale2)
     java.nio.file.Files.writeString(m2.toPath, "not_the_live_signature")
     m2.setLastModified(aged)
+    LlmOps.gcSweepReset()
     LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
     assert(stale2.isDirectory,
       "stale memo deleted on a wrong-context (flip-flop) marker")
@@ -1604,6 +1609,7 @@ class LlmOpsSpec extends AnyFunSuite {
     scrub(annName.stripSuffix(graft.ops.LlmOps.IndexMemoFormat) + "f0")
     val oldFormat = mkdir(annName.stripSuffix(
       graft.ops.LlmOps.IndexMemoFormat) + "f0")
+    LlmOps.gcSweepReset()
     graft.ops.LlmOps.gcStaleMemos(spark, "graft_ann_index_memo_", sf,
       "embeddings") // pass 1: tombstone only
     assert(oldFormat.isDirectory, "format sibling swept before grace")
@@ -1612,6 +1618,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fmtMarker.exists, "no tombstone for stale-format sibling")
     fmtMarker.setLastModified(
       System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L)
+    LlmOps.gcSweepReset()
     graft.ops.LlmOps.gcStaleMemos(spark, "graft_ann_index_memo_", sf,
       "embeddings")
     assert(!oldFormat.exists, "stale-format sibling survived aged GC")

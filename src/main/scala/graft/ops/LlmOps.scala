@@ -1823,6 +1823,13 @@ object LlmOps {
     */
   private[graft] def gcSweepReset(): Unit = gcSweepLast.clear()
 
+  /** Test hook: age every recorded sweep window by `ns`, so a spec
+    * can simulate a steady ensure cadence crossing [[GcResweepNs]]
+    * without sleeping through it.
+    */
+  private[graft] def gcSweepBackdate(ns: Long): Unit =
+    gcSweepLast.replaceAll((_, v) => java.lang.Long.valueOf(v.longValue() - ns))
+
   private[graft] def gcStaleMemos(spark: SparkSession, familyPrefix: String,
       dir: String, table: String): Unit = {
     val stem = s"$familyPrefix${memoDirKey(dir)}_s"
@@ -1838,8 +1845,20 @@ object LlmOps {
     // once-a-minute cadence still delivers well inside the grace.
     val sweepKey = s"$stem|$liveSig"
     val now = System.nanoTime()
-    val last = gcSweepLast.put(sweepKey, java.lang.Long.valueOf(now))
-    if (last != null && now - last.longValue() < GcResweepNs) return
+    // The window timestamp is recorded ONLY when a sweep actually
+    // proceeds: an unconditional put would slide the window forward
+    // on every throttled call, so a steady ensure cadence below
+    // GcResweepNs would sweep once and then never again — phase-2
+    // tombstone deletion would never complete in a long-lived driver
+    // (round-15 advice, medium). putIfAbsent/replace keep the claim
+    // race-safe: exactly one concurrent caller wins the window.
+    val prev = gcSweepLast.get(sweepKey)
+    if (prev != null && now - prev.longValue() < GcResweepNs) return
+    val claimed =
+      if (prev == null)
+        gcSweepLast.putIfAbsent(sweepKey, java.lang.Long.valueOf(now)) == null
+      else gcSweepLast.replace(sweepKey, prev, java.lang.Long.valueOf(now))
+    if (!claimed) return
     val tmp = Sinks.indexRoot
     val fs = Sinks.fsFor(spark, tmp)
     val root = new org.apache.hadoop.fs.Path(tmp)
@@ -1873,7 +1892,18 @@ object LlmOps {
       "[0-9a-f]{8}_s.*").r.pattern
     val entries = fs.listStatus(root).filter { st =>
       val n = st.getPath.getName
-      n.startsWith(stem) || legacyRe.matcher(n).matches
+      // `__lease`/`__reclaim_*` files ([[Sinks.withWriterLease]])
+      // share the family stem prefix when the lease guards a memo
+      // staging build, but they are lifecycle state, not memos: a
+      // HELD lease on a stale-signature build would otherwise be
+      // tombstoned and — once the build outlives the grace — deleted,
+      // silently breaking the single-writer guarantee (round-15
+      // advice). Excluded entirely: orphans are reclaimed at the next
+      // acquisition's dead-pid check, and indexRoot's contract
+      // already leaves rare lease debris to the deployment's own
+      // retention sweep.
+      !n.endsWith("__lease") && !n.contains("__reclaim_") &&
+        (n.startsWith(stem) || legacyRe.matcher(n).matches)
     }
     val names = entries.map(_.getPath.getName).toSet
     def dropMarker(marker: org.apache.hadoop.fs.Path): Unit = {
@@ -2532,6 +2562,16 @@ object LlmOps {
       kmeansIters: Int = 3, m: Int = 8, kCodes: Int = 16,
       pqIters: Int = 2): Unit =
     Sinks.withWriterLease(spark, indexPath, "ann-index-append") {
+      // named method: its early `return`s stay method-local instead of
+      // NonLocalReturnControl through the lease closure (r15 advice)
+      annIndexAppendBatchHeld(spark, embeddings, indexPath, batchId,
+        nCells, kmeansIters, m, kCodes, pqIters)
+    }
+
+  private def annIndexAppendBatchHeld(spark: SparkSession,
+      embeddings: DataFrame, indexPath: String, batchId: Long,
+      nCells: Int, kmeansIters: Int, m: Int, kCodes: Int,
+      pqIters: Int): Unit = {
     val emb = embeddings
       .withColumn("nsq", dotProduct(col("embedding"), col("embedding")))
       .localCheckpoint()
@@ -2888,6 +2928,15 @@ object LlmOps {
       nCells: Int = 16, kmeansIters: Int = 3, m: Int = 8,
       kCodes: Int = 16, pqIters: Int = 2): Unit =
     Sinks.withWriterLease(spark, indexPath, "ann-index-retrain") {
+      // named method: its early `return`s stay method-local instead of
+      // NonLocalReturnControl through the lease closure (r15 advice)
+      annIndexRetrainHeld(spark, indexPath, nCells, kmeansIters, m,
+        kCodes, pqIters)
+    }
+
+  private def annIndexRetrainHeld(spark: SparkSession, indexPath: String,
+      nCells: Int, kmeansIters: Int, m: Int, kCodes: Int,
+      pqIters: Int): Unit = {
     val fs = Sinks.fsFor(spark, indexPath)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val root = p(indexPath)

@@ -649,11 +649,26 @@ object Retrieval {
 
   /** Explicit-None read of the postings dir — None when the index has
     * no postings files yet (an empty partitioned write emits none, so
-    * schema inference fails rather than yielding an empty frame).
+    * schema inference fails rather than yielding an empty frame) or
+    * when an apply-deletes emptied the index (postings-less root).
+    * A missing index ROOT stays FATAL: every caller probes or mutates
+    * an index that must already exist, so tolerating it would turn a
+    * mistyped/unmounted indexPath into silently empty results
+    * (round-15 advice) — the missing-path tolerance of
+    * [[Sinks.readParquetIfAny]] is reserved for merge-on-read sinks
+    * that genuinely start absent.
     */
   private def readPostings(spark: SparkSession,
-      indexPath: String): Option[DataFrame] =
-    Sinks.readParquetIfAny(spark, s"$indexPath/postings")
+      indexPath: String): Option[DataFrame] = {
+    val out = Sinks.readParquetIfAny(spark, s"$indexPath/postings")
+    if (out.isEmpty && !Sinks.fsFor(spark, indexPath)
+        .exists(new org.apache.hadoop.fs.Path(indexPath)))
+      throw new IllegalArgumentException(
+        s"BM25 index root not found: $indexPath — build it first " +
+          "(invIndexWrite / invIndexAppend); probe-side reads fail " +
+          "loud on a missing index rather than returning empty results")
+    out
+  }
 
   /** Resolve NULL-dl tombstones against CURRENT postings. A NULL dl
     * means the doc was ABSENT from the index at delete time; if a
@@ -738,6 +753,13 @@ object Retrieval {
     */
   def invIndexApplyDeletes(spark: SparkSession, indexPath: String): Boolean =
     Sinks.withWriterLease(spark, indexPath, "inv-index-apply") {
+      // named method so its early `return`s stay method-local instead
+      // of NonLocalReturnControl through the lease closure (r15 advice)
+      invIndexApplyDeletesHeld(spark, indexPath)
+    }
+
+  private def invIndexApplyDeletesHeld(spark: SparkSession,
+      indexPath: String): Boolean = {
     import spark.implicits._
     val fs = Sinks.fsFor(spark, indexPath)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)

@@ -505,6 +505,65 @@ object Sinks {
   private[graft] def leasePathOf(root: String): String =
     root.stripSuffix("/") + "__lease"
 
+  /** Opt-in TTL (ms) for CROSS-HOST dead-holder lease recovery —
+    * unset (the default) keeps the fail-loud contract: a foreign
+    * host's lease always blocks until [[breakWriterLease]]. When set
+    * (sysprop `graft.lease.ttl.ms` / env `SPARK_GRAFT_LEASE_TTL_MS`),
+    * a waiter may reclaim a lease whose file has not been
+    * heartbeat-refreshed for this long — the session-expiry semantics
+    * the reference gets from its warehouse for free (reference:
+    * metaflow_intent/snowflake_client.py:32-46). Must be set WELL
+    * above [[leaseHeartbeatMs]] (minutes vs seconds): a live holder
+    * whose heartbeat is merely delayed past the TTL loses its lease —
+    * the inherent TTL-lease hazard, which is why this is opt-in.
+    */
+  private[graft] def leaseTtlMs: Option[Long] =
+    sys.props.get("graft.lease.ttl.ms").filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_LEASE_TTL_MS").filter(_.nonEmpty))
+      .map(_.toLong).filter(_ > 0)
+
+  /** How often a holder refreshes its held lease files' mtimes (the
+    * liveness signal TTL reclaim reads). Overridable for specs via
+    * sysprop `graft.lease.heartbeat.ms`; read once at executor
+    * lazy-init.
+    */
+  private def leaseHeartbeatMs: Long =
+    sys.props.get("graft.lease.heartbeat.ms").filter(_.nonEmpty)
+      .map(_.toLong).getOrElse(15000L)
+
+  /** Test/ops hook: the host name written into holder strings —
+    * sysprop `graft.lease.host.override` lets a spec simulate a
+    * foreign-host holder without a second machine.
+    */
+  private def leaseHostName: String =
+    sys.props.getOrElse("graft.lease.host.override",
+      java.net.InetAddress.getLocalHost.getHostName)
+
+  /** Leases currently held by THIS JVM (outer acquisitions only),
+    * refreshed by the heartbeat daemon so TTL-configured waiters on
+    * other hosts can tell dead from alive.
+    */
+  private val heartbeatLeases = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.fs.FileSystem]()
+
+  private lazy val leaseHeartbeatExec = {
+    val period = leaseHeartbeatMs
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true); t
+      })
+    ex.scheduleWithFixedDelay(() => heartbeatLeases.forEach { (lp, fs) =>
+      // mtime-only refresh: no content rewrite, so a concurrent
+      // reclaim's content verification is never perturbed; a lease
+      // already released/reclaimed just misses (self-heals next tick)
+      try fs.setTimes(new org.apache.hadoop.fs.Path(lp),
+        System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
   /** Fail-loud single-writer lease over an index/sink root — the
     * stand-in for the transactional layer the reference delegates to
     * its warehouse (reference: metaflow_intent/snowflake_client.py:32-46,
@@ -539,13 +598,22 @@ object Sinks {
     */
   private[graft] def withWriterLease[T](
       fs: org.apache.hadoop.fs.FileSystem, root: String, op: String)(
-      body: => T): T = {
+      body: => T): T =
+    withWriterLease(fs, root, op, takeoverOf = None)(body)
+
+  private def withWriterLease[T](
+      fs: org.apache.hadoop.fs.FileSystem, root: String, op: String,
+      takeoverOf: Option[String])(body: => T): T = {
     val lp = leasePathOf(root)
     if (heldLeases.get.contains(lp)) return body // reentrant
     val p = new org.apache.hadoop.fs.Path(lp)
     val holder = s"op=$op pid=${ProcessHandle.current().pid()} " +
-      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-      s"since=${java.time.Instant.now()}"
+      s"host=$leaseHostName " +
+      s"since=${java.time.Instant.now()}" +
+      // TTL takeovers are recorded in the lease file itself (audit
+      // trail for the expired holder that was displaced); appended
+      // LAST so the pid=/host= parses still read THIS holder
+      takeoverOf.fold("")(old => s" ttl-takeover-of=[$old]")
     val acquired =
       if (fs.getScheme == "file") {
         try {
@@ -598,16 +666,32 @@ object Sinks {
       // then dropped; acquisition retries once either way.
       if (reclaimIfDead(fs, p, existing))
         return withWriterLease(fs, root, op)(body)
+      // CROSS-HOST dead holder: pid liveness is unknowable from here,
+      // so recovery is TTL-based and OPT-IN ([[leaseTtlMs]]) — a
+      // lease not heartbeat-refreshed for a full TTL is reclaimed
+      // through the same atomic rename-verify protocol, with the
+      // takeover recorded in the new holder's lease file.
+      if (reclaimIfExpired(fs, p, existing)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"TTL-reclaimed expired writer lease on $root " +
+            s"(displaced holder: $existing; new op: $op)")
+        return withWriterLease(fs, root, op,
+          takeoverOf = Some(existing))(body)
+      }
       throw new IllegalStateException(
         s"writer lease on $root is held [$existing] while '$op' wants " +
           "it — lifecycle mutations are single-writer; wait for the " +
           "holder to finish, or break a lease orphaned by a DEAD JVM " +
-          "with Sinks.breakWriterLease")
+          "with Sinks.breakWriterLease (for unattended multi-host " +
+          "recovery, opt into TTL reclaim via SPARK_GRAFT_LEASE_TTL_MS)")
     }
     heldLeases.set(heldLeases.get + lp)
+    heartbeatLeases.put(lp, fs)
+    leaseHeartbeatExec // first hold starts the daemon
     try body
     finally {
       heldLeases.set(heldLeases.get - lp)
+      heartbeatLeases.remove(lp)
       // release ONLY our own acquisition (the holder string carries a
       // per-acquisition timestamp, so content equality identifies it):
       // if a misdiagnosing reclaimer snatched our lease and a third
@@ -677,6 +761,85 @@ object Sinks {
       fs.rename(claim, p); false
     }
   }
+
+  /** [[withWriterLease]]'s TTL-expiry check: true iff TTL reclaim is
+    * opted in ([[leaseTtlMs]]), the lease file's mtime (refreshed by
+    * the holder's heartbeat) is at least one TTL old by the
+    * FILESYSTEM's clock, and this process won the atomic
+    * rename-reclaim of exactly the diagnosed lease. The filesystem
+    * clock comes from a probe file's mtime (the memo-GC convention) —
+    * on a remote store the server stamps both the heartbeat and the
+    * probe, so cross-host client clock skew cancels out. The claim is
+    * verified by CONTENT (same holder) and MTIME (no heartbeat landed
+    * between the stat and the rename — rename preserves mtime, so a
+    * refresh in that gap makes the claim look younger and the lease
+    * is put back untouched).
+    */
+  private def reclaimIfExpired(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, existing: String): Boolean =
+    leaseTtlMs.exists { ttl =>
+      // a holder whose pid is PROVABLY alive on this host is never
+      // TTL-displaced, however stale its heartbeat — liveness beats
+      // expiry when it is actually checkable
+      val provablyAlive = (for {
+        pid <- "pid=([0-9]+)".r.findFirstMatchIn(existing).map(_.group(1))
+        h <- "host=([^ ]+)".r.findFirstMatchIn(existing).map(_.group(1))
+      } yield h == java.net.InetAddress.getLocalHost.getHostName &&
+        ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+      ).getOrElse(false)
+      if (provablyAlive) false
+      else reclaimIfExpiredAt(fs, p, existing, ttl)
+    }
+
+  private def reclaimIfExpiredAt(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, existing: String, ttl: Long): Boolean = {
+      val m1 =
+        try fs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.IOException => -1L }
+      if (m1 < 0) false // vanished: the caller's retry will re-acquire
+      else {
+        val probe = new org.apache.hadoop.fs.Path(
+          Option(p.getParent).getOrElse(p),
+          ".graft_lease_clock_probe_" + java.util.UUID.randomUUID().toString)
+        val fsNow =
+          try {
+            fs.create(probe, true).close()
+            fs.getFileStatus(probe).getModificationTime
+          } catch { case _: java.io.IOException => System.currentTimeMillis() }
+          finally {
+            try fs.delete(probe, false)
+            catch { case _: java.io.IOException => () }
+          }
+        if (fsNow - m1 < ttl) false
+        else {
+          val claim = new org.apache.hadoop.fs.Path(
+            p.toString + s".__reclaim_${ProcessHandle.current().pid()}_" +
+              s"${Thread.currentThread().getId}_${System.nanoTime()}")
+          if (!(try fs.rename(p, claim)
+                catch { case _: java.io.IOException => false })) false
+          else {
+            val (content, m2) =
+              try {
+                val st = fs.getFileStatus(claim)
+                val in = fs.open(claim)
+                val s = new String(
+                  org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                  "UTF-8")
+                in.close(); (s, st.getModificationTime)
+              } catch {
+                case _: java.io.IOException => ("<unreadable>", Long.MaxValue)
+              }
+            if (content == existing && m2 == m1) {
+              fs.delete(claim, false); true
+            } else {
+              // a newer holder's lease, or a heartbeat landed in the
+              // stat→rename gap (the holder is ALIVE): put it back
+              fs.rename(claim, p); false
+            }
+          }
+        }
+      }
+    }
 
   /** Manual recovery for a lease orphaned by a crashed holder (see
     * [[withWriterLease]]). Returns whether a lease file was removed.
@@ -936,11 +1099,17 @@ object Sinks {
     */
   def pruneVersions(spark: SparkSession, root: String): Unit =
     withWriterLease(spark, root, "prune-versions") {
-      val live = liveVersion(spark, root).getOrElse(return)
-      val fs = fsFor(spark, root)
-      fs.listStatus(new org.apache.hadoop.fs.Path(root))
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("v=") && p.getName != s"v=$live")
-        .foreach(fs.delete(_, true))
+      // expression form, no early return: a `return` inside this
+      // by-name lease body compiles to NonLocalReturnControl —
+      // deprecated, and it silently breaks (escaping control
+      // throwable) if the body ever moves onto a pool thread
+      // (round-15 advice; same rule at every lease call site)
+      liveVersion(spark, root).foreach { live =>
+        val fs = fsFor(spark, root)
+        fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("v=") && p.getName != s"v=$live")
+          .foreach(fs.delete(_, true))
+      }
     }
 }

@@ -412,18 +412,20 @@ object Streaming {
     */
   def releaseTick(spark: SparkSession, survivorsPath: String,
       releaseRoot: String, nShards: Int = 8): Option[Long] = {
-    val surv0 = Sinks.readParquetIfAny(spark, survivorsPath)
-      .getOrElse(return None)
-    // takedown tombstones ([[takedownTick]]) mask merge-on-read: the
-    // very next release excludes taken-down docs even before
-    // [[applySinkDeletes]] compacts them out of the sink files
-    val surv = LlmOps.minusDocDeletes(spark, sinkTombPathOf(survivorsPath),
-      surv0)
-    val (docRows, _) = graft.Pipeline.releaseTail(
-      surv.select("doc_id", "lang", "text"), nShards)
-    if (docRows.isEmpty) return None // all-gated corpus: nothing to ship
-    Some(Sinks.commitVersion(spark, releaseRoot, docRows,
-      partCol = Some("shard")))
+    // flatMap form, no `return None` inside the by-name getOrElse: a
+    // return there is a NonLocalReturnControl throw (round-15 advice)
+    Sinks.readParquetIfAny(spark, survivorsPath).flatMap { surv0 =>
+      // takedown tombstones ([[takedownTick]]) mask merge-on-read: the
+      // very next release excludes taken-down docs even before
+      // [[applySinkDeletes]] compacts them out of the sink files
+      val surv = LlmOps.minusDocDeletes(spark, sinkTombPathOf(survivorsPath),
+        surv0)
+      val (docRows, _) = graft.Pipeline.releaseTail(
+        surv.select("doc_id", "lang", "text"), nShards)
+      if (docRows.isEmpty) None // all-gated corpus: nothing to ship
+      else Some(Sinks.commitVersion(spark, releaseRoot, docRows,
+        partCol = Some("shard")))
+    }
   }
 
   /** Where a survivors sink's takedown tombstones live — OUTSIDE the
@@ -523,6 +525,14 @@ object Streaming {
     */
   def applySinkDeletes(spark: SparkSession, outPath: String): Boolean =
     Sinks.withWriterLease(spark, outPath, "sink-apply-deletes") {
+      // body in a named method: its `return`s are plain method-local
+      // returns, not NonLocalReturnControl through the by-name lease
+      // closure (round-15 advice)
+      applySinkDeletesHeld(spark, outPath)
+    }
+
+  private def applySinkDeletesHeld(spark: SparkSession,
+      outPath: String): Boolean = {
     val tombPath = sinkTombPathOf(outPath)
     val delsOpt = LlmOps.readDocDeletes(spark, tombPath)
     if (delsOpt.isEmpty) return false

@@ -1625,6 +1625,91 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!fmtMarker.exists, "format tombstone not cleaned")
   }
 
+  test("GC throttle window is anchored, not sliding: a steady sub-window cadence still sweeps once per window") {
+    // round-15 advice (medium): an unconditional put before the
+    // interval check slid the window forward on every throttled call,
+    // so a steady cadence below GcResweepNs swept once and never
+    // again — phase-2 tombstone deletion never completed. Simulated
+    // here by backdating the recorded window by HALF a window between
+    // calls (= calls every GcResweepNs/2): the second call must find
+    // the anchor a FULL window old and sweep.
+    val tmp = System.getProperty("java.io.tmpdir")
+    val t = 0.59 // this test's own memo key
+    val live = graft.ops.LlmOps.clusterMemoPathOf(spark, sf, t, 5100)
+    val liveName = new java.io.File(live).getName
+    val sigStart = liveName.lastIndexOf("_s") + 2
+    val sigEnd = liveName.indexOf('_', sigStart)
+    val staleName = liveName.substring(0, sigStart) + "feedc0defeedc0de" +
+      liveName.substring(sigEnd)
+    def scrub(name: String): Unit = Seq(
+      name, name + LlmOps.StaleMarkerSuffix,
+      "." + name + LlmOps.StaleMarkerSuffix + ".crc").foreach { n =>
+      val f = new java.io.File(tmp, n)
+      if (f.isDirectory) f.listFiles().foreach(_.delete())
+      f.delete()
+    }
+    scrub(staleName)
+    val stale = new java.io.File(tmp, staleName)
+    stale.mkdirs()
+    val marker = new java.io.File(tmp, staleName + LlmOps.StaleMarkerSuffix)
+    LlmOps.gcSweepReset()
+    LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
+    assert(marker.exists, "pass 1 dropped no tombstone")
+    // age the tombstone past grace; from here only the THROTTLE
+    // stands between the memo and deletion
+    marker.setLastModified(
+      System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L)
+    // steady cadence at half the window: two throttled-call rounds
+    // span one full window, so the SECOND call must sweep (under the
+    // sliding-window bug it never would, at ANY number of rounds)
+    LlmOps.gcSweepBackdate(LlmOps.GcResweepNs / 2)
+    LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
+    assert(stale.exists, "mid-window call swept (throttle broken)")
+    LlmOps.gcSweepBackdate(LlmOps.GcResweepNs / 2)
+    LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
+    assert(!stale.exists,
+      "steady sub-window cadence starved the sweep: the throttle " +
+        "window slid instead of staying anchored")
+    assert(!marker.exists, "tombstone not cleaned with its memo")
+  }
+
+  test("GC sweep never touches __lease/__reclaim files sharing the family stem") {
+    // round-15 advice: a HELD lease beside a stale-signature staging
+    // build shares the stem prefix — tombstoning it and deleting it
+    // after grace silently breaks the single-writer guarantee
+    val tmp = System.getProperty("java.io.tmpdir")
+    val t = 0.61
+    val live = graft.ops.LlmOps.clusterMemoPathOf(spark, sf, t, 5200)
+    val liveName = new java.io.File(live).getName
+    val sigStart = liveName.lastIndexOf("_s") + 2
+    val sigEnd = liveName.indexOf('_', sigStart)
+    val staleStem = liveName.substring(0, sigStart) + "ba5eba11ba5eba11" +
+      liveName.substring(sigEnd)
+    val lease = new java.io.File(tmp, staleStem + "__tmp_app_9__lease")
+    val reclaim = new java.io.File(tmp,
+      staleStem + "__lease.__reclaim_1_2_3")
+    Seq(lease, reclaim).foreach { f =>
+      new java.io.File(tmp, f.getName + LlmOps.StaleMarkerSuffix).delete()
+      f.delete()
+    }
+    java.nio.file.Files.writeString(lease.toPath, "op=test pid=1 host=x")
+    java.nio.file.Files.writeString(reclaim.toPath, "op=test pid=1 host=x")
+    val aged = System.currentTimeMillis() - LlmOps.MemoGcGraceMs - 60000L
+    lease.setLastModified(aged); reclaim.setLastModified(aged)
+    // two aged passes: enough to tombstone AND delete any entry the
+    // sweep classifies as stale
+    (1 to 2).foreach { _ =>
+      LlmOps.gcSweepReset()
+      LlmOps.gcStaleMemos(spark, "graft_cluster_memo_", sf, "documents")
+    }
+    assert(lease.exists, "sweep deleted a held writer lease")
+    assert(reclaim.exists, "sweep deleted a reclaim claim file")
+    assert(!new java.io.File(tmp,
+      lease.getName + LlmOps.StaleMarkerSuffix).exists,
+      "sweep tombstoned a writer lease")
+    lease.delete(); reclaim.delete()
+  }
+
   test("dataMixtureOf == the plain per-lang budget window; invariant under input partitioning") {
     import org.apache.spark.sql.functions._
     val d = Tables.documents(spark, sf)

@@ -228,6 +228,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(sealedRows === rebuilt)
   }
 
+  test("a missing index ROOT fails loud on the postings-reading paths, not silently empty") {
+    // round-15 advice: tolerating PATH_NOT_FOUND on probe-side reads
+    // turns a mistyped/unmounted indexPath into empty results; the
+    // missing-path tolerance belongs to merge-on-read sinks only.
+    // (A postings-less EXISTING root — emptied index — stays None.)
+    val ids = spark.range(3).select(col("id").as("doc_id"))
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.invIndexDelete(spark,
+        s"${System.getProperty("java.io.tmpdir")}/graft_no_such_index_xyz",
+        ids)
+    }
+    assert(ex.getMessage.contains("index root not found"))
+    // the lease taken for the failed delete is released, not orphaned
+    assert(!new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_no_such_index_xyz__lease")
+      .exists)
+  }
+
   test("delete-BEFORE-ingest: a NULL-dl tombstone still corrects N/avgdl once the doc lands") {
     // the round-13 medium finding: a doc tombstoned while ABSENT from
     // the index carries dl=NULL; when a late/replayed batch appends it

@@ -42,6 +42,17 @@ import org.apache.spark.sql.SparkSession
   * each round and emitted as "canary":[...] — a reader can discount a
   * round whose canary is inflated (multi-minute episodic host stalls
   * are a measured phenomenon on this VM, see BASELINE.md).
+  *
+  * Round-16 noise armor, driven by `bench_ref.json` (per-query
+  * seconds from the last quiet-window full record, committed at the
+  * repo root): (1) re-measurement rounds visit queries most inflated
+  * vs the reference FIRST, so a budget stop sheds the least-suspect
+  * tail; (2) a heavy query still >3x its reference stays eligible
+  * past HeavyRounds; (3) leftover budget after the rounds is spent on
+  * a bounded spike-repair loop over queries >1.5x their reference.
+  * All three degrade gracefully when the file is absent, and none can
+  * RAISE a recorded minimum — a genuine regression still reads as
+  * one, it just costs a couple of confirming samples first.
   */
 object Bench {
 
@@ -153,6 +164,38 @@ object Bench {
     val order = SparkEntry.queries.toSeq.filter { case (name, _) =>
       only.forall(s => s.contains(name) || s.contains(name.takeWhile(_ != '_')))
     }
+    // Per-query reference seconds from the last QUIET-window full
+    // record (bench_ref.json at the repo root, regenerated whenever a
+    // quiet full-suite run lands; format: any JSON containing
+    // "qNN_name":sec pairs — bench_out.json itself parses). Two uses,
+    // both noise armor for degraded windows (round-15 verdict: the
+    // budget stop degrades noise resilience exactly when the window
+    // is slow):
+    //   1. re-measurement rounds visit queries MOST INFLATED vs this
+    //      reference first, so a budget stop sheds the least-suspect
+    //      tail instead of whatever registration order left last;
+    //   2. a heavy query still >3x its reference after HeavyRounds
+    //      stays eligible — an isolated stall spike (the q50/q90
+    //      pattern in BASELINE.md) gets its re-measure before the
+    //      budget dies, instead of freezing into the record.
+    // Absent file = both behaviors degrade gracefully (sort by
+    // absolute seconds; no heavy extension).
+    val ref: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench_ref.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else """"(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(java.nio.file.Files.readString(p))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    def inflationOf(name: String, best: collection.Map[String, Double]): Double = {
+      val b = best.getOrElse(name, Double.MaxValue)
+      // no reference row (a query newer than the ref file): a mild
+      // seconds-scaled priority — above settled ratios (~1) so new
+      // queries get re-measured, below genuine spike ratios (>3) so
+      // they never crowd out a suspected stall
+      ref.get(name).filter(_ > 0).map(b / _).getOrElse(1.0 + b / 10.0)
+    }
     val best = scala.collection.mutable.Map[String, Double]()
     val canaries = scala.collection.mutable.ListBuffer[Double]()
     // complete interleaved passes backing the per-query minima — the
@@ -199,7 +242,13 @@ object Bench {
       val c0 = System.nanoTime()
       spark.range(50000000L).agg(sum(col("id"))).collect()
       canaries += (System.nanoTime() - c0) / 1e9
-      for ((name, fn) <- order if !stop) {
+      // round 1 keeps registration order (every query needs its first
+      // sample regardless); later rounds re-measure in descending
+      // inflation-vs-reference order (see `ref` above)
+      val pass =
+        if (round == 1) order
+        else order.sortBy { case (name, _) => -inflationOf(name, best) }
+      for ((name, fn) <- pass if !stop) {
         // Budget (defense #3): round 1 always finishes — every query
         // needs one sample for "value" to mean anything — but
         // re-measurement rounds stop at the boundary once over budget.
@@ -207,9 +256,15 @@ object Bench {
           System.err.println(s"[bench] budget ${BudgetSec}s minus cold-chain reserve ${ColdChainReserveSec}s exceeded at round $round; stopping with ${canaries.size - 1} full rounds")
           stop = true
         } else {
+          // a heavy sample still 3x its quiet-window reference is a
+          // suspected stall spike, not an intrinsic cost — keep it
+          // eligible past HeavyRounds (it sorts first, so it gets its
+          // re-measure while budget remains)
+          val suspectedSpike =
+            ref.get(name).exists(r => best.get(name).exists(_ > 3 * r))
           val skip = failed.contains(name) ||
             best.get(name).exists(_ <= RepeatThresholdSec) ||
-            (round > HeavyRounds &&
+            (round > HeavyRounds && !suspectedSpike &&
               best.get(name).exists(_ >= HeavyThresholdSec))
           if (!skip) timeOnce(name, fn) match {
             case Some(t) =>
@@ -229,6 +284,45 @@ object Bench {
         }
       }
       if (!stop) { fullRounds += 1; emit() }
+    }
+    // Post-rounds SPIKE REPAIR: budget the main protocol left unused
+    // is spent re-measuring queries still far above their quiet
+    // reference (best > repairRatio x ref), most-inflated first — in
+    // a degraded window the minima otherwise freeze at whatever the
+    // bad rounds sampled even though calmer minutes often follow
+    // (BASELINE.md documents multi-minute episodic stalls). Bounded:
+    // at most repairAttempts extra samples per query, so a GENUINE
+    // regression (code actually slower, every re-measure confirms it)
+    // stops consuming budget quickly and still reads as a regression
+    // in the record. No-op without a reference file.
+    val RepairRatio =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPAIR_RATIO", "1.5").toDouble
+    val RepairAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPAIR_ATTEMPTS", "2").toInt
+    if (ref.nonEmpty && !spark.sparkContext.isStopped) {
+      val attempts = scala.collection.mutable.Map[String, Int]()
+        .withDefaultValue(0)
+      var go = true
+      while (go && elapsedSec < BudgetSec - ColdChainReserveSec) {
+        val cand = order
+          .filter { case (name, _) =>
+            !failed.contains(name) &&
+              attempts(name) < RepairAttempts &&
+              ref.get(name).exists(r => r > 0 &&
+                best.get(name).exists(_ > RepairRatio * r))
+          }
+          .sortBy { case (name, _) => -inflationOf(name, best) }
+        cand.headOption match {
+          case None => go = false
+          case Some((name, fn)) =>
+            attempts(name) += 1
+            timeOnce(name, fn) match {
+              case Some(t) =>
+                best(name) = math.min(best(name), t); emit()
+              case None => if (spark.sparkContext.isStopped) go = false
+            }
+        }
+      }
     }
     // cold-chain measurement AFTER the rounds (it must not poison
     // round timings with its ~20 s of chain work) and only inside the

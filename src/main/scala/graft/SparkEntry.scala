@@ -159,7 +159,9 @@ object SparkEntry {
     "q131_dedup_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q131DedupIndexDelete(s, d)),
     "q132_para_index_delete" -> ((s: SparkSession, d: String) => LlmOps.q132ParaIndexDelete(s, d)),
     "q133_perplexity_backoff" -> ((s: SparkSession, d: String) => LlmOps.q133PerplexityBackoff(s, d)),
-    "q134_perplexity_kneser_ney" -> ((s: SparkSession, d: String) => LlmOps.q134PerplexityKneserNey(s, d))
+    "q134_perplexity_kneser_ney" -> ((s: SparkSession, d: String) => LlmOps.q134PerplexityKneserNey(s, d)),
+    "q135_perplexity_kn_4gram" -> ((s: SparkSession, d: String) => LlmOps.q135PerplexityKneserNey4(s, d)),
+    "q136_schema_evolution" -> ((s: SparkSession, d: String) => Relational.q136SchemaEvolution(s, d))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables registered by
@@ -280,6 +282,38 @@ object SparkEntry {
       |GROUP BY y.p2, y.p1, y.cur ORDER BY ct DESC, y.p2 ASC, y.p1 ASC, y.cur ASC LIMIT 32768),
       |tk AS (SELECT doc_id, lang, toks, unnest(range(1, len(toks) + 1)) AS p FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) d),
       |tok AS (SELECT doc_id, lang, toks[p] AS cur, CASE WHEN p > 1 THEN toks[p - 1] END AS prev, CASE WHEN p > 2 THEN toks[p - 2] END AS prev2 FROM tk)""".stripMargin
+
+  /** q135's oracle extends [[trigramLmOracleCtes]] one order: the
+    * bounded fourgram table (context = in-table trigram, the fit
+    * invariant one order up) and a `tok4` view carrying prev3. The
+    * scoring expression is COMPOSED from nested-CASE building blocks
+    * (pcont → pbi → ptri → pquad) so the DuckDB tree matches the
+    * Spark when/otherwise tree token-for-token at every tier — the
+    * q134 SQL's hand-inlined nesting, generated instead of typed.
+    */
+  private val fourgramLmOracleCtes: String = trigramLmOracleCtes + ",\n" +
+    """quad AS MATERIALIZED (SELECT y.p3 AS p3, y.p2 AS p2, y.p1 AS p1, y.cur AS cur, CAST(count(*) AS BIGINT) AS cq FROM
+      |(SELECT toks[i] AS p3, toks[i + 1] AS p2, toks[i + 2] AS p1, toks[i + 3] AS cur FROM (SELECT toks, unnest(range(1, len(toks) - 2)) AS i FROM ref) x) y
+      |JOIN tri tt ON y.p3 = tt.p2 AND y.p2 = tt.p1 AND y.p1 = tt.cur
+      |GROUP BY y.p3, y.p2, y.p1, y.cur ORDER BY cq DESC, y.p3 ASC, y.p2 ASC, y.p1 ASC, y.cur ASC LIMIT 65536),
+      |tok4 AS (SELECT doc_id, lang, toks[p] AS cur, CASE WHEN p > 1 THEN toks[p - 1] END AS prev, CASE WHEN p > 2 THEN toks[p - 2] END AS prev2, CASE WHEN p > 3 THEN toks[p - 3] END AS prev3 FROM tk)""".stripMargin
+
+  private val kn4Pcont: String =
+    "(COALESCE(nb.n1b, 0) + 1.0) / (bt.b + v.v + 1)"
+  private val kn4Pbi: String =
+    "CASE WHEN bi.cb IS NOT NULL THEN (bi.cb - 0.75) / vp.c + (0.75 * f1.f1 / vp.c) * (" +
+      kn4Pcont + ") WHEN f1.f1 IS NOT NULL THEN (0.75 * f1.f1 / vp.c) * (" +
+      kn4Pcont + ") ELSE " + kn4Pcont + " END"
+  private val kn4Ptri: String =
+    "CASE WHEN tri.ct IS NOT NULL THEN (tri.ct - 0.75) / bc.cb + (0.75 * f2.f2 / bc.cb) * (" +
+      kn4Pbi + ") WHEN f2.f2 IS NOT NULL THEN (0.75 * f2.f2 / bc.cb) * (" +
+      kn4Pbi + ") ELSE (" + kn4Pbi + ") END"
+  private val kn4Pquad: String =
+    "CASE WHEN quad.cq IS NOT NULL THEN (quad.cq - 0.75) / tc.ct + (0.75 * f3.f3 / tc.ct) * (" +
+      kn4Ptri + ") WHEN f3.f3 IS NOT NULL THEN (0.75 * f3.f3 / tc.ct) * (" +
+      kn4Ptri + ") ELSE (" + kn4Ptri + ") END"
+  private def kn4Bits(p: String): String =
+    "CAST(round(-log2(" + p + ") * 1000000.0) AS BIGINT)"
 
   private val bm25Oracle: String = bm25OracleCtes + ",\n" +
     """r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
@@ -1065,6 +1099,17 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n,
         |CAST(sum(event_id) AS BIGINT) AS sum_event_id, CAST(sum(user_id) AS BIGINT) AS sum_user_id
         |FROM events WHERE user_id % 8 = 0 GROUP BY event_date ORDER BY event_date""".stripMargin,
+    // q136: the evolved live version holds the base half NULL-filled
+    // for the added column plus the evolved half carrying it — the
+    // oracle recomputes from the raw slice with the same parity split
+    "q136_schema_evolution" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS event_date, event_id, user_id, value FROM events WHERE user_id % 8 = 1),
+        |o AS (SELECT event_date, event_id, user_id, CAST(NULL AS BIGINT) AS value_micro FROM s WHERE event_id % 2 = 0),
+        |nw AS (SELECT event_date, event_id, user_id, CAST(round(value * 1000000.0) AS BIGINT) AS value_micro FROM s WHERE event_id % 2 = 1),
+        |u AS (SELECT * FROM o UNION ALL SELECT * FROM nw)
+        |SELECT event_date, CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |CAST(count(value_micro) AS BIGINT) AS n_valued, CAST(COALESCE(sum(value_micro), -1) AS BIGINT) AS sum_value_micro
+        |FROM u GROUP BY event_date ORDER BY event_date""".stripMargin,
     // q101: md5-bucketed DSIR weights — 256-bucket hashed unigram
     // models for target (src0) and raw (all docs); Δbits rounded once
     // per BUCKET (the difference, not each log) then integer-summed;
@@ -1326,6 +1371,33 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, bits_micro,
         |CASE WHEN bits_micro < 5390000 * n_tokens THEN 'head'
         |WHEN bits_micro < 5520000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin),
+    "q135_perplexity_kn_4gram" -> (fourgramLmOracleCtes + ",\n" +
+      """nb AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1b FROM bi GROUP BY cur),
+        |f1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS f1 FROM bi GROUP BY prev),
+        |f2 AS (SELECT p2, p1, CAST(count(*) AS BIGINT) AS f2 FROM tri GROUP BY p2, p1),
+        |f3 AS (SELECT p3, p2, p1, CAST(count(*) AS BIGINT) AS f3 FROM quad GROUP BY p3, p2, p1),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+        |sc0 AS (SELECT doc_id, lang,
+        |CASE WHEN tok4.prev IS NULL THEN """.stripMargin +
+      kn4Bits(kn4Pcont) + "\nWHEN tok4.prev2 IS NULL THEN " +
+      kn4Bits(kn4Pbi) + "\nWHEN tok4.prev3 IS NULL THEN " +
+      kn4Bits(kn4Ptri) + "\nELSE " + kn4Bits(kn4Pquad) + " END AS bits" +
+      """
+        |FROM tok4 LEFT JOIN voc vc ON tok4.cur = vc.tok LEFT JOIN voc vp ON tok4.prev = vp.tok
+        |LEFT JOIN bi ON tok4.prev = bi.prev AND tok4.cur = bi.cur
+        |LEFT JOIN bi bc ON tok4.prev2 = bc.prev AND tok4.prev = bc.cur
+        |LEFT JOIN tri ON tok4.prev2 = tri.p2 AND tok4.prev = tri.p1 AND tok4.cur = tri.cur
+        |LEFT JOIN tri tc ON tok4.prev3 = tc.p2 AND tok4.prev2 = tc.p1 AND tok4.prev = tc.cur
+        |LEFT JOIN quad ON tok4.prev3 = quad.p3 AND tok4.prev2 = quad.p2 AND tok4.prev = quad.p1 AND tok4.cur = quad.cur
+        |LEFT JOIN nb ON tok4.cur = nb.cur
+        |LEFT JOIN f1 ON tok4.prev = f1.prev
+        |LEFT JOIN f2 ON tok4.prev2 = f2.p2 AND tok4.prev = f2.p1
+        |LEFT JOIN f3 ON tok4.prev3 = f3.p3 AND tok4.prev2 = f3.p2 AND tok4.prev = f3.p1, v, bt),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS bits_micro FROM sc0 GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, bits_micro,
+        |CASE WHEN bits_micro < 5407000 * n_tokens THEN 'head'
+        |WHEN bits_micro < 5529000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM sc ORDER BY doc_id""".stripMargin),
     // q131: the LSH-dedup takedown lifecycle. Three legs share the
     // one fingerprint construction (q87's identical-shingle-set rule

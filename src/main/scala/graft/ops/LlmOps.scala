@@ -5471,6 +5471,184 @@ object LlmOps {
           .otherwise("tail"))
   }
 
+  /** Fitted 4-gram Kneser–Ney model: the [[TrigramLm]] tables plus
+    * the bounded (p3, p2, p1, cur, cq) fourgram table.
+    */
+  final case class FourgramLm(tri: TrigramLm, quad: DataFrame)
+
+  /** Fit the q135 model on `ref` (text): [[fitTrigramLm]]'s tables,
+    * then the top-`fourgramCap` 4-grams whose (p3, p2, p1) context is
+    * an in-table TRIGRAM — the q130 context invariant lifted one more
+    * order (every 4-gram occurrence contains a context-trigram
+    * occurrence counted over the same reference, so cq ≤ the
+    * context's ct and the discounted ratio stays under 1). One extra
+    * reference scan + one TakeOrdered; every table stays
+    * broadcast-bounded regardless of reference size.
+    */
+  def fitFourgramLm(ref: DataFrame, vocabCap: Int, bigramCap: Int,
+      trigramCap: Int, fourgramCap: Int): FourgramLm = {
+    val base = fitTrigramLm(ref, vocabCap, bigramCap, trigramCap)
+    val toks = ref.select(split(col("text"), " ").as("toks"))
+    val quadType = "array<struct<p3:string,p2:string,p1:string,cur:string>>"
+    val quads = toks.select(explode(
+        when(size(col("toks")) >= 4,
+          transform(sequence(lit(0), size(col("toks")) - 4),
+            i => struct(element_at(col("toks"), i + 1).as("p3"),
+              element_at(col("toks"), i + 2).as("p2"),
+              element_at(col("toks"), i + 3).as("p1"),
+              element_at(col("toks"), i + 4).as("cur"))))
+          .otherwise(array().cast(quadType))).as("q"))
+      .select(col("q.p3").as("p3"), col("q.p2").as("p2"),
+        col("q.p1").as("p1"), col("q.cur").as("cur"))
+    val quad = quads
+      .join(broadcast(base.tri.select(col("p2").as("p3"),
+        col("p1").as("p2"), col("cur").as("p1"))), Seq("p3", "p2", "p1"))
+      .groupBy("p3", "p2", "p1", "cur").count()
+      .orderBy(col("count").desc, col("p3").asc, col("p2").asc,
+        col("p1").asc, col("cur").asc)
+      .limit(fourgramCap)
+      .select(col("p3"), col("p2"), col("p1"), col("cur"),
+        col("count").as("cq"))
+      .localCheckpoint()
+    FourgramLm(base, quad)
+  }
+
+  /** #135 4-gram Kneser–Ney LM perplexity gate — the q134 smoother
+    * lifted one order toward CCNet's cited 5-gram KenLM (Wenzek et
+    * al. 2020 §4.3; reference anchor: the perplexity-gated corpus
+    * prep the reference delegates to its upstream data vendor,
+    * README.md:34-42). Same fixed discount D = 0.75 and the same
+    * continuation-count backoff chain, extended by one tier:
+    *
+    *   pos 0:  P_cont                (KN's base distribution)
+    *   pos 1:  P_bi                  (q134's bigram rule)
+    *   pos 2:  P_tri                 (q134's trigram rule)
+    *   pos ≥3: P_quad(cur | p3,p2,p1) =
+    *             (cq − D)/ctc + (D·f3/ctc)·P_tri    4-gram in table
+    *           | (D·f3/ctc)·P_tri                   context has fits
+    *           | P_tri                              else
+    *
+    * where ctc is the CONTEXT trigram's table count and f3 the count
+    * of distinct in-table continuations of that context (a groupBy of
+    * the already-bounded fourgram table — the q134 aux-stat rule, one
+    * order up). cq ≤ ctc and f3 ≤ ctc by the fit invariants, so
+    * P_quad < 1 and bits stay positive at every position.
+    *
+    * Oracle parity: the q117/q130/q133/q134 discipline verbatim —
+    * aux stats are integer counts over bounded tables, the per-token
+    * float expression is written token-for-token as the DuckDB
+    * oracle writes it (the oracle SQL is COMPOSED from the same
+    * nested-CASE building blocks), bits micro-round in-plan and
+    * integer-sum. Plan shape: [[fourgramProbeJoin]]'s seven broadcast
+    * probes plus FOUR aux broadcasts (n1b/f1/f2/f3), still ONE
+    * doc-keyed exchange — PlanSpec pins zero sort-merge joins.
+    */
+  def q135PerplexityKneserNey4(spark: SparkSession, dir: String,
+      refSource: String = "src0", vocabCap: Int = 4096,
+      bigramCap: Int = 16384, trigramCap: Int = 32768,
+      fourgramCap: Int = 65536, headBits: Long = 5407000L,
+      midBits: Long = 5529000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    scoreWithKneserNey4Lm(docs.select("doc_id", "lang", "text"),
+      fitFourgramLm(docs.filter(col("source") === refSource).select("text"),
+        vocabCap, bigramCap, trigramCap, fourgramCap),
+      headBits, midBits).orderBy("doc_id")
+  }
+
+  /** [[trigramProbeJoin]] lifted one order: posexplode into (pos,
+    * cur, prev, prev2, prev3), the five trigram-model probes, plus
+    * the 4-gram CONTEXT trigram (the tri table under the
+    * p3/p2/p1-as-context alias) and the fourgram table itself —
+    * seven broadcast hash probes, no shuffle key besides doc_id
+    * downstream.
+    */
+  private def fourgramProbeJoin(docs: DataFrame, lm: FourgramLm): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "cur")))
+      .select(col("doc_id"), col("lang"), col("pos"), col("cur"),
+        when(col("pos") > 0, element_at(col("toks"), col("pos"))).as("prev"),
+        when(col("pos") > 1, element_at(col("toks"), col("pos") - 1)).as("prev2"),
+        when(col("pos") > 2, element_at(col("toks"), col("pos") - 2)).as("prev3"))
+    tok
+      .join(broadcast(lm.tri.uni.select(col("tok").as("cur"), col("c").as("cu"))),
+        Seq("cur"), "left")
+      .join(broadcast(lm.tri.uni.select(col("tok").as("prev"), col("c").as("cp"))),
+        Seq("prev"), "left")
+      .join(broadcast(lm.tri.bi), Seq("prev", "cur"), "left")
+      .join(broadcast(lm.tri.bi.select(col("prev").as("prev2"),
+        col("cur").as("prev"), col("cb").as("cbc"))),
+        Seq("prev2", "prev"), "left")
+      .join(broadcast(lm.tri.tri.select(col("p2").as("prev2"),
+        col("p1").as("prev"), col("cur"), col("ct"))),
+        Seq("prev2", "prev", "cur"), "left")
+      .join(broadcast(lm.tri.tri.select(col("p2").as("prev3"),
+        col("p1").as("prev2"), col("cur").as("prev"), col("ct").as("ctc"))),
+        Seq("prev3", "prev2", "prev"), "left")
+      .join(broadcast(lm.quad.select(col("p3").as("prev3"),
+        col("p2").as("prev2"), col("p1").as("prev"), col("cur"), col("cq"))),
+        Seq("prev3", "prev2", "prev", "cur"), "left")
+  }
+
+  /** Score `docs` under a [[fitFourgramLm]] model with fixed-discount
+    * Kneser–Ney (the [[scoreWithKneserNeyLm]] contract, q135's rule).
+    */
+  def scoreWithKneserNey4Lm(docs: DataFrame, lm: FourgramLm,
+      headBits: Long, midBits: Long): DataFrame = {
+    val n1b = lm.tri.bi.groupBy("cur").agg(count(lit(1)).as("n1b"))
+    val f1 = lm.tri.bi.groupBy("prev").agg(count(lit(1)).as("f1"))
+    val f2 = lm.tri.tri.groupBy("p2", "p1").agg(count(lit(1)).as("f2"))
+      .select(col("p2").as("prev2"), col("p1").as("prev"), col("f2"))
+    val f3 = lm.quad.groupBy("p3", "p2", "p1").agg(count(lit(1)).as("f3"))
+      .select(col("p3").as("prev3"), col("p2").as("prev2"),
+        col("p1").as("prev"), col("f3"))
+    val b = lm.tri.bi.count()
+    val joined = fourgramProbeJoin(docs, lm)
+      .join(broadcast(n1b), Seq("cur"), "left")
+      .join(broadcast(f1), Seq("prev"), "left")
+      .join(broadcast(f2), Seq("prev2", "prev"), "left")
+      .join(broadcast(f3), Seq("prev3", "prev2", "prev"), "left")
+    // written token-for-token as the oracle SQL writes it (the q134
+    // expressions verbatim, plus the one-order-up quad tier)
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1.0)) /
+      lit((b + lm.tri.v + 1).toDouble)
+    val pbi = when(col("cb").isNotNull,
+        (col("cb") - lit(0.75)) / col("cp") +
+          (lit(0.75) * col("f1") / col("cp")) * pcont)
+      .when(col("f1").isNotNull,
+        (lit(0.75) * col("f1") / col("cp")) * pcont)
+      .otherwise(pcont)
+    val ptri = when(col("ct").isNotNull,
+        (col("ct") - lit(0.75)) / col("cbc") +
+          (lit(0.75) * col("f2") / col("cbc")) * pbi)
+      .when(col("f2").isNotNull,
+        (lit(0.75) * col("f2") / col("cbc")) * pbi)
+      .otherwise(pbi)
+    val pquad = when(col("cq").isNotNull,
+        (col("cq") - lit(0.75)) / col("ctc") +
+          (lit(0.75) * col("f3") / col("ctc")) * ptri)
+      .when(col("f3").isNotNull,
+        (lit(0.75) * col("f3") / col("ctc")) * ptri)
+      .otherwise(ptri)
+    def clog2(c: Column): Column = org.apache.spark.sql.functions.log2(c)
+    val bits = when(col("prev").isNull,
+        round(-clog2(pcont) * lit(1000000.0)).cast("long"))
+      .when(col("prev2").isNull,
+        round(-clog2(pbi) * lit(1000000.0)).cast("long"))
+      .when(col("prev3").isNull,
+        round(-clog2(ptri) * lit(1000000.0)).cast("long"))
+      .otherwise(
+        round(-clog2(pquad) * lit(1000000.0)).cast("long"))
+    joined
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits_micro"))
+      .withColumn("ppl_bucket",
+        when(col("bits_micro") < lit(headBits) * col("n_tokens"), "head")
+          .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
+          .otherwise("tail"))
+  }
+
   /** #121 Learned quality classifier — the reference-vs-corpus gate
     * of the big pipelines (GPT-3, Brown et al. 2020 Appendix A,
     * filters CommonCrawl with a linear classifier trained

@@ -216,6 +216,68 @@ object Relational {
     }
   }
 
+  /** #136 Additive SCHEMA EVOLUTION on the versioned table — the
+    * q128 lifecycle extended by the first thing a real deployment
+    * hits after a quarter of operation: a new column arrives
+    * mid-history. The declared run commits v1 = the even-event_id
+    * half of a 12.5% events slice under the BASE schema (event_date,
+    * event_id, user_id), then evolves with the odd half carrying a
+    * NEW `value_micro` column ([[graft.ops.Sinks.commitVersionEvolved]]
+    * — additive-only check, live rows NULL-filled for the new column,
+    * count-validated commit + manifest flip), and reads per-date
+    * aggregates back through the MANIFEST-resolved live directory.
+    * The oracle recomputes them from the raw slice with the same
+    * parity split: a NULL-fill that hits the wrong rows moves
+    * n_valued; a lost pre-evolution row moves n; a miscast moves
+    * sum_value_micro (micro-scaled long — the money-sum rule).
+    * App-scoped root, deleted after localization (the q128 rule).
+    */
+  def q136SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q136_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId
+    val fs = graft.ops.Sinks.fsFor(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val staged = Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(8)) === 1)
+      .withColumn("event_date", to_date(col("ts")))
+    val base = staged.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select("event_date", "event_id", "user_id")
+    val evolved = staged.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("event_date"), col("event_id"), col("user_id"),
+        round(col("value") * lit(1000000.0)).cast("long").as("value_micro"))
+    def shape(df: DataFrame): DataFrame = df
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"),
+        sum("event_id").as("sum_event_id"),
+        count("value_micro").as("n_valued"),
+        coalesce(sum("value_micro"), lit(-1L)).as("sum_value_micro"))
+      .orderBy("event_date")
+    // the q128 empty-slice rule: nothing to commit, zero rows is the
+    // declared answer
+    if (staged.limit(1).count() == 0)
+      return shape(base.withColumn("value_micro", lit(null).cast("long")))
+    try {
+      // v1 under the BASE schema (skipped when the half is empty — a
+      // file-less version cannot be count-validated; the evolved
+      // commit then initializes the table, which is the same public
+      // surface one branch earlier)
+      if (base.limit(1).count() > 0)
+        graft.ops.Sinks.commitVersion(spark, root, base,
+          partCol = Some("event_date"))
+      graft.ops.Sinks.commitVersionEvolved(spark, root, evolved,
+        partCol = Some("event_date"))
+      val live = graft.ops.Sinks.liveVersion(spark, root).getOrElse(
+        throw new java.io.FileNotFoundException(s"no MANIFEST under $root"))
+      graft.ops.Sinks.localizeAndDelete(spark,
+        shape(spark.read.schema(evolved.schema)
+          .parquet(graft.ops.Sinks.versionDir(root, live))),
+        root)
+    } catch { case t: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(root), true); throw t
+    }
+  }
+
   /** Multi-format source round-trip (source breadth beyond the
     * reference's CSV/warehouse: JSON-lines and ORC through the same
     * DataFrameReader surface). Smoke-only sink+source op: writes the

@@ -1067,6 +1067,53 @@ object Sinks {
     v
   }
 
+  /** Additive SCHEMA EVOLUTION on a versioned table: commit `df` —
+    * whose schema may ADD columns relative to the live version — as
+    * the next version holding live ∪ df, with pre-evolution rows
+    * NULL-filled for the new columns (the warehouse
+    * `ALTER TABLE ... ADD COLUMN` semantics the reference gets from
+    * its warehouse for free; reference anchor: the dbt models evolve
+    * additively over the same store,
+    * src/dbt/models/shopping_events_exploded.sql). Non-additive
+    * changes throw: a live column missing from `df` or carrying a
+    * different type is a REWRITE, not an evolution — silently
+    * coercing would corrupt committed history. On an uninitialized
+    * root this is exactly [[commitVersion]]. The read-align-union-
+    * commit runs under the root's writer lease (re-entered by the
+    * inner commit), so an interleaved commit cannot lose rows; the
+    * count-validate + manifest-flip crash contract is commitVersion's
+    * own — a failed evolution leaves the old version live and intact.
+    */
+  def commitVersionEvolved(spark: SparkSession, root: String,
+      df: DataFrame, partCol: Option[String] = None): Long =
+    withWriterLease(spark, root, "commit-version-evolved") {
+      liveVersion(spark, root) match {
+        case None => commitVersion(spark, root, df, partCol)
+        case Some(live) =>
+          val cur = spark.read.parquet(versionDir(root, live))
+          val curTypes = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+          val newTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+          val missing = curTypes.keySet -- newTypes.keySet
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"commitVersionEvolved: evolution is additive-only; live " +
+              s"columns ${missing.toSeq.sorted.mkString(", ")} are absent " +
+              s"from the new schema — dropping a column is a rewrite " +
+              s"(commitVersion), not an evolution")
+          val retyped = curTypes.collect {
+            case (n, t) if newTypes(n) != t => s"$n: $t -> ${newTypes(n)}"
+          }
+          if (retyped.nonEmpty) throw new IllegalArgumentException(
+            s"commitVersionEvolved: evolution is additive-only; " +
+              s"${retyped.toSeq.sorted.mkString("; ")} changes a committed " +
+              "column's type")
+          val aligned = cur.select(df.schema.fields.toIndexedSeq.map { f =>
+            if (curTypes.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          commitVersion(spark, root, aligned.unionByName(df), partCol)
+      }
+    }
+
   /** [[compact]] for versioned tables — the object-store-safe form:
     * rewrite the live version's data with per-partition file budgets
     * into `v=N+1/`, validate, flip the manifest. No renames of data

@@ -238,6 +238,72 @@ class LeaseRaceSpec extends AnyFunSuite {
     graft.ops.Sinks.breakWriterLease(spark, idx)
   }
 
+  test("takedownTick racing a releaseTick on one sink root: release stays lock-free and atomic-state consistent") {
+    // round-15 verdict item 8: takedown takes the sink's writer
+    // lease, release reads lock-free — the documented merge-on-read
+    // invariant is that a release observes either the pre-tombstone
+    // or the post-tombstone sink state ATOMICALLY (tombstone files
+    // land by rename), never a torn state, and is never blocked.
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Sinks, Streaming}
+    val base = java.nio.file.Files.createTempDirectory("graft_td_race").toString
+    val out = s"$base/out"
+    val rel = s"$base/release"
+    val surv = Tables.documents(spark, SharedSpark.sfTiny)
+      .select("doc_id", "lang", "text").filter(col("doc_id") < 60)
+    surv.withColumn("__batch_id", pmod(col("doc_id"), lit(2)))
+      .repartition(2, col("doc_id"))
+      .write.partitionBy("__batch_id").parquet(out)
+    val dels = surv.select("doc_id").filter(pmod(col("doc_id"), lit(5)) === 2)
+    val delIds = dels.as[Long].collect().toSet
+    def tailOf(minus: Boolean) = {
+      val s = if (minus) surv.join(dels, Seq("doc_id"), "left_anti") else surv
+      Pipeline.releaseTail(s)._1
+        .select(col("kind"), col("name"), col("doc_id"),
+          col("shard").cast("int"), col("pos"))
+        .as[(String, String, Long, Int, Long)].collect().toSeq.sorted
+    }
+    val preTail = tailOf(minus = false)
+    val postTail = tailOf(minus = true)
+    def releaseRows(v: Long) =
+      spark.read.parquet(Sinks.versionDir(rel, v))
+        .select(col("kind"), col("name"), col("doc_id"),
+          col("shard").cast("int"), col("pos"))
+        .as[(String, String, Long, Int, Long)].collect().toSeq.sorted
+    // MID-TAKEDOWN: a holder thread owns the sink's writer lease (the
+    // state a takedownTick holds it in); the release must neither
+    // block nor throw, and must see the PRE-tombstone state
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      Sinks.withWriterLease(spark, out, "sink-takedown") {
+        gate.countDown(); done.await()
+      })
+    holder.start(); gate.await()
+    val v1 =
+      try Streaming.releaseTick(spark, out, rel).get
+      finally { done.countDown(); holder.join() }
+    assert(releaseRows(v1) === preTail)
+    // the real tick lands its tombstones (lease now free), and the
+    // very next release masks them — no applySinkDeletes needed
+    Streaming.takedownTick(spark, out, dels)
+    val v2 = Streaming.releaseTick(spark, out, rel).get
+    assert(releaseRows(v2) === postTail)
+    // after the PHYSICAL apply the release answer is unchanged (the
+    // compacted sink and merge-on-read agree; releases do not race
+    // the apply itself — the partition swap is only atomic per
+    // directory, which is why apply runs under the sink lease at
+    // quiesce, the documented applySinkDeletes contract)
+    assert(Streaming.applySinkDeletes(spark, out))
+    val v3 = Streaming.releaseTick(spark, out, rel).get
+    assert(releaseRows(v3) === postTail)
+    // end state: nothing taken-down survives anywhere
+    Sinks.pruneVersions(spark, rel)
+    val live = Sinks.liveVersion(spark, rel).get
+    assert(spark.read.parquet(Sinks.versionDir(rel, live))
+      .filter(col("doc_id").isin(delIds.toSeq: _*)).count() === 0L)
+  }
+
   test("lease is reentrant per thread and contended across threads") {
     val base = java.nio.file.Files.createTempDirectory("graft_lease_thr").toString
     val root = s"$base/root"

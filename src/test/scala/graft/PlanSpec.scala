@@ -392,6 +392,18 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q135: 4-gram KN scoring keeps the broadcast-only probe shape (seven probes + four aux)") {
+    // one order up from q134: fourgramProbeJoin's seven probes plus
+    // the n1b/f1/f2/f3 aux broadcasts — all groupBys of bounded
+    // tables, never a shuffle; the only exchange key stays doc_id
+    val df = graft.ops.LlmOps.q135PerplexityKneserNey4(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q118: the serving probe scans are partition-pruned to the probed cells") {
     // build the memo index, then inspect the PROBE's executed plan:
     // both the code scan and the finalist vector fetch must carry

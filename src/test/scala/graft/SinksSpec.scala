@@ -118,6 +118,51 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readVersioned(spark, root).count() === 1000L)
   }
 
+  test("commitVersionEvolved: additive evolution NULL-fills history; non-additive changes throw") {
+    val root = tmpDir("evolved")
+    val base = spark.range(10).select(col("id"),
+      (col("id") % 3).as("grp"))
+    assert(Sinks.commitVersion(spark, root, base) === 1L)
+    // additive: a new column arrives; live rows read back NULL-filled
+    val extended = spark.range(10, 15).select(col("id"),
+      (col("id") % 3).as("grp"), (col("id") * 2).as("score"))
+    assert(Sinks.commitVersionEvolved(spark, root, extended) === 2L)
+    val live = Sinks.readVersioned(spark, root)
+    assert(live.count() === 15L)
+    assert(live.columns.sorted.toSeq === Seq("grp", "id", "score"))
+    assert(live.filter(col("score").isNull).select("id").as[Long]
+      .collect().sorted.toSeq === (0L until 10L))
+    assert(live.filter(col("score").isNotNull)
+      .select("id", "score").as[(Long, Long)].collect().sorted.toSeq
+      === (10L until 15L).map(i => (i, i * 2)))
+    // a second evolution stacks (history keeps NULL for both tiers)
+    val third = spark.range(15, 16).select(col("id"), (col("id") % 3).as("grp"),
+      (col("id") * 2).as("score"), lit("x").as("tag"))
+    assert(Sinks.commitVersionEvolved(spark, root, third) === 3L)
+    assert(Sinks.readVersioned(spark, root).filter(col("tag").isNull)
+      .count() === 15L)
+    // dropping a live column is a rewrite, not an evolution
+    val e1 = intercept[IllegalArgumentException] {
+      Sinks.commitVersionEvolved(spark, root,
+        spark.range(1).select(col("id")))
+    }
+    assert(e1.getMessage.contains("additive-only"))
+    // retyping a committed column throws too
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.commitVersionEvolved(spark, root,
+        spark.range(1).select(col("id"), (col("id") % 3).as("grp"),
+          col("id").cast("string").as("score"), lit("x").as("tag")))
+    }
+    assert(e2.getMessage.contains("type"))
+    // failed evolutions left the live version untouched
+    assert(Sinks.liveVersion(spark, root) === Some(3L))
+    assert(Sinks.readVersioned(spark, root).count() === 16L)
+    // on an uninitialized root the evolved commit IS the initial commit
+    val root2 = tmpDir("evolved_init")
+    assert(Sinks.commitVersionEvolved(spark, root2, extended) === 1L)
+    assert(Sinks.readVersioned(spark, root2).count() === 5L)
+  }
+
   test("saltedJoin equals the plain join on a skewed fixture") {
     val big = spark.range(10000)
       .withColumn("k", when(col("id") < 9000, lit(1L)).otherwise(col("id") % 50))

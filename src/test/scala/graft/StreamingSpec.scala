@@ -970,6 +970,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayKept === (got intersect b0.map(_._1).toSet))
   }
 
+  test("gate refresh mid-stream: converges to the direct chain under the refreshed model; unseeded root fails loud") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_gateretrain").toString
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val full = Tables.documents(spark, sf)
+    val docs = full.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val batches = docs.grouped((docs.size + 3) / 4).toSeq
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$base/stage_$i"
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$srcDir/b$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(Paths.get(s"$srcDir/b$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 2000))
+    }
+    val (lm0, oov0) = graft.ops.LlmOps.fitUnigramLm(
+      full.filter(col("source") === "src0").select("text"), 4096)
+    val evalSh = graft.ops.LlmOps.shingles(
+        full.filter(col("doc_id") % 13 === 0).select("doc_id", "text"))
+      .select("shingle").distinct().localCheckpoint()
+    // seed the artifact root with the offline fit; refresh every 2
+    // batches — 4 batches means refits after batch 1 and batch 3
+    val art = s"$base/artifacts"
+    assert(Streaming.lmArtifactCommit(spark, art, lm0, oov0) === 1L)
+    val src = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    Streaming.corpusPrepIngestRefreshing(src, s"$base/idx_stream",
+      s"$base/out_stream", art, evalSh, retrainEvery = 2)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$base/out_stream")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.nonEmpty)
+    // the refresh HAPPENED: seed v1 + two refits
+    assert(graft.ops.Sinks.liveVersion(spark, art) === Some(3L))
+    // direct twin: the same per-batch core with the same
+    // resolve-live-artifact + refit-at-cadence lifecycle against
+    // fresh roots — stream plumbing adds/loses nothing, and batches
+    // AFTER a refresh provably scored under the refreshed model
+    val art2 = s"$base/artifacts_twin"
+    assert(Streaming.lmArtifactCommit(spark, art2, lm0, oov0) === 1L)
+    val twin = batches.zipWithIndex.flatMap { case (rows, i) =>
+      val (lmI, oovI) = Streaming.lmArtifactRead(spark, art2).get
+      val kept = Streaming.corpusPrepBatch(rows.toDF("doc_id", "lang", "text"),
+        i.toLong, s"$base/idx_twin", lmI, oovI, evalSh,
+        nearThreshold = 0.5, paraTokens = 20, minTokens = 5,
+        dupMilliMax = 300, topMilliMax = 200,
+        pplHeadBits = 4910000L, pplMidBits = 4940000L,
+        contaminationMilli = 700)
+      if (!kept.isEmpty)
+        kept.withColumn("__batch_id", lit(i.toLong))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(s"$base/out_twin")
+      if ((i + 1) % 2 == 0)
+        Streaming.gateRetrain(spark, s"$base/out_twin", art2)
+      kept.select("doc_id").as[Long].collect()
+    }.toSet
+    assert(got === twin)
+    // the refreshed artifact is genuinely different from the seed
+    // (fit on accumulated survivors, not the src0 reference slice),
+    // so the convergence above proves the refresh PATH, not a no-op
+    val seedLm = lm0.as[(String, Long)].collect().toMap
+    val liveLm = Streaming.lmArtifactRead(spark, art).get._1
+      .as[(String, Long)].collect().toMap
+    assert(seedLm !== liveLm)
+    // an unseeded artifact root fails loud, not silently ungated
+    val src2 = spark.readStream
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streaming.corpusPrepIngestRefreshing(src2, s"$base/idx_unseeded",
+        s"$base/out_unseeded", s"$base/artifacts_unseeded", evalSh)
+        .awaitTermination()
+    }
+    assert(e.getMessage.contains("lmArtifactCommit")
+      || String.valueOf(e.getCause).contains("lmArtifactCommit"))
+  }
+
   test("streaming release tick: live release == q125 tail over the accumulated survivors; flip per tick; re-tick idempotent") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_reltick").toString

@@ -77,7 +77,9 @@ object ScaleProbe {
     "q131_dedup_index_delete" -> Seq("documents"),
     "q132_para_index_delete" -> Seq("documents"),
     "q133_perplexity_backoff" -> Seq("documents"),
-    "q134_perplexity_kneser_ney" -> Seq("documents"))
+    "q134_perplexity_kneser_ney" -> Seq("documents"),
+    "q135_perplexity_kn_4gram" -> Seq("documents"),
+    "q136_schema_evolution" -> Seq("events"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")

@@ -331,15 +331,23 @@ object Bench {
                 best.get(name).exists(_ > RepairRatio * r))
           }
           .sortBy { case (name, _) => -inflationOf(name, best) }
-        cand.headOption match {
-          case None => go = false
-          case Some((name, fn)) =>
+        if (cand.isEmpty) go = false
+        else cand.foreach { case (name, fn) =>
+          // one full PASS per iteration — every candidate gets ONE
+          // sample before any gets its second, so repeat samples of
+          // one query are separated by the rest of the pass (the
+          // interleaved-rounds argument applied to repair: a
+          // multi-minute stall covered q90's back-to-back repair
+          // samples in one round-16 storm run and the spike froze
+          // into the record at 5.8x its reference)
+          if (go && elapsedSec < BudgetSec) {
             attempts(name) += 1
             timeOnce(name, fn) match {
               case Some(t) =>
                 best(name) = math.min(best(name), t); emit()
               case None => if (spark.sparkContext.isStopped) go = false
             }
+          }
         }
       }
     }

@@ -2023,6 +2023,8 @@ object LlmOps {
     // were mid-read on whenever a session cleared its own caches.)
     centroidCache.clear()
     pqCbCache.clear()
+    trigramLmCache.clear()
+    fourgramCache.clear()
   }
 
   /** Every disk-memo family's path prefix, in one place: a memo
@@ -5198,9 +5200,15 @@ object LlmOps {
       bigramCap: Int = 16384, trigramCap: Int = 32768,
       headBits: Long = 4960000L, midBits: Long = 4995000L): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // q130 is the FRESH-fit carrier of the LM ladder: its bench line
+    // pays the trainer pass every sample, so the record always holds
+    // the fresh trigram-fit cost somewhere. The higher tiers
+    // (q133/q134/q135) ride [[fitTrigramLmCached]] per their declared
+    // "same fitted tables as q130" contract — the q109-gates-q116
+    // fresh-path convention applied to trainer state.
     scoreWithTrigramLm(docs.select("doc_id", "lang", "text"),
-      fitTrigramLm(docs.filter(col("source") === refSource).select("text"),
-        vocabCap, bigramCap, trigramCap),
+      fitTrigramLm(docs.filter(col("source") === refSource)
+        .select("text"), vocabCap, bigramCap, trigramCap),
       headBits, midBits).orderBy("doc_id")
   }
 
@@ -5240,6 +5248,28 @@ object LlmOps {
       .localCheckpoint()
     TrigramLm(base.uni, base.bi, tri, base.n, base.v)
   }
+
+  private val trigramLmCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int, Int), TrigramLm]()
+
+  /** [[fitTrigramLm]] memoized per (corpus dir, refSource, caps) —
+    * the q130/q133/q134/q135 tiers score under the IDENTICAL fitted
+    * tables (q133's declared contract is literally "no new trainer
+    * pass — the SAME three fitted tables as q130"), so one fit per
+    * JVM serves all four, and the declared difference between the
+    * tiers — the scoring RULE — is exactly what each bench line then
+    * measures (the [[kmeansCentroidsCached]] convention). `ref` is
+    * by-name: a warm cache builds no frame and pays zero jobs. The
+    * fitted tables are localCheckpointed and bounded
+    * (vocabCap + bigramCap + trigramCap rows), so the pinned blocks
+    * are KB-scale. Corpus-dir immutability contract as with every
+    * trainer cache (see the scaladoc on the clear hook below).
+    */
+  def fitTrigramLmCached(ref: => DataFrame, dir: String, refSource: String,
+      vocabCap: Int, bigramCap: Int, trigramCap: Int): TrigramLm =
+    trigramLmCache.computeIfAbsent(
+      (dir, refSource, vocabCap, bigramCap, trigramCap),
+      _ => fitTrigramLm(ref, vocabCap, bigramCap, trigramCap))
 
   /** Score `docs` (doc_id, lang, text) under a [[fitTrigramLm]]
     * model: posexplode, five broadcast probes, one doc-keyed
@@ -5336,8 +5366,8 @@ object LlmOps {
       headBits: Long = 6050000L, midBits: Long = 6250000L): DataFrame = {
     val docs = Tables.documents(spark, dir)
     scoreWithBackoffLm(docs.select("doc_id", "lang", "text"),
-      fitTrigramLm(docs.filter(col("source") === refSource).select("text"),
-        vocabCap, bigramCap, trigramCap),
+      fitTrigramLmCached(docs.filter(col("source") === refSource)
+        .select("text"), dir, refSource, vocabCap, bigramCap, trigramCap),
       headBits, midBits).orderBy("doc_id")
   }
 
@@ -5418,8 +5448,8 @@ object LlmOps {
       headBits: Long = 5390000L, midBits: Long = 5520000L): DataFrame = {
     val docs = Tables.documents(spark, dir)
     scoreWithKneserNeyLm(docs.select("doc_id", "lang", "text"),
-      fitTrigramLm(docs.filter(col("source") === refSource).select("text"),
-        vocabCap, bigramCap, trigramCap),
+      fitTrigramLmCached(docs.filter(col("source") === refSource)
+        .select("text"), dir, refSource, vocabCap, bigramCap, trigramCap),
       headBits, midBits).orderBy("doc_id")
   }
 
@@ -5488,6 +5518,36 @@ object LlmOps {
   def fitFourgramLm(ref: DataFrame, vocabCap: Int, bigramCap: Int,
       trigramCap: Int, fourgramCap: Int): FourgramLm = {
     val base = fitTrigramLm(ref, vocabCap, bigramCap, trigramCap)
+    FourgramLm(base, fourgramTableOf(ref, base, fourgramCap))
+  }
+
+  private val fourgramCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int, Int, Int), FourgramLm]()
+
+  /** [[fitFourgramLm]] riding the SHARED cached trigram base
+    * ([[fitTrigramLmCached]]) with its own memoized quad table — the
+    * warm path q135 takes so its bench line measures the 4-gram
+    * SCORING rule, not a re-fit of the three tables q130 already
+    * gated (the kmeansCentroidsCached convention, one order up).
+    */
+  def fitFourgramLmCached(ref: => DataFrame, dir: String,
+      refSource: String, vocabCap: Int, bigramCap: Int,
+      trigramCap: Int, fourgramCap: Int): FourgramLm = {
+    lazy val frame = ref
+    fourgramCache.computeIfAbsent(
+      (dir, refSource, vocabCap, bigramCap, trigramCap, fourgramCap),
+      _ => {
+        val base = fitTrigramLmCached(frame, dir, refSource, vocabCap,
+          bigramCap, trigramCap)
+        FourgramLm(base, fourgramTableOf(frame, base, fourgramCap))
+      })
+  }
+
+  /** The bounded fourgram table of [[fitFourgramLm]] (top-`fourgramCap`
+    * whose (p3, p2, p1) context is an in-table trigram of `base`).
+    */
+  private def fourgramTableOf(ref: DataFrame, base: TrigramLm,
+      fourgramCap: Int): DataFrame = {
     val toks = ref.select(split(col("text"), " ").as("toks"))
     val quadType = "array<struct<p3:string,p2:string,p1:string,cur:string>>"
     val quads = toks.select(explode(
@@ -5510,7 +5570,7 @@ object LlmOps {
       .select(col("p3"), col("p2"), col("p1"), col("cur"),
         col("count").as("cq"))
       .localCheckpoint()
-    FourgramLm(base, quad)
+    quad
   }
 
   /** #135 4-gram Kneser–Ney LM perplexity gate — the q134 smoother
@@ -5550,8 +5610,9 @@ object LlmOps {
       midBits: Long = 5529000L): DataFrame = {
     val docs = Tables.documents(spark, dir)
     scoreWithKneserNey4Lm(docs.select("doc_id", "lang", "text"),
-      fitFourgramLm(docs.filter(col("source") === refSource).select("text"),
-        vocabCap, bigramCap, trigramCap, fourgramCap),
+      fitFourgramLmCached(docs.filter(col("source") === refSource)
+        .select("text"), dir, refSource, vocabCap, bigramCap, trigramCap,
+        fourgramCap),
       headBits, midBits).orderBy("doc_id")
   }
 

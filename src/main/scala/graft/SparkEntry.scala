@@ -161,6 +161,7 @@ object SparkEntry {
     "q133_perplexity_backoff" -> ((s: SparkSession, d: String) => LlmOps.q133PerplexityBackoff(s, d)),
     "q134_perplexity_kneser_ney" -> ((s: SparkSession, d: String) => LlmOps.q134PerplexityKneserNey(s, d)),
     "q135_perplexity_kn_4gram" -> ((s: SparkSession, d: String) => LlmOps.q135PerplexityKneserNey4(s, d)),
+    "q137_perplexity_kn_5gram" -> ((s: SparkSession, d: String) => LlmOps.q137PerplexityKneserNey5(s, d)),
     "q136_schema_evolution" -> ((s: SparkSession, d: String) => Relational.q136SchemaEvolution(s, d))
   )
 
@@ -314,6 +315,24 @@ object SparkEntry {
       kn4Ptri + ") ELSE (" + kn4Ptri + ") END"
   private def kn4Bits(p: String): String =
     "CAST(round(-log2(" + p + ") * 1000000.0) AS BIGINT)"
+
+  /** q137's oracle extends [[fourgramLmOracleCtes]] one order: the
+    * bounded fivegram table (context = in-table fourgram) and a
+    * `tok5` view carrying prev4. The kn4 nested-CASE blocks compose
+    * unchanged underneath the quint tier — same table aliases, one
+    * more rung.
+    */
+  private val fivegramLmOracleCtes: String = fourgramLmOracleCtes + ",\n" +
+    """quint AS MATERIALIZED (SELECT y.p4 AS p4, y.p3 AS p3, y.p2 AS p2, y.p1 AS p1, y.cur AS cur, CAST(count(*) AS BIGINT) AS c5 FROM
+      |(SELECT toks[i] AS p4, toks[i + 1] AS p3, toks[i + 2] AS p2, toks[i + 3] AS p1, toks[i + 4] AS cur FROM (SELECT toks, unnest(range(1, len(toks) - 3)) AS i FROM ref) x) y
+      |JOIN quad qq ON y.p4 = qq.p3 AND y.p3 = qq.p2 AND y.p2 = qq.p1 AND y.p1 = qq.cur
+      |GROUP BY y.p4, y.p3, y.p2, y.p1, y.cur ORDER BY c5 DESC, y.p4 ASC, y.p3 ASC, y.p2 ASC, y.p1 ASC, y.cur ASC LIMIT 131072),
+      |tok5 AS (SELECT doc_id, lang, toks[p] AS cur, CASE WHEN p > 1 THEN toks[p - 1] END AS prev, CASE WHEN p > 2 THEN toks[p - 2] END AS prev2, CASE WHEN p > 3 THEN toks[p - 3] END AS prev3, CASE WHEN p > 4 THEN toks[p - 4] END AS prev4 FROM tk)""".stripMargin
+
+  private val kn5Pquint: String =
+    "CASE WHEN quint.c5 IS NOT NULL THEN (quint.c5 - 0.75) / qc.cq + (0.75 * f4.f4 / qc.cq) * (" +
+      kn4Pquad + ") WHEN f4.f4 IS NOT NULL THEN (0.75 * f4.f4 / qc.cq) * (" +
+      kn4Pquad + ") ELSE (" + kn4Pquad + ") END"
 
   private val bm25Oracle: String = bm25OracleCtes + ",\n" +
     """r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
@@ -1394,6 +1413,38 @@ object SparkEntry {
         |LEFT JOIN f1 ON tok4.prev = f1.prev
         |LEFT JOIN f2 ON tok4.prev2 = f2.p2 AND tok4.prev = f2.p1
         |LEFT JOIN f3 ON tok4.prev3 = f3.p3 AND tok4.prev2 = f3.p2 AND tok4.prev = f3.p1, v, bt),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS bits_micro FROM sc0 GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_tokens, bits_micro,
+        |CASE WHEN bits_micro < 5407000 * n_tokens THEN 'head'
+        |WHEN bits_micro < 5529000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin),
+    "q137_perplexity_kn_5gram" -> (fivegramLmOracleCtes + ",\n" +
+      """nb AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1b FROM bi GROUP BY cur),
+        |f1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS f1 FROM bi GROUP BY prev),
+        |f2 AS (SELECT p2, p1, CAST(count(*) AS BIGINT) AS f2 FROM tri GROUP BY p2, p1),
+        |f3 AS (SELECT p3, p2, p1, CAST(count(*) AS BIGINT) AS f3 FROM quad GROUP BY p3, p2, p1),
+        |f4 AS (SELECT p4, p3, p2, p1, CAST(count(*) AS BIGINT) AS f4 FROM quint GROUP BY p4, p3, p2, p1),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+        |sc0 AS (SELECT doc_id, lang,
+        |CASE WHEN tok5.prev IS NULL THEN """.stripMargin +
+      kn4Bits(kn4Pcont) + "\nWHEN tok5.prev2 IS NULL THEN " +
+      kn4Bits(kn4Pbi) + "\nWHEN tok5.prev3 IS NULL THEN " +
+      kn4Bits(kn4Ptri) + "\nWHEN tok5.prev4 IS NULL THEN " +
+      kn4Bits(kn4Pquad) + "\nELSE " + kn4Bits(kn5Pquint) + " END AS bits" +
+      """
+        |FROM tok5 LEFT JOIN voc vc ON tok5.cur = vc.tok LEFT JOIN voc vp ON tok5.prev = vp.tok
+        |LEFT JOIN bi ON tok5.prev = bi.prev AND tok5.cur = bi.cur
+        |LEFT JOIN bi bc ON tok5.prev2 = bc.prev AND tok5.prev = bc.cur
+        |LEFT JOIN tri ON tok5.prev2 = tri.p2 AND tok5.prev = tri.p1 AND tok5.cur = tri.cur
+        |LEFT JOIN tri tc ON tok5.prev3 = tc.p2 AND tok5.prev2 = tc.p1 AND tok5.prev = tc.cur
+        |LEFT JOIN quad ON tok5.prev3 = quad.p3 AND tok5.prev2 = quad.p2 AND tok5.prev = quad.p1 AND tok5.cur = quad.cur
+        |LEFT JOIN quad qc ON tok5.prev4 = qc.p3 AND tok5.prev3 = qc.p2 AND tok5.prev2 = qc.p1 AND tok5.prev = qc.cur
+        |LEFT JOIN quint ON tok5.prev4 = quint.p4 AND tok5.prev3 = quint.p3 AND tok5.prev2 = quint.p2 AND tok5.prev = quint.p1 AND tok5.cur = quint.cur
+        |LEFT JOIN nb ON tok5.cur = nb.cur
+        |LEFT JOIN f1 ON tok5.prev = f1.prev
+        |LEFT JOIN f2 ON tok5.prev2 = f2.p2 AND tok5.prev = f2.p1
+        |LEFT JOIN f3 ON tok5.prev3 = f3.p3 AND tok5.prev2 = f3.p2 AND tok5.prev = f3.p1
+        |LEFT JOIN f4 ON tok5.prev4 = f4.p4 AND tok5.prev3 = f4.p3 AND tok5.prev2 = f4.p2 AND tok5.prev = f4.p1, v, bt),
         |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS bits_micro FROM sc0 GROUP BY doc_id, lang)
         |SELECT doc_id, lang, n_tokens, bits_micro,
         |CASE WHEN bits_micro < 5407000 * n_tokens THEN 'head'

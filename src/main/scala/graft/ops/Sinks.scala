@@ -359,6 +359,9 @@ object Sinks {
   private[graft] def swapInstall(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
       trashSuffix: String): Unit = {
+    // fencing: a holder displaced by a TTL reclaim must fail loud
+    // HERE, before the park-rename mutates shared state
+    assertLeasesStillOwned(s"swapInstall($dst)")
     val trash = new org.apache.hadoop.fs.Path(dst.toString + trashSuffix)
     fs.delete(trash, true)
     if (!fs.rename(dst, trash))
@@ -516,11 +519,32 @@ object Sinks {
     * above [[leaseHeartbeatMs]] (minutes vs seconds): a live holder
     * whose heartbeat is merely delayed past the TTL loses its lease —
     * the inherent TTL-lease hazard, which is why this is opt-in.
+    *
+    * ENFORCED, not advisory (round-16 advice): a TTL below
+    * [[MinTtlHeartbeats]] heartbeat periods is rejected loud at parse
+    * — such a configuration makes any ordinary GC pause or FS hiccup
+    * displace a LIVE holder, which is indistinguishable from data
+    * corruption once two writers interleave. Holders additionally
+    * re-verify ownership before every manifest flip and park-rename
+    * swap ([[assertLeasesStillOwned]]), so a displaced writer fails
+    * loud at its next destructive step instead of silently racing the
+    * usurper.
     */
+  private[graft] val MinTtlHeartbeats = 4L
+
   private[graft] def leaseTtlMs: Option[Long] =
     sys.props.get("graft.lease.ttl.ms").filter(_.nonEmpty)
       .orElse(sys.env.get("SPARK_GRAFT_LEASE_TTL_MS").filter(_.nonEmpty))
       .map(_.toLong).filter(_ > 0)
+      .map { ttl =>
+        val hb = leaseHeartbeatMs
+        require(ttl >= MinTtlHeartbeats * hb,
+          s"lease TTL ${ttl}ms must be >= $MinTtlHeartbeats x the holder " +
+            s"heartbeat period (${hb}ms): a tighter TTL displaces LIVE " +
+            "holders on any GC pause or FS hiccup — raise the TTL or " +
+            "lower graft.lease.heartbeat.ms")
+        ttl
+      }
 
   /** How often a holder refreshes its held lease files' mtimes (the
     * liveness signal TTL reclaim reads). Overridable for specs via
@@ -539,12 +563,16 @@ object Sinks {
     sys.props.getOrElse("graft.lease.host.override",
       java.net.InetAddress.getLocalHost.getHostName)
 
-  /** Leases currently held by THIS JVM (outer acquisitions only),
-    * refreshed by the heartbeat daemon so TTL-configured waiters on
-    * other hosts can tell dead from alive.
+  /** Leases currently held by THIS JVM (outer acquisitions only,
+    * with their holder strings), refreshed by the heartbeat daemon so
+    * TTL-configured waiters on other hosts can tell dead from alive —
+    * and re-read by [[assertLeasesStillOwned]] so a displaced holder
+    * fails loud before its next destructive step.
     */
+  private final case class HeldLease(fs: org.apache.hadoop.fs.FileSystem,
+      holder: String)
   private val heartbeatLeases = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.hadoop.fs.FileSystem]()
+    String, HeldLease]()
 
   private lazy val leaseHeartbeatExec = {
     val period = leaseHeartbeatMs
@@ -553,16 +581,54 @@ object Sinks {
         val t = new Thread(r, "graft-lease-heartbeat")
         t.setDaemon(true); t
       })
-    ex.scheduleWithFixedDelay(() => heartbeatLeases.forEach { (lp, fs) =>
+    ex.scheduleWithFixedDelay(() => heartbeatLeases.forEach { (lp, h) =>
       // mtime-only refresh: no content rewrite, so a concurrent
       // reclaim's content verification is never perturbed; a lease
       // already released/reclaimed just misses (self-heals next tick)
-      try fs.setTimes(new org.apache.hadoop.fs.Path(lp),
+      try h.fs.setTimes(new org.apache.hadoop.fs.Path(lp),
         System.currentTimeMillis(), -1)
       catch { case _: java.io.IOException => () }
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     ex
   }
+
+  /** Fencing check at destructive commit points (round-16 advice):
+    * re-read every lease the CURRENT THREAD holds and require its
+    * content to still be OUR holder string. A TTL reclaimer that
+    * displaced us rewrote (or removed) the file, so the next manifest
+    * flip / park-rename swap throws here instead of interleaving with
+    * the usurper's writes. No lease held (plain non-lifecycle writes)
+    * = no-op; cost is one tiny same-directory read per held lease per
+    * destructive step (java.nio on the local scheme — the Hadoop
+    * LocalFileSystem per-call overhead would tax every lifecycle
+    * step).
+    */
+  private[graft] def assertLeasesStillOwned(context: String): Unit =
+    heldLeases.get.foreach { lp =>
+      Option(heartbeatLeases.get(lp)).foreach { h =>
+        val p = new org.apache.hadoop.fs.Path(lp)
+        val cur =
+          try {
+            if (h.fs.getScheme == "file")
+              new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(
+                  p.toUri.getPath match { case null => lp; case q => q })),
+                "UTF-8")
+            else {
+              val in = h.fs.open(p)
+              val s = new String(
+                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+              in.close(); s
+            }
+          } catch { case _: java.io.IOException => "<missing>" }
+        if (cur != h.holder)
+          throw new IllegalStateException(
+            s"$context: writer lease $lp is no longer ours — expected " +
+              s"[${h.holder}], found [$cur]. A TTL reclaim displaced this " +
+              "holder (stalled heartbeat past the TTL); aborting before " +
+              "the destructive step so two writers never interleave")
+      }
+    }
 
   /** Fail-loud single-writer lease over an index/sink root — the
     * stand-in for the transactional layer the reference delegates to
@@ -686,7 +752,7 @@ object Sinks {
           "recovery, opt into TTL reclaim via SPARK_GRAFT_LEASE_TTL_MS)")
     }
     heldLeases.set(heldLeases.get + lp)
-    heartbeatLeases.put(lp, fs)
+    heartbeatLeases.put(lp, HeldLease(fs, holder))
     leaseHeartbeatExec // first hold starts the daemon
     try body
     finally {
@@ -791,8 +857,25 @@ object Sinks {
       else reclaimIfExpiredAt(fs, p, existing, ttl)
     }
 
+  /** Filesystem schemes whose `rename` is ATOMIC and
+    * MTIME-PRESERVING — the two properties the claim-verify step
+    * below depends on. Object stores fail both (S3A rename =
+    * copy+delete: not atomic, fresh mtime), so TTL reclaim there
+    * would either never succeed (m2 != m1 always) or let two waiters
+    * both pass the rename — gate it off entirely (round-16 advice)
+    * and leave [[breakWriterLease]] as the recovery path.
+    */
+  private val ttlReclaimSchemes = Set("file", "hdfs", "viewfs")
+
   private def reclaimIfExpiredAt(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, existing: String, ttl: Long): Boolean = {
+      p: org.apache.hadoop.fs.Path, existing: String, ttl: Long): Boolean =
+    if (!ttlReclaimSchemes.contains(fs.getScheme)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"TTL lease reclaim is disabled on scheme '${fs.getScheme}' " +
+          "(rename is not atomic/mtime-preserving there); recover a dead " +
+          "holder's lease explicitly with Sinks.breakWriterLease")
+      false
+    } else {
       val m1 =
         try fs.getFileStatus(p).getModificationTime
         catch { case _: java.io.IOException => -1L }
@@ -801,16 +884,24 @@ object Sinks {
         val probe = new org.apache.hadoop.fs.Path(
           Option(p.getParent).getOrElse(p),
           ".graft_lease_clock_probe_" + java.util.UUID.randomUUID().toString)
+        // The probe mtime is the FILESYSTEM's clock — the same
+        // authority that stamps the holder's heartbeats — so
+        // cross-host client skew cancels. If the probe cannot be
+        // created there is NO trustworthy clock; abort the attempt
+        // (round-16 advice: falling back to the client clock would
+        // reintroduce exactly the skew the probe exists to cancel,
+        // letting a skewed client reclaim a freshly heartbeated
+        // lease).
         val fsNow =
           try {
             fs.create(probe, true).close()
             fs.getFileStatus(probe).getModificationTime
-          } catch { case _: java.io.IOException => System.currentTimeMillis() }
+          } catch { case _: java.io.IOException => -1L }
           finally {
             try fs.delete(probe, false)
             catch { case _: java.io.IOException => () }
           }
-        if (fsNow - m1 < ttl) false
+        if (fsNow < 0 || fsNow - m1 < ttl) false
         else {
           val claim = new org.apache.hadoop.fs.Path(
             p.toString + s".__reclaim_${ProcessHandle.current().pid()}_" +
@@ -996,7 +1087,7 @@ object Sinks {
     }
   }
 
-  /** Read the live version (the only public read path — readers never
+  /** Read the live version (the default read path — readers never
     * list version directories, they follow the pointer).
     */
   def readVersioned(spark: SparkSession, root: String): DataFrame = {
@@ -1005,12 +1096,54 @@ object Sinks {
     spark.read.parquet(versionDir(root, v))
   }
 
+  /** PINNED-VERSION read (time travel): read version `v` exactly as
+    * committed, regardless of where the manifest points now — the
+    * reproducibility primitive a corpus consumer needs ("training run
+    * X consumed corpus version N" must stay answerable after the next
+    * flip; the reference gets this from Snowflake time travel,
+    * reference: README.md:34-42's warehouse delegation). Fails LOUD,
+    * never silently substitutes the live version:
+    *   - a version directory that is gone (retired by
+    *     [[pruneVersions]], or never committed) throws
+    *     FileNotFoundException naming the live version — the caller
+    *     chooses between pinning harder (longer retention) and
+    *     re-deriving;
+    *   - a directory without its `_SUCCESS` marker is a CRASHED
+    *     commit that never reached the manifest flip — reading it
+    *     would return a half-written state no reader was ever
+    *     promised, so it throws too (commitVersion's count-validate
+    *     deletes failed writes, but a JVM killed mid-write leaves
+    *     the torso).
+    * Retention contract: every version stays readable until
+    * [[pruneVersions]]; a deployment that needs N-version time travel
+    * simply prunes on that schedule (prune keeps only the live one by
+    * declared semantics).
+    */
+  def readVersionedAt(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val fs = fsFor(spark, root)
+    val dir = versionDir(root, v)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(
+        s"version v=$v under $root does not exist — retired by " +
+          s"pruneVersions or never committed (live: " +
+          s"${liveVersion(spark, root).fold("none")(l => s"v=$l")})")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"version v=$v under $root is incomplete (no _SUCCESS marker): " +
+          "a crashed commit that never reached the manifest flip — not " +
+          "readable state")
+    spark.read.parquet(dir)
+  }
+
   /** Atomically point the manifest at `v`: write MANIFEST.tmp, then
     * FileContext rename with OVERWRITE (atomic on HDFS/local; on an
     * object store replace this with the store's single-PUT — one
     * object either way).
     */
   private def flipManifest(spark: SparkSession, root: String, v: Long): Unit = {
+    // fencing: never flip a pointer after a TTL reclaim displaced us
+    assertLeasesStillOwned(s"flipManifest($root -> v=$v)")
     val fs = fsFor(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "/MANIFEST.tmp")
     val out = fs.create(tmp, true)

@@ -479,7 +479,8 @@ object Streaming {
       nearThreshold: Double = 0.5, paraTokens: Int = 20,
       minTokens: Int = 5, dupMilliMax: Int = 300, topMilliMax: Int = 200,
       pplHeadBits: Long = 4910000L, pplMidBits: Long = 4940000L,
-      contaminationMilli: Int = 700, retrainEvery: Int = 2):
+      contaminationMilli: Int = 700, retrainEvery: Int = 2,
+      gateVocabCap: Int = 4096):
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -496,8 +497,12 @@ object Streaming {
             .repartition(8, col("doc_id"))
             .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch_id").parquet(outPath)
+        // gateVocabCap threads through (round-16 advice): a refit
+        // under a different cap than the seed artifact's would
+        // silently change vocabulary size — and thereby gate scores —
+        // at the first refresh
         if ((batchId + 1) % retrainEvery.max(1) == 0)
-          gateRetrain(spark, outPath, artifactRoot)
+          gateRetrain(spark, outPath, artifactRoot, gateVocabCap)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -155,6 +155,10 @@ class LeaseRaceSpec extends AnyFunSuite {
         assert(proc.isAlive, "worker died before acquiring the lease")
         Thread.sleep(5)
       }
+      // the TTL floor (Sinks.MinTtlHeartbeats x heartbeat) is
+      // enforced at parse: pin the waiter-side heartbeat so the spec
+      // TTL clears it
+      System.setProperty("graft.lease.heartbeat.ms", "500")
       System.setProperty("graft.lease.ttl.ms", "2500")
       // ALIVE foreign holder: sit through more than one full TTL —
       // its 200 ms heartbeats keep the lease fresh, so the waiter
@@ -192,8 +196,54 @@ class LeaseRaceSpec extends AnyFunSuite {
         .exists(_.getName.contains("__reclaim_")))
     } finally {
       System.clearProperty("graft.lease.ttl.ms")
+      System.clearProperty("graft.lease.heartbeat.ms")
       proc.destroyForcibly()
     }
+  }
+
+  test("TTL below the heartbeat floor is rejected loud at parse") {
+    // round-16 advice (medium): nothing enforced TTL >> heartbeat, so
+    // a mis-set TTL could displace a LIVE holder on any GC pause. Now
+    // a TTL under MinTtlHeartbeats x the heartbeat period fails the
+    // moment it is read.
+    System.setProperty("graft.lease.heartbeat.ms", "1000")
+    System.setProperty("graft.lease.ttl.ms", "2500") // < 4 x 1000
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Sinks.leaseTtlMs
+      }
+      assert(e.getMessage.contains("heartbeat"), e.getMessage)
+    } finally {
+      System.clearProperty("graft.lease.ttl.ms")
+      System.clearProperty("graft.lease.heartbeat.ms")
+    }
+  }
+
+  test("a displaced holder fails loud at its next manifest flip (fencing), pointer untouched") {
+    // round-16 advice (medium): a TTL-displaced holder had no fencing
+    // and kept writing. Holders now re-read their lease before every
+    // manifest flip / park-rename swap and abort on foreign content.
+    val base = java.nio.file.Files.createTempDirectory("graft_lease_fence")
+    val root = base.resolve("versioned").toString
+    graft.ops.Sinks.commitVersion(spark, root,
+      Seq((1L, "a")).toDF("id", "v"))
+    assert(graft.ops.Sinks.liveVersion(spark, root) === Some(1L))
+    val e = intercept[IllegalStateException] {
+      graft.ops.Sinks.withWriterLease(spark, root, "long-lifecycle-op") {
+        // simulate a TTL reclaimer displacing us mid-hold: the lease
+        // file now carries the usurper's holder string
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(graft.ops.Sinks.leasePathOf(root)),
+          "op=usurper pid=999999 host=other-host since=now".getBytes("UTF-8"))
+        // reentrant commit -> flipManifest -> ownership re-verify
+        graft.ops.Sinks.commitVersion(spark, root,
+          Seq((2L, "b")).toDF("id", "v"))
+      }
+    }
+    assert(e.getMessage.contains("no longer ours"), e.getMessage)
+    // the flip never happened: readers still see v1, intact
+    assert(graft.ops.Sinks.liveVersion(spark, root) === Some(1L))
+    assert(graft.ops.Sinks.readVersioned(spark, root).count() === 1L)
   }
 
   test("TTL unset keeps the fail-loud default: an aged foreign lease still blocks") {
@@ -227,6 +277,7 @@ class LeaseRaceSpec extends AnyFunSuite {
       s"op=ingest-append pid=${ProcessHandle.current().pid()} host=$host"
         .getBytes("UTF-8"))
     lease.toFile.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    System.setProperty("graft.lease.heartbeat.ms", "500")
     System.setProperty("graft.lease.ttl.ms", "2500")
     try {
       val e = intercept[IllegalStateException] {
@@ -234,7 +285,10 @@ class LeaseRaceSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("writer lease"))
       assert(java.nio.file.Files.exists(lease))
-    } finally System.clearProperty("graft.lease.ttl.ms")
+    } finally {
+      System.clearProperty("graft.lease.ttl.ms")
+      System.clearProperty("graft.lease.heartbeat.ms")
+    }
     graft.ops.Sinks.breakWriterLease(spark, idx)
   }
 

@@ -717,7 +717,9 @@ class LlmOpsSpec extends AnyFunSuite {
           .otherwise(col("text")).as("text"),
         (col("doc_id") % 2 === 0).cast("int").as("label"))
       .localCheckpoint()
-    val (w, b, losses) = LlmOps.fitHashedLr(planted, 4096, 8, 2.0)
+    // fit at the DECLARED pass count (4 since round 17) so the
+    // separation law pins the shipped configuration, not a deeper run
+    val (w, b, losses) = LlmOps.fitHashedLr(planted, 4096, 4, 2.0)
     val scored = LlmOps.scoreHashedLr(planted, w, b, 4096)
       .join(planted.select("doc_id", "label"), "doc_id")
     val n = scored.count()
@@ -728,7 +730,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // the theorem: with the bias riding as a constant-1 coordinate,
     // ‖[x,1]‖₂² ≤ 2 for frequency features ⇒ L = ½ ⇒ lr=2 < 4 = 2/L,
     // so every full-batch step strictly decreases the training loss
-    assert(losses.length === 8)
+    assert(losses.length === 4)
     losses.sliding(2).foreach { case Array(prev, next) =>
       assert(next <= prev + 1e-12, s"loss rose: $prev -> $next in ${losses.mkString(",")}")
     }

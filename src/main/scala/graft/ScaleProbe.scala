@@ -79,7 +79,9 @@ object ScaleProbe {
     "q133_perplexity_backoff" -> Seq("documents"),
     "q134_perplexity_kneser_ney" -> Seq("documents"),
     "q135_perplexity_kn_4gram" -> Seq("documents"),
-    "q136_schema_evolution" -> Seq("events"))
+    "q136_schema_evolution" -> Seq("events"),
+    "q137_perplexity_kn_5gram" -> Seq("documents"),
+    "q138_dedup_simhash_exact" -> Seq("documents"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")

@@ -162,6 +162,7 @@ object SparkEntry {
     "q134_perplexity_kneser_ney" -> ((s: SparkSession, d: String) => LlmOps.q134PerplexityKneserNey(s, d)),
     "q135_perplexity_kn_4gram" -> ((s: SparkSession, d: String) => LlmOps.q135PerplexityKneserNey4(s, d)),
     "q137_perplexity_kn_5gram" -> ((s: SparkSession, d: String) => LlmOps.q137PerplexityKneserNey5(s, d)),
+    "q138_dedup_simhash_exact" -> ((s: SparkSession, d: String) => LlmOps.q138DedupSimhashExact(s, d)),
     "q136_schema_evolution" -> ((s: SparkSession, d: String) => Relational.q136SchemaEvolution(s, d))
   )
 
@@ -333,6 +334,35 @@ object SparkEntry {
     "CASE WHEN quint.c5 IS NOT NULL THEN (quint.c5 - 0.75) / qc.cq + (0.75 * f4.f4 / qc.cq) * (" +
       kn4Pquad + ") WHEN f4.f4 IS NOT NULL THEN (0.75 * f4.f4 / qc.cq) * (" +
       kn4Pquad + ") ELSE (" + kn4Pquad + ") END"
+
+  /** q138's oracle, GENERATED like the kn blocks: the md5-derived
+    * SimHash signature as 64 integer bit-sums (hex digit d, bit b →
+    * column s{d*4+b}), assembled into (lo, hi) halves, then
+    * brute-force all-pairs Hamming — the pigeonhole on the Spark side
+    * is candidate generation only, so brute force IS the semantic
+    * mirror.
+    */
+  private val simhashExactOracle: String = {
+    val hd = (0 until 16).map(d =>
+      s"strpos('0123456789abcdef', substring(h, ${d + 1}, 1)) - 1 AS hd$d")
+    val sums = (for (d <- 0 until 16; b <- 0 until 4) yield
+      s"SUM(CASE WHEN (hd$d // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s${d * 4 + b}")
+    val lo = (0 until 32)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val hi = (32 until 64)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << (i - 32)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, md5(tok) AS h FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x),
+       |dg AS (SELECT doc_id, ${hd.mkString(", ")} FROM t),
+       |s AS MATERIALIZED (SELECT doc_id, ${sums.mkString(", ")} FROM dg GROUP BY doc_id),
+       |f AS MATERIALIZED (SELECT doc_id, CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi FROM s)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+       |FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private val bm25Oracle: String = bm25OracleCtes + ",\n" +
     """r AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank, score_micro FROM sc)
@@ -1114,10 +1144,17 @@ object SparkEntry {
     // flip pointing at the superseded v1 halves a count, a prune that
     // bites the live version empties one, a lossy compaction moves an
     // id-sum (the q127 row-identity rule through the version pointer).
+    // q128: the live leg recomputes from the raw slice; the n_v1 /
+    // sum_event_id_v1 leg recomputes the SUPERSEDED v1 half-state
+    // (even event_ids) — a pinned read that followed the manifest
+    // instead would double n_v1
     "q128_versioned_lifecycle" ->
-      """SELECT CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS n,
-        |CAST(sum(event_id) AS BIGINT) AS sum_event_id, CAST(sum(user_id) AS BIGINT) AS sum_user_id
-        |FROM events WHERE user_id % 8 = 0 GROUP BY event_date ORDER BY event_date""".stripMargin,
+      """WITH s AS (SELECT CAST(ts AS DATE) AS event_date, event_id, user_id FROM events WHERE user_id % 8 = 0),
+        |a AS (SELECT event_date, CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS sum_event_id, CAST(sum(user_id) AS BIGINT) AS sum_user_id FROM s GROUP BY event_date),
+        |h AS (SELECT event_date, CAST(count(*) AS BIGINT) AS n_v1, CAST(sum(event_id) AS BIGINT) AS sum_event_id_v1 FROM s WHERE event_id % 2 = 0 GROUP BY event_date)
+        |SELECT a.event_date, a.n, a.sum_event_id, a.sum_user_id,
+        |CAST(COALESCE(h.n_v1, 0) AS BIGINT) AS n_v1, CAST(COALESCE(h.sum_event_id_v1, -1) AS BIGINT) AS sum_event_id_v1
+        |FROM a LEFT JOIN h USING (event_date) ORDER BY event_date""".stripMargin,
     // q136: the evolved live version holds the base half NULL-filled
     // for the added column plus the evolved half carrying it — the
     // oracle recomputes from the raw slice with the same parity split
@@ -1450,6 +1487,7 @@ object SparkEntry {
         |CASE WHEN bits_micro < 5407000 * n_tokens THEN 'head'
         |WHEN bits_micro < 5529000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM sc ORDER BY doc_id""".stripMargin),
+    "q138_dedup_simhash_exact" -> simhashExactOracle,
     // q131: the LSH-dedup takedown lifecycle. Three legs share the
     // one fingerprint construction (q87's identical-shingle-set rule
     // at threshold 1.0): 'ingest' is q87's oracle verbatim; 'tomb'

@@ -1093,6 +1093,77 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** #138 SimHash near-dup, ORACLE-ABLE twin of #41 (round-16 verdict
+    * item 8 — the q40-beside-q37 pattern applied to SimHash): same
+    * frequency-weighted 64-bit signature + pigeonhole candidates +
+    * exact Hamming verify, but the per-token hash is the first 64
+    * bits of md5 — bit-identical in any engine — instead of
+    * xxhash64, so the WHOLE operator sits on the DuckDB hash gate
+    * (the oracle brute-forces all pairs; the pigeonhole only
+    * generates candidates and the exact `hamming <= maxHamming`
+    * filter makes the output independent of candidate generation).
+    * q41 stays the declared scale path (its codegen'd
+    * SimHash64 expression is one pass per token vs this one's
+    * 64-aggregate layout); its banded spec is unchanged.
+    *
+    * Plan shape: one token scan, md5 map-side, ONE doc-keyed
+    * partial-agg exchange carrying 64 integer sums (the signature
+    * fold), then the 16-bit-block bucket join over four keys/doc —
+    * linear in corpus size plus candidate mass, the q41 scale
+    * argument verbatim.
+    */
+  def q138DedupSimhashExact(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPortablePairsOf(Tables.documents(spark, dir), maxHamming)
+      .orderBy("doc_a", "doc_b")
+
+  /** Core of [[q138DedupSimhashExact]] over any (doc_id, text)
+    * relation. The signature: for hex digit d (0..15) of md5(tok)
+    * and bit b (0..3), the weighted bit-sum Σ_tokens (2·bit − 1);
+    * fp bit (d·4+b) = (sum > 0), assembled into two 32-bit halves
+    * (lo, hi) so Hamming distance is bit_count(lo⊕lo') +
+    * bit_count(hi⊕hi') in both engines without 2^63 sign traps.
+    * Integer arithmetic end to end — exact cross-engine parity.
+    */
+  private[graft] def simhashPortablePairsOf(docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val sumExprs = (for (d <- 0 until 16; b <- 0 until 4) yield {
+      val hd = conv(substring(col("h"), d + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(hd, b).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s${d * 4 + b}")
+    }).toIndexedSeq
+    val sums = toks.groupBy("doc_id").agg(sumExprs.head, sumExprs.tail: _*)
+    val lo = (0 until 32)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hi = (32 until 64)
+      .map(i => when(col(s"s$i") > 0, lit(1L << (i - 32))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fps = sums.select(col("doc_id"), lo.as("lo"), hi.as("hi"))
+      .localCheckpoint() // both sides of the bucket self-join read it
+    // q41's pigeonhole at nBlocks=4, maxHamming<=3: >=1 of the four
+    // 16-bit blocks is clean on any pair within the radius
+    require(maxHamming <= 3, "4-block pigeonhole covers radius <= 3")
+    val blocks = Seq(
+      col("lo").bitwiseAND(lit(65535L)),
+      shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(65535L)),
+      col("hi").bitwiseAND(lit(65535L)),
+      shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(65535L)))
+    val keyed = fps.select(col("doc_id"), col("lo"), col("hi"),
+      explode(array(blocks.zipWithIndex.map { case (bc, i) =>
+        xxhash64(lit(i), bc) }: _*)).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Canonical-fingerprint dedup: SHA-256 of the sorted distinct token
     * set — a rolling/content fingerprint that is invariant to token
     * order and repetition, so it catches the shuffle-style near-dups

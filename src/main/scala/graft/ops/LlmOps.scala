@@ -6222,7 +6222,14 @@ object LlmOps {
     val feats = hashedFreqFeatures(docs, nBuckets)
       .join(docs.select("doc_id", "label"), "doc_id")
       .localCheckpoint() // replayed twice per epoch job
-    val n = docs.count()
+    // ONE stats pass (round 17; was three separate 1-row aggregates —
+    // doc count, label sum and mean doc length each re-scanned the
+    // source): n, n1 and meanDl ride one aggregate job.
+    val st = docs
+      .select(col("label"), size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)), coalesce(sum("label"), lit(0L)), avg("dl"))
+      .head()
+    val n = st.getLong(0)
     if (n == 0) return (new Array[Double](nBuckets), 0.0, Array.empty)
     // NB evidence lives at OCCURRENCE scale (Σ occ·w + prior) but the
     // features are frequencies (x = occ/dl), so an unscaled NB init
@@ -6231,9 +6238,8 @@ object LlmOps {
     // round-9 89.2% failure). Multiplying the init weights by the
     // mean doc length restores the NB margin scale in frequency
     // space: (E[dl]/dl)·Σ occ·w + prior ≈ the NB doc score, exactly
-    // for average-length docs. One extra 1-row aggregate.
-    val meanDl = docs.select(size(split(col("text"), " ")).as("dl"))
-      .agg(avg("dl")).head().getDouble(0)
+    // for average-length docs.
+    val meanDl = st.getDouble(2)
     // hashed-NB init (the hashing trick, Weinberger et al. 2009, over
     // the fitNbLogOdds weights): per-bucket class-conditional token
     // OCCURRENCE counts — one map-side-partial agg, ≤ nBuckets rows
@@ -6255,7 +6261,7 @@ object LlmOps {
         w(b) = meanDl * (math.log((c1 + 1.0) / (t1 + nBuckets)) -
           math.log((c - c1 + 1.0) / (t0 + nBuckets)))
     }
-    val n1 = docs.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    val n1 = st.getLong(1) // label sum, from the fused stats pass
     var bias = math.log((n1 + 1.0) / ((n - n1) + 1.0))
     val losses = new Array[Double](epochs)
     for (e <- 0 until epochs) {

@@ -369,9 +369,12 @@ object Bench {
     // design: every repair sample re-prints the record, so even an
     // external kill mid-overdraft keeps the newest complete line —
     // the overdraft risks wall-clock, never the artifact. No effect
-    // on full-protocol (full_rounds >= 2) runs.
+    // on full-protocol (full_rounds >= 2) runs. Default 120 s: the
+    // frozen tier in a storm is ~20 heavy queries at 3-8 s inflated
+    // each, so 60 s repairs barely half of them once, while a quiet
+    // tail at ~2× fewer seconds per sample covers the tier twice.
     val StormOverdraftS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_OVERDRAFT_S", "60").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_OVERDRAFT_S", "120").toDouble
     val repairBudget =
       if (fullRounds < 2) BudgetSec + StormOverdraftS else BudgetSec
     if (ref.nonEmpty && !spark.sparkContext.isStopped) {

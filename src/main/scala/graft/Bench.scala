@@ -332,8 +332,17 @@ object Bench {
       if (!stop) { fullRounds += 1; emit() }
       // cold chain right after the first complete round (see
       // ColdChainOn above): measured exactly once, recorded even if a
-      // storm window exhausts the rest of the budget
-      if (round == 1 && !stop && ColdChainOn && coldChain < 0) {
+      // storm window exhausts the rest of the budget. EXCEPT when
+      // round 1 itself ran under a detected storm (its canary at or
+      // above StormCanary — the 49%-steal round-17 run read 1.02 vs
+      // the 0.3 quiet convention): then the ~10-16 s slot would both
+      // burn re-measurement budget at its most precious AND record a
+      // storm-inflated chain; defer to the post-repair fallback slot
+      // below, which still runs before exit in every non-killed run.
+      val stormCanary =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_CANARY", "0.8").toDouble
+      val r1Storm = canaries.headOption.exists(_ >= stormCanary)
+      if (round == 1 && !stop && ColdChainOn && coldChain < 0 && !r1Storm) {
         try {
           val t0 = System.nanoTime()
           val (cleaned, _) = Pipeline.preparedCorpusFresh(spark, sfDir)
@@ -410,9 +419,13 @@ object Bench {
         }
       }
     }
-    // fallback only: round 1 never completed (kill/failure), so the
-    // post-round-1 cold-chain slot above never ran
-    if (coldChain < 0 && elapsedSec < BudgetSec && ColdChainOn) {
+    // fallback slot: round 1 never completed (kill/failure), or the
+    // post-round-1 slot was DEFERRED by the storm-canary check. Runs
+    // regardless of remaining budget — it is the final act, queries
+    // are already repaired and emitted, so the only thing an external
+    // kill here can cost is the cold_chain field itself (-1), never
+    // the per-query record.
+    if (coldChain < 0 && ColdChainOn) {
       try {
         val t0 = System.nanoTime()
         val (cleaned, _) = Pipeline.preparedCorpusFresh(spark, sfDir)

@@ -122,11 +122,20 @@ object Bench {
     quietLogs()
     // Scratch debris sweep BEFORE the session exists — driver records
     // must never pay dead runs' directory-listing tax (see
-    // [[sweepScratch]]).
+    // [[sweepScratch]]). ONLY when the index root is the tmpdir
+    // default: a configured durable root (SPARK_GRAFT_INDEX_ROOT /
+    // graft.index.root) is shared cross-session state whose retention
+    // belongs to the deployment, not to a bench run's hygiene pass —
+    // and `graft_*` there may be someone's live non-memo tree (a
+    // round-17 A/B worktree named graft_r16_ab was swept mid-
+    // experiment by exactly this pass).
     try {
-      val swept = sweepScratch(graft.ops.Sinks.indexRoot)
-      if (swept.nonEmpty)
-        System.err.println(s"[bench] swept ${swept.size} stale scratch entries")
+      val root = graft.ops.Sinks.indexRoot
+      if (root == System.getProperty("java.io.tmpdir").stripSuffix("/")) {
+        val swept = sweepScratch(root)
+        if (swept.nonEmpty)
+          System.err.println(s"[bench] swept ${swept.size} stale scratch entries")
+      }
     } catch { case _: Throwable => () }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

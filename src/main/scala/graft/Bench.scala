@@ -190,6 +190,11 @@ object Bench {
     // the spike-repair loop, which was observed running out of budget
     // with repairable spikes left.
     val BudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    // Canary level at or above which a round counts as storm-poisoned
+    // (quiet convention ~0.3; measured storms read 1.0+). Drives the
+    // cold-chain deferral and the overdraft eligibility below.
+    val StormCanary =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_CANARY", "0.8").toDouble
     // The cold-chain pass runs right AFTER ROUND 1 (round-16 change;
     // it used to run last under a reserved budget tail): the record
     // carries a real cold_chain even when a storm window exhausts the
@@ -348,10 +353,8 @@ object Bench {
       // burn re-measurement budget at its most precious AND record a
       // storm-inflated chain; defer to the post-repair fallback slot
       // below, which still runs before exit in every non-killed run.
-      val stormCanary =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_CANARY", "0.8").toDouble
-      val r1Storm = canaries.headOption.exists(_ >= stormCanary)
-      if (round == 1 && !stop && ColdChainOn && coldChain < 0 && !r1Storm) {
+      if (round == 1 && !stop && ColdChainOn && coldChain < 0 &&
+          !canaries.headOption.exists(_ >= StormCanary)) {
         try {
           val t0 = System.nanoTime()
           val (cleaned, _) = Pipeline.preparedCorpusFresh(spark, sfDir)
@@ -391,10 +394,17 @@ object Bench {
     // frozen tier in a storm is ~20 heavy queries at 3-8 s inflated
     // each, so 60 s repairs barely half of them once, while a quiet
     // tail at ~2× fewer seconds per sample covers the tier twice.
+    // Eligibility widened (round 17, second storm finding): a run
+    // whose ROUND 1 was storm-poisoned (first canary >= StormCanary)
+    // carries broad inflation even when rounds 2+ completed — a
+    // 27%-steal run with full_rounds 2 read 176.2 s with 29 s of
+    // uniform 1.15-1.4x excess vs the quiet reference.
     val StormOverdraftS =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_OVERDRAFT_S", "120").toDouble
+    val stormDegraded =
+      fullRounds < 2 || canaries.headOption.exists(_ >= StormCanary)
     val repairBudget =
-      if (fullRounds < 2) BudgetSec + StormOverdraftS else BudgetSec
+      if (stormDegraded) BudgetSec + StormOverdraftS else BudgetSec
     if (ref.nonEmpty && !spark.sparkContext.isStopped) {
       val attempts = scala.collection.mutable.Map[String, Int]()
         .withDefaultValue(0)
@@ -419,6 +429,49 @@ object Bench {
           // into the record at 5.8x its reference)
           if (go && elapsedSec < repairBudget) {
             attempts(name) += 1
+            timeOnce(name, fn) match {
+              case Some(t) =>
+                best(name) = math.min(best(name), t); emit()
+              case None => if (spark.sparkContext.isStopped) go = false
+            }
+          }
+        }
+      }
+    }
+    // BUDGET MOP-UP (round 17, the uniform-inflation finding): a
+    // storm during round 1 inflates MOST lines 1.15-1.4x — below the
+    // spike-repair ratio, so repair exits with candidates left at a
+    // combined ~25-30 s of recoverable excess (a 27%-steal run read
+    // 176.2 s this way, with calm later canaries and repair idle).
+    // Spend whatever budget remains on inflation-ordered re-measure
+    // passes over EVERY line still above MopRatio x its reference,
+    // bounded per query (MopAttempts) so a genuine code regression
+    // (every re-measure confirms the new cost) stops consuming budget
+    // after a few confirming samples. min() can only improve; in
+    // quiet windows the loop finds nothing above the ratio and exits
+    // immediately. Same interleaved full-pass discipline as repair.
+    val MopRatio =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_RATIO", "1.12").toDouble
+    val MopAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_ATTEMPTS", "3").toInt
+    if (ref.nonEmpty && !spark.sparkContext.isStopped) {
+      val mopTried = scala.collection.mutable.Map[String, Int]()
+        .withDefaultValue(0)
+      var go = true
+      while (go && elapsedSec < repairBudget) {
+        val cand = order
+          .filter { case (name, _) =>
+            !failed.contains(name) &&
+              mopTried(name) < MopAttempts &&
+              ref.get(name).exists(r => r > 0 &&
+                best.get(name).exists(b =>
+                  b > MopRatio * r && b > RepeatThresholdSec))
+          }
+          .sortBy { case (name, _) => -inflationOf(name, best) }
+        if (cand.isEmpty) go = false
+        else cand.foreach { case (name, fn) =>
+          if (go && elapsedSec < repairBudget) {
+            mopTried(name) += 1
             timeOnce(name, fn) match {
               case Some(t) =>
                 best(name) = math.min(best(name), t); emit()

@@ -81,7 +81,8 @@ object ScaleProbe {
     "q135_perplexity_kn_4gram" -> Seq("documents"),
     "q136_schema_evolution" -> Seq("events"),
     "q137_perplexity_kn_5gram" -> Seq("documents"),
-    "q138_dedup_simhash_exact" -> Seq("documents"))
+    "q138_dedup_simhash_exact" -> Seq("documents"),
+    "q139_perplexity_per_lang" -> Seq("documents"))
 
   private val allFacts =
     Seq("events", "documents", "embeddings", "lineitem", "orders")

@@ -163,6 +163,7 @@ object SparkEntry {
     "q135_perplexity_kn_4gram" -> ((s: SparkSession, d: String) => LlmOps.q135PerplexityKneserNey4(s, d)),
     "q137_perplexity_kn_5gram" -> ((s: SparkSession, d: String) => LlmOps.q137PerplexityKneserNey5(s, d)),
     "q138_dedup_simhash_exact" -> ((s: SparkSession, d: String) => LlmOps.q138DedupSimhashExact(s, d)),
+    "q139_perplexity_per_lang" -> ((s: SparkSession, d: String) => LlmOps.q139PerplexityPerLang(s, d)),
     "q136_schema_evolution" -> ((s: SparkSession, d: String) => Relational.q136SchemaEvolution(s, d))
   )
 
@@ -1488,6 +1489,28 @@ object SparkEntry {
         |WHEN bits_micro < 5529000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM sc ORDER BY doc_id""".stripMargin),
     "q138_dedup_simhash_exact" -> simhashExactOracle,
+    // q139: per-language unigram LM gate — per-lang window-ranked
+    // vocab, per-lang totals, the identical add-one float expression;
+    // docs whose lang lacks a reference model get the declared
+    // 'unmodeled' bucket (bits_micro -1), never another lang's model
+    "q139_perplexity_per_lang" ->
+      """WITH ref AS MATERIALIZED (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0'),
+        |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM ref GROUP BY lang),
+        |cts AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY lang, tok),
+        |voc AS MATERIALIZED (SELECT lang, tok, c FROM (SELECT lang, tok, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS rk FROM cts) x WHERE rk <= 4096),
+        |vl AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM voc GROUP BY lang),
+        |bits AS MATERIALIZED (SELECT voc.lang, voc.tok, CAST(round(-log2((voc.c + 1.0) / (nl.n + vl.v + 1)) * 1000000.0) AS BIGINT) AS bits FROM voc JOIN nl USING (lang) JOIN vl USING (lang)),
+        |oov AS (SELECT nl.lang, CAST(round(-log2(1.0 / (nl.n + vl.v + 1)) * 1000000.0) AS BIGINT) AS oov_bits FROM nl JOIN vl USING (lang)),
+        |tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |sc AS (SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(COALESCE(SUM(COALESCE(b.bits, o.oov_bits)), -1) AS BIGINT) AS bits_micro
+        |FROM tok t LEFT JOIN bits b ON t.lang = b.lang AND t.tok = b.tok
+        |LEFT JOIN oov o ON t.lang = o.lang GROUP BY t.doc_id, t.lang)
+        |SELECT doc_id, lang, n_tokens, bits_micro,
+        |CASE WHEN bits_micro = -1 THEN 'unmodeled'
+        |WHEN bits_micro < 4943000 * n_tokens THEN 'head'
+        |WHEN bits_micro < 5006000 * n_tokens THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // q131: the LSH-dedup takedown lifecycle. Three legs share the
     // one fingerprint construction (q87's identical-shingle-set rule
     // at threshold 1.0): 'ingest' is q87's oracle verbatim; 'tomb'

@@ -5010,6 +5010,87 @@ object LlmOps {
           .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
           .otherwise("tail"))
 
+  /** #139 PER-LANGUAGE LM perplexity gate — the setup CCNet actually
+    * runs (Wenzek et al. 2020 §4.3 trains one model PER LANGUAGE;
+    * the q100–q137 ladder fits one reference model across languages,
+    * which mis-scores every non-majority language against the
+    * majority's token distribution). Unigram tier — the
+    * model-per-lang PATTERN is the declared content here; the higher
+    * orders compose identically (partition every fitted table by
+    * lang and widen the probe keys).
+    *
+    * Fit, all IN-PLAN (no driver collect — the per-lang vocab is a
+    * key-partitioned window rank, not a TakeOrdered): per-lang token
+    * counts over the reference slice, top-`vocabCap` per lang by
+    * (count desc, tok asc), per-lang totals (n_l, v_l), add-one
+    * bits = −log2((c+1)/(n_l+v_l+1)) micro-rounded in-plan, plus a
+    * per-lang OOV row. Both fitted relations are localCheckpointed
+    * and bounded (≤ #langs × vocabCap rows).
+    *
+    * Score: one token explode, TWO broadcast probes ((lang, tok)
+    * bits, (lang) OOV), ONE doc-keyed partial-agg exchange — the
+    * scoreWithLm shape with lang-widened keys. A doc whose lang has
+    * NO reference model gets the declared `unmodeled` bucket
+    * (bits_micro −1) — loud in the output, never silently scored
+    * under another language's model. Thresholds cut at the measured
+    * sf0.01 terciles of modeled docs (the q117 convention). Exact
+    * DuckDB oracle (window-ranked vocab + the identical float
+    * expression, the q134 token-for-token discipline).
+    */
+  def q139PerplexityPerLang(spark: SparkSession, dir: String,
+      refSource: String = "src0", vocabCap: Int = 4096,
+      headBits: Long = 4943000L, midBits: Long = 5006000L): DataFrame =
+    perLangPerplexityOf(Tables.documents(spark, dir),
+      col("source") === refSource, vocabCap, headBits, midBits)
+      .orderBy("doc_id")
+
+  /** Core of [[q139PerplexityPerLang]] over any (doc_id, lang, text,
+    * …) relation, with the reference slice selected by `refPred` —
+    * composable into pipelines, and the seam the unmodeled-lang spec
+    * drives (a planted lang absent from the reference must land in
+    * the `unmodeled` bucket, never under another language's model).
+    */
+  private[graft] def perLangPerplexityOf(docs: DataFrame,
+      refPred: Column, vocabCap: Int, headBits: Long,
+      midBits: Long): DataFrame = {
+    val ref = docs.filter(refPred)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val nl = ref.groupBy("lang").agg(count(lit(1)).as("n"))
+    val cts = ref.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val voc = cts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)))
+      .filter(col("rk") <= vocabCap).drop("rk")
+    val vl = voc.groupBy("lang").agg(count(lit(1)).as("v"))
+    // written token-for-token as the oracle SQL writes it (clog2:
+    // the Column log2 — the local Double helper shadows the name)
+    def clog2(c: Column): Column = org.apache.spark.sql.functions.log2(c)
+    val bits = voc.join(nl, "lang").join(vl, "lang")
+      .select(col("lang"), col("tok"),
+        round(-clog2((col("c") + lit(1.0)) / (col("n") + col("v") + lit(1))) *
+          lit(1000000.0)).cast("long").as("bits"))
+      .localCheckpoint()
+    val oov = nl.join(vl, "lang")
+      .select(col("lang"),
+        round(-clog2(lit(1.0) / (col("n") + col("v") + lit(1))) *
+          lit(1000000.0)).cast("long").as("oov_bits"))
+      .localCheckpoint()
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(bits), Seq("lang", "tok"), "left")
+      .join(broadcast(oov), Seq("lang"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(coalesce(col("bits"), col("oov_bits"))), lit(-1L))
+          .as("bits_micro"))
+      .withColumn("ppl_bucket",
+        when(col("bits_micro") === lit(-1L), "unmodeled")
+          .when(col("bits_micro") < lit(headBits) * col("n_tokens"), "head")
+          .when(col("bits_micro") < lit(midBits) * col("n_tokens"), "middle")
+          .otherwise("tail"))
+  }
+
   /** The q77 heuristic quality gate over any (…, doc_id, text)
     * relation: minimum whitespace-token count plus the repetition
     * thresholds, all map-side. ONE definition shared by

@@ -71,6 +71,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === again)
   }
 
+  test("q139 per-lang LM: a lang absent from the reference is 'unmodeled', never scored under another lang's model") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog", "src0"),
+      (2L, "en", "the quick brown fox naps all day long today", "src1"),
+      (3L, "xx", "zzz yyy www vvv uuu ttt sss rrr qqq", "src1") // no xx reference
+    ).toDF("doc_id", "lang", "text", "source")
+    val r = LlmOps.perLangPerplexityOf(docs, col("source") === "src0",
+        vocabCap = 4096, headBits = 4943000L, midBits = 5006000L)
+      .select("doc_id", "lang", "bits_micro", "ppl_bucket")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1)
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(3L)._4 === "unmodeled" && byId(3L)._3 === -1L, byId(3L))
+    assert(byId(1L)._4 != "unmodeled" && byId(1L)._3 > 0, byId(1L))
+    assert(byId(2L)._4 != "unmodeled" && byId(2L)._3 > 0, byId(2L))
+    // the reference doc scores strictly better (fewer bits/token)
+    // than the OOV-heavy sibling under the SAME lang model
+    assert(byId(1L)._3.toDouble / 9 < byId(2L)._3.toDouble / 9)
+    // declared query: deterministic, one row per doc
+    val a = LlmOps.q139PerplexityPerLang(spark, sf).collect().map(_.toString).toSeq
+    val b = LlmOps.q139PerplexityPerLang(spark, sf).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("q41 SimHash: block-combination scheme is output-invariant in nBlocks") {
     // pigeonhole completeness + the exact bit_count filter mean the
     // wide-key corpus-scale scheme (6 blocks -> C(6,3)=20 keys of

@@ -426,6 +426,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q139: scoring is broadcast-probe only; the per-lang fit window stays out of the scoring plan") {
+    // the fitted tables are checkpointed bounded relations, so the
+    // SCORING plan must carry no Window at all (the fit's
+    // lang-partitioned rank ran out-of-band over the tiny reference)
+    // and stay the broadcast-probe + one-doc-keyed-exchange shape of
+    // the whole LM family
+    val df = graft.ops.LlmOps.q139PerplexityPerLang(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q118: the serving probe scans are partition-pruned to the probed cells") {
     // build the memo index, then inspect the PROBE's executed plan:
     // both the code scan and the finalist vector fetch must carry

@@ -394,17 +394,38 @@ object Bench {
     // frozen tier in a storm is ~20 heavy queries at 3-8 s inflated
     // each, so 60 s repairs barely half of them once, while a quiet
     // tail at ~2× fewer seconds per sample covers the tier twice.
-    // Eligibility widened (round 17, second storm finding): a run
-    // whose ROUND 1 was storm-poisoned (first canary >= StormCanary)
-    // carries broad inflation even when rounds 2+ completed — a
-    // 27%-steal run with full_rounds 2 read 176.2 s with 29 s of
-    // uniform 1.15-1.4x excess vs the quiet reference.
+    // Eligibility (round 17, iterated on three storm findings): the
+    // canary heuristic alone misses 0.6-0.8-canary windows that still
+    // carry 25-35 s of broad excess (a canary-0.74 run froze at
+    // 181.6 s with 56 lines >1.12x ref and zero mop time), so the
+    // extension keys on the OUTCOME — the summed excess of every
+    // mop-eligible line over its quiet reference at budget
+    // exhaustion. Quiet runs measure ~0 excess and never extend;
+    // any degraded window that left real seconds on the table gets
+    // the overdraft regardless of which canary pattern produced it.
     val StormOverdraftS =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_OVERDRAFT_S", "120").toDouble
+    val ExcessFloorS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCESS_FLOOR_S", "8").toDouble
+    val MopRatio =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_RATIO", "1.12").toDouble
+    val MopAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_ATTEMPTS", "3").toInt
+    def excessVsRef: Double = order.iterator.map { case (name, _) =>
+      (for {
+        r <- ref.get(name) if r > 0
+        b <- best.get(name)
+        if b > MopRatio * r && b > RepeatThresholdSec
+      } yield b - r).getOrElse(0.0)
+    }.sum
     val stormDegraded =
-      fullRounds < 2 || canaries.headOption.exists(_ >= StormCanary)
+      fullRounds < 2 || canaries.headOption.exists(_ >= StormCanary) ||
+        excessVsRef > ExcessFloorS
     val repairBudget =
       if (stormDegraded) BudgetSec + StormOverdraftS else BudgetSec
+    if (stormDegraded)
+      System.err.println(f"[bench] degraded window (full_rounds=$fullRounds, " +
+        f"excess=${excessVsRef}%.1f s) — repair/mop budget extended to $repairBudget%.0f s")
     if (ref.nonEmpty && !spark.sparkContext.isStopped) {
       val attempts = scala.collection.mutable.Map[String, Int]()
         .withDefaultValue(0)
@@ -450,10 +471,8 @@ object Bench {
     // after a few confirming samples. min() can only improve; in
     // quiet windows the loop finds nothing above the ratio and exits
     // immediately. Same interleaved full-pass discipline as repair.
-    val MopRatio =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_RATIO", "1.12").toDouble
-    val MopAttempts =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_ATTEMPTS", "3").toInt
+    // (MopRatio/MopAttempts defined above with the overdraft — the
+    // excess metric shares them.)
     if (ref.nonEmpty && !spark.sparkContext.isStopped) {
       val mopTried = scala.collection.mutable.Map[String, Int]()
         .withDefaultValue(0)

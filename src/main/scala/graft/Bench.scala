@@ -403,14 +403,29 @@ object Bench {
     // exhaustion. Quiet runs measure ~0 excess and never extend;
     // any degraded window that left real seconds on the table gets
     // the overdraft regardless of which canary pattern produced it.
+    // Default 240 s (round 17, canary-1.57 finding): a storm that
+    // spans BOTH the rounds and the first overdraft leaves the mop
+    // exhausted at 120 s with ~30 s of eligible excess still on the
+    // table while calmer minutes follow (storms are episodic,
+    // multi-minute — BASELINE.md); doubling the cap costs wall-clock
+    // only in persistent storms (quiet runs never enter it, and a
+    // regression-only run exits via the per-query attempt bounds),
+    // and cumulative emission keeps any external kill harmless.
     val StormOverdraftS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_OVERDRAFT_S", "120").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_OVERDRAFT_S", "240").toDouble
     val ExcessFloorS =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCESS_FLOOR_S", "8").toDouble
     val MopRatio =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_RATIO", "1.12").toDouble
+    // 6 attempts (round 17, same finding as the 240 s cap): 3 mop
+    // samples all landing inside one storm episode burn the line's
+    // whole allowance confirming the SAME inflated cost — the bound
+    // exists to stop regression-grinding, and a genuine regression
+    // still terminates (6 confirming samples, then the line leaves
+    // the candidate set); episodic storms need attempts that survive
+    // one bad episode to reach the calm minutes after it.
     val MopAttempts =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_ATTEMPTS", "3").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_ATTEMPTS", "6").toInt
     def excessVsRef: Double = order.iterator.map { case (name, _) =>
       (for {
         r <- ref.get(name) if r > 0

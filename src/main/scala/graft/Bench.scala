@@ -413,8 +413,16 @@ object Bench {
     // and cumulative emission keeps any external kill harmless.
     val StormOverdraftS =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_OVERDRAFT_S", "240").toDouble
+    // Floor 15 s (round 17, after the min-merge tightening of
+    // bench_ref.json): references are per-query minima over several
+    // full runs, so even the best-ever record reads ~8 s of summed
+    // "excess" against them — a floor of 8 would extend every quiet
+    // run against an unreachable reference (harmless to the record,
+    // min() only improves, but up to the full overdraft of wasted
+    // wall). Observed degraded windows measure >=25 s (29.4, 402);
+    // 15 separates the populations with margin on both sides.
     val ExcessFloorS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCESS_FLOOR_S", "8").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCESS_FLOOR_S", "15").toDouble
     val MopRatio =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MOP_RATIO", "1.12").toDouble
     // 6 attempts (round 17, same finding as the 240 s cap): 3 mop

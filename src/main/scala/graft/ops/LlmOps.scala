@@ -86,9 +86,15 @@ object LlmOps {
     */
   def minhashPairsOf(docs: DataFrame, threshold: Double = 0.8,
       maxBucket: Int = 65536): DataFrame = {
-    val withHs = shingleHashSets(docs).localCheckpoint()
-    // pinned: the guard below and BOTH sides of the self-join read it
-    val buckets = bandBuckets(withHs).localCheckpoint()
+    // LAZY checkpoints: the guard aggregate below is the materializing
+    // job for BOTH (its map-side partial-agg stage scans every buckets
+    // partition, computing every withHs partition on the way — the
+    // shuffle barrier makes the lazy form safe), so the pin costs zero
+    // extra jobs where the eager form paid two checkpoint jobs before
+    // the guard could run (round-18, guide §2.6 fixed-latency cut).
+    // Both relations stay pinned for the joins exactly as before.
+    val withHs = shingleHashSets(docs).localCheckpoint(false)
+    val buckets = bandBuckets(withHs).localCheckpoint(false)
     // Fail-fast candidate-mass guard (round 13 — the q84 per-interval
     // cap pattern): one (band, hash) bucket of m docs emits m(m−1)/2
     // candidate pairs, so an m-member near-duplicate CLUSTER makes the
@@ -654,9 +660,11 @@ object LlmOps {
     * construction and the probe join cannot fan out.
     */
   def paraIngestBatch(spark: SparkSession, batch: DataFrame,
-      indexPath: String, batchId: Long, paraTokens: Int = 20): DataFrame =
+      indexPath: String, batchId: Long, paraTokens: Int = 20,
+      bounds: Option[(Long, Long)] = None): DataFrame =
     Sinks.withWriterLease(spark, indexPath, "para-ingest-append") {
-    val keepers = paraProbeKeepers(spark, batch, indexPath, paraTokens)
+    val keepers = paraProbeKeepers(spark, batch, indexPath, paraTokens,
+      bounds)
     keepers
       .withColumn("__batch_id", lit(batchId))
       .repartition(col("__batch_id"))
@@ -676,7 +684,8 @@ object LlmOps {
     * two shaped outputs.
     */
   private def paraProbeKeepers(spark: SparkSession, batch: DataFrame,
-      indexPath: String, paraTokens: Int): DataFrame = {
+      indexPath: String, paraTokens: Int,
+      bounds: Option[(Long, Long)] = None): DataFrame = {
     val paras = segmentParas(batch.select("doc_id", "text"), paraTokens)
       .withColumn("ph", xxhash64(col("para")))
     val flagged =
@@ -695,7 +704,10 @@ object LlmOps {
         // column is checkpointed ONCE and feeds the cap aggregate and
         // the Bloom build — segmentation itself runs twice per batch
         // total (here and in the flagged join), as before the cap.
-        val phs = paras.select("ph").localCheckpoint()
+        // LAZY checkpoint: the cap aggregate below is the
+        // materializing job (count + countDistinct scan every
+        // partition), so the pin costs zero extra jobs (round-18)
+        val phs = paras.select("ph").localCheckpoint(false)
         val st = phs.agg(count(lit(1)), countDistinct("ph")).head()
         val (total, nDistinct) = (st.getLong(0), st.getLong(1))
         if (total > MaxBatchParas)
@@ -706,9 +718,15 @@ object LlmOps {
               "split the micro-batch (smaller trigger / " +
               "maxFilesPerTrigger) or run the global batch form " +
               "(dedupParagraphs/q86) for a backfill this size")
+        // no .distinct() in front of the filter build: inserting a
+        // duplicate element sets the same bits, so the built filter is
+        // BIT-IDENTICAL with or without the dedup — and dropping it
+        // removes one full shuffle per micro-batch (round-18, guide
+        // §2.4 remove shuffles outright). nDistinct still sizes the
+        // filter exactly as before.
         val bloomOpt =
           if (nDistinct == 0) None
-          else Some(phs.distinct().stat.bloomFilter("ph", nDistinct, 0.01))
+          else Some(phs.stat.bloomFilter("ph", nDistinct, 0.01))
         // tombstones (q132): a taken-down doc's admitted paragraphs
         // must stop blocking re-arrivals of the same content —
         // merge-on-read anti-join, physical rewrite deferred to
@@ -746,8 +764,14 @@ object LlmOps {
     // comment above), which is the originally-admitted — hence
     // minimal — occurrence. Checkpoint the keepers once — the cleaned
     // output and the index append both read them.
+    // `bounds` (when supplied) is a corpus-level (or call-shared)
+    // bound from ONE paraBounds job instead of one per batch — any
+    // k ≥ the batch's true max paragraph count packs/unpacks
+    // identically (doc_id·k + idx, decoded DIV/MOD the same k), so
+    // the keeper rows are unchanged (round-18, guide §2.3).
     paraKeepers(flagged,
-        paraBounds(batch.select("doc_id", "text"), paraTokens),
+        bounds.getOrElse(
+          paraBounds(batch.select("doc_id", "text"), paraTokens)),
         Some(col("seen")))
       .filter(col("__bit") === 0L)
       .select(xxhash64(col("para")).as("ph"), col("para"),
@@ -773,8 +797,15 @@ object LlmOps {
   def q94DedupParagraphIngest(spark: SparkSession, dir: String,
       nBatches: Int = 3, paraTokens: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    val maxId = docMaxId(docs)
-    val bSize = math.max(1L, maxId / nBatches + 1)
+    // ONE corpus-level bounds job serves the batch arithmetic (its
+    // max-doc_id component equals docMaxId — paraBounds coalesces an
+    // empty corpus to 0, and max(1, -1/n + 1) == max(1, 0/n + 1))
+    // AND every batch's paraKeepers packing (a corpus-level k bounds
+    // each batch's k, and any valid k decodes identically) — where
+    // the loop previously paid one docMaxId job plus one paraBounds
+    // job PER batch (round-18, guide §2.3 one-pass stats).
+    val bounds = paraBounds(docs, paraTokens)
+    val bSize = math.max(1L, bounds._2 / nBatches + 1)
     // per-invocation index path (dir + application id): two sessions
     // on the same dir get disjoint ingest state (the q87 rule)
     val indexPath = s"${Sinks.indexRoot}/graft_q94_index_" +
@@ -783,7 +814,8 @@ object LlmOps {
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
     val cleaned = (0 until nBatches).map { b =>
       val batch = docs.filter(expr(s"doc_id DIV $bSize") === b)
-      paraIngestBatch(spark, batch, indexPath, b.toLong, paraTokens)
+      paraIngestBatch(spark, batch, indexPath, b.toLong, paraTokens,
+        Some(bounds))
     }
     // materialize before deleting the throwaway index the plan reads
     val out = cleaned.reduce(_.unionByName(_)).orderBy("doc_id")
@@ -808,12 +840,18 @@ object LlmOps {
       indexPath: String, threshold: Double = 0.8,
       maxCandidates: Long = MaxProbeCandidates,
       maxBatchDocs: Long = MaxBatchDocs): DataFrame = {
-    val newHs = shingleHashSets(newDocs).localCheckpoint()
-    // not checkpointed: the mass guard and both candidate joins each
-    // recompute this map-side signature pass from the checkpointed
-    // hash sets — cheaper at every scale than materializing a second
-    // batch-sized relation per probe
-    val newBuckets = bandBuckets(newHs)
+    // LAZY checkpoints, both materialized by the ONE guard aggregate
+    // below (its map-side partial-agg stage scans every partition of
+    // newBuckets, which computes every partition of newHs on the way
+    // — the shuffle barrier makes the lazy form safe): one job where
+    // the eager form paid a checkpoint job AND re-ran the 64-min
+    // signature transform per consumer (guard + both candidate join
+    // sides — measured 4 passes per micro-batch; round-18, guide
+    // §2.3/§2.6). newBuckets is 16 narrow rows per doc — smaller than
+    // the hash sets already pinned, so the extra pin is noise at any
+    // scale.
+    val newHs = shingleHashSets(newDocs).localCheckpoint(false)
+    val newBuckets = bandBuckets(newHs).localCheckpoint(false)
     // tombstones (q131): taken-down docs must stop blocking admits of
     // re-arriving content — ONE tombstone-dir resolution, anti-joined
     // against BOTH index relations
@@ -2858,16 +2896,42 @@ object LlmOps {
       kmeansIters: Int, m: Int, kCodes: Int, pqIters: Int,
       seal: Boolean, tag: String, retrain: Boolean = false,
       reuseIngestMemo: Boolean = false): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    // lazy pin: the max-aggregate below scans every partition and is
+    // the materializing job (round-18, §2.6); every later consumer
+    // (batch filters, count, query slice) reads the pinned blocks
+    val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
     val maxRow = emb.agg(max("vec_id")).head()
     if (maxRow.isNullAt(0))
       return emptyAnnResult(emb.select(col("vec_id"), col("embedding")))
     val bSize = math.max(1L, longOf(maxRow.get(0)) / nBatches + 1)
+    // Post-seed stamped appends are independent (they only READ the
+    // persisted quantizers and write disjoint `cell=*/__batch_id=<b>`
+    // directories via per-job staging), so the ingest loop seeds
+    // SEQUENTIALLY until the quantizer state exists — seeding is the
+    // one cross-batch read-modify-write, and an empty leading batch
+    // must not let two trailing batches race to seed — then runs the
+    // remaining batches as concurrent driver-thread job chains under
+    // ONE writer-lease acquisition (guide §2.6; round-18). Batch
+    // assignment is deterministic under the persisted seed, so the
+    // index content is byte-identical to the sequential loop and the
+    // q113 oracle gate is unchanged.
     def ingestInto(path: String): Unit =
-      (0 until nBatches).foreach { b =>
-        annIndexAppendBatch(spark,
-          emb.filter(expr(s"vec_id DIV $bSize") === b),
-          path, b.toLong, nCells, kmeansIters, m, kCodes, pqIters)
+      Sinks.withWriterLease(spark, path, "ann-index-append") {
+        val pfs = Sinks.fsFor(spark, path)
+        def seeded = pfs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/centroids"))
+        var b = 0
+        while (b < nBatches && !seeded) {
+          annIndexAppendBatchHeld(spark,
+            emb.filter(expr(s"vec_id DIV $bSize") === b),
+            path, b.toLong, nCells, kmeansIters, m, kCodes, pqIters)
+          b += 1
+        }
+        Sinks.awaitAllOrThrow((b until nBatches).map { i => Sinks.bFuture {
+          annIndexAppendBatchHeld(spark,
+            emb.filter(expr(s"vec_id DIV $bSize") === i),
+            path, i.toLong, nCells, kmeansIters, m, kCodes, pqIters)
+        }})
       }
     // app-scoped work path + per-run state (the q87/q106 rule)
     val indexPath = s"${Sinks.indexRoot}/graft_${tag}_index_" +
@@ -3081,8 +3145,10 @@ object LlmOps {
     // pending tombstones (q129) are applied BY the rotation: the
     // rewrite excludes them and the whole-root swap below installs a
     // root without deletes/ — rotation doubles as compaction
+    // lazy pin + count = one materializing job (round-18, §2.6); the
+    // Lloyd loops, assignment pass and validation all read the pin
     val vecs = minusAnnDeletes(spark, indexPath,
-      spark.read.parquet(s"$indexPath/vectors")).localCheckpoint()
+      spark.read.parquet(s"$indexPath/vectors")).localCheckpoint(false)
     val stamped = vecs.columns.contains("__batch_id")
     val expected = vecs.count()
     if (expected == 0) return
@@ -3201,10 +3267,13 @@ object LlmOps {
       keyCol: String, delIds: DataFrame): Long = {
     val ids = delIds
       .select(col(delIds.columns(0)).cast("long").as(keyCol)).distinct()
+    // LAZY checkpoint + count: count() computes every partition, so
+    // the one job both materializes the pin and yields n — the eager
+    // form paid a checkpoint job AND a count job (round-18, §2.6)
     val fresh = (readIdDeletes(spark, indexPath, keyCol) match {
       case Some(ex) => ids.join(ex, Seq(keyCol), "left_anti")
       case None => ids
-    }).localCheckpoint()
+    }).localCheckpoint(false)
     val n = fresh.count()
     if (n > 0)
       fresh.coalesce(1).write.mode("append").parquet(s"$indexPath/deletes")
@@ -3231,8 +3300,12 @@ object LlmOps {
       Sinks.recoverInterrupted(fs, p(s"$indexPath/$sub"), "__del_old", "__del_tmp"))
     val delsOpt = readIdDeletes(spark, indexPath, keyCol)
     if (delsOpt.isEmpty) return false
-    val dels = delsOpt.get.localCheckpoint() // pinned: its dir is dropped below
-    if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
+    // pinned lazily: the count() is the materializing job (it computes
+    // every partition), replacing the eager-checkpoint + isEmpty pair
+    // with ONE job (round-18, §2.6). The dir is dropped below, so the
+    // pin itself is still required.
+    val dels = delsOpt.get.localCheckpoint(false)
+    if (dels.count() == 0) { fs.delete(p(s"$indexPath/deletes"), true); return false }
     // the subdir rewrites are DISJOINT (buckets/hs, vectors/codes) —
     // they run as concurrent driver-thread job chains (the
     // dedup-append rule; round-14 verdict item 8). Failure contract
@@ -3247,7 +3320,9 @@ object LlmOps {
         val df = Sinks.readParquetIfAny(spark, dir)
           .orNull // file-less: nothing to rewrite
         if (df != null) {
-          val kept = df.join(dels, Seq(keyCol), "left_anti").localCheckpoint()
+          // lazy pin + count = one materializing job (round-18, §2.6)
+          val kept = df.join(dels, Seq(keyCol), "left_anti")
+            .localCheckpoint(false)
           val expected = kept.count()
           if (expected == 0) {
             fs.delete(p(dir), true) // emptied: missing dir, not file-less
@@ -3525,9 +3600,13 @@ object LlmOps {
       val eff = math.max(shift, docMaxId(docs) + 1)
       val probe = docs.filter(pmod(col("doc_id"), lit(every)) === rem)
         .withColumn("doc_id", col("doc_id") + eff)
+      // ONE bounds job shared by both probes — they read the SAME
+      // probe relation, so the packing bound is identical (round-18)
+      val probeBounds = paraBounds(probe, paraTokens)
       def cleanedAs(kind: String): DataFrame =
         reassembleKeptParas(
-          paraProbeKeepers(spark, probe, indexPath, paraTokens),
+          paraProbeKeepers(spark, probe, indexPath, paraTokens,
+            Some(probeBounds)),
           paraTotals(probe, paraTokens))
           .select(lit(kind).as("kind"), col("doc_id"), col("n_paras"),
             col("n_kept"), col("clean_text"))
@@ -4192,8 +4271,12 @@ object LlmOps {
         .select("doc_id", "text"), w)
       .withColumn("is_train",
         substring(md5(col("doc_id").cast("string")), 1, 2) < lit("e6"))
+    // lazy pin + count = one materializing job (count computes every
+    // partition) where the eager form paid two (round-18, §2.6); the
+    // pinned relation still feeds the Bloom build and the exact
+    // semi-join exactly as before
     val trainShingles = sh.filter(col("is_train")).select("shingle")
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val nTrain = trainShingles.count()
     // zero train shingles (empty split/partition): the sketch
     // aggregate returns a buffer-less filter that NPEs on probe, and

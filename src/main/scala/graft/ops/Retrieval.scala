@@ -239,6 +239,20 @@ object Retrieval {
     (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
   }
 
+  /** [[statsOf]] as an IN-PLAN one-row relation (n_docs,
+    * total_tokens, n_buckets) — writers land it in the same job that
+    * computes it instead of paying a separate head() job (round-18).
+    * coalesce(sum, 0) mirrors statsOf's null-to-zero on an empty
+    * batch; the int cast keeps n_buckets the schema statsOf's
+    * Seq.toDF produced.
+    */
+  private def statsRowOf(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L))
+          .as("total_tokens"))
+      .select(col("n_docs"), col("total_tokens"),
+        lit(nBuckets).cast("int").as("n_buckets"))
+
   /** The single recorded bucket count of an index's stats relation:
     * Some(n) when every stats row that records one agrees, None when
     * none records one (a pre-f2 index — the caller falls back to its
@@ -399,19 +413,27 @@ object Retrieval {
       guardedBuckets.remove(s"$indexPath|stamped=true")
       guardedBuckets.remove(s"$indexPath|stamped=false")
     }
-    // one writer task per bucket (explicit numPartitions — the ANN
-    // cell-write note: AQE coalesces a KB-scale exchange to one task)
-    postingsOf(docs, nBuckets).repartition(nBuckets, col("tb"))
-      .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
-    val (n, total) = statsOf(docs)
-    // n_buckets rides the stats table so probes read the bucket count
-    // the postings were actually hashed with — two call sites each
-    // defaulting to 64 is a silent-mismatch trap (round-10 advice)
-    Seq((n, total, nBuckets))
-      .toDF("n_docs", "total_tokens", "n_buckets")
-      .coalesce(1).write
-      .mode(if (mode == "append") "append" else "overwrite")
-      .parquet(s"$indexPath/stats")
+    // postings/ and stats/ are disjoint subdirs off one input with no
+    // commit-order contract (the invIndexAppendBatch rule), so the two
+    // writes run as concurrent driver-thread jobs; the stats agg is
+    // fused INTO its write plan (one job, not head()+write — round-18,
+    // guide §2.3/§2.6). n_buckets rides the stats table so probes read
+    // the bucket count the postings were actually hashed with — two
+    // call sites each defaulting to 64 is a silent-mismatch trap
+    // (round-10 advice).
+    Sinks.awaitAllOrThrow(Seq(
+      Sinks.bFuture {
+        // one writer task per bucket (explicit numPartitions — the ANN
+        // cell-write note: AQE coalesces a KB-scale exchange to one task)
+        postingsOf(docs, nBuckets).repartition(nBuckets, col("tb"))
+          .write.mode(mode).partitionBy("tb").parquet(s"$indexPath/postings")
+      },
+      Sinks.bFuture {
+        statsRowOf(docs, nBuckets)
+          .coalesce(1).write
+          .mode(if (mode == "append") "append" else "overwrite")
+          .parquet(s"$indexPath/stats")
+      }))
     ensureModulusSentinel(spark, indexPath, nBuckets)
   }
 
@@ -493,13 +515,31 @@ object Retrieval {
             // n_docs < 0
             lit(null).cast("int").as("nb")))
     }
-    val st = unioned.agg(
-      coalesce(sum("n_docs"), lit(0L)),
-      coalesce(sum("total_tokens"), lit(0L)),
-      countDistinct(col("nb")),
-      max(col("nb")),
-      coalesce(sum(when(col("nb").isNull && col("n_docs") >= 0, 1L)), lit(0L)))
-      .head()
+    // the stats aggregate and the query-term hash collect are
+    // independent (the bucket MODULUS is applied driver-side below,
+    // after the stats reveal it), so the probe's two driver waves run
+    // concurrently — max(), not sum() (round-18, guide §2.6). Hashes
+    // are collected PRE-mod: pmod(h, nb) over the distinct hash set
+    // driver-side yields exactly the bucket set the in-plan
+    // pmod+distinct produced.
+    val stF = Sinks.bFuture {
+      unioned.agg(
+        coalesce(sum("n_docs"), lit(0L)),
+        coalesce(sum("total_tokens"), lit(0L)),
+        countDistinct(col("nb")),
+        max(col("nb")),
+        coalesce(sum(when(col("nb").isNull && col("n_docs") >= 0, 1L)), lit(0L)))
+        .head()
+    }
+    val qHashF = Sinks.bFuture {
+      queries.select(xxhash64(col("tok")).as("h"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    }
+    Sinks.awaitAllOrThrow(Seq(stF, qHashF))
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val st = Await.result(stF, Duration.Inf)
+    val qHashes = Await.result(qHashF, Duration.Inf)
     val nDocs = st.getLong(0)
     // empty index: the postings dir holds no parquet files (an empty
     // partitioned write emits none), so don't even try to read it
@@ -513,9 +553,9 @@ object Retrieval {
           s"$nbDistinct distinct${if (nbNulls > 0) " + unrecorded pre-f2 writes" else ""}) — " +
           "one index, one hash modulus; rebuild the index")
     val nb: Int = if (nbDistinct == 1) st.getInt(3) else nBuckets
-    val buckets = queries
-      .select(pmod(xxhash64(col("tok")), lit(nb)).as("tb"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    // driver-side pmod of the pre-collected distinct hashes — the same
+    // ((h % nb) + nb) % nb arithmetic the in-plan pmod applies
+    val buckets = qHashes.map(h => ((h % nb) + nb) % nb).distinct
     val pruned0 = spark.read.parquet(s"$indexPath/postings")
       .filter(col("tb").isin(buckets: _*))
     val pruned = delsOpt match {
@@ -588,6 +628,21 @@ object Retrieval {
   def invIndexAppendBatch(docs: DataFrame, indexPath: String,
       batchId: Long, nBuckets: Int = 64): Unit =
     Sinks.withWriterLease(docs.sparkSession, indexPath, "inv-index-append") {
+      invIndexAppendBatchHeld(docs, indexPath, batchId, nBuckets)
+    }
+
+  /** Lease-held core of [[invIndexAppendBatch]] — factored out so an
+    * orchestrator that already holds the index's writer lease (the
+    * q109/q116 batch ingest) can append INDEPENDENT batches from
+    * concurrent driver threads under ONE acquisition: the lease is
+    * thread-scoped, so per-append reacquisition from a pool thread
+    * would fail loud against its own process. Safe to run
+    * concurrently per the append contract above (pure function of the
+    * batch, disjoint `__batch_id` directories, per-job staging under
+    * dynamic partition overwrite).
+    */
+  private[graft] def invIndexAppendBatchHeld(docs: DataFrame,
+      indexPath: String, batchId: Long, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     // same modulus guard as the flat append (first append per JVM
@@ -613,9 +668,12 @@ object Retrieval {
           .partitionBy("tb", "__batch_id").parquet(s"$indexPath/postings")
       },
       Sinks.bFuture {
-        val (n, total) = statsOf(docs)
-        Seq((n, total, nBuckets, batchId))
-          .toDF("n_docs", "total_tokens", "n_buckets", "__batch_id")
+        // stats agg fused INTO the write plan: one job computes and
+        // lands the row, where head()+literal-write paid two (round-18,
+        // guide §2.3 one-pass stats). Same columns, same values —
+        // coalesce(sum, 0) is exactly statsOf's null-to-zero rule.
+        statsRowOf(docs, nBuckets)
+          .withColumn("__batch_id", lit(batchId))
           .coalesce(1).write
           .mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch_id").parquet(s"$indexPath/stats")
@@ -733,7 +791,9 @@ object Retrieval {
           .groupBy("doc_id").agg(max("dl").as("dl")),
         Seq("doc_id"), "left")
     }
-    val rows = withDl.select("doc_id", "dl").localCheckpoint()
+    // lazy pin + count = one materializing job where the eager form
+    // paid two (round-18, §2.6): count() computes every partition
+    val rows = withDl.select("doc_id", "dl").localCheckpoint(false)
     val n = rows.count()
     if (n > 0)
       rows.coalesce(1).write.mode("append").parquet(s"$indexPath/deletes")
@@ -767,41 +827,70 @@ object Retrieval {
     Sinks.recoverInterrupted(fs, root, "__del_old", "__del_tmp")
     val delsOpt = readInvDeletes(spark, indexPath)
     if (delsOpt.isEmpty) return false
-    val dels = delsOpt.get.localCheckpoint() // pinned: root is parked below
-    if (dels.isEmpty) { fs.delete(p(s"$indexPath/deletes"), true); return false }
+    // pinned lazily (root is parked below): count() materializes every
+    // partition, replacing eager-checkpoint + isEmpty with ONE job
+    val dels = delsOpt.get.localCheckpoint(false)
+    if (dels.count() == 0) { fs.delete(p(s"$indexPath/deletes"), true); return false }
     val stDf = spark.read.option("mergeSchema", "true")
       .parquet(s"$indexPath/stats")
-    val st = stDf.agg(sum("n_docs"), sum("total_tokens")).head()
     val posted = readPostings(spark, indexPath)
+    // Three INDEPENDENT bounded reads — the stats sums + bucket count,
+    // the tombstone stats correction, and the surviving-postings pin +
+    // count — previously ran as four serial job waves; they share no
+    // state beyond the already-materialized `dels` checkpoint, so they
+    // run as concurrent driver-thread jobs and the step pays max(),
+    // not sum() (round-18, guide §2.6 — the q129 fixed-latency cut).
     // NULL-dl tombstones are resolved against the postings that exist
     // NOW (delete-before-ingest docs appended since the delete must be
-    // subtracted from the compacted stats — see resolveTombstoneDl)
-    val corr = resolveTombstoneDl(spark, indexPath, dels, posted)
-      .filter(col("dl").isNotNull)
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    val nDocs = st.getLong(0) - corr.getLong(0)
-    val total = st.getLong(1) - corr.getLong(1)
-    val nb = indexBucketCount(stDf).getOrElse(throw new IllegalArgumentException(
-      s"invIndexApplyDeletes: $indexPath records no bucket count (pre-f2 " +
-        "layout) — rebuild the index instead"))
+    // subtracted from the compacted stats — see resolveTombstoneDl).
     val kept = posted.map(
       _.drop("__batch_id").join(dels.select("doc_id"), Seq("doc_id"), "left_anti")
-        .localCheckpoint())
-    val expected = kept.map(_.count()).getOrElse(0L)
+        .localCheckpoint(false)) // lazy pin: its count() materializes it
+    val stF = Sinks.bFuture {
+      val st = stDf.agg(sum("n_docs"), sum("total_tokens")).head()
+      val nb = indexBucketCount(stDf).getOrElse(throw new IllegalArgumentException(
+        s"invIndexApplyDeletes: $indexPath records no bucket count (pre-f2 " +
+          "layout) — rebuild the index instead"))
+      (st, nb)
+    }
+    val corrF = Sinks.bFuture {
+      resolveTombstoneDl(spark, indexPath, dels, posted)
+        .filter(col("dl").isNotNull)
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    }
+    val keptF = Sinks.bFuture { kept.map(_.count()).getOrElse(0L) }
+    Sinks.awaitAllOrThrow(Seq(stF, corrF, keptF))
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val (st, nb) = Await.result(stF, Duration.Inf)
+    val corr = Await.result(corrF, Duration.Inf)
+    val expected = Await.result(keptF, Duration.Inf)
+    val nDocs = st.getLong(0) - corr.getLong(0)
+    val total = st.getLong(1) - corr.getLong(1)
     val tmp = indexPath + "__del_tmp"
     if (expected > 0) {
       kept.get.repartition(nb, col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/postings")
-      val actual = spark.read.parquet(s"$tmp/postings").count()
-      if (actual != expected) {
-        fs.delete(p(tmp), true)
-        throw new java.io.IOException(
-          s"invIndexApplyDeletes: rewrite has $actual postings, expected " +
-            s"$expected; aborted with $indexPath untouched")
-      }
     }
-    Seq((nDocs, total, nb)).toDF("n_docs", "total_tokens", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    // the rewrite's validation count and the 1-row stats write are
+    // independent — concurrent, max() not sum() (round-18, §2.6). On
+    // a count mismatch the whole tmp root is discarded exactly as
+    // before, so the concurrently-written stats never survive.
+    val actF = Sinks.bFuture {
+      if (expected > 0) spark.read.parquet(s"$tmp/postings").count() else 0L
+    }
+    val stWrF = Sinks.bFuture {
+      Seq((nDocs, total, nb)).toDF("n_docs", "total_tokens", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+    Sinks.awaitAllOrThrow(Seq(actF, stWrF))
+    val actual = Await.result(actF, Duration.Inf)
+    if (expected > 0 && actual != expected) {
+      fs.delete(p(tmp), true)
+      throw new java.io.IOException(
+        s"invIndexApplyDeletes: rewrite has $actual postings, expected " +
+          s"$expected; aborted with $indexPath untouched")
+    }
     Sinks.swapInstall(fs, p(tmp), root, "__del_old")
     ensureModulusSentinel(spark, indexPath, nb)
     // layout changed in place (flattened, postings rewritten): retire
@@ -896,10 +985,21 @@ object Retrieval {
       spark.sparkContext.applicationId
     val fs = Sinks.fsFor(spark, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    // Every stamped append is a pure function of its batch (no probe,
+    // no read-modify-write of shared state — the invIndexAppendBatch
+    // contract says "batches may even be written CONCURRENTLY"), so
+    // the ingest loop runs all batches as concurrent driver-thread
+    // job chains under ONE writer-lease acquisition: wall cost is
+    // max(batch) instead of sum(batch) (guide §2.6 — fill idle
+    // capacity; round-18). The index content is byte-identical to the
+    // sequential loop (disjoint __batch_id directories, per-job
+    // staging), so the q109 oracle gate is unchanged.
     def ingestInto(path: String): Unit =
-      (0 until nBatches).foreach { b =>
-        invIndexAppendBatch(docs.filter(expr(s"doc_id DIV $bSize") === b),
-          path, b.toLong)
+      Sinks.withWriterLease(spark, path, "inv-index-append") {
+        Sinks.awaitAllOrThrow((0 until nBatches).map { b => Sinks.bFuture {
+          invIndexAppendBatchHeld(
+            docs.filter(expr(s"doc_id DIV $bSize") === b), path, b.toLong)
+        }})
       }
     if (!reuseIngestMemo) ingestInto(indexPath)
     else {

@@ -144,7 +144,11 @@ object Sinks {
     // localCheckpoint: the counts feed the broadcast join side AND the
     // pre-commit validation — pin them so the source is scanned once
     // for counts, not once per consumer (an extra pass at lake scale)
-    val counts = df.groupBy(partCol).agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // lazy pin: the broadcast build inside the write below is the
+    // materializing pass (a broadcast collects every partition), so
+    // the pin costs no separate checkpoint job (round-18, §2.6)
+    val counts = df.groupBy(partCol).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val hashCols = df.schema.fields
       .filter(f => Skew.hashSupported(f.dataType)).map(f => col(f.name))
     // refuse rather than degrade: a constant bucket would collapse
@@ -281,25 +285,22 @@ object Sinks {
       }
     if (!df.columns.contains("__batch_id")) return false
     afterSnapshot()
-    // pin once: the rewrite and the pre-swap validation both consume
-    // this relation, and the source is about to be renamed away
-    val flat = df.drop("__batch_id").localCheckpoint()
+    // ONE evaluation (the commitVersion observe rule, round-18): the
+    // expectation count rides the rewrite job as an Observation — the
+    // counted rows are by construction the rows the rewrite consumed,
+    // the source is only renamed away AFTER the write completes, and
+    // the seal sheds the round-17 pin job + count job. The validation
+    // below still re-reads the WRITTEN bytes.
+    val obs = org.apache.spark.sql.Observation()
+    val flat = df.drop("__batch_id").observe(obs, count(lit(1)).as("n"))
     val tmp = staleTmp.toString
-    // expectation count ∥ rewrite: both consume the pinned blocks
-    // only (the commitVersion concurrency rule) — the seal pays
-    // max(count, write) instead of their sum
-    val cntF = bFuture { flat.count() }
-    val wrF = bFuture {
-      leadingPart match {
-        case Some(c) => flat
-          .repartition(spark.sparkContext.defaultParallelism, col(c))
-          .write.mode("overwrite").partitionBy(c).parquet(tmp)
-        case None => flat.write.mode("overwrite").parquet(tmp)
-      }
+    leadingPart match {
+      case Some(c) => flat
+        .repartition(spark.sparkContext.defaultParallelism, col(c))
+        .write.mode("overwrite").partitionBy(c).parquet(tmp)
+      case None => flat.write.mode("overwrite").parquet(tmp)
     }
-    awaitAllOrThrow(Seq(cntF, wrF))
-    val expected = scala.concurrent.Await.result(
-      cntF, scala.concurrent.duration.Duration.Inf)
+    val expected = obs.get("n").asInstanceOf[Long]
     val actual = spark.read.parquet(tmp).count()
     if (actual != expected) {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -1186,27 +1187,23 @@ object Sinks {
     withWriterLease(spark, root, "commit-version") {
     val v = nextVersion(spark, root)
     val dir = versionDir(root, v)
-    // pin the plan ONCE: count and write must see the same rows for
-    // the validation to mean anything (a live source or a
-    // nondeterministic plan evaluated twice could drift between
-    // them), and it saves the second full scan
-    val pinned = df.localCheckpoint()
-    // the expectation count and the write both consume the pinned
-    // blocks and share no other state — run them as concurrent
-    // driver-thread jobs (the q129 rule), so a commit pays
-    // max(count, write), not their sum (round-17 lifecycle-tier cut)
-    val cntF = bFuture { pinned.count() }
-    val wrF = bFuture {
-      partCol match {
-        case Some(p) => pinned
-          .repartition(spark.sparkContext.defaultParallelism, col(p))
-          .write.partitionBy(p).parquet(dir)
-        case None => pinned.write.parquet(dir)
-      }
+    // ONE evaluation: the expectation count rides the write job itself
+    // as an Observation, so the rows counted are BY CONSTRUCTION the
+    // rows the write wrote — strictly stronger than the round-17
+    // pinned-checkpoint + concurrent-count form (which guaranteed
+    // count==write input via a shared materialization), and the commit
+    // sheds both the full checkpoint pass and the count job (round-18,
+    // guide §2.3: don't pay a second pass for a number the first pass
+    // can emit). The validation below still re-reads the WRITTEN bytes.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("n"))
+    partCol match {
+      case Some(p) => observed
+        .repartition(spark.sparkContext.defaultParallelism, col(p))
+        .write.partitionBy(p).parquet(dir)
+      case None => observed.write.parquet(dir)
     }
-    awaitAllOrThrow(Seq(cntF, wrF))
-    val expected = scala.concurrent.Await.result(
-      cntF, scala.concurrent.duration.Duration.Inf)
+    val expected = obs.get("n").asInstanceOf[Long]
     val actual = spark.read.parquet(dir).count()
     if (actual != expected) {
       fsFor(spark, root).delete(new org.apache.hadoop.fs.Path(dir), true)
